@@ -1,0 +1,387 @@
+"""TPC-H-adapted corpus over the driver's star schema (FIXTURES.md §1).
+
+Exercises: scans, filters, multi-way joins, hash aggregation, group-by /
+having, top-k, correlated + scalar subqueries, CTEs, left joins, semi/anti
+semantics — the SQL surface the reference delegates to SQLite core
+(SURVEY.md §2.3) expressed on Catalyst.
+
+Determinism convention (driver hash-compares Spark vs DuckDB at sf0.01):
+money aggregates are computed in exact DECIMAL(12,2) arithmetic and cast
+back to DOUBLE, so both engines produce bit-identical doubles regardless of
+summation order; averages are exact-sum / count (IEEE division of identical
+operands); every computed column carries the same alias on both sides.
+Queries with LIMIT carry a full deterministic ORDER BY tie-break.
+"""
+
+from __future__ import annotations
+
+from steampipe_sqlite_spark.plans.registry import query, sql_query
+from steampipe_sqlite_spark.tables import load_table
+
+
+def M(expr: str) -> str:
+    """Exact-money operand: cast to DECIMAL(12,2)."""
+    return f"CAST({expr} AS DECIMAL(12,2))"
+
+
+def DSUM(expr: str, alias: str) -> str:
+    """Deterministic SUM: exact decimal accumulation, double result."""
+    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
+def DAVG(expr: str, alias: str) -> str:
+    """Deterministic AVG: exact decimal sum divided by count (double IEEE
+    division of identical operands on both engines)."""
+    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+REVENUE = f"{M('l_extendedprice')} * {M('1 - l_discount')}"
+CHARGE = f"{REVENUE} * {M('1 + l_tax')}"
+
+
+# --- Q1: pricing summary report (flagship) -------------------------------
+# Wide aggregation: 2 group keys, 8 aggregates, sort. The canonical
+# map-side-partial + final hash aggregate; one shuffle on the (tiny) group
+# key space — scale-safe at any SF.
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM(M('l_quantity'), 'sum_qty')},
+       {DSUM(M('l_extendedprice'), 'sum_base_price')},
+       {DSUM(REVENUE, 'sum_disc_price')},
+       {DSUM(CHARGE, 'sum_charge')},
+       {DAVG(M('l_quantity'), 'avg_qty')},
+       {DAVG(M('l_extendedprice'), 'avg_price')},
+       {DAVG(M('l_discount'), 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+sql_query("tpch_q1", Q1_SQL)
+
+
+@query(
+    "tpch_q1_dataframe",
+    oracle=Q1_SQL,
+)
+def tpch_q1_dataframe(spark, sf_dir):
+    """Q1 via the DataFrame API — same Catalyst plan as the SQL form.
+
+    Kept as the idiomatic-API witness: filter pushed to the parquet scan,
+    decimal partial aggregation inside whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(12,2)")  # noqa: E731
+    qty = dec(F.col("l_quantity"))
+    price = dec(F.col("l_extendedprice"))
+    disc = dec(F.col("l_discount"))
+    rev = price * dec(1 - F.col("l_discount"))
+    charge = rev * dec(1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(rev).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Q3: shipping priority (3-way join + top-k) --------------------------
+sql_query(
+    "tpch_q3",
+    f"""
+SELECT l_orderkey,
+       {DSUM(REVENUE, 'revenue')},
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+
+# --- Q4: order priority checking (semi-join via EXISTS) ------------------
+# Adapted: no l_commitdate/l_receiptdate in the fixture; the EXISTS
+# correlates on returned lines instead (same decorrelation shape).
+sql_query(
+    "tpch_q4",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
+# --- Q5: local supplier volume (6-way star join) -------------------------
+sql_query(
+    "tpch_q5",
+    f"""
+SELECT n_name,
+       {DSUM(REVENUE, 'revenue')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+
+# --- Q6: forecast revenue change (pure scan + filter + agg) --------------
+sql_query(
+    "tpch_q6",
+    f"""
+SELECT {DSUM(f"{M('l_extendedprice')} * {M('l_discount')}", 'revenue')}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+
+# --- Q7: volume shipping between nation pairs ----------------------------
+sql_query(
+    "tpch_q7",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+       {DSUM('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         {REVENUE} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1998-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+
+# --- Q8: national market share (CASE inside aggregate) -------------------
+sql_query(
+    "tpch_q8",
+    f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         {REVENUE} AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                        AND TIMESTAMP '1996-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+
+# --- Q9: product type profit (adapted: no partsupp in fixture) -----------
+sql_query(
+    "tpch_q9",
+    f"""
+SELECT nation, o_year,
+       {DSUM('amount', 'sum_profit')}
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         {REVENUE} AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+
+# --- Q10: returned item reporting (join + group + top-k) -----------------
+sql_query(
+    "tpch_q10",
+    f"""
+SELECT c_custkey, c_name,
+       {DSUM(REVENUE, 'revenue')},
+       c_acctbal, n_name, c_mktsegment
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+
+# --- Q13: customer order distribution (left outer join + double agg) -----
+sql_query(
+    "tpch_q13",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+
+# --- Q14: promotion effect (conditional aggregation) ---------------------
+sql_query(
+    "tpch_q14",
+    f"""
+SELECT CAST(100.00 AS DOUBLE) *
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {REVENUE}
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM({REVENUE}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+""",
+)
+
+# --- Q15: top supplier (CTE + scalar-subquery max) -----------------------
+sql_query(
+    "tpch_q15",
+    f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         {DSUM(REVENUE, 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+""",
+)
+
+# --- Q17: small-quantity-order revenue (correlated scalar subquery) ------
+sql_query(
+    "tpch_q17",
+    f"""
+SELECT CAST(SUM({M('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+
+# --- Q18: large volume customers (HAVING over join) ----------------------
+sql_query(
+    "tpch_q18",
+    """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+
+# --- Q19: discounted revenue (disjunctive multi-predicate join) ----------
+sql_query(
+    "tpch_q19",
+    f"""
+SELECT {DSUM(REVENUE, 'revenue')}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+
+# --- Q21: waiting suppliers (EXISTS + NOT EXISTS, adapted) ---------------
+sql_query(
+    "tpch_q21",
+    """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND n_name = 'NATION_5'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)

@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+the given scale factor, then compares: row count, column names (sorted), and
+an order-insensitive value hash.  Use while iterating so the per-round
+CORRECTNESS_r{N}.json holds no surprises.
+
+Usage:  python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from steampipe_sqlite_spark.session import get_spark
+from steampipe_sqlite_spark.tables import ALL_TABLES
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(columns: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def run(sf_dir: str, only: list[str]) -> int:
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    queries, oracles = collect()
+    spark = get_spark("selfcheck")
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    names = only or sorted(queries)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            srows = [tuple(r) for r in df.collect()]
+            scols = df.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)}≠{len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)}≠{sorted(ocols)}")
+        elif value_hash(scols, srows) != value_hash(ocols, orows):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            if "value-hash mismatch" in problems and srows:
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ss = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in srows)
+                oo = sorted("|".join(_norm_cell(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ss, oo):
+                    if a != b:
+                        print(f"      spark : {a[:220]}")
+                        print(f"      duckdb: {b[:220]}")
+                        break
+        else:
+            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+    raise SystemExit(run(sf_dir, only))

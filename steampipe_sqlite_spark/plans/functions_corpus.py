@@ -1,1 +1,375 @@
-"""Corpus module: functions_corpus (populated incrementally)."""
+"""Scalar-function corpus: strings, date/time, math, JSON, conditionals.
+
+Maps SURVEY.md §2.3 rows "String fns / Date-time fns / Math fns / JSON fns /
+Type fns / Table-valued fns" — the SQLite-core function surface the
+reference inherits — onto Spark built-ins, with DuckDB oracles.  Where the
+two dialects spell a function differently the oracle carries the DuckDB
+spelling; semantics are identical.
+"""
+
+from __future__ import annotations
+
+from steampipe_sqlite_spark.plans.registry import sql_query
+
+# --- String functions -----------------------------------------------------
+
+sql_query(
+    "str_basics",
+    """
+SELECT p_partkey,
+       LOWER(p_name) AS lo, UPPER(p_brand) AS up,
+       LENGTH(p_name) AS len_name,
+       SUBSTR(p_name, 1, 5) AS sub5,
+       TRIM('  ' || p_type || ' ') AS trimmed,
+       REPLACE(p_name, ' ', '_') AS underscored,
+       REVERSE(p_brand) AS rev,
+       REPEAT('*', p_size % 4) AS stars,
+       LPAD(CAST(p_size AS STRING), 4, '0') AS padded
+FROM part
+ORDER BY p_partkey
+""",
+    oracle="""
+SELECT p_partkey,
+       LOWER(p_name) AS lo, UPPER(p_brand) AS up,
+       LENGTH(p_name) AS len_name,
+       SUBSTR(p_name, 1, 5) AS sub5,
+       TRIM('  ' || p_type || ' ') AS trimmed,
+       REPLACE(p_name, ' ', '_') AS underscored,
+       REVERSE(p_brand) AS rev,
+       REPEAT('*', p_size % 4) AS stars,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded
+FROM part
+ORDER BY p_partkey
+""",
+)
+
+sql_query(
+    "str_search",
+    """
+SELECT p_partkey,
+       POSITION('e' IN p_name) AS pos_e,
+       INSTR(p_name, 'o') AS pos_o,
+       SPLIT_PART(p_name, ' ', 1) AS first_word,
+       SPLIT_PART(p_name, ' ', 2) AS second_word,
+       LEFT(p_name, 3) AS l3, RIGHT(p_name, 3) AS r3,
+       CONTAINS(p_name, 'red') AS has_red,
+       p_name LIKE '%bolt%' AS like_bolt,
+       p_name ILIKE '%RED%' AS ilike_red
+FROM part
+ORDER BY p_partkey
+""",
+)
+
+sql_query(
+    "str_concat_format",
+    """
+SELECT c_custkey,
+       CONCAT(c_name, '/', c_mktsegment) AS tagged,
+       CONCAT_WS('-', c_name, CAST(c_nationkey AS STRING)) AS dashed,
+       ASCII(c_mktsegment) AS first_cp,
+       CHR(65 + CAST(c_nationkey AS INT) % 26) AS letter,
+       UPPER(HEX(LEFT(c_name, 2))) AS hex2,
+       FORMAT_STRING('%s#%03d', c_mktsegment, CAST(c_nationkey AS INT)) AS fmt
+FROM customer
+ORDER BY c_custkey
+""",
+    oracle="""
+SELECT c_custkey,
+       CONCAT(c_name, '/', c_mktsegment) AS tagged,
+       CONCAT_WS('-', c_name, CAST(c_nationkey AS VARCHAR)) AS dashed,
+       ASCII(c_mktsegment) AS first_cp,
+       CHR(65 + CAST(c_nationkey AS INT) % 26) AS letter,
+       UPPER(HEX(LEFT(c_name, 2))) AS hex2,
+       PRINTF('%s#%03d', c_mktsegment, CAST(c_nationkey AS INT)) AS fmt
+FROM customer
+ORDER BY c_custkey
+""",
+)
+
+sql_query(
+    "str_regexp",
+    """
+SELECT doc_id,
+       REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+       REGEXP_REPLACE(SUBSTR(text, 1, 50), '[aeiou]', '.') AS devoweled,
+       REGEXP_COUNT(SUBSTR(text, 1, 200), 'data') AS n_data,
+       SUBSTR(text, 1, 30) RLIKE '^[a-z ]+$' AS lowercase_only
+FROM documents
+ORDER BY doc_id
+""",
+    oracle="""
+SELECT doc_id,
+       REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+       REGEXP_REPLACE(SUBSTR(text, 1, 50), '[aeiou]', '.', 'g') AS devoweled,
+       LEN(REGEXP_EXTRACT_ALL(SUBSTR(text, 1, 200), 'data')) AS n_data,
+       REGEXP_MATCHES(SUBSTR(text, 1, 30), '^[a-z ]+$') AS lowercase_only
+FROM documents
+ORDER BY doc_id
+""",
+)
+
+# --- Date / time functions ------------------------------------------------
+
+sql_query(
+    "date_extract_parts",
+    """
+SELECT event_id,
+       EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS mo,
+       EXTRACT(DAY FROM ts) AS d, EXTRACT(HOUR FROM ts) AS h,
+       EXTRACT(MINUTE FROM ts) AS mi,
+       CAST(EXTRACT(SECOND FROM ts) AS BIGINT) AS s
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+)
+
+sql_query(
+    "date_trunc_buckets",
+    """
+SELECT DATE_TRUNC('DAY', ts) AS day_bucket,
+       DATE_TRUNC('HOUR', ts) AS hour_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY DATE_TRUNC('DAY', ts), DATE_TRUNC('HOUR', ts)
+ORDER BY day_bucket, hour_bucket
+""",
+    oracle="""
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_bucket,
+       DATE_TRUNC('hour', ts) AS hour_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY CAST(DATE_TRUNC('day', ts) AS TIMESTAMP), DATE_TRUNC('hour', ts)
+ORDER BY day_bucket, hour_bucket
+""",
+)
+
+sql_query(
+    "date_arithmetic",
+    """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       o_orderdate - INTERVAL 1 DAY AS day_before,
+       CAST(o_orderdate AS DATE) AS as_date,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       DATEDIFF(TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS days_to_y2k
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500
+""",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 30 DAY AS due_date,
+       o_orderdate - INTERVAL 1 DAY AS day_before,
+       CAST(o_orderdate AS DATE) AS as_date,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       DATEDIFF('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500
+""",
+)
+
+sql_query(
+    "date_format_epoch",
+    """
+SELECT event_id,
+       DATE_FORMAT(ts, 'yyyy-MM-dd HH:mm') AS formatted,
+       UNIX_TIMESTAMP(DATE_TRUNC('SECOND', ts)) AS epoch_s,
+       DAYOFWEEK(ts) - 1 AS dow_sun0,
+       WEEKOFYEAR(ts) AS iso_week
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+    oracle="""
+SELECT event_id,
+       STRFTIME(ts, '%Y-%m-%d %H:%M') AS formatted,
+       CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS epoch_s,
+       CAST(EXTRACT(dow FROM ts) AS INT) AS dow_sun0,
+       CAST(EXTRACT(week FROM ts) AS INT) AS iso_week
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+)
+
+# --- Math functions -------------------------------------------------------
+
+sql_query(
+    "math_basics",
+    """
+SELECT o_orderkey,
+       ABS(o_totalprice - 100000) AS dist_100k,
+       ROUND(o_totalprice, 1) AS rounded1,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS flr, CAST(CEIL(o_totalprice) AS BIGINT) AS cl,
+       MOD(o_orderkey, 7) AS m7,
+       CAST(SIGN(o_totalprice - 100000) AS INT) AS sgn,
+       GREATEST(o_totalprice, 50000.0) AS hi,
+       LEAST(o_totalprice, 50000.0) AS lo
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500
+""",
+)
+
+sql_query(
+    "math_transcendental",
+    """
+SELECT s_suppkey,
+       ROUND(SQRT(ABS(s_acctbal)), 6) AS sq,
+       ROUND(POWER(1.05, s_nationkey), 6) AS pw,
+       ROUND(EXP(s_nationkey / 10.0), 6) AS ex,
+       ROUND(LN(ABS(s_acctbal) + 1), 6) AS lg,
+       ROUND(LOG10(ABS(s_acctbal) + 1), 6) AS lg10,
+       ROUND(SIN(s_nationkey), 6) AS sn,
+       ROUND(COS(s_nationkey), 6) AS cs,
+       ROUND(ATAN2(s_acctbal, 100.0), 6) AS at2,
+       ROUND(DEGREES(ATAN(1)), 6) AS deg45
+FROM supplier
+ORDER BY s_suppkey
+""",
+)
+
+# --- Conditionals / type functions ---------------------------------------
+
+sql_query(
+    "cond_case_coalesce",
+    """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'F' THEN 'finished'
+                          WHEN 'O' THEN 'open'
+                          ELSE 'other' END AS status_word,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'was_pending') AS no_pending,
+       IFNULL(NULLIF(o_orderpriority, '5-LOW'), 'LOW') AS pri,
+       IF(o_totalprice > 100000, 'big', 'small') AS size_class
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500
+""",
+)
+
+sql_query(
+    "cast_try_cast",
+    """
+SELECT c_custkey,
+       CAST(FLOOR(c_acctbal) AS INT) AS bal_int,
+       CAST(c_custkey AS STRING) AS key_str,
+       TRY_CAST(c_mktsegment AS INT) AS seg_as_int,
+       TRY_CAST(SUBSTR(c_name, 10, 8) AS BIGINT) AS name_digits,
+       CAST(c_acctbal > 0 AS INT) AS positive_flag
+FROM customer
+ORDER BY c_custkey
+""",
+    oracle="""
+SELECT c_custkey,
+       CAST(FLOOR(c_acctbal) AS INT) AS bal_int,
+       CAST(c_custkey AS VARCHAR) AS key_str,
+       TRY_CAST(c_mktsegment AS INT) AS seg_as_int,
+       TRY_CAST(SUBSTR(c_name, 10, 8) AS BIGINT) AS name_digits,
+       CAST(c_acctbal > 0 AS INT) AS positive_flag
+FROM customer
+ORDER BY c_custkey
+""",
+)
+
+# --- JSON functions (events.props is a JSON string — the stand-in for the
+# reference's subtype-74 TEXT JSON columns, /root/reference/cursor.go:146-148)
+
+sql_query(
+    "json_extract_scalar",
+    """
+SELECT event_id,
+       GET_JSON_OBJECT(props, '$.k') AS k_str,
+       CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) AS k_int,
+       GET_JSON_OBJECT(props, '$.missing') AS absent
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+    oracle="""
+SELECT event_id,
+       JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_int,
+       JSON_EXTRACT_STRING(props, '$.missing') AS absent
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+)
+
+sql_query(
+    "json_build_and_length",
+    """
+SELECT event_id,
+       TO_JSON(NAMED_STRUCT('id', event_id, 'type', event_type)) AS built,
+       JSON_ARRAY_LENGTH(CONCAT('[', props, ',', props, ']')) AS arr_len,
+       JSON_OBJECT_KEYS(props) AS keys
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+    oracle="""
+SELECT event_id,
+       TO_JSON(struct_pack(id := event_id, type := event_type)) AS built,
+       JSON_ARRAY_LENGTH(CONCAT('[', props, ',', props, ']')) AS arr_len,
+       CAST(JSON_KEYS(props) AS VARCHAR[]) AS keys
+FROM events
+ORDER BY event_id
+LIMIT 500
+""",
+)
+
+sql_query(
+    "json_group_array",
+    """
+SELECT user_id,
+       TO_JSON(SORT_ARRAY(COLLECT_LIST(CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT)))) AS ks
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+    oracle="""
+SELECT user_id,
+       TO_JSON(LIST_SORT(LIST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)))) AS ks
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+
+# --- Table-valued functions: sequence/explode ≈ generate_series/json_each
+
+sql_query(
+    "tvf_sequence_explode",
+    """
+SELECT r_regionkey, n
+FROM region
+LATERAL VIEW EXPLODE(SEQUENCE(1, CAST(r_regionkey AS INT) + 1)) t AS n
+ORDER BY r_regionkey, n
+""",
+    oracle="""
+SELECT r_regionkey, UNNEST(GENERATE_SERIES(1, r_regionkey + 1)) AS n
+FROM region
+ORDER BY r_regionkey, n
+""",
+)
+
+sql_query(
+    "tvf_json_each",
+    """
+SELECT event_id, kv.key AS k, kv.value AS v
+FROM events
+LATERAL VIEW EXPLODE(FROM_JSON(props, 'map<string,string>')) kv AS key, value
+WHERE event_id < 100
+ORDER BY event_id, k
+""",
+    oracle="""
+SELECT event_id, k, JSON_EXTRACT_STRING(props, '$.' || k) AS v
+FROM (SELECT event_id, props, UNNEST(JSON_KEYS(props)) AS k
+      FROM events WHERE event_id < 100) t
+ORDER BY event_id, k
+""",
+)

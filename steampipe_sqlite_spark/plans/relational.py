@@ -1,1 +1,557 @@
-"""Corpus module: relational (populated incrementally)."""
+"""Relational-surface corpus: joins, set ops, windows, subqueries, grouping.
+
+Covers SURVEY.md §2.3 rows Joins / Set ops / Window functions / Subqueries /
+Grouping sets / Distinct / Sort-limit — the SQL surface SQLite core provides
+the reference (delegated at /root/reference/module.go:32), expressed on
+Catalyst.  Shared ANSI text runs on both Spark and DuckDB unless a dialect
+split is noted.
+
+Determinism rules (driver hash-compare):
+- Window ROWS frames and row_number/ntile always ORDER BY a unique key
+  (tie order is engine-dependent otherwise).
+- Double sums inside windows go through DECIMAL(12,2) (segment-tree vs
+  sequential accumulation would otherwise ULP-diverge).
+- LIMIT queries carry a total-order ORDER BY.
+"""
+
+from __future__ import annotations
+
+from steampipe_sqlite_spark.plans.registry import query, sql_query
+from steampipe_sqlite_spark.tables import load_table
+
+DVAL = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+# --- Joins ----------------------------------------------------------------
+
+sql_query(
+    "join_left_outer",
+    """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 50
+""",
+)
+
+sql_query(
+    "join_right_outer",
+    """
+SELECT n_name, COUNT(c_custkey) AS n_customers
+FROM customer
+RIGHT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+
+sql_query(
+    "join_full_outer",
+    """
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c.nk = s.nk
+ORDER BY nationkey
+""",
+)
+
+sql_query(
+    "join_semi",
+    """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+ORDER BY c_custkey
+""",
+)
+
+sql_query(
+    "join_anti",
+    """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+)
+
+sql_query(
+    "join_cross",
+    """
+SELECT r_name, seg.c_mktsegment
+FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+ORDER BY r_name, c_mktsegment
+""",
+)
+
+sql_query(
+    "join_theta_range",
+    """
+SELECT n_nationkey, COUNT(*) AS n_pairs
+FROM supplier
+JOIN customer ON s_nationkey = c_nationkey AND c_acctbal < s_acctbal
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_nationkey
+ORDER BY n_nationkey
+""",
+)
+
+sql_query(
+    "join_using_natural",
+    """
+SELECT n_name, r_name
+FROM (SELECT n_name, n_regionkey AS r_regionkey FROM nation) n
+JOIN region USING (r_regionkey)
+ORDER BY n_name
+""",
+)
+
+
+@query(
+    "join_broadcast_hint",
+    oracle="""
+SELECT r_name, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+)
+def join_broadcast_hint(spark, sf_dir):
+    """Explicit broadcast join — the scale path for dimension joins
+    (SURVEY §4.2: avoid shuffling the fact side for a 5-row dim)."""
+    from pyspark.sql import functions as F
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+# --- Set operations -------------------------------------------------------
+
+sql_query(
+    "setop_union_all",
+    """
+SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+UNION ALL
+SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+ORDER BY nationkey, side
+""",
+)
+
+sql_query(
+    "setop_union_distinct",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+
+sql_query(
+    "setop_intersect",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+
+sql_query(
+    "setop_except",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+
+# --- Distinct / sort / limit / offset ------------------------------------
+
+sql_query(
+    "distinct_pairs",
+    """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+
+sql_query(
+    "orderby_limit_offset",
+    """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+)
+
+sql_query(
+    "orderby_nulls_last",
+    """
+SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'O') AS status_or_null
+FROM orders
+ORDER BY status_or_null ASC NULLS LAST, o_orderkey
+LIMIT 30
+""",
+)
+
+# --- Window functions -----------------------------------------------------
+
+sql_query(
+    "win_row_number_topk",
+    """
+SELECT * FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+) t
+WHERE rn <= 3
+ORDER BY user_id, rn
+""",
+)
+
+sql_query(
+    "win_rank_family",
+    """
+SELECT o_orderkey, o_orderpriority,
+       RANK() OVER (ORDER BY o_orderpriority) AS rnk,
+       DENSE_RANK() OVER (ORDER BY o_orderpriority) AS drnk,
+       CAST(PERCENT_RANK() OVER (ORDER BY o_orderpriority) AS DOUBLE) AS prnk,
+       CAST(CUME_DIST() OVER (ORDER BY o_orderpriority) AS DOUBLE) AS cdist
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "win_ntile",
+    """
+SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer
+ORDER BY c_custkey
+""",
+)
+
+sql_query(
+    "win_lag_lead",
+    """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       LAG(value, 2, -1.0) OVER w AS prev2_or_default
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY event_id
+""",
+)
+
+sql_query(
+    "win_first_last_nth",
+    """
+SELECT event_id, user_id,
+       FIRST_VALUE(value) OVER w AS first_v,
+       LAST_VALUE(value) OVER w AS last_v,
+       NTH_VALUE(value, 2) OVER w AS second_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY event_id
+""",
+)
+
+sql_query(
+    "win_running_sum",
+    f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+            (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM events
+ORDER BY event_id
+""",
+)
+
+sql_query(
+    "win_sliding_rows",
+    """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+            (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+       MIN(value) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3
+FROM events
+ORDER BY event_id
+""",
+)
+
+sql_query(
+    "win_range_frame",
+    """
+SELECT o_orderkey, o_totalprice,
+       COUNT(*) OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "win_agg_over_unbounded",
+    """
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) * 100 /
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER () AS DOUBLE) AS pct_of_total
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100
+""",
+)
+
+# --- Subqueries -----------------------------------------------------------
+
+sql_query(
+    "subq_scalar_uncorrelated",
+    """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer) * 1.5
+ORDER BY c_custkey
+""",
+)
+
+sql_query(
+    "subq_scalar_correlated",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "subq_in",
+    """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+  AND o_orderstatus = 'O'
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "subq_not_in",
+    """
+SELECT c_custkey
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY c_custkey
+""",
+)
+
+sql_query(
+    "subq_derived_table",
+    """
+SELECT seg, n_cust, CAST(total_bal AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+         SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS total_bal
+  FROM customer GROUP BY c_mktsegment
+) t
+WHERE n_cust > 1
+ORDER BY seg
+""",
+)
+
+# --- CTEs -----------------------------------------------------------------
+
+sql_query(
+    "cte_multi",
+    """
+WITH big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+),
+cust_big AS (
+  SELECT o_custkey, COUNT(*) AS n_big FROM big_orders GROUP BY o_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers, SUM(n_big) AS total_big_orders
+FROM customer JOIN cust_big ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+
+sql_query(
+    "cte_recursive",
+    """
+WITH RECURSIVE seq(n) AS (
+  SELECT 1
+  UNION ALL
+  SELECT n + 1 FROM seq WHERE n < 15
+)
+SELECT n, n * n AS n_squared FROM seq ORDER BY n
+""",
+)
+
+# --- Grouping sets / rollup / cube / conditional agg ---------------------
+
+sql_query(
+    "group_rollup",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+)
+
+sql_query(
+    "group_cube",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+
+sql_query(
+    "group_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+)
+
+sql_query(
+    "agg_filter_clause",
+    """
+SELECT o_orderstatus,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+
+sql_query(
+    "agg_count_distinct",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+
+sql_query(
+    "agg_minmax_stats",
+    """
+SELECT l_linestatus,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+
+# string_agg / listagg: dialect split (Spark: listagg ... WITHIN GROUP,
+# DuckDB: string_agg(expr, sep ORDER BY ...)).
+sql_query(
+    "agg_string_concat",
+    """
+SELECT n_regionkey,
+       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+
+sql_query(
+    "having_clause",
+    """
+SELECT l_suppkey, COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) > 50
+ORDER BY n_lines DESC, l_suppkey
+""",
+)
+
+# --- VALUES inline table --------------------------------------------------
+
+sql_query(
+    "values_inline",
+    """
+SELECT v.code, v.descr, COUNT(o_orderkey) AS n
+FROM (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending')) AS v(code, descr)
+LEFT JOIN orders ON o_orderstatus = v.code
+GROUP BY v.code, v.descr
+ORDER BY v.code
+""",
+)
+
+
+# --- Pivot (DataFrame API; oracle via conditional aggregation) -----------
+@query(
+    "pivot_status_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def pivot_status_by_flag(spark, sf_dir):
+    """df.groupBy().pivot() — Catalyst rewrites to conditional aggregates
+    (one shuffle), matching the oracle's FILTER form."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("l_returnflag")
+    )

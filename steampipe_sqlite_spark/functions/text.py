@@ -1,0 +1,114 @@
+"""Text-analysis Column builders for the documents pipeline.
+
+Everything here is a composition of pyspark.sql.functions built-ins
+(JVM-side, codegen'd, vectorized) — the scale path for 100 TB of text.
+Used by operators/dedup.py and the plans/llm.py corpus; each has a DuckDB
+oracle twin spelled in plans/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists for the n-gram language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "une", "que", "pour", "des"],
+    "es": ["el", "los", "las", "de", "que", "es", "una", "por", "con", "para"],
+}
+CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9\\u4e00-\\u9fff ]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-flavored token estimate: runs of letters, runs of digits, and
+    each other non-space symbol count as one token each."""
+    return F.regexp_count(c, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+
+def char_shingles(c: Column, k: int = 5) -> Column:
+    """Distinct character k-grams of the normalized text (array<string>).
+
+    Built as substring slides over the string — pure JVM expression, no
+    explode, so it composes with downstream minhash without a shuffle.
+    """
+    norm = normalize_text(c)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+    )
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (array<string>)."""
+    toks = tokens(c)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(c), lambda t: F.array_contains(words, t)))
+
+
+def lang_id(c: Column) -> Column:
+    """N-gram/stopword language guess over {en,de,fr,es,zh}.
+
+    CJK characters dominate; otherwise the language with the most stopword
+    hits wins, ties broken in fixed order en>de>fr>es (mirrored exactly in
+    the DuckDB oracle in plans/llm.py).
+    """
+    cjk = F.regexp_count(c, F.lit(CJK_PATTERN))
+    en, de, fr, es = (stopword_hits(c, lang) for lang in ("en", "de", "fr", "es"))
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(cjk > F.lit(0), F.lit("zh"))
+        .when(best == F.lit(0), F.lit("unknown"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band, alphabetic ratio,
+    mean word length band. Deterministic and oracle-expressible."""
+    n_chars = F.length(c)
+    alpha = F.regexp_count(c, F.lit("[A-Za-z]"))
+    toks = token_count(c)
+    alpha_ratio = alpha.cast("double") / F.greatest(n_chars, F.lit(1))
+    len_score = F.when((n_chars >= 100) & (n_chars <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    mean_word = n_chars.cast("double") / F.greatest(toks, F.lit(1))
+    word_score = F.when((mean_word >= 3.0) & (mean_word <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + word_score + alpha_ratio) / F.lit(3.0), 4)
+
+
+def fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(c))

@@ -1,0 +1,263 @@
+"""Deduplication operators over a document DataFrame.
+
+Five dedup families, each expressed Spark-first:
+
+- exact:        md5(normalized) hash-groupBy — one shuffle on the hash.
+- ngram-jaccard: exact token-n-gram Jaccard on candidate pairs inside
+                 blocking keys — shuffle on the block key only.
+- minhash-LSH:  char-shingle minhash signatures (pure JVM array exprs, no
+                 explode), banded; candidates meet via a shuffle on
+                 (band, band-signature) — the 100 TB-safe path: cost is
+                 O(docs·hashes) map-side + a bucket join, never O(docs²).
+- simhash:      64-bit sign-vote fingerprint over token hashes; candidates
+                 via band equality, confirmed by hamming distance.
+- embedding:    cosine ≥ τ pairs on pre-normalized vectors (see
+                 similarity.py for the ANN variant).
+
+All hash computations use deterministic built-ins (md5 / xxhash64 with
+literal salts) so runs are reproducible across clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from steampipe_sqlite_spark.functions.text import char_shingles, fingerprint, word_ngrams
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) text.
+
+    Equivalent of GROUP BY hash; scales as a single hash shuffle on the
+    fingerprint.  Returns (id, fingerprint, group_size).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs sharing a blocking key.
+
+    The blocking key keeps the pair space linear-ish; at 100 TB the block
+    should be a content-derived key (e.g. a minhash band), not a metadata
+    column — this operator takes whatever blocking the caller chose.
+    """
+    grams = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a.id") < F.col("b.id"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_k: int = 5
+) -> DataFrame:
+    """Minhash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, salt_i).
+
+    Pure array expressions — no explode, no shuffle; each row is computed
+    independently map-side (perfectly parallel at any scale).
+    """
+    sh = char_shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash LSH, scored by the
+    signature-estimated Jaccard (fraction of agreeing minhashes).
+
+    Shuffles: one on (band, band_sig) to meet candidates, one distinct on
+    the pair — both linear in candidates, never O(n²).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.band_sig")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == F.lit(1),
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    return cand.select(
+        "id_a", "id_b", F.round(est, 4).alias("jaccard_est")
+    ).filter(F.col("jaccard_est") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: bit b is the sign of the vote
+    Σ_tokens (±1 per token-hash bit b).  Expression-only, map-side."""
+    from steampipe_sqlite_spark.functions.text import tokens
+
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def vote_merge(b: int):
+        # two-arg lambda required by F.aggregate; bind b via enclosing scope
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0), vote_merge(b))
+        bit_cols.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{b}"))
+    # pack bits into 4×16-bit band keys for LSH-style candidate generation
+    packed = []
+    for band in range(4):
+        expr = F.lit(0).cast("long")
+        for i in range(16):
+            expr = expr + F.shiftleft(bit_cols[band * 16 + i].cast("long"), i)
+        packed.append(expr.alias(f"band{band}"))
+    sig = F.array(*[c.cast("long") for c in bit_cols])
+    return df.select(F.col(id_col).alias("id"), sig.alias("bits"), *packed)
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs whose SimHash differs in ≤ max_hamming bits.
+
+    Candidates: pairs agreeing on at least one 16-bit band (pigeonhole —
+    any pair within hamming 3 of 64 bits shares a band; wider radii trade
+    recall).  Shuffle cost: 4 band-joins, each linear in bucket sizes.
+    """
+    fp = simhash_fingerprints(df, text_col, id_col)
+    cands = None
+    for band in range(4):
+        a = fp.alias("a")
+        b = fp.alias("b")
+        c = a.join(
+            b,
+            [F.col(f"a.band{band}") == F.col(f"b.band{band}"), F.col("a.id") < F.col("b.id")],
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.bits").alias("bits_a"),
+            F.col("b.bits").alias("bits_b"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: (x != y).cast("int")),
+            lambda v: v == F.lit(1),
+        )
+    )
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine ≥ τ.  Blocked pair join when a block column is
+    given; otherwise full O(n²) (test scale only — the ANN path is
+    similarity.lsh_topk)."""
+    from steampipe_sqlite_spark.functions.vectors import dot, norm
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    ).withColumn("nrm", norm(F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col("a.id") < F.col("b.id")]
+    if block_col:
+        cond.append(F.col("a.blk") == F.col("b.blk"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+- brute_force_topk: exact cosine top-k — broadcast the (small) query set,
+  one pass over the corpus, per-query heap via window row_number.  The
+  baseline and the oracle-checkable path.
+- lsh_topk: random-hyperplane LSH — signatures map-side from literal plane
+  vectors (seeded, deterministic), candidates meet on bucket keys, exact
+  re-rank inside buckets.  The 100 TB path: never materializes the O(n·q)
+  pair space, only bucket-local pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.functions.vectors import dot, norm
+
+
+def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Ranking uses the 4-dp-rounded cosine with id tie-break so results are
+    total-ordered and engine-independent.
+    """
+    c = _prep(corpus, vec_col, id_col).alias("c")
+    q = _prep(queries, vec_col, id_col).alias("q")
+    cos = F.round(
+        dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 4
+    )
+    scored = (
+        q.join(F.broadcast(c), F.col("q.id") != F.col("c.id"))
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (public construction: sign-random
+    projections, Charikar 2002)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Bucket id = bits of sign(v·p_i), packed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(vec_col, lit_plane)
+        sig = sig + F.shiftleft((d > 0).cast("long"), i)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = bucket collisions in any of
+    ``n_tables`` independent hyperplane tables, re-ranked exactly.
+
+    Per table: one narrow shuffle on (table, bucket).  Recall grows with
+    n_tables; cost stays linear in corpus size — the property that matters
+    at 1000 executors.
+    """
+    c = _prep(corpus, vec_col, id_col)
+    q = _prep(queries, vec_col, id_col)
+    tables = [hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            "id",
+            "v",
+            "nrm",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            lsh_signature(F.col("v"), planes).alias("bucket"),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("id", "v", "nrm", "tb.tbl", "tb.bucket")
+
+    cb = with_buckets(c).alias("c")
+    qb = with_buckets(q).alias("q")
+    cand = (
+        qb.join(
+            cb,
+            [
+                F.col("q.tbl") == F.col("c.tbl"),
+                F.col("q.bucket") == F.col("c.bucket"),
+                F.col("q.id") != F.col("c.id"),
+            ],
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            F.col("q.v").alias("qv"),
+            F.col("c.v").alias("cv"),
+            F.col("q.nrm").alias("qn"),
+            F.col("c.nrm").alias("cn"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,1 +1,324 @@
-"""Corpus module: llm (populated incrementally)."""
+"""LLM-pipeline corpus: text analysis, dedup, similarity search.
+
+The training-data-pipeline layer over ``documents`` / ``embeddings``
+(FIXTURES.md §3).  Spark implementations live in functions/text.py,
+functions/vectors.py, operators/dedup.py, operators/similarity.py; every
+SQL-expressible op carries a DuckDB oracle that mirrors the computation
+step-for-step (same normalization, same association order, same rounding).
+Minhash/simhash/LSH use engine hash functions DuckDB doesn't have →
+rows-only checks, with recall tests in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.plans.registry import query
+from steampipe_sqlite_spark.tables import load_table
+
+# DuckDB twins of functions/text.py normalization (RE2 spelling; 'g' flag).
+_DD_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text),"
+    r"'[^a-z0-9\x{4e00}-\x{9fff} ]',' ','g'),'\s+',' ','g'))"
+)
+_DD_TOKS = f"string_split({_DD_NORM}, ' ')"
+
+
+# --- Text analysis --------------------------------------------------------
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len({_DD_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (functions/text.py) — pure JVM regexp expressions."""
+    from steampipe_sqlite_spark.functions.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       ROUND((
+         (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+         + (CASE WHEN length(text)*1.0/greatest(len({_DD_TOKS}),1) BETWEEN 3.0 AND 12.0
+                 THEN 1.0 ELSE 0.5 END)
+         + len(regexp_extract_all(text,'[A-Za-z]'))*1.0/greatest(length(text),1)
+       ) / 3.0, 4) AS quality
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length band + mean word length +
+    alphabetic ratio)."""
+    from steampipe_sqlite_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def _dd_stop_hits(lang_words: list[str]) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
+    return f"len(list_filter({_DD_TOKS}, t -> list_contains({arr}, t)))"
+
+
+@query(
+    "text_lang_id",
+    oracle=None,  # filled below to keep construction readable
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword/n-gram language ID vs the labeled lang column."""
+    from steampipe_sqlite_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", lang_id(F.col("text")).alias("predicted"))
+        .withColumn("hit", (F.col("lang") == F.col("predicted")).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_oracle() -> str:
+    from steampipe_sqlite_spark.functions.text import STOPWORDS
+
+    en, de, fr, es = (_dd_stop_hits(STOPWORDS[lang]) for lang in ("en", "de", "fr", "es"))
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk,
+         {en} AS s_en, {de} AS s_de, {fr} AS s_fr, {es} AS s_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS predicted,
+       CAST(lang = (CASE WHEN cjk > 0 THEN 'zh'
+            WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'es' END) AS INT) AS hit
+FROM scored
+ORDER BY doc_id
+"""
+
+
+from steampipe_sqlite_spark.plans.registry import ORACLES  # noqa: E402
+
+ORACLES["text_lang_id"] = _lang_oracle()
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id, md5({_DD_NORM}) AS fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Deterministic md5 fingerprint of normalized text."""
+    from steampipe_sqlite_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# --- Deduplication --------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9\\x{{4e00}}-\\x{{9fff}} ]',' ','g'),'\\s+',' ','g'))) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM doubled
+GROUP BY 1
+ORDER BY keep_id
+""",
+)
+def dedup_exact_q(spark, sf_dir):
+    """Exact dedup (hash-groupBy) over a corpus with planted duplicates
+    (documents ∪ re-keyed documents) — every group collapses to size 2."""
+    from steampipe_sqlite_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text")
+    )
+    return dedup_exact(doubled, "text", "doc_id").orderBy("keep_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+           FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+  FROM (SELECT doc_id, lang, source, {_DD_TOKS} AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1),
+             4) AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+            greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1),
+            4) >= 0.3
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs, blocked by (lang, source)."""
+    from steampipe_sqlite_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh_q(spark, sf_dir):
+    """Minhash+LSH near-dup candidates (xxhash64 signatures — engine hash,
+    no SQL oracle; recall vs exact Jaccard asserted in tests)."""
+    from steampipe_sqlite_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 8 of 64 bits, banded candidates)."""
+    from steampipe_sqlite_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=8).orderBy("id_a", "id_b")
+
+
+# --- Similarity search ----------------------------------------------------
+
+_DD_COS = (
+    "ROUND(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(SQRT(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "SQRT(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4)"
+)
+
+
+@query(
+    "knn_cosine_bruteforce",
+    oracle=f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DD_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DD_COS} DESC, b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def knn_bruteforce_q(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the first 10 vectors (broadcast
+    query side; corpus scanned once)."""
+    from steampipe_sqlite_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, "embedding", "vec_id", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "emb_neardup_cosine",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DD_COS} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DD_COS} >= 0.35
+ORDER BY id_a, id_b
+""",
+)
+def emb_neardup_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (τ=0.35)."""
+    from steampipe_sqlite_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("knn_cosine_lsh", oracle=None)
+def knn_lsh_q(spark, sf_dir):
+    """Hyperplane-LSH approximate top-5 (4 tables × 8 planes); recall vs
+    brute force asserted in tests/test_llm_ops.py."""
+    from steampipe_sqlite_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, "embedding", "vec_id", k=5).orderBy("query_id", "rank")
+
+
+@query(
+    "emb_centroid_per_label",
+    oracle="""
+SELECT label, i - 1 AS pos,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_val
+FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS t(i)
+GROUP BY label, i
+ORDER BY label, pos
+""",
+)
+def emb_centroid_q(spark, sf_dir):
+    """Per-label centroid, one row per (label, dimension) — posexplode +
+    exact decimal mean (deterministic across engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = F.count(F.lit(1))
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double") / n
+            ).alias("avg_val")
+        )
+        .orderBy("label", "pos")
+    )

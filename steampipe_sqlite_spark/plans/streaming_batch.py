@@ -1,1 +1,120 @@
-"""Corpus module: streaming_batch (populated incrementally)."""
+"""Event-time windowing corpus (streaming semantics, batch-checkable).
+
+The same transformations streaming/jobs.py runs as Structured Streaming
+queries, applied to the batch events table so the driver's DuckDB oracle
+can validate them.  ``streaming_tumbling_1h`` additionally runs THROUGH the
+streaming engine (readStream → availableNow → memory sink) — unified-API
+semantics make its oracle identical to the batch one.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from steampipe_sqlite_spark.plans.registry import query, sql_query
+from steampipe_sqlite_spark.tables import load_table
+
+# Tumbling window via batch SQL on both engines.
+sql_query(
+    "window_tumbling_1h",
+    """
+SELECT window.start AS win_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM (SELECT * FROM events)
+GROUP BY window(ts, '1 hour'), event_type
+ORDER BY win_start, event_type
+""",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+
+# Sliding window: every event belongs to 2 windows (1h width, 30m slide).
+sql_query(
+    "window_sliding_1h_30m",
+    """
+SELECT window.start AS win_start, event_type, COUNT(*) AS n
+FROM (SELECT * FROM events)
+GROUP BY window(ts, '1 hour', '30 minutes'), event_type
+ORDER BY win_start, event_type
+""",
+    # A 1h window sliding by 30m assigns each event to the two 30m-grid
+    # starts s with s <= ts < s+3600: trunc-to-30m(ts) and that minus 30m.
+    oracle="""
+WITH starts AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS win_start
+  FROM events, UNNEST([0, 1800]) AS t(off)
+)
+SELECT win_start, event_type, COUNT(*) AS n
+FROM starts
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+""",
+)
+
+
+# Session windows (5-minute gap) per user — gaps-and-islands oracle.
+@query(
+    "window_session_5m",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 5 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flagged
+)
+SELECT MIN(ts) AS sess_start, user_id, COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, sess_start
+""",
+)
+def window_session_5m(spark, sf_dir):
+    """session_window(ts, '5 minutes') per user — batch mode; the oracle is
+    the classic lag/cumsum islands construction."""
+    from steampipe_sqlite_spark.streaming.jobs import session_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return session_agg(events, gap="5 minutes").orderBy("user_id", "sess_start")
+
+
+@query(
+    "streaming_tumbling_1h",
+    oracle="""
+SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def streaming_tumbling_1h(spark, sf_dir):
+    """The tumbling aggregation run THROUGH Structured Streaming:
+    readStream(parquet) → window agg → availableNow → memory sink.
+    Unified-API semantics ⇒ identical to the batch oracle."""
+    from steampipe_sqlite_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_agg,
+    )
+
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    agg = tumbling_agg(read_events_stream(spark, sf_dir), width="1 hour")
+    result = run_stream_to_memory(spark, agg, name, output_mode="complete")
+    return result.orderBy("win_start", "event_type")

@@ -1,0 +1,116 @@
+"""Streaming jobs over the events table.
+
+Each job has two faces: a ``*_stream`` builder (readStream → windowed agg →
+memory sink, driven to completion with availableNow) and the same
+transformation applied to a batch DataFrame — Structured Streaming's
+unified-API guarantee means the logic is literally shared, which is what
+makes the DuckDB oracle valid for the streaming path too.
+
+The parquet events carry TIMESTAMP(NANOS); streams read them through the
+same nanosAsLong conversion as tables.load_table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _convert_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # File-stream sources require a directory; select just events.parquet
+    # out of the sf_dir via glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _convert_ts(raw)
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-window per-type counts and exact-decimal sums.
+
+    On an unbounded stream add ``withWatermark('ts', ...)`` (see
+    watermarked_tumbling_agg); with availableNow + complete output the
+    batch and stream results coincide.
+    """
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` idle."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def watermarked_tumbling_agg(events: DataFrame, width: str = "1 hour", delay: str = "10 minutes") -> DataFrame:
+    """Watermarked variant: state for windows older than max(ts) - delay is
+    evicted; late rows beyond the watermark are dropped (append mode)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming aggregation to completion (availableNow) into a
+    memory sink; returns the result as a batch DataFrame."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,147 @@
+"""Engine facade: load connectors, discover schemas, register tables,
+reconfigure live — the extension-load + configure-UDF surface of the
+reference (SURVEY.md §3.1, §3.3).
+
+Usage::
+
+    eng = Engine(spark)
+    eng.load("steampipe_sqlite_spark.sources.chaos:ChaosConnector")
+    eng.sql("SELECT * FROM chaos_all_types WHERE id < 10")
+    eng.configure("dynamic", '{"tables": {"t": [["x", "int"]]}}')
+
+Static connectors register tables at load (reference register.go:29-43);
+dynamic connectors register on configure, and each reconfigure drops the
+old views and re-creates from the fresh schema
+(reference configure_fn.go:114-149).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from steampipe_sqlite_spark.sources.connector import DYNAMIC, Schema
+from steampipe_sqlite_spark.sources.datasource import (
+    FORMAT_NAME,
+    ConnectorDataSource,
+    load_connector,
+)
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        spark.dataSource.register(ConnectorDataSource)
+        # alias -> (class_path, config, schema, view names)
+        self._connections: dict[str, dict] = {}
+
+    # -- loading (reference register.go) -----------------------------------
+
+    def load(self, connector_class: str, alias: str | None = None, config: str | None = None) -> str:
+        """Load a connector; static mode discovers and registers tables
+        immediately (with blank config if none given — the reference sends
+        Config:"" for static plugins, register.go:49-69)."""
+        conn = load_connector(connector_class, config)
+        alias = alias or conn.name
+        schema = conn.get_schema()
+        state = {
+            "class": connector_class,
+            "config": config,
+            "schema": schema,
+            "views": [],
+        }
+        self._connections[alias] = state
+        if schema.mode != DYNAMIC or schema.tables:
+            self._register_views(alias)
+        return alias
+
+    # -- configure (reference configure_fn.go:12-149) ----------------------
+
+    def configure(self, alias: str, config: str) -> None:
+        """steampipe_configure_<alias>() analog: update config, refetch
+        schema, drop/recreate views for dynamic connectors."""
+        state = self._connections[alias]
+        state["config"] = config
+        conn = load_connector(state["class"], config)
+        schema = conn.get_schema()
+        old_mode = state["schema"].mode if state["schema"] else None
+        state["schema"] = schema
+        if schema.mode == DYNAMIC or old_mode == DYNAMIC:
+            self._drop_views(alias)
+            self._register_views(alias)
+        # static connectors keep their views; config affects future scans
+        # through the refreshed option below
+        else:
+            self._register_views(alias)
+
+    # -- table access ------------------------------------------------------
+
+    def table(
+        self,
+        alias: str,
+        table: str,
+        limit: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Direct scan with optional fetch hints.
+
+        ``limit`` is the connector-side fetch hint (B5 semantics: advisory,
+        Spark still applies its own LIMIT); ``columns`` is explicit
+        projection pushdown (B2) — the Python DS API has no pushColumns, so
+        narrow scans are requested here.
+        """
+        import json as _json
+
+        state = self._connections[alias]
+        reader = (
+            self.spark.read.format(FORMAT_NAME)
+            .option("connector_class", state["class"])
+            .option("table", table)
+        )
+        if state["config"]:
+            reader = reader.option("config", state["config"])
+        if limit is not None:
+            reader = reader.option("limit", str(limit))
+        if columns is not None:
+            reader = reader.option("columns", _json.dumps(columns))
+        return reader.load()
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over the registered connector views.
+
+        Views are re-registered first: with Python-DS filter pushdown, a
+        relation instance bakes in the first query's pushed-down reader, so
+        a long-lived temp view would silently reuse stale quals for a
+        different query (observed on PySpark 4.1.2).  A fresh relation per
+        query restores the per-query BestIndex semantics of the reference
+        (xBestIndex runs per statement, /root/reference/table.go:74).
+        """
+        for alias in self._connections:
+            self._register_views(alias)
+        return self.spark.sql(query)
+
+    def schema(self, alias: str) -> Schema:
+        return self._connections[alias]["schema"]
+
+    def tables(self, alias: str | None = None) -> list[str]:
+        out = []
+        for a, state in self._connections.items():
+            if alias is None or a == alias:
+                out.extend(f"{a}_{t.name}" for t in state["schema"].tables)
+        return out
+
+    # -- view management (reference configure_fn.go:131-149, 167-182) ------
+
+    def _register_views(self, alias: str) -> None:
+        state = self._connections[alias]
+        views = []
+        for t in state["schema"].tables:
+            view = f"{alias}_{t.name}"
+            self.table(alias, t.name).createOrReplaceTempView(view)
+            views.append(view)
+        state["views"] = views
+
+    def _drop_views(self, alias: str) -> None:
+        state = self._connections[alias]
+        for view in state["views"]:
+            self.spark.catalog.dropTempView(view)
+        state["views"] = []

@@ -38,6 +38,8 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # enable pushFilters on Python data sources (the connector bridge)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

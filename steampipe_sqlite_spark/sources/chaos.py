@@ -1,0 +1,245 @@
+"""Deterministic test connectors — the engine's chaos-plugin analog.
+
+The reference CI's only test is building against the SDK's public `chaos`
+plugin (deterministic tables exercising all column types, errors, delays,
+key columns — /root/reference/.github/workflows/test.yml:38-44).  These
+connectors reproduce that role in-process (FIXTURES.md §4):
+
+- ChaosConnector.all_types — one column per ColumnType, nulls every 7th row
+- ChaosConnector.keyed     — required/optional key columns with per-op support
+- ChaosConnector.flaky     — error/latency injection via config
+- DynamicConnector         — schema derived from config (dynamic mode,
+  /root/reference/constants.go:17-20)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from steampipe_sqlite_spark.sources.connector import (
+    ALL_OPERATORS,
+    DYNAMIC,
+    OPTIONAL,
+    REQUIRED,
+    STATIC,
+    ColumnDef,
+    ColumnType,
+    Connector,
+    Partition,
+    Qual,
+    Schema,
+    TableSchema,
+    rows_to_batches,
+)
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+class ChaosConnector(Connector):
+    """Static-mode connector with deterministic synthetic tables."""
+
+    name = "chaos"
+
+    def __init__(self, config: str | None = None, n_rows: int = 100):
+        super().__init__(config)
+        self.n_rows = n_rows
+        self.call_log: list[dict] = []  # test observability: what was pushed
+
+    def get_schema(self) -> Schema:
+        return Schema(
+            mode=STATIC,
+            tables=(
+                TableSchema(
+                    "all_types",
+                    (
+                        ColumnDef("id", ColumnType.INT, OPTIONAL, ALL_OPERATORS),
+                        ColumnDef("flag", ColumnType.BOOL),
+                        ColumnDef("score", ColumnType.DOUBLE),
+                        ColumnDef("name", ColumnType.STRING, OPTIONAL, ("=", "prefix")),
+                        ColumnDef("doc", ColumnType.JSON),
+                        ColumnDef("created_at", ColumnType.DATETIME, OPTIONAL, ("=", "<", "<=", ">", ">=")),
+                        ColumnDef("ip", ColumnType.IPADDR, OPTIONAL, ("=",)),
+                        ColumnDef("cidr", ColumnType.CIDR),
+                        ColumnDef("path", ColumnType.LTREE),
+                        ColumnDef("maybe", ColumnType.STRING),
+                    ),
+                ),
+                TableSchema(
+                    "keyed",
+                    (
+                        ColumnDef("tenant", ColumnType.STRING, REQUIRED, ("=", "in")),
+                        ColumnDef("kind", ColumnType.STRING, OPTIONAL, ("=",)),
+                        ColumnDef("seq", ColumnType.INT, OPTIONAL, ("=", "<", "<=", ">", ">=")),
+                        ColumnDef("payload", ColumnType.STRING),
+                    ),
+                ),
+                TableSchema(
+                    "flaky",
+                    (
+                        ColumnDef("id", ColumnType.INT, OPTIONAL, ("=", "<", "<=", ">", ">=")),
+                        ColumnDef("mode", ColumnType.STRING),
+                    ),
+                ),
+            ),
+        )
+
+    # -- row generators ----------------------------------------------------
+
+    def _all_types_rows(self, quals: list[Qual], limit: int | None):
+        n = 0
+        for i in range(self.n_rows):
+            row = {
+                "id": i,
+                "flag": i % 2 == 0,
+                "score": i * 1.5,
+                "name": f"item_{i:04d}",
+                "doc": json.dumps({"i": i, "even": i % 2 == 0}),
+                "created_at": _EPOCH + dt.timedelta(hours=i),
+                "ip": f"10.0.{i % 256}.{(i * 7) % 256}",
+                "cidr": f"10.{i % 256}.0.0/16",
+                "path": f"root.n{i % 10}.leaf{i}",
+                "maybe": None if i % 7 == 0 else f"v{i}",
+            }
+            # advisory pushdown: honor quals when cheap, over-return is fine
+            if all(q.matches(row.get(q.column)) for q in quals):
+                yield row
+                n += 1
+                if limit is not None and n >= limit:
+                    return
+
+    def _keyed_rows(self, quals: list[Qual], limit: int | None):
+        tenants = [q for q in quals if q.column == "tenant"]
+        # the required key column drives generation — the plugin-style
+        # behavior where the qual IS the API call parameter
+        wanted = set()
+        for q in tenants:
+            wanted.update(q.value if q.op == "in" else [q.value])
+        n = 0
+        for tenant in sorted(wanted):
+            for i in range(self.n_rows):
+                row = {
+                    "tenant": tenant,
+                    "kind": f"kind{i % 3}",
+                    "seq": i,
+                    "payload": f"{tenant}:{i}",
+                }
+                if all(q.matches(row.get(q.column)) for q in quals):
+                    yield row
+                    n += 1
+                    if limit is not None and n >= limit:
+                        return
+
+    def _flaky_rows(self, quals: list[Qual], limit: int | None):
+        cfg = json.loads(self.config) if self.config else {}
+        error_at = cfg.get("error_at_row")
+        delay_ms = cfg.get("delay_ms", 0)
+        n = 0
+        for i in range(self.n_rows):
+            if error_at is not None and i == error_at:
+                raise RuntimeError(f"chaos: injected error at row {i}")
+            if delay_ms:
+                time.sleep(delay_ms / 1000)
+            row = {"id": i, "mode": "delay" if delay_ms else "ok"}
+            if all(q.matches(row.get(q.column)) for q in quals):
+                yield row
+                n += 1
+                if limit is not None and n >= limit:
+                    return
+
+    def execute(
+        self,
+        table: str,
+        quals: list[Qual],
+        columns: list[str] | None,
+        limit: int | None,
+        partition: Partition | None = None,
+    ) -> Iterator[pa.RecordBatch]:
+        self.call_log.append(
+            {
+                "table": table,
+                "quals": [(q.column, q.op, q.value) for q in quals],
+                "columns": columns,
+                "limit": limit,
+            }
+        )
+        schema = self.get_schema().table(table)
+        if schema is None:
+            raise ValueError(f"unknown table {table!r}")
+        gen = {
+            "all_types": self._all_types_rows,
+            "keyed": self._keyed_rows,
+            "flaky": self._flaky_rows,
+        }[table]
+        arrow = schema.arrow_schema(columns)
+        names = set(arrow.names)
+        rows = ({k: v for k, v in r.items() if k in names} for r in gen(quals, limit))
+        yield from rows_to_batches(arrow, rows)
+
+
+class DynamicConnector(Connector):
+    """Dynamic-mode connector: table set defined by the config string
+    (JSON: {"tables": {"name": [["col", "int|string|double"], ...]}}) —
+    the CSV-plugin analog (/root/reference/configure_fn.go:114-126)."""
+
+    name = "dynamic"
+
+    TYPE_MAP = {
+        "int": ColumnType.INT,
+        "string": ColumnType.STRING,
+        "double": ColumnType.DOUBLE,
+        "bool": ColumnType.BOOL,
+        "timestamp": ColumnType.TIMESTAMP,
+    }
+
+    def __init__(self, config: str | None = None, n_rows: int = 10):
+        super().__init__(config)
+        self.n_rows = n_rows
+
+    def get_schema(self) -> Schema:
+        if not self.config:
+            return Schema(tables=(), mode=DYNAMIC)
+        spec = json.loads(self.config)
+        tables = []
+        for tname, cols in spec.get("tables", {}).items():
+            defs = tuple(
+                ColumnDef(cname, self.TYPE_MAP[ctype]) for cname, ctype in cols
+            )
+            tables.append(TableSchema(tname, defs))
+        return Schema(tables=tuple(tables), mode=DYNAMIC)
+
+    def execute(self, table, quals, columns, limit, partition=None):
+        schema = self.get_schema().table(table)
+        if schema is None:
+            raise ValueError(f"unknown table {table!r}")
+
+        def rows():
+            n = 0
+            for i in range(self.n_rows):
+                row = {}
+                for c in schema.columns:
+                    if c.type == ColumnType.INT:
+                        row[c.name] = i
+                    elif c.type == ColumnType.DOUBLE:
+                        row[c.name] = i / 2
+                    elif c.type == ColumnType.BOOL:
+                        row[c.name] = i % 2 == 0
+                    elif c.type == ColumnType.TIMESTAMP:
+                        row[c.name] = _EPOCH + dt.timedelta(days=i)
+                    else:
+                        row[c.name] = f"{c.name}_{i}"
+                if all(q.matches(row.get(q.column)) for q in quals):
+                    yield row
+                    n += 1
+                    if limit is not None and n >= limit:
+                        return
+
+        arrow = schema.arrow_schema(columns)
+        names = set(arrow.names)
+        yield from rows_to_batches(
+            arrow, ({k: v for k, v in r.items() if k in names} for r in rows())
+        )

@@ -1,0 +1,321 @@
+"""Connector protocol — the engine's analog of the steampipe plugin surface.
+
+Mirrors the shapes the reference bridges between SQLite and the plugin SDK:
+table schemas with key-column metadata (/root/reference/table.go:182-244),
+qualifier (qual) pushdown with per-op support (/root/reference/mapping.go:32-59),
+limit hints (/root/reference/cursor.go:194-209), and static/dynamic schema
+modes (/root/reference/constants.go:17-20).  Deliberate improvements over the
+reference, recorded in SURVEY.md §7.4:
+
+- multiple quals per column reach the connector (the reference's qual map
+  keeps only the last one per column, /root/reference/cursor.go:222-231);
+- missing required key columns raise a clear error instead of an infinite
+  plan cost (/root/reference/table.go:156-164);
+- missing values materialize as real NULLs, not proto zero-values
+  (/root/reference/cursor.go:133-159);
+- CIDR qual parsing works (the reference inverts its error check,
+  /root/reference/mapping.go:126-128).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import ipaddress
+from abc import ABC, abstractmethod
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+
+class ColumnType(str, Enum):
+    """proto.ColumnType equivalents (SURVEY.md §1.3 mapping table)."""
+
+    BOOL = "bool"
+    INT = "int"
+    DOUBLE = "double"
+    STRING = "string"
+    JSON = "json"
+    DATETIME = "datetime"
+    TIMESTAMP = "timestamp"
+    IPADDR = "ipaddr"
+    CIDR = "cidr"
+    INET = "inet"
+    LTREE = "ltree"
+
+
+#: Declaration mapping: reference declares everything non-numeric as TEXT
+#: (/root/reference/mapping.go:74-84); we use native Spark types where they
+#: exist and keep the string-typed escape hatches (JSON/IP/CIDR/LTREE).
+SPARK_TYPES: dict[ColumnType, T.DataType] = {
+    ColumnType.BOOL: T.BooleanType(),
+    ColumnType.INT: T.LongType(),
+    ColumnType.DOUBLE: T.DoubleType(),
+    ColumnType.STRING: T.StringType(),
+    ColumnType.JSON: T.StringType(),
+    ColumnType.DATETIME: T.TimestampType(),
+    ColumnType.TIMESTAMP: T.TimestampType(),
+    ColumnType.IPADDR: T.StringType(),
+    ColumnType.CIDR: T.StringType(),
+    ColumnType.INET: T.StringType(),
+    ColumnType.LTREE: T.StringType(),
+}
+
+ARROW_TYPES: dict[ColumnType, pa.DataType] = {
+    ColumnType.BOOL: pa.bool_(),
+    ColumnType.INT: pa.int64(),
+    ColumnType.DOUBLE: pa.float64(),
+    ColumnType.STRING: pa.string(),
+    ColumnType.JSON: pa.string(),
+    ColumnType.DATETIME: pa.timestamp("us"),
+    ColumnType.TIMESTAMP: pa.timestamp("us"),
+    ColumnType.IPADDR: pa.string(),
+    ColumnType.CIDR: pa.string(),
+    ColumnType.INET: pa.string(),
+    ColumnType.LTREE: pa.string(),
+}
+
+#: Pushdown operators a key column may support
+#: (reference supports =,<,<=,>,>= — /root/reference/mapping.go:40-57; we add
+#: the richer ops PySpark 4.1 filters can express).
+ALL_OPERATORS = ("=", "<>", "<", "<=", ">", ">=", "in", "is_null", "is_not_null", "prefix")
+
+REQUIRED = "required"
+OPTIONAL = "optional"
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    """proto.ColumnDefinition analog incl. key-column metadata
+    (/root/reference/table.go:196-243)."""
+
+    name: str
+    type: ColumnType
+    require: str | None = None  # REQUIRED / OPTIONAL / None (not a key col)
+    operators: tuple[str, ...] = ("=",)
+    description: str = ""
+
+
+@dataclass(frozen=True)
+class TableSchema:
+    name: str
+    columns: tuple[ColumnDef, ...]
+    description: str = ""
+
+    def column(self, name: str) -> ColumnDef | None:
+        for c in self.columns:
+            if c.name == name:
+                return c
+        return None
+
+    def key_columns(self) -> list[ColumnDef]:
+        return [c for c in self.columns if c.require is not None]
+
+    def required_key_columns(self) -> list[ColumnDef]:
+        return [c for c in self.columns if c.require == REQUIRED]
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, SPARK_TYPES[c.type], True) for c in self.columns]
+        )
+
+    def arrow_schema(self, columns: list[str] | None = None) -> pa.Schema:
+        cols = self.columns if columns is None else [c for c in self.columns if c.name in columns]
+        return pa.schema([pa.field(c.name, ARROW_TYPES[c.type]) for c in cols])
+
+
+STATIC = "static"
+DYNAMIC = "dynamic"
+
+
+@dataclass(frozen=True)
+class Schema:
+    """proto.Schema analog: table map + schema mode
+    (/root/reference/configure_fn.go:152-163)."""
+
+    tables: tuple[TableSchema, ...]
+    mode: str = STATIC
+
+    def table(self, name: str) -> TableSchema | None:
+        for t in self.tables:
+            if t.name == name:
+                return t
+        return None
+
+
+@dataclass(frozen=True)
+class Qual:
+    """A pushed predicate: column op value.
+
+    Ops: = <> < <= > >= in is_null is_not_null prefix.  Unlike the
+    reference (one qual per column, last-wins), a connector receives the
+    full list.  Pushdown stays advisory: connectors may over-return; the
+    engine's residual Filter restores exactness (Omit:false analog,
+    /root/reference/table.go:126-129).
+    """
+
+    column: str
+    op: str
+    value: Any = None
+
+    def matches(self, row_value: Any) -> bool:
+        """Reference semantics for connectors that filter row-at-a-time."""
+        if self.op == "is_null":
+            return row_value is None
+        if self.op == "is_not_null":
+            return row_value is not None
+        if row_value is None:
+            return False
+        if self.op == "=":
+            return row_value == self.value
+        if self.op == "<>":
+            return row_value != self.value
+        if self.op == "<":
+            return row_value < self.value
+        if self.op == "<=":
+            return row_value <= self.value
+        if self.op == ">":
+            return row_value > self.value
+        if self.op == ">=":
+            return row_value >= self.value
+        if self.op == "in":
+            return row_value in self.value
+        if self.op == "prefix":
+            return isinstance(row_value, str) and row_value.startswith(self.value)
+        raise ValueError(f"unknown qual op: {self.op}")
+
+
+class MissingRequiredQualError(Exception):
+    """Raised when a required key column has no equality qual — explicit
+    error replacing the reference's infinite-cost trick
+    (/root/reference/table.go:156-164)."""
+
+    def __init__(self, table: str, columns: list[str]):
+        self.table = table
+        self.columns = columns
+        super().__init__(
+            f"table '{table}' requires qualifier(s) on column(s) "
+            f"{', '.join(repr(c) for c in columns)}: add e.g. "
+            f"WHERE {columns[0]} = <value> to the query"
+        )
+
+
+def check_required_quals(schema: TableSchema, quals: list[Qual]) -> None:
+    qualed = {q.column for q in quals if q.op in ("=", "in")}
+    missing = [c.name for c in schema.required_key_columns() if c.name not in qualed]
+    if missing:
+        raise MissingRequiredQualError(schema.name, missing)
+
+
+# --- Qual value binding (reference mapping.go:88-169) ---------------------
+
+TS_FORMAT = "%Y-%m-%d %H:%M:%S.%f"  # reference constants.go:5 (Go layout)
+TS_FORMAT_NO_FRAC = "%Y-%m-%d %H:%M:%S"
+DATE_FORMAT = "%Y-%m-%d"  # reference constants.go:6
+
+
+def bind_timestamp(value: Any) -> dt.datetime:
+    """Accept native datetimes plus the reference's two text formats
+    (timestamp then date-only fallback, /root/reference/mapping.go:140-154)."""
+    if isinstance(value, dt.datetime):
+        return value
+    if isinstance(value, dt.date):
+        return dt.datetime(value.year, value.month, value.day)
+    s = str(value)
+    for fmt in (TS_FORMAT, TS_FORMAT_NO_FRAC, DATE_FORMAT):
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"cannot parse timestamp qual value: {value!r}")
+
+
+def bind_ipaddr(value: Any) -> str:
+    """Validated IP literal (/root/reference/mapping.go:112-123)."""
+    return str(ipaddress.ip_address(str(value)))
+
+
+def bind_cidr(value: Any) -> str:
+    """Validated CIDR literal — note the reference's inverted error check
+    returns nil for VALID CIDRs (/root/reference/mapping.go:126-128, latent
+    bug); here valid CIDRs bind and invalid ones raise."""
+    return str(ipaddress.ip_network(str(value), strict=False))
+
+
+def bind_limit(value: Any) -> int | None:
+    """Non-integer limits are dropped, not errors
+    (/root/reference/cursor.go:203-207)."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int):
+        return value if value >= 0 else None
+    return None
+
+
+# --- Connector ABC --------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Partition:
+    """A unit of parallel scan (per-region / per-account / per-file…).
+    The reference is single-cursor (/root/reference/cursor.go:25-34); the
+    Spark engine parallelizes whatever the connector exposes."""
+
+    index: int
+    info: dict[str, Any] = field(default_factory=dict)
+
+
+class Connector(ABC):
+    """A data-plugin: schema discovery + filtered execution.
+
+    Implementations must be picklable — readers ship to executor Python
+    workers.  ``execute`` may over-return rows (pushdown is advisory); it
+    must never under-return.
+    """
+
+    name: str = "connector"
+
+    def __init__(self, config: str | None = None):
+        self.config = config
+
+    # -- configuration (reference configure_fn.go:67-129)
+    def set_config(self, config: str) -> None:
+        self.config = config
+
+    # -- discovery (reference configure_fn.go:152-163)
+    @abstractmethod
+    def get_schema(self) -> Schema: ...
+
+    # -- partition planning (engine extension; default: single partition)
+    def partitions(self, table: str, quals: list[Qual]) -> list[Partition]:
+        return [Partition(0)]
+
+    # -- execution (reference cursor.go:39-115)
+    @abstractmethod
+    def execute(
+        self,
+        table: str,
+        quals: list[Qual],
+        columns: list[str] | None,
+        limit: int | None,
+        partition: Partition | None = None,
+    ) -> Iterator[pa.RecordBatch]: ...
+
+
+def rows_to_batches(
+    schema: pa.Schema, rows: Iterable[dict[str, Any]], batch_size: int = 4096
+) -> Iterator[pa.RecordBatch]:
+    """Helper for row-producing connectors: buffer dict-rows into Arrow
+    record batches (the reference is strictly 1 row per Next(),
+    /root/reference/cursor.go:99-115 — batching is our throughput fix)."""
+    buf: list[dict[str, Any]] = []
+    for row in rows:
+        buf.append(row)
+        if len(buf) >= batch_size:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            buf = []
+    if buf:
+        yield pa.RecordBatch.from_pylist(buf, schema=schema)

@@ -1,0 +1,259 @@
+"""Generic PySpark DataSource over any Connector — the vtab module analog.
+
+Maps the reference's SQLite virtual-table contract onto the Python Data
+Source API (PySpark ≥4.1):
+
+| reference                                  | here                        |
+|--------------------------------------------|-----------------------------|
+| xConnect/declare (module.go:27-33)         | DataSource.schema()         |
+| xBestIndex (table.go:74-180)               | Reader.pushFilters()        |
+| xOpen/xFilter (cursor.go:39-59)            | Reader.partitions()/read()  |
+| xNext/xColumn row loop (cursor.go:96-162)  | Arrow batch yield           |
+| Omit:false re-check (table.go:126-129)     | all filters kept residual   |
+| QueryContext JSON IR (table.go:166-177)    | reader instance state       |
+
+Scale notes: read() executes on executor Python workers; the connector is
+pickled with the reader, so its config travels to every worker.  Each
+connector partition becomes a Spark InputPartition — per-region/per-account
+parallelism the reference cannot express (single cursor,
+/root/reference/cursor.go:25-34).  Batches are Arrow record batches, not
+per-row Python objects.
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+from steampipe_sqlite_spark.sources.cache import ScanCache
+from steampipe_sqlite_spark.sources.connector import (
+    ColumnType,
+    Connector,
+    Partition,
+    Qual,
+    TableSchema,
+    bind_cidr,
+    bind_ipaddr,
+    bind_timestamp,
+    check_required_quals,
+)
+
+FORMAT_NAME = "steampipe"
+
+# process-level cache shared across scans (driver side; executors get
+# fresh instances per worker — same semantics as the SDK's per-process cache)
+_SCAN_CACHE = ScanCache()
+
+
+def load_connector(path: str, config: str | None) -> Connector:
+    """Instantiate a connector from its ``module:Class`` path."""
+    mod_name, _, cls_name = path.partition(":")
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    conn: Connector = cls()
+    if config:
+        conn.set_config(config)
+    return conn
+
+
+def _bind_value(col_type: ColumnType, value: Any) -> Any:
+    """Typed qual binding (reference cursor.go:211-233, mapping.go:88-169)."""
+    if value is None:
+        return None
+    if col_type in (ColumnType.DATETIME, ColumnType.TIMESTAMP):
+        return bind_timestamp(value)
+    if col_type == ColumnType.IPADDR:
+        return bind_ipaddr(value)
+    if col_type in (ColumnType.CIDR, ColumnType.INET):
+        return bind_cidr(value)
+    if col_type == ColumnType.BOOL:
+        return bool(value)
+    return value
+
+
+def filters_to_quals(
+    filters: Sequence[Filter], table: TableSchema
+) -> tuple[list[Qual], list[Filter]]:
+    """Translate Spark Filter objects into connector quals.
+
+    Returns (quals, convertible_filters).  A filter converts when it is a
+    supported shape on a declared key column supporting that op — the
+    analog of getPluginOperator + key-column check
+    (/root/reference/mapping.go:32-59, table.go:216-244).  Filters on
+    non-key columns are silently left to the engine, as in the reference.
+    """
+    quals: list[Qual] = []
+    converted: list[Filter] = []
+    for f in filters:
+        try:
+            parsed = _parse_filter(f)
+        except ValueError:
+            continue
+        if parsed is None:
+            continue
+        col_name, op, value = parsed
+        col = table.column(col_name)
+        if col is None or col.require is None or op not in col.operators:
+            continue
+        quals.append(Qual(col_name, op, _bind_value(col.type, value)))
+        converted.append(f)
+    return quals, converted
+
+
+def _parse_filter(f: Filter) -> tuple[str, str, Any] | None:
+    def col(attr: tuple) -> str | None:
+        return attr[0] if len(attr) == 1 else None  # no nested pushdown
+
+    if isinstance(f, EqualTo):
+        c = col(f.attribute)
+        return (c, "=", f.value) if c else None
+    if isinstance(f, Not) and isinstance(f.child, EqualTo):
+        c = col(f.child.attribute)
+        return (c, "<>", f.child.value) if c else None
+    if isinstance(f, GreaterThan):
+        c = col(f.attribute)
+        return (c, ">", f.value) if c else None
+    if isinstance(f, GreaterThanOrEqual):
+        c = col(f.attribute)
+        return (c, ">=", f.value) if c else None
+    if isinstance(f, LessThan):
+        c = col(f.attribute)
+        return (c, "<", f.value) if c else None
+    if isinstance(f, LessThanOrEqual):
+        c = col(f.attribute)
+        return (c, "<=", f.value) if c else None
+    if isinstance(f, In):
+        c = col(f.attribute)
+        return (c, "in", tuple(f.value)) if c else None
+    if isinstance(f, IsNull):
+        c = col(f.attribute)
+        return (c, "is_null", None) if c else None
+    if isinstance(f, IsNotNull):
+        c = col(f.attribute)
+        return (c, "is_not_null", None) if c else None
+    if isinstance(f, StringStartsWith):
+        c = col(f.attribute)
+        return (c, "prefix", f.value) if c else None
+    return None
+
+
+class ConnectorPartition(InputPartition):
+    def __init__(self, index: int, info: dict[str, Any]):
+        self.index = index
+        self.info = info
+
+
+class ConnectorReader(DataSourceReader):
+    """One scan of one connector table (xOpen..xClose lifecycle)."""
+
+    def __init__(self, connector: Connector, table: TableSchema, options: dict):
+        self.connector = connector
+        self.table = table
+        self.quals: list[Qual] = []
+        self.limit = None
+        raw_limit = options.get("limit")
+        if raw_limit is not None:
+            try:
+                self.limit = max(int(raw_limit), 0)
+            except (TypeError, ValueError):
+                self.limit = None  # non-integer limit dropped (cursor.go:203-207)
+        cols_opt = options.get("columns")
+        self.columns: list[str] | None = json.loads(cols_opt) if cols_opt else None
+        self._filters_seen = False
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """BestIndex analog.  Captures supported quals; yields back EVERY
+        filter as residual so Catalyst re-applies them all — the exact
+        Omit:false contract (/root/reference/table.go:126-129): the
+        connector may over-return, the engine restores exactness."""
+        self._filters_seen = True
+        self.quals, _ = filters_to_quals(filters, self.table)
+        check_required_quals(self.table, self.quals)
+        yield from filters
+
+    def partitions(self) -> list[ConnectorPartition]:
+        # late required-check: pushFilters is skipped entirely for
+        # filterless scans — mirror the reference where the missing-qual
+        # error surfaces at execute time (/root/reference/table.go:156-164)
+        check_required_quals(self.table, self.quals)
+        parts = self.connector.partitions(self.table.name, self.quals)
+        return [ConnectorPartition(p.index, p.info) for p in parts]
+
+    def read(self, partition: ConnectorPartition):
+        part = Partition(partition.index, partition.info)
+        quals_key = tuple((q.column, q.op, q.value) for q in self.quals)
+        cols_key = tuple(self.columns) if self.columns is not None else None
+        key = ScanCache.key(
+            self.connector.config,
+            self.table.name,
+            quals_key,
+            cols_key,
+            self.limit,
+            partition.index,
+        )
+        cached = _SCAN_CACHE.get(key)
+        if cached is not None:
+            yield from cached
+            return
+        batches = []
+        for batch in self.connector.execute(
+            self.table.name, self.quals, self.columns, self.limit, part
+        ):
+            batches.append(batch)
+            yield batch
+        _SCAN_CACHE.put(key, batches)
+
+
+class ConnectorDataSource(DataSource):
+    """Register once per session; one temp view per connector table is the
+    engine facade's job (engine.py)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def __init__(self, options: dict):
+        super().__init__(options)
+        self.connector = load_connector(options["connector_class"], options.get("config"))
+        table_name = options["table"]
+        table = self.connector.get_schema().table(table_name)
+        if table is None:
+            raise ValueError(
+                f"connector {self.connector.name!r} has no table {table_name!r}"
+            )
+        self.table = table
+
+    def schema(self) -> StructType:
+        cols_opt = self.options.get("columns")
+        if cols_opt:
+            # projection pushdown hint (B2 analog): the scan declares only
+            # the requested columns, so read() yields narrow batches and
+            # the connector fetches less.  The Python DS API has no
+            # engine-driven pushColumns; narrowing is requested explicitly
+            # via engine.table(columns=[...]).
+            wanted = json.loads(cols_opt)
+            full = self.table.spark_schema()
+            return StructType([f for f in full.fields if f.name in wanted])
+        return self.table.spark_schema()
+
+    def reader(self, schema: StructType) -> ConnectorReader:
+        return ConnectorReader(self.connector, self.table, dict(self.options))

@@ -1,0 +1,202 @@
+"""Connector-contract unit tests (SURVEY.md §5 plan item 1) — pure Python,
+no Spark."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+from steampipe_sqlite_spark.sources.cache import ScanCache
+from steampipe_sqlite_spark.sources.chaos import ChaosConnector, DynamicConnector
+from steampipe_sqlite_spark.sources.connector import (
+    ColumnType,
+    MissingRequiredQualError,
+    Qual,
+    bind_cidr,
+    bind_ipaddr,
+    bind_limit,
+    bind_timestamp,
+    check_required_quals,
+)
+
+
+def collect(batches):
+    return pa.Table.from_batches(list(batches)).to_pylist()
+
+
+class TestSchemaDiscovery:
+    def test_static_schema(self):
+        schema = ChaosConnector().get_schema()
+        assert {t.name for t in schema.tables} == {"all_types", "keyed", "flaky"}
+        at = schema.table("all_types")
+        # every reference column type is represented (mapping.go:74-84)
+        assert {c.type for c in at.columns} >= {
+            ColumnType.BOOL,
+            ColumnType.INT,
+            ColumnType.DOUBLE,
+            ColumnType.STRING,
+            ColumnType.JSON,
+            ColumnType.DATETIME,
+            ColumnType.IPADDR,
+            ColumnType.CIDR,
+            ColumnType.LTREE,
+        }
+
+    def test_spark_schema_types(self):
+        at = ChaosConnector().get_schema().table("all_types")
+        ddl = at.spark_schema().simpleString()
+        assert "id:bigint" in ddl
+        assert "flag:boolean" in ddl
+        assert "created_at:timestamp" in ddl
+        assert "doc:string" in ddl  # JSON as string (SURVEY §7.4)
+
+    def test_dynamic_schema_from_config(self):
+        c = DynamicConnector()
+        assert c.get_schema().tables == ()
+        c.set_config('{"tables": {"t1": [["x", "int"], ["y", "string"]]}}')
+        schema = c.get_schema()
+        assert [t.name for t in schema.tables] == ["t1"]
+        assert [c.name for c in schema.table("t1").columns] == ["x", "y"]
+
+
+class TestQualBinding:
+    def test_timestamp_two_formats(self):
+        # reference parses ts-format then date-only (mapping.go:140-154)
+        assert bind_timestamp("2024-01-02 03:04:05.123456") == dt.datetime(
+            2024, 1, 2, 3, 4, 5, 123456
+        )
+        assert bind_timestamp("2024-01-02 03:04:05") == dt.datetime(2024, 1, 2, 3, 4, 5)
+        assert bind_timestamp("2024-01-02") == dt.datetime(2024, 1, 2)
+        with pytest.raises(ValueError):
+            bind_timestamp("not-a-date")
+
+    def test_ip_and_cidr(self):
+        assert bind_ipaddr("10.0.0.1") == "10.0.0.1"
+        with pytest.raises(ValueError):
+            bind_ipaddr("999.0.0.1")
+        # valid CIDRs must bind — the reference's inverted check dropped
+        # them (mapping.go:126-128)
+        assert bind_cidr("10.0.0.0/24") == "10.0.0.0/24"
+        with pytest.raises(ValueError):
+            bind_cidr("10.0.0.0/99")
+
+    def test_limit_non_integer_dropped(self):
+        # cursor.go:203-207
+        assert bind_limit(10) == 10
+        assert bind_limit("ten") is None
+        assert bind_limit(3.5) is None
+        assert bind_limit(-1) is None
+        assert bind_limit(True) is None
+
+    def test_qual_matches(self):
+        assert Qual("x", "=", 5).matches(5)
+        assert not Qual("x", "=", 5).matches(6)
+        assert Qual("x", "in", (1, 2)).matches(2)
+        assert Qual("x", "is_null").matches(None)
+        assert Qual("x", "prefix", "ab").matches("abc")
+        assert not Qual("x", ">", 5).matches(None)
+
+
+class TestRequiredKeyColumns:
+    def test_missing_required_raises(self):
+        keyed = ChaosConnector().get_schema().table("keyed")
+        with pytest.raises(MissingRequiredQualError) as e:
+            check_required_quals(keyed, [Qual("seq", ">", 5)])
+        assert "tenant" in str(e.value)
+
+    def test_equality_or_in_satisfies(self):
+        keyed = ChaosConnector().get_schema().table("keyed")
+        check_required_quals(keyed, [Qual("tenant", "=", "a")])
+        check_required_quals(keyed, [Qual("tenant", "in", ("a", "b"))])
+
+
+class TestExecution:
+    def test_multi_qual_per_column(self):
+        # both quals reach the connector — fixing last-wins
+        # (cursor.go:222-231)
+        c = ChaosConnector(n_rows=50)
+        rows = collect(
+            c.execute(
+                "keyed",
+                [Qual("tenant", "=", "t1"), Qual("seq", ">", 5), Qual("seq", "<", 10)],
+                None,
+                None,
+            )
+        )
+        assert [r["seq"] for r in rows] == [6, 7, 8, 9]
+        assert c.call_log[-1]["quals"] == [
+            ("tenant", "=", "t1"),
+            ("seq", ">", 5),
+            ("seq", "<", 10),
+        ]
+
+    def test_limit_short_circuit(self):
+        c = ChaosConnector(n_rows=1000)
+        rows = collect(c.execute("all_types", [], None, 7))
+        assert len(rows) == 7
+
+    def test_projection(self):
+        c = ChaosConnector(n_rows=5)
+        rows = collect(c.execute("all_types", [], ["id", "name"], None))
+        assert set(rows[0].keys()) == {"id", "name"}
+
+    def test_nulls_materialize(self):
+        # divergence from reference zero-values (cursor.go:133-159)
+        c = ChaosConnector(n_rows=8)
+        rows = collect(c.execute("all_types", [], ["id", "maybe"], None))
+        assert rows[0]["maybe"] is None
+        assert rows[1]["maybe"] == "v1"
+
+    def test_flaky_error_injection(self):
+        c = ChaosConnector(n_rows=10)
+        c.set_config('{"error_at_row": 3}')
+        with pytest.raises(RuntimeError, match="injected error at row 3"):
+            collect(c.execute("flaky", [], None, None))
+
+
+class TestScanCache:
+    def make_batch(self, n=3):
+        return pa.RecordBatch.from_pylist([{"x": i} for i in range(n)])
+
+    def test_hit_and_miss(self):
+        cache = ScanCache(ttl_s=60)
+        key = ScanCache.key(None, "t", (), None, None)
+        assert cache.get(key) is None
+        cache.put(key, [self.make_batch()])
+        assert cache.get(key) is not None
+        assert cache.hits == 1 and cache.misses == 1
+
+    def test_ttl_expiry(self, monkeypatch):
+        cache = ScanCache(ttl_s=60)
+        key = ScanCache.key(None, "t", (), None, None)
+        cache.put(key, [self.make_batch()])
+        import time as time_mod
+
+        real = time_mod.monotonic()
+        monkeypatch.setattr(time_mod, "monotonic", lambda: real + 61)
+        assert cache.get(key) is None
+
+    def test_env_disable(self, monkeypatch):
+        monkeypatch.setenv("STEAMPIPE_CACHE", "false")
+        cache = ScanCache(ttl_s=60)
+        key = ScanCache.key(None, "t", (), None, None)
+        cache.put(key, [self.make_batch()])
+        assert cache.get(key) is None
+
+    def test_max_ttl_env_caps(self, monkeypatch):
+        monkeypatch.setenv("STEAMPIPE_CACHE_MAX_TTL", "10")
+        cache = ScanCache(ttl_s=300)
+        assert cache.ttl_s == 10
+
+    def test_size_bound_evicts(self):
+        cache = ScanCache(ttl_s=60, max_bytes=1)
+        key = ScanCache.key(None, "t", (), None, None)
+        cache.put(key, [self.make_batch()])  # larger than bound: not cached
+        assert cache.get(key) is None
+
+    def test_distinct_keys_by_quals(self):
+        cache = ScanCache(ttl_s=60)
+        k1 = ScanCache.key(None, "t", (("x", "=", 1),), None, None)
+        k2 = ScanCache.key(None, "t", (("x", "=", 2),), None, None)
+        cache.put(k1, [self.make_batch()])
+        assert cache.get(k2) is None

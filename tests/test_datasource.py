@@ -1,0 +1,151 @@
+"""End-to-end DataSource bridge tests: Spark SQL → pushFilters → connector
+→ Arrow → Catalyst residual filter (SURVEY.md §3.2 traced on our engine)."""
+
+import pytest
+
+from steampipe_sqlite_spark.engine import Engine
+from steampipe_sqlite_spark.sources.chaos import ChaosConnector
+from steampipe_sqlite_spark.sources.connector import Qual
+from steampipe_sqlite_spark.sources.datasource import filters_to_quals
+
+CHAOS = "steampipe_sqlite_spark.sources.chaos:ChaosConnector"
+DYNAMIC = "steampipe_sqlite_spark.sources.dynamic_mod_does_not_exist"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = Engine(spark)
+    eng.load(CHAOS)
+    return eng
+
+
+class TestEndToEnd:
+    def test_minimum_slice(self, engine):
+        # SURVEY §7.3: one filtered/projected/limited SELECT end-to-end
+        rows = engine.sql(
+            "SELECT id, name FROM chaos_all_types WHERE id = 42 LIMIT 10"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].asDict() == {"id": 42, "name": "item_0042"}
+
+    def test_all_types_roundtrip(self, engine):
+        row = engine.sql("SELECT * FROM chaos_all_types WHERE id = 3").collect()[0].asDict()
+        assert row["flag"] is False
+        assert row["score"] == 4.5
+        assert row["doc"] == '{"i": 3, "even": false}'
+        assert row["created_at"].hour == 3
+        assert row["ip"] == "10.0.3.21"
+        assert row["cidr"] == "10.3.0.0/16"
+        assert row["path"] == "root.n3.leaf3"
+
+    def test_nulls(self, engine):
+        rows = engine.sql(
+            "SELECT id FROM chaos_all_types WHERE maybe IS NULL AND id < 20"
+        ).collect()
+        assert sorted(r.id for r in rows) == [0, 7, 14]
+
+    def test_engine_refilters_overreturn(self, engine):
+        # connector over-returns on non-key columns (score isn't a key
+        # col); engine's residual filter restores exactness (Omit:false)
+        rows = engine.sql(
+            "SELECT id, score FROM chaos_all_types WHERE score > 145"
+        ).collect()
+        assert all(r.score > 145 for r in rows)
+        assert len(rows) == 3  # ids 98,99 → 147.0, 148.5... n_rows=100
+
+    def test_range_quals_both_pushed(self, spark):
+        eng = Engine(spark)
+        alias = eng.load(CHAOS, alias="chaos2")
+        eng.sql(
+            "SELECT * FROM chaos2_keyed WHERE tenant = 'a' AND seq > 5 AND seq < 9"
+        ).collect()
+        # verify through a direct connector call that the shape works;
+        # executor-side call logs aren't visible on the driver, so assert
+        # via result correctness instead
+        rows = eng.sql(
+            "SELECT seq FROM chaos2_keyed WHERE tenant = 'a' AND seq > 5 AND seq < 9"
+        ).collect()
+        assert sorted(r.seq for r in rows) == [6, 7, 8]
+
+    def test_in_list_qual(self, engine):
+        rows = engine.sql(
+            "SELECT DISTINCT tenant FROM chaos_keyed WHERE tenant IN ('x', 'y')"
+        ).collect()
+        assert sorted(r.tenant for r in rows) == ["x", "y"]
+
+    def test_missing_required_qual_errors(self, engine):
+        with pytest.raises(Exception, match="tenant"):
+            engine.sql("SELECT * FROM chaos_keyed").collect()
+
+    def test_limit_hint_and_projection(self, engine):
+        df = engine.table("chaos", "all_types", limit=5, columns=["id", "name"])
+        rows = df.collect()
+        assert len(rows) == 5
+        # unfetched columns surface as NULL, never wrong values
+        assert rows[0].id == 0 and rows[0].name == "item_0000"
+
+
+class TestFilterTranslation:
+    def test_supported_shapes(self):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            In,
+            IsNull,
+            StringStartsWith,
+        )
+
+        table = ChaosConnector().get_schema().table("all_types")
+        quals, converted = filters_to_quals(
+            [
+                EqualTo(("id",), 5),
+                GreaterThan(("id",), 1),
+                In(("id",), (1, 2)),
+                IsNull(("name",)),
+                StringStartsWith(("name",), "item_"),
+            ],
+            table,
+        )
+        got = {(q.column, q.op) for q in quals}
+        # name supports only =/prefix, so IsNull(name) is NOT pushed
+        assert got == {("id", "="), ("id", ">"), ("id", "in"), ("name", "prefix")}
+
+    def test_non_key_columns_not_pushed(self):
+        from pyspark.sql.datasource import EqualTo
+
+        table = ChaosConnector().get_schema().table("all_types")
+        quals, _ = filters_to_quals([EqualTo(("score",), 1.5)], table)
+        assert quals == []  # score is not a key column
+
+    def test_unsupported_op_not_pushed(self):
+        from pyspark.sql.datasource import LessThan
+
+        table = ChaosConnector().get_schema().table("keyed")
+        # kind supports '=' only
+        quals, _ = filters_to_quals([LessThan(("kind",), "z")], table)
+        assert quals == []
+
+    def test_timestamp_binding(self):
+        import datetime as dt
+
+        from pyspark.sql.datasource import GreaterThan
+
+        table = ChaosConnector().get_schema().table("all_types")
+        quals, _ = filters_to_quals(
+            [GreaterThan(("created_at",), "2024-01-02")], table
+        )
+        assert quals == [Qual("created_at", ">", dt.datetime(2024, 1, 2))]
+
+
+class TestDynamicReconfigure:
+    def test_configure_creates_and_drops(self, spark):
+        eng = Engine(spark)
+        eng.load("steampipe_sqlite_spark.sources.chaos:DynamicConnector", alias="dyn")
+        assert eng.tables("dyn") == []
+        eng.configure("dyn", '{"tables": {"t1": [["x", "int"]]}}')
+        assert eng.sql("SELECT count(*) AS n FROM dyn_t1").collect()[0].n == 10
+        # reconfigure: t1 dropped, t2 appears (configure_fn.go:131-149)
+        eng.configure("dyn", '{"tables": {"t2": [["y", "string"]]}}')
+        assert eng.sql("SELECT count(*) AS n FROM dyn_t2").collect()[0].n == 10
+        with pytest.raises(Exception):
+            eng.sql("SELECT * FROM dyn_t1").collect()

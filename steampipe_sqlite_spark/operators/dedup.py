@@ -84,17 +84,38 @@ def minhash_signatures(
     """Minhash signature per document: sig[i] = min over shingles of
     xxhash64(shingle, salt_i).
 
-    Pure array expressions — no explode, no shuffle; each row is computed
-    independently map-side (perfectly parallel at any scale).
+    Shape: explode shingles → hash each once per salt → groupBy-min.
+    (A pure array-expression form — array_min(transform(shingles, ...)) per
+    salt — reads nicer but Catalyst's project collapse inlines the shingle
+    construction into all 64 hash expressions, recomputing normalization
+    64×: measured 120 s vs ~4 s at sf0.1.)  The groupBy's partial
+    aggregation folds the mins map-side, so the shuffle carries one
+    64-long row per document — linear and skew-free at any scale.
     """
-    sh = char_shingles(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    from steampipe_sqlite_spark.functions.text import normalize_text
+
+    # normalize once per doc (materialized below the Generate so the
+    # per-shingle substr reads a column, not a re-evaluated regexp), then
+    # explode positions; duplicates are kept — min over a multiset equals
+    # min over the set, and array_distinct on ~1k-element arrays is O(n²)
+    # (dropping it took this stage from 55 s to ~4 s at sf0.1)
+    normed = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
+    ex = normed.select(
+        "id",
+        "norm",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_k - 1), F.lit(1)))
+        ).alias("i"),
+    ).select("id", F.expr(f"substr(norm, i, {shingle_k})").alias("s"))
+    hashed = ex.select(
+        "id", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sigs = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -168,21 +189,33 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash per document: bit b is the sign of the vote
-    Σ_tokens (±1 per token-hash bit b).  Expression-only, map-side."""
+    Σ_tokens (±1 per token-hash bit b).
+
+    Shape: explode distinct tokens → hash once → 64 conditional sums in one
+    groupBy (partial aggregation map-side).  The array-fold form
+    re-tokenized the document once per bit — same Catalyst project-collapse
+    trap as minhash_signatures.
+    """
     from steampipe_sqlite_spark.functions.text import tokens
 
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def vote_merge(b: int):
-        # two-arg lambda required by F.aggregate; bind b via enclosing scope
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bit_cols = []
-    for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0), vote_merge(b))
-        bit_cols.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{b}"))
+    # duplicates kept: term-frequency-weighted voting (the standard SimHash
+    # formulation) — and array_distinct on long token arrays is O(n²)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("t"),
+    ).withColumn("h", F.xxhash64(F.col("t")))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    bit_cols = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{b}")
+        for b in range(bits)
+    ]
     # pack bits into 4×16-bit band keys for LSH-style candidate generation
     packed = []
     for band in range(4):
@@ -191,7 +224,7 @@ def simhash_fingerprints(
             expr = expr + F.shiftleft(bit_cols[band * 16 + i].cast("long"), i)
         packed.append(expr.alias(f"band{band}"))
     sig = F.array(*[c.cast("long") for c in bit_cols])
-    return df.select(F.col(id_col).alias("id"), sig.alias("bits"), *packed)
+    return votes.select(F.col("id"), sig.alias("bits"), *packed)
 
 
 def simhash_pairs(

@@ -1,0 +1,232 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The reference bridge has no media types at all (its widest type is JSON
+text, /root/reference/mapping.go:74-84) — this module is the
+training-data-pipeline extension the engine needs at 100 TB: media travels
+as an opaque ``binary`` column next to typed metadata, and decode /
+feature-extract / resize / frame-sample run as Arrow-batched Python over
+``mapInPandas``.
+
+Because the real codec libraries (PIL, cv2, librosa) are not in this
+container, actual decoding is STUBBED (``decode_image_real`` raises
+``NotImplementedError``).  Everything Spark-side is real and tested via a
+deterministic fake container format:
+
+    FIMG | width:int32be | height:int32be | channels:u8 | 8 px bytes
+    FVID | n_frames:int32be | fps:u8 | width:int32be | height:int32be
+    FAUD | sample_rate:int32be | n_samples:int32be | channels:u8
+
+Payloads are synthesized JVM-side with built-in functions (hex/lpad/
+to_binary/concat — whole-stage codegen, no Python), keyed off ``doc_id`` so
+a DuckDB oracle can recompute every decoded field arithmetically.  The
+decode path genuinely parses the bytes with ``struct.unpack`` inside
+``mapInPandas`` — the exact batch shape a real libjpeg/ffmpeg UDF would
+use.
+
+Scale notes: synth + decode are map-only (no shuffle); binary stays inside
+Arrow buffers between JVM and Python; one output row per input row (or per
+sampled frame) keeps batch memory bounded regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- fake-format parameter derivations (mirrored by oracle SQL) ----------
+
+IMG_MAGIC, VID_MAGIC, AUD_MAGIC = b"FIMG", b"FVID", b"FAUD"
+
+
+def _int32be(col: F.Column) -> F.Column:
+    """4-byte big-endian encoding of a non-negative int, JVM-side."""
+    return F.to_binary(F.lpad(F.hex(col), 8, "0"), F.lit("hex"))
+
+
+def _u8(col: F.Column) -> F.Column:
+    return F.to_binary(F.lpad(F.hex(col), 2, "0"), F.lit("hex"))
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, kind, payload binary, meta struct).
+
+    Deterministic derivations (doc_id-keyed; the DuckDB oracle recomputes
+    these, proving the binary round-trip):
+      image: width = 64 + (doc_id*37) % 193, height = 48 + (doc_id*53) % 145,
+             channels = 1 + (doc_id % 2) * 2, px byte = doc_id % 256
+      video: n_frames = 30 + (doc_id*17) % 271, fps = 24, same w/h
+      audio: sample_rate = 8000 * (1 + doc_id % 3),
+             n_samples = sample_rate * (1 + doc_id % 10) + doc_id % 97
+    """
+    d = F.col("doc_id")
+    width = (F.lit(64) + (d * 37) % 193).cast("int")
+    height = (F.lit(48) + (d * 53) % 145).cast("int")
+    channels = (F.lit(1) + (d % 2) * 2).cast("int")
+    n_frames = (F.lit(30) + (d * 17) % 271).cast("int")
+    sample_rate = (F.lit(8000) * (1 + d % 3)).cast("int")
+    n_samples = (sample_rate + (d % 97)).cast("int") + (sample_rate * (d % 10)).cast("int")
+    px = F.to_binary(F.repeat(F.lpad(F.hex(d % 256), 2, "0"), 8), F.lit("hex"))
+
+    img = F.concat(F.lit(IMG_MAGIC), _int32be(width), _int32be(height), _u8(channels), px)
+    vid = F.concat(
+        F.lit(VID_MAGIC), _int32be(n_frames), _u8(F.lit(24)), _int32be(width), _int32be(height)
+    )
+    aud = F.concat(F.lit(AUD_MAGIC), _int32be(sample_rate), _int32be(n_samples), _u8(channels))
+
+    kind = F.element_at(F.array(F.lit("image"), F.lit("video"), F.lit("audio")), (d % 3 + 1).cast("int"))
+    payload = (
+        F.when(kind == "image", img).when(kind == "video", vid).otherwise(aud)
+    )
+    meta = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.length(payload).alias("n_bytes"),
+    )
+    return docs.select(d.alias("doc_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta"))
+
+
+# --- decode (the Arrow-batched Python path) -------------------------------
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("first_px", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """Parse the FIMG header out of the binary payload (mapInPandas).
+
+    This is the exact plumbing a real image decoder uses: Arrow batch in,
+    bytes parsed per row in Python, typed columns out, no shuffle.
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != IMG_MAGIC:
+                    continue
+                w, h = struct.unpack(">II", b[4:12])
+                ch = b[12]
+                rows.append((doc_id, w, h, ch, w * h * ch, b[13]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "n_pixels", "first_px"]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(parse, IMAGE_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+    ]
+)
+
+
+def decode_video_meta(media: DataFrame) -> DataFrame:
+    """Parse the FVID header (n_frames, fps) from binary payloads."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != VID_MAGIC:
+                    continue
+                (n_frames,) = struct.unpack(">I", b[4:8])
+                rows.append((doc_id, n_frames, b[8]))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "fps"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(parse, VIDEO_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_meta(media: DataFrame) -> DataFrame:
+    """Parse the FAUD header (sample_rate, n_samples, channels)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != AUD_MAGIC:
+                    continue
+                sr, ns = struct.unpack(">II", b[4:12])
+                rows.append((doc_id, sr, ns, b[12]))
+            yield pd.DataFrame(rows, columns=["doc_id", "sample_rate", "n_samples", "channels"])
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(parse, AUDIO_META_SCHEMA)
+
+
+# --- derived transforms ----------------------------------------------------
+
+
+def resize_plan(images: DataFrame, box: int = 64) -> DataFrame:
+    """Aspect-preserving fit-into-``box`` output dims, computed JVM-side
+    after the Python decode (the actual pixel resample would live in the
+    same mapInPandas as the decode; the planning math is pure Catalyst)."""
+    longest = F.greatest(F.col("width"), F.col("height"))
+    fit = lambda side: F.greatest(  # noqa: E731
+        F.lit(1).cast("long"), F.floor(side * box / longest).cast("long")
+    )
+    return images.select(
+        "doc_id",
+        "width",
+        "height",
+        fit(F.col("width")).alias("out_w"),
+        fit(F.col("height")).alias("out_h"),
+    )
+
+
+def sample_frames(videos: DataFrame, every: int = 10) -> DataFrame:
+    """Every ``every``-th frame index per video: decode header → sequence +
+    explode.  One narrow map stage; output cardinality bounded by
+    n_frames/every per row."""
+    return videos.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))).alias("frame_idx"),
+    )
+
+
+# --- real decoders: stubbed (libs not in container) ------------------------
+
+
+def decode_image_real(payload: bytes) -> "object":
+    """Real image decode via PIL — STUB: PIL is not installed here.
+
+    The Spark-side contract (binary in, typed struct out through
+    ``IMAGE_META_SCHEMA``-shaped mapInPandas) is identical to the fake
+    decoder above; swap ``parse`` internals when the library exists.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decoding requires PIL, which is not available in "
+            "this environment; use decode_image_meta (fake container) for "
+            "the plumbing path"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when available")

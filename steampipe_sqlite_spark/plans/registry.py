@@ -61,6 +61,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from steampipe_sqlite_spark.plans import (  # noqa: F401
         functions_corpus,
         llm,
+        multimodal,
         relational,
         streaming_batch,
         tpch,

@@ -385,3 +385,141 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """,
 )
+
+# --- Q2: min-cost supplier (adapted: lineitem as part↔supplier link; no
+# partsupp in fixture). Correlated aggregated scalar subquery + 5-way join.
+sql_query(
+    "tpch_q2",
+    """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+
+# --- Q11: important part value concentration (adapted: value from shipped
+# lineitems; no partsupp). HAVING against an uncorrelated scalar subquery.
+Q11_VALUE = f"SUM({M('l_extendedprice')} * {M('l_quantity')})"
+sql_query(
+    "tpch_q11",
+    f"""
+SELECT l_partkey AS ps_partkey,
+       CAST({Q11_VALUE} AS DOUBLE) AS part_value
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+GROUP BY l_partkey
+HAVING {Q11_VALUE} > (
+  SELECT {Q11_VALUE} * 0.001
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1')
+ORDER BY part_value DESC, ps_partkey
+""",
+)
+
+# --- Q12: shipping delay vs order priority (adapted: no l_shipmode /
+# l_commitdate — buckets on shipdate-orderdate lag). Dialect split: Spark
+# datediff(end, start) vs DuckDB datediff('day', start, end).
+_Q12_BODY = """
+SELECT delay_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN {DD} < 30 THEN 'fast'
+              WHEN {DD} < 90 THEN 'normal'
+              ELSE 'slow' END AS delay_bucket
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+) t
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+"""
+sql_query(
+    "tpch_q12",
+    _Q12_BODY.format(DD="datediff(l_shipdate, o_orderdate)"),
+    oracle=_Q12_BODY.format(DD="datediff('day', o_orderdate, l_shipdate)"),
+)
+
+# --- Q16: supplier diversity per part attribute (adapted: link via
+# lineitem; complaint filter → low-acctbal NOT IN subquery).
+sql_query(
+    "tpch_q16",
+    """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+
+# --- Q20: suppliers with significant shipped volume (adapted: shipped
+# quantity threshold instead of partsupp availqty). IN over an aggregated
+# subquery → left-semi join on Catalyst.
+sql_query(
+    "tpch_q20",
+    """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '%widget%'
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+ORDER BY s_name
+""",
+)
+
+# --- Q22: dormant high-balance customers (adapted: cntrycode from
+# c_nationkey; no c_phone). NOT EXISTS anti-join + deterministic avg
+# (exact decimal sum / count) in an uncorrelated scalar subquery.
+sql_query(
+    "tpch_q22",
+    """
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(acctbal_d) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c_nationkey % 10 AS cntrycode,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_d
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5, 6)
+    AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      FROM customer
+      WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 2, 3, 4, 5, 6))
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)

@@ -82,9 +82,12 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_k: int = 5
 ) -> DataFrame:
     """Minhash signature per document: sig[i] = min over shingles of
-    xxhash64(shingle, salt_i).
+    hash_i(shingle), with hash_i = xxhash64(xxhash64(shingle), salt_i) —
+    the string is hashed ONCE and the per-salt family mixes the resulting
+    long (fixed-width input), which measured ~8× faster than hashing the
+    string per salt at sf0.1 (0.5 s vs 4.2 s warm).
 
-    Shape: explode shingles → hash each once per salt → groupBy-min.
+    Shape: explode shingles → one string hash → 64 long hashes → groupBy-min.
     (A pure array-expression form — array_min(transform(shingles, ...)) per
     salt — reads nicer but Catalyst's project collapse inlines the shingle
     construction into all 64 hash expressions, recomputing normalization
@@ -107,8 +110,8 @@ def minhash_signatures(
             F.sequence(F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_k - 1), F.lit(1)))
         ).alias("i"),
     ).select("id", F.expr(f"substr(norm, i, {shingle_k})").alias("s"))
-    hashed = ex.select(
-        "id", *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    hashed = ex.select("id", F.xxhash64("s").alias("h")).select(
+        "id", *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
     )
     sigs = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
@@ -131,7 +134,11 @@ def minhash_lsh_pairs(
     signature-estimated Jaccard (fraction of agreeing minhashes).
 
     Shuffles: one on (band, band_sig) to meet candidates, one distinct on
-    the pair — both linear in candidates, never O(n²).
+    the pair — both linear in candidates, never O(n²).  The banded
+    signatures are persisted before the self-join: both join sides probe
+    the same DataFrame, and without the persist Spark recomputes the whole
+    signature pipeline per side (measured 14.6 s → ~6 s at sf0.1).  On a
+    real cluster the equivalent is writing signatures to storage once.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -152,7 +159,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.band_sig")
+    ).select("id", "sig", "bk.band", "bk.band_sig").persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -213,18 +220,19 @@ def simhash_fingerprints(
         ]
     )
     bit_cols = [
-        F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit{b}")
+        F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         for b in range(bits)
     ]
-    # pack bits into 4×16-bit band keys for LSH-style candidate generation
+    # pack bits into 4×16-bit words — simultaneously the LSH band keys and
+    # the fingerprint itself (hamming = Σ bit_count(xor of words); longs
+    # beat a 64-element array by a wide margin in the pair stage)
     packed = []
     for band in range(4):
         expr = F.lit(0).cast("long")
         for i in range(16):
-            expr = expr + F.shiftleft(bit_cols[band * 16 + i].cast("long"), i)
+            expr = expr + F.shiftleft(bit_cols[band * 16 + i], i)
         packed.append(expr.alias(f"band{band}"))
-    sig = F.array(*[c.cast("long") for c in bit_cols])
-    return votes.select(F.col("id"), sig.alias("bits"), *packed)
+    return votes.select(F.col("id"), *packed)
 
 
 def simhash_pairs(
@@ -235,32 +243,35 @@ def simhash_pairs(
     Candidates: pairs agreeing on at least one 16-bit band (pigeonhole —
     any pair within hamming 3 of 64 bits shares a band; wider radii trade
     recall).  Shuffle cost: 4 band-joins, each linear in bucket sizes.
+    Fingerprints are persisted first: the 4 unioned self-joins otherwise
+    recompute the vote pipeline 8×.
     """
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    hamming = sum(
+        F.bit_count(F.col(f"a.band{band}").bitwiseXOR(F.col(f"b.band{band}")))
+        for band in range(4)
+    )
     cands = None
     for band in range(4):
         a = fp.alias("a")
         b = fp.alias("b")
-        c = a.join(
-            b,
-            [F.col(f"a.band{band}") == F.col(f"b.band{band}"), F.col("a.id") < F.col("b.id")],
-        ).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
+        c = (
+            a.join(
+                b,
+                [F.col(f"a.band{band}") == F.col(f"b.band{band}"), F.col("a.id") < F.col("b.id")],
+            )
+            # hamming computed inside the join project and the wide
+            # fingerprints dropped immediately — the distinct below then
+            # shuffles 3 scalar columns instead of two 64-element arrays
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
         )
         cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: (x != y).cast("int")),
-            lambda v: v == F.lit(1),
-        )
-    )
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return cands.dropDuplicates(["id_a", "id_b"])
 
 
 def embedding_neardup_pairs(

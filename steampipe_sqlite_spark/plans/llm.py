@@ -288,13 +288,17 @@ def emb_neardup_q(spark, sf_dir):
 
 @query("knn_cosine_lsh", oracle=None)
 def knn_lsh_q(spark, sf_dir):
-    """Hyperplane-LSH approximate top-5 (4 tables × 8 planes); recall vs
-    brute force asserted in tests/test_llm_ops.py."""
+    """Hyperplane-LSH approximate top-5 (12 tables × 3 planes — measured
+    recall 1.0 at this corpus size; planes scale ~log2(corpus/bucket)
+    upward with data).  Recall vs brute force asserted in
+    tests/test_llm_ops.py."""
     from steampipe_sqlite_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, "embedding", "vec_id", k=5).orderBy("query_id", "rank")
+    return lsh_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_planes=3, n_tables=12
+    ).orderBy("query_id", "rank")
 
 
 @query(

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import functions as F
+
 from steampipe_sqlite_spark.plans.registry import query, sql_query
 from steampipe_sqlite_spark.tables import load_table
 
@@ -118,3 +120,65 @@ def streaming_tumbling_1h(spark, sf_dir):
     agg = tumbling_agg(read_events_stream(spark, sf_dir), width="1 hour")
     result = run_stream_to_memory(spark, agg, name, output_mode="complete")
     return result.orderBy("win_start", "event_type")
+
+
+@query(
+    "streaming_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_stateful_user_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) driven through the
+    streaming engine: per-user GroupState of (count, integer cents).
+    availableNow + update mode over the fixture ⇒ final state per user,
+    which the batch GROUP BY oracle reproduces exactly."""
+    import uuid as _uuid
+
+    from steampipe_sqlite_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_totals,
+    )
+
+    name = f"stateful_out_{_uuid.uuid4().hex[:8]}"
+    agg = stateful_user_totals(read_events_stream(spark, sf_dir))
+    result = run_stream_to_memory(spark, agg, name, output_mode="update")
+    # update mode re-emits a row per key per micro-batch; the last one per
+    # user is the final state (single-batch availableNow emits exactly one)
+    return (
+        result.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type
+FROM events
+ORDER BY user_id, event_type
+""",
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the event stream: first
+    (user_id, event_type) occurrence wins, state bounded by the 10-minute
+    watermark.  Emitting keys only makes the batch DISTINCT oracle exact."""
+    import uuid as _uuid
+
+    from steampipe_sqlite_spark.streaming.jobs import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    name = f"dedup_out_{_uuid.uuid4().hex[:8]}"
+    deduped = dedup_within_watermark(read_events_stream(spark, sf_dir))
+    result = run_stream_to_memory(spark, deduped, name, output_mode="append")
+    return result.orderBy("user_id", "event_type")

@@ -114,3 +114,69 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- stateful operators -----------------------------------------------------
+
+USER_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+USER_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful aggregation via ``applyInPandasWithState``: per-user
+    running (count, value-total) kept as GroupState across micro-batches.
+
+    Money is accumulated in integer cents inside the state so emission is
+    exact regardless of per-batch arrival order — the property that makes
+    the batch GROUP BY oracle valid.  State size is O(distinct users);
+    Spark shuffles each micro-batch once on user_id.
+    """
+    import pandas as pd  # local import: executes on workers
+
+    def update(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_TOTALS_OUTPUT,
+            stateStructType=USER_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Streaming dedup with bounded state: first event per
+    (user_id, event_type) key wins; state for keys older than the
+    watermark is evicted (``dropDuplicatesWithinWatermark``), which is what
+    keeps this runnable forever on an unbounded stream.
+
+    Emits just the key columns — "first occurrence" payloads are
+    partition-order-dependent, the key set is not.
+    """
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

@@ -1,0 +1,159 @@
+"""Structured Streaming semantics: state across micro-batches, watermark
+late-row dropping, foreachBatch sink."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.streaming.jobs import (
+    EVENTS_RAW_SCHEMA,
+    dedup_within_watermark,
+    read_events_stream,
+    stateful_user_totals,
+    tumbling_agg,
+    watermarked_tumbling_agg,
+)
+from steampipe_sqlite_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _slice_events(spark, tmp_path, n_slices=3):
+    """Split the fixture events into n parquet files so maxFilesPerTrigger=1
+    yields real multi-batch streams."""
+    events = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "slices")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # keep raw nanos schema
+    raw.withColumn("slice", F.pmod(F.col("event_id"), F.lit(n_slices))).write.partitionBy(
+        "slice"
+    ).parquet(out)
+    # flatten: each slice=k dir holds >=1 file; stream the whole tree
+    return out, events
+
+
+def _stream_slices(spark, path):
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def test_stateful_totals_survive_micro_batches(spark, tmp_path):
+    """GroupState accumulated over several micro-batches must equal the
+    global batch aggregate — the whole point of applyInPandasWithState."""
+    path, events = _slice_events(spark, tmp_path)
+    n_files = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert n_files >= 3
+
+    agg = stateful_user_totals(_stream_slices(spark, path))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("stateful_mb")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0
+        ).alias("total_value"),
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expected.collect()}
+    # update mode re-emits: with >=3 batches there must be more output rows
+    # than distinct users (proof state actually spanned batches)
+    assert spark.table("stateful_mb").count() > expected.count()
+
+
+def test_dedup_watermark_emits_distinct_keys(spark, tmp_path):
+    path, events = _slice_events(spark, tmp_path)
+    deduped = dedup_within_watermark(_stream_slices(spark, path))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.event_type) for r in spark.table("dedup_mb").collect()}
+    expected = {
+        (r.user_id, r.event_type)
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == expected
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Run a watermarked tumbling agg over phase-1 files with a checkpoint,
+    then append a file whose events are far older than the advanced
+    watermark and resume: the late rows must NOT create/extend windows."""
+    data_dir = tmp_path / "data"
+    ckpt = str(tmp_path / "ckpt")
+    data_dir.mkdir()
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+
+    recent = events.filter(F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    late = events.filter(F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 48 HOURS"))
+    assert recent.count() > 0 and late.count() > 0
+
+    out_dir = str(tmp_path / "out")
+
+    def run_phase(df_slice):
+        df_slice.write.mode("append").parquet(str(data_dir))
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ).parquet(str(data_dir))
+        agg = watermarked_tumbling_agg(stream, width="1 hour", delay="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_phase(recent)
+    run_phase(late)
+    # phase-2 rows are all > 48h older than the watermark established in
+    # phase 1 — the file-sink output must contain no windows from them
+    emitted = {r.win_start for r in spark.read.parquet(out_dir).collect()}
+    late_starts = {
+        r.w for r in late.select(F.date_trunc("hour", "ts").alias("w")).distinct().collect()
+    }
+    assert not (emitted & late_starts)
+
+
+def test_foreach_batch_sink_sees_every_batch(spark, tmp_path):
+    path, events = _slice_events(spark, tmp_path)
+    seen = []
+
+    def sink(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    q = (
+        _stream_slices(spark, path)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 3
+    assert sum(n for _, n in seen) == events.count()

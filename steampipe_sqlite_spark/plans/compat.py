@@ -1,0 +1,91 @@
+"""SQLite-dialect compat corpus: the functions/sqlite_compat.py layer
+exercised over the fixture tables, oracle-checked via DuckDB equivalents
+(regex for GLOB, interval arithmetic for modifiers, epoch math for
+julianday)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.functions.sqlite_compat import (
+    glob_match,
+    julianday,
+    sqlite_date,
+    strftime,
+    unixepoch,
+)
+from steampipe_sqlite_spark.plans.registry import query
+from steampipe_sqlite_spark.tables import load_table
+
+
+@query(
+    "compat_glob_filter",
+    oracle=r"""
+SELECT p_partkey, p_name
+FROM part
+WHERE regexp_matches(p_name, '^l.*e.*$') OR regexp_matches(p_name, '^.*w[io]dget$')
+ORDER BY p_partkey
+""",
+)
+def compat_glob_filter(spark, sf_dir):
+    """SQLite GLOB (case-sensitive, *, ?, [seq]) → JVM rlike; two patterns
+    OR-ed, matching the reference's inherited GLOB surface."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            glob_match(F.col("p_name"), "l*e*") | glob_match(F.col("p_name"), "*w[io]dget")
+        )
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "compat_strftime_month_rollup",
+    oracle="""
+SELECT strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m') AS month_key,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1
+ORDER BY month_key
+""",
+)
+def compat_strftime_month_rollup(spark, sf_dir):
+    """strftime('%Y-%m', ts, '+7 days') — modifier pipeline + format-token
+    compilation, aggregated (the SQLite-ism in its most common shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            strftime("%Y-%m", F.col("o_orderdate"), "+7 days").alias("month_key")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("month_key")
+    )
+
+
+@query(
+    "compat_date_functions",
+    oracle="""
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       epoch(o_orderdate) / 86400.0 + 2440587.5 AS jd
+FROM orders
+WHERE o_orderkey < 100
+ORDER BY o_orderkey
+""",
+)
+def compat_date_functions(spark, sf_dir):
+    """date(ts, 'start of month'), unixepoch(ts), julianday(ts) — the
+    remaining SQLite date functions on one projection."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            sqlite_date(F.col("o_orderdate"), "start of month").alias("month_start"),
+            unixepoch(F.col("o_orderdate")).alias("epoch_s"),
+            julianday(F.col("o_orderdate")).alias("jd"),
+        )
+        .orderBy("o_orderkey")
+    )

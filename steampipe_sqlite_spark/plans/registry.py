@@ -59,6 +59,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every corpus module (side-effect: registration) and return
     the combined (queries, oracles)."""
     from steampipe_sqlite_spark.plans import (  # noqa: F401
+        compat,
         functions_corpus,
         llm,
         multimodal,

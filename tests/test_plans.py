@@ -1,0 +1,86 @@
+"""Physical-plan shape assertions — the properties that keep these queries
+scalable (pushdown, pruning, broadcast, partial agg, codegen, shuffle-free
+map stages) must not regress."""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from steampipe_sqlite_spark.plans.registry import collect
+from steampipe_sqlite_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    q, _ = collect()
+    return q
+
+
+def plan_text(df, mode="simple"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_reach_the_parquet_scan(spark, queries):
+    p = plan_text(queries["tpch_q6"](spark, SF_DIR), "formatted")
+    assert "GreaterThanOrEqual(l_shipdate" in p, "shipdate range not pushed"
+    assert "LessThan(l_quantity,24.0)" in p, "quantity filter not pushed"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"], (
+        f"scan reads {cols}, not just the 4 needed columns"
+    )
+
+
+def test_q5_small_dims_broadcast(spark, queries):
+    p = plan_text(queries["tpch_q5"](spark, SF_DIR))
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)
+    assert joins, "no joins in plan?"
+    assert all(j == "BroadcastHashJoin" for j in joins), (
+        f"dims should all broadcast at this scale: {joins}"
+    )
+
+
+def test_q1_aggregates_partially_mapside_in_codegen(spark, queries):
+    df = queries["tpch_q1"](spark, SF_DIR)
+    p = plan_text(df)
+    assert "partial_sum" in p, "no map-side partial aggregation"
+    # AQE finalizes the plan only at execution; the executed plan carries
+    # the *(n) whole-stage-codegen markers
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\*\(\d+\)", executed), "no whole-stage codegen spans"
+
+
+def test_knn_bruteforce_broadcasts_the_query_side(spark, queries):
+    p = plan_text(queries["knn_cosine_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p, "corpus×queries must not shuffle-cross"
+
+
+def test_multimodal_decode_is_shuffle_free(spark):
+    from steampipe_sqlite_spark.operators.multimodal import (
+        decode_image_meta,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # the operator itself (no orderBy) must be a pure map pipeline
+    p = plan_text(decode_image_meta(synthesize_media(docs)))
+    assert "MapInPandas" in p
+    assert "Exchange" not in p, "decode path should not shuffle"
+
+
+def test_minhash_signature_shuffle_carries_only_doc_rows(spark):
+    from steampipe_sqlite_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = plan_text(minhash_signatures(docs, "text", "doc_id"))
+    assert "partial_min" in p, "minhash min-fold must aggregate map-side"
+    assert p.count("Exchange") == 1, "exactly one shuffle (the per-doc fold)"

@@ -92,6 +92,8 @@ class ChaosConnector(Connector):
 
     def _all_types_rows(self, quals: list[Qual], limit: int | None):
         n = 0
+        if limit == 0:  # LIMIT 0 fetches nothing (yield-then-check misses it)
+            return
         for i in range(self.n_rows):
             row = {
                 "id": i,
@@ -120,6 +122,8 @@ class ChaosConnector(Connector):
         for q in tenants:
             wanted.update(q.value if q.op == "in" else [q.value])
         n = 0
+        if limit == 0:  # LIMIT 0 fetches nothing (yield-then-check misses it)
+            return
         for tenant in sorted(wanted):
             for i in range(self.n_rows):
                 row = {
@@ -139,6 +143,8 @@ class ChaosConnector(Connector):
         error_at = cfg.get("error_at_row")
         delay_ms = cfg.get("delay_ms", 0)
         n = 0
+        if limit == 0:  # LIMIT 0 fetches nothing (yield-then-check misses it)
+            return
         for i in range(self.n_rows):
             if error_at is not None and i == error_at:
                 raise RuntimeError(f"chaos: injected error at row {i}")
@@ -219,6 +225,8 @@ class DynamicConnector(Connector):
 
         def rows():
             n = 0
+            if limit == 0:  # LIMIT 0 fetches nothing (yield-then-check misses it)
+                return
             for i in range(self.n_rows):
                 row = {}
                 for c in schema.columns:

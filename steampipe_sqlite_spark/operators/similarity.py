@@ -1,6 +1,6 @@
 """Similarity search over embedding columns.
 
-Two paths:
+Three paths:
 - brute_force_topk: exact cosine top-k — broadcast the (small) query set,
   one pass over the corpus, per-query heap via window row_number.  The
   baseline and the oracle-checkable path.
@@ -8,6 +8,9 @@ Two paths:
   vectors (seeded, deterministic), candidates meet on bucket keys, exact
   re-rank inside buckets.  The 100 TB path: never materializes the O(n·q)
   pair space, only bucket-local pairs.
+- ivf_topk: inverted-file partitioning — corpus assigned to coarse Voronoi
+  cells, queries probe their nprobe nearest cells.  The other standard ANN
+  scale path; fully SQL-oracle-checkable thanks to deterministic centroids.
 """
 
 from __future__ import annotations
@@ -135,5 +138,66 @@ def lsh_topk(
     )
     cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is partitioned
+    into ``n_cells`` Voronoi cells around coarse centroids; each query
+    probes its ``nprobe`` nearest cells and re-ranks exactly inside them.
+
+    Centroids here are the first ``n_cells`` corpus vectors (deterministic,
+    which keeps the operator SQL-oracle-checkable); a production deployment
+    would k-means them offline — the plan shape is identical.  Scale
+    profile: assignment is a broadcast-cross of corpus × centroids (map
+    side, no shuffle), candidates meet on the cell id — one narrow shuffle,
+    probe cost ~ nprobe/n_cells of the corpus per query.
+    """
+    c = _prep(corpus, vec_col, id_col)
+    q = _prep(queries, vec_col, id_col)
+    cent = (
+        c.filter(F.col("id") < n_cells)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    )
+
+    def assign(df: DataFrame, keep: int) -> DataFrame:
+        cos = F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 4
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("cell_cos"), F.asc("cid"))
+        return (
+            df.join(F.broadcast(cent), how="cross")
+            .withColumn("cell_cos", cos)
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= keep)
+            .select("id", "v", "nrm", F.col("cid").alias("cell"))
+        )
+
+    corpus_cells = assign(c, keep=1).alias("c")
+    probes = assign(q, keep=nprobe).alias("q")
+    cos = F.round(
+        dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 4
+    )
+    scored = (
+        probes.join(
+            corpus_cells,
+            [F.col("q.cell") == F.col("c.cell"), F.col("q.id") != F.col("c.id")],
+        )
+        .select(
+            F.col("q.id").alias("query_id"),
+            F.col("c.id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

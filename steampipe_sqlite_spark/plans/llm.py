@@ -326,3 +326,58 @@ def emb_centroid_q(spark, sf_dir):
         )
         .orderBy("label", "pos")
     )
+
+
+def _dd_cos(x: str, y: str) -> str:
+    return (
+        f"ROUND(list_inner_product(CAST({x}.embedding AS DOUBLE[]), CAST({y}.embedding AS DOUBLE[])) / "
+        f"(SQRT(list_inner_product(CAST({x}.embedding AS DOUBLE[]), CAST({x}.embedding AS DOUBLE[]))) * "
+        f"SQRT(list_inner_product(CAST({y}.embedding AS DOUBLE[]), CAST({y}.embedding AS DOUBLE[])))), 4)"
+    )
+
+
+@query(
+    "knn_cosine_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+),
+corpus_assign AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_dd_cos('e', 'c')} DESC, c.cid) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) t WHERE r = 1
+),
+probes AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_dd_cos('e', 'c')} DESC, c.cid) AS r
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < 10
+  ) t WHERE r <= 3
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_dd_cos('q', 'a')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_dd_cos('q', 'a')} DESC, a.vec_id) AS rank
+  FROM probes q JOIN corpus_assign a ON q.cell = a.cell AND q.vec_id <> a.vec_id
+) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def knn_ivf_q(spark, sf_dir):
+    """IVF approximate top-5 (16 cells, nprobe=3, deterministic first-N
+    centroids) — the whole inverted-file pipeline is mirrored in the
+    DuckDB oracle, so assignment, probing, and re-rank are all checked."""
+    from steampipe_sqlite_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=3
+    ).orderBy("query_id", "rank")

@@ -2,11 +2,18 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS], best-of-3 per query after a warm-up action, and
-prints {"metric","value","unit","queries","sf"}.
+prints {"metric","value","unit","queries","sf", ...}.
+
+Also times DuckDB running each query's oracle SQL on the same parquet —
+the repo's operative baseline is "engine ≤ 2× DuckDB wall-clock"
+(BASELINE.md), so the ratio is part of the output: "duckdb" holds
+per-query oracle seconds, "duckdb_total"/"ratio_vs_duckdb" the rollup
+(queries without oracle SQL are engine-only and excluded from the ratio).
 
 Headline set: the queries that exercise each execution shape — wide
 aggregation, multi-way join, top-k, window, event-time bucketing, minhash
-dedup, vector top-k — the ones whose plans must stay healthy at scale.
+dedup, simhash, vector top-k (exact + IVF), binary decode — the plans that
+must stay healthy at scale.
 """
 
 from __future__ import annotations
@@ -31,17 +38,45 @@ HEADLINE = [
     "win_running_sum",
     "window_tumbling_1h",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "mm_image_decode",
 ]
 
 RUNS = 3
+
+
+def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    queries, _ = collect()
+    queries, oracles = collect()
 
     # warm the JVM + parquet footers once
     queries["tpch_q6"](spark, sf_dir).collect()
@@ -56,7 +91,11 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
 
+    duck = bench_duckdb(sf_dir, oracles)
     total = round(sum(per_query.values()), 3)
+    comparable = [n for n in HEADLINE if n in duck]
+    eng_comp = sum(per_query[n] for n in comparable)
+    duck_comp = sum(duck[n] for n in comparable)
     print(
         json.dumps(
             {
@@ -64,6 +103,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "duckdb": duck,
+                "duckdb_total": round(duck_comp, 3),
+                "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

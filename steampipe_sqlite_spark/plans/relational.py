@@ -9,8 +9,10 @@ split is noted.
 Determinism rules (driver hash-compare):
 - Window ROWS frames and row_number/ntile always ORDER BY a unique key
   (tie order is engine-dependent otherwise).
-- Double sums inside windows go through DECIMAL(12,2) (segment-tree vs
-  sequential accumulation would otherwise ULP-diverge).
+- Double sums (in windows and aggregates) go through integer hundredths —
+  CAST(ROUND(x*100) AS BIGINT) — since segment-tree vs sequential double
+  accumulation would ULP-diverge; integers are also ~2x faster than
+  DECIMAL in Spark's hash aggregate.
 - LIMIT queries carry a total-order ORDER BY.
 """
 
@@ -19,7 +21,6 @@ from __future__ import annotations
 from steampipe_sqlite_spark.plans.registry import query, sql_query
 from steampipe_sqlite_spark.tables import load_table
 
-DVAL = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
 # --- Joins ----------------------------------------------------------------
 
@@ -27,7 +28,7 @@ sql_query(
     "join_left_outer",
     """
 SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spent
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0 AS total_spent
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
 GROUP BY c_custkey, c_name
@@ -279,7 +280,7 @@ sql_query(
     "win_running_sum",
     f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
             (PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
@@ -293,7 +294,7 @@ sql_query(
     "win_sliding_rows",
     """
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
             (PARTITION BY user_id ORDER BY event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
        MIN(value) OVER (PARTITION BY user_id ORDER BY event_id
@@ -318,8 +319,8 @@ sql_query(
     "win_agg_over_unbounded",
     """
 SELECT o_orderkey,
-       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) * 100 /
-            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER () AS DOUBLE) AS pct_of_total
+       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE) * 100 /
+            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER () AS DOUBLE) AS pct_of_total
 FROM orders
 ORDER BY o_orderkey
 LIMIT 100
@@ -333,7 +334,7 @@ sql_query(
     """
 SELECT c_custkey, c_acctbal
 FROM customer
-WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0
                    FROM customer) * 1.5
 ORDER BY c_custkey
 """,
@@ -344,7 +345,7 @@ sql_query(
     """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders o
-WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0
                           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 ORDER BY o_orderkey
 """,
@@ -374,10 +375,10 @@ ORDER BY c_custkey
 sql_query(
     "subq_derived_table",
     """
-SELECT seg, n_cust, CAST(total_bal AS DOUBLE) AS total_bal
+SELECT seg, n_cust, CAST(total_bal AS DOUBLE) / 100.0 AS total_bal
 FROM (
   SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
-         SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS total_bal
+         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS total_bal
   FROM customer GROUP BY c_mktsegment
 ) t
 WHERE n_cust > 1

@@ -22,7 +22,7 @@ sql_query(
     """
 SELECT window.start AS win_start, event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM (SELECT * FROM events)
 GROUP BY window(ts, '1 hour'), event_type
 ORDER BY win_start, event_type
@@ -30,7 +30,7 @@ ORDER BY win_start, event_type
     oracle="""
 SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY win_start, event_type
@@ -100,7 +100,7 @@ def window_session_5m(spark, sf_dir):
     oracle="""
 SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY win_start, event_type

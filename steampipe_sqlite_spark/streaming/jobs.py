@@ -56,7 +56,7 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("win_start"),

@@ -47,13 +47,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_REGISTERED: dict[tuple[int, tuple[str, ...]], str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES) -> None:
     """Register one temp view per table for spark.sql() queries.
 
     Mirrors the reference's per-table module registration
     (/root/reference/configure_fn.go:167-182) — there DDL is synthesized
     into SQLite's catalog; here each table becomes a temp view over a
-    native parquet scan.
+    native parquet scan.  Registration is memoized per (session, table
+    set): every query calls this, and re-registering 10 views costs
+    ~0.3 s of driver round-trips per query otherwise.
     """
+    key = (id(spark), tables)
+    if _REGISTERED.get(key) == sf_dir:
+        return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[key] = sf_dir

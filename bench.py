@@ -86,6 +86,9 @@ def main() -> None:
         fn = queries[name]
         best = float("inf")
         for _ in range(RUNS):
+            # drop persisted intermediates from prior runs: keeps each run
+            # self-contained and the timings low-variance
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

@@ -121,6 +121,53 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_k: int = 5
+) -> DataFrame:
+    """One-permutation minhash (public construction: Li, Owen, Zhang 2012):
+    ONE hash per shingle, partitioned into ``num_hashes`` buckets by its
+    top bits, min per bucket; empty buckets are densified with the
+    document's global min hash (two documents with near-identical shingle
+    sets share their global min with probability ≈ their Jaccard, so
+    densified slots still agree).
+
+    vs the classic k-hash family (minhash_signatures): 1 string hash + 1
+    bucket shift per shingle instead of 64 derived hashes.  At sf0.1 the
+    end-to-end gain is modest (the 1.5M-row shingle shuffle dominates) but
+    the per-shingle CPU is 64× lower — the term that grows with document
+    length at real corpus sizes.  Shuffle: partial (id, bucket) mins fold
+    map-side, then one 64-entry map per document.
+    """
+    from steampipe_sqlite_spark.functions.text import normalize_text
+
+    assert num_hashes & (num_hashes - 1) == 0, "num_hashes must be a power of 2"
+    shift = 64 - num_hashes.bit_length() + 1  # 64 buckets → top 6 bits
+
+    normed = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
+    ex = normed.select(
+        "id",
+        "norm",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_k - 1), F.lit(1)))
+        ).alias("i"),
+    ).select("id", F.expr(f"substr(norm, i, {shingle_k})").alias("s"))
+    hb = ex.select("id", F.xxhash64("s").alias("h")).withColumn(
+        "b", F.shiftrightunsigned(F.col("h"), shift)
+    )
+    per_bucket = hb.groupBy("id", "b").agg(F.min("h").alias("mn"))
+    packed = per_bucket.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "mn"))).alias("m"),
+        F.min("mn").alias("gmin"),
+    )
+    idx = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+    return packed.select(
+        "id",
+        F.transform(
+            idx, lambda i: F.coalesce(F.element_at(F.col("m"), i), F.col("gmin"))
+        ).alias("sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -133,19 +180,20 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs via banded minhash LSH, scored by the
     signature-estimated Jaccard (fraction of agreeing minhashes).
 
-    Shuffles: one on (band, band_sig) to meet candidates, one distinct on
-    the pair — both linear in candidates, never O(n²).  The banded
-    signatures are persisted before the self-join: both join sides probe
-    the same DataFrame, and without the persist Spark recomputes the whole
-    signature pipeline per side (measured 14.6 s → ~6 s at sf0.1).  On a
-    real cluster the equivalent is writing signatures to storage once.
+    Shape (the one that holds at 100 TB — signatures materialized once,
+    candidates meet on bare keys, scoring by signature lookup):
+    1. signatures persisted (one row per doc; on a cluster: written once);
+    2. band keys (id, band, band_sig) — 3 scalars per row, the 64-long
+       signature does NOT ride through the bucket join;
+    3. self-join on (band, band_sig) → candidate id pairs → distinct;
+    4. two hash joins back to the signature table score the surviving
+       pairs (candidate count ≪ corpus, so these joins are tiny).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures_oph(df, text_col, id_col, num_hashes, shingle_k).persist()
 
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -159,7 +207,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.band_sig").persist()
+    ).select("id", "bk.band", "bk.band_sig")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -172,14 +220,11 @@ def minhash_lsh_pairs(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
@@ -187,9 +232,12 @@ def minhash_lsh_pairs(
         )
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
-    return cand.select(
-        "id_a", "id_b", F.round(est, 4).alias("jaccard_est")
-    ).filter(F.col("jaccard_est") >= threshold)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
+    )
 
 
 def simhash_fingerprints(

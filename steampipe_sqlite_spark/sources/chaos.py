@@ -251,3 +251,61 @@ class DynamicConnector(Connector):
         yield from rows_to_batches(
             arrow, ({k: v for k, v in r.items() if k in names} for r in rows())
         )
+
+
+class ShardedConnector(Connector):
+    """Static connector whose single ``metrics`` table scans in N parallel
+    partitions (id-range shards) — the engine-extension analog of
+    steampipe's per-connection parallelism; the reference itself is
+    single-cursor (/root/reference/cursor.go:25-34).
+
+    Each ``execute(partition=k)`` yields only shard k, so Spark schedules
+    the N reads concurrently on executor Python workers.
+    """
+
+    name = "sharded"
+
+    def __init__(self, config: str | None = None, n_rows: int = 1000, n_shards: int = 4):
+        super().__init__(config)
+        self.n_rows = n_rows
+        self.n_shards = n_shards
+
+    def get_schema(self) -> Schema:
+        return Schema(
+            mode=STATIC,
+            tables=(
+                TableSchema(
+                    "metrics",
+                    (
+                        ColumnDef("id", ColumnType.INT, OPTIONAL, ("=", "<", "<=", ">", ">=")),
+                        ColumnDef("shard", ColumnType.INT),
+                        ColumnDef("value", ColumnType.DOUBLE),
+                    ),
+                ),
+            ),
+        )
+
+    def partitions(self, table: str, quals: list[Qual]) -> list[Partition]:
+        return [Partition(k, {"shard": k}) for k in range(self.n_shards)]
+
+    def execute(self, table, quals, columns, limit, partition=None):
+        shard = 0 if partition is None else partition.info["shard"]
+        lo = shard * self.n_rows // self.n_shards
+        hi = (shard + 1) * self.n_rows // self.n_shards
+        schema = self.get_schema().table(table)
+        arrow = schema.arrow_schema(columns)
+        names = set(arrow.names)
+
+        def rows():
+            n = 0
+            if limit == 0:
+                return
+            for i in range(lo, hi):
+                row = {"id": i, "shard": shard, "value": i * 0.25}
+                if all(q.matches(row.get(q.column)) for q in quals):
+                    yield {k: v for k, v in row.items() if k in names}
+                    n += 1
+                    if limit is not None and n >= limit:
+                        return
+
+        yield from rows_to_batches(arrow, rows())

@@ -149,3 +149,29 @@ class TestDynamicReconfigure:
         assert eng.sql("SELECT count(*) AS n FROM dyn_t2").collect()[0].n == 10
         with pytest.raises(Exception):
             eng.sql("SELECT * FROM dyn_t1").collect()
+
+
+SHARDED = "steampipe_sqlite_spark.sources.chaos:ShardedConnector"
+
+
+class TestParallelScan:
+    @pytest.fixture(scope="class")
+    def sharded(self, spark):
+        eng = Engine(spark)
+        eng.load(SHARDED)
+        return eng
+
+    def test_partitions_scan_in_parallel(self, sharded):
+        df = sharded.table("sharded", "metrics")
+        assert df.rdd.getNumPartitions() == 4, "connector declared 4 shards"
+        assert df.count() == 1000
+        # each Spark partition held exactly its shard
+        per_shard = {r.shard: r.cnt for r in df.groupBy("shard").count().withColumnRenamed("count", "cnt").collect()}
+        assert per_shard == {0: 250, 1: 250, 2: 250, 3: 250}
+
+    def test_quals_reach_every_partition(self, sharded):
+        rows = sharded.sql(
+            "SELECT id, shard FROM sharded_metrics WHERE id >= 900"
+        ).collect()
+        assert len(rows) == 100
+        assert {r.shard for r in rows} == {3}

@@ -1,0 +1,106 @@
+"""Scale toolkit: the partitioning techniques that keep joins and
+aggregations healthy at 100 TB — bucketed co-located joins, salted skew
+handling, and a pre-partition helper for shuffle reuse.
+
+None of these change results; they change plan shape.  Plan-level proofs
+live in tests/test_scale_toolkit.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int, sort_col: str | None = None
+) -> None:
+    """Persist ``df`` as a bucketed managed table: rows are hash-bucketed
+    on ``bucket_col`` at write time, so equi-joins and aggregations on that
+    column read co-located data and skip the shuffle entirely (Catalyst
+    sees the bucketing as a satisfied hash distribution).
+
+    This is the batch-layer answer to repeated big-fact joins: pay one
+    shuffle at ingest, never again.  ``sort_col`` additionally sorts within
+    buckets (sort-merge joins then skip the sort too).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    key_col: str,
+    agg_exprs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys: stage 1 aggregates on
+    (key, salt) — the hot key's rows spread over ``n_salts`` reducers —
+    stage 2 folds the partials on the key alone (tiny input).
+
+    ``agg_exprs`` maps output column → 'sum'|'count'|'min'|'max' of a
+    source column, e.g. {'total': 'sum:value', 'n': 'count:*'} — the
+    decomposable aggregates (partial + merge both expressible with the
+    same primitive).
+    """
+    salted = df.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)))
+    stage1_aggs, stage2_aggs = [], []
+    for out, spec in agg_exprs.items():
+        op, _, col = spec.partition(":")
+        p = f"_p_{out}"
+        if op == "count":
+            stage1_aggs.append(F.count(F.lit(1) if col in ("*", "") else F.col(col)).alias(p))
+            stage2_aggs.append(F.sum(p).alias(out))
+        elif op in ("sum", "min", "max"):
+            stage1_aggs.append(getattr(F, op)(F.col(col)).alias(p))
+            stage2_aggs.append(getattr(F, "sum" if op == "sum" else op)(p).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate {op!r}")
+    return (
+        salted.groupBy(key_col, "_salt")
+        .agg(*stage1_aggs)
+        .groupBy(key_col)
+        .agg(*stage2_aggs)
+    )
+
+
+def salted_join_skewed_left(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join where ``left`` has skewed keys and ``right`` is moderate:
+    left rows get a random salt in [0, n_salts); right is exploded to all
+    salts.  The shuffle key becomes (key, salt), so a hot key's rows land
+    on ``n_salts`` reducers instead of one.
+
+    AQE's skew-join splitting handles the sort-merge case automatically
+    (spark.sql.adaptive.skewJoin.enabled, on in session.py); this explicit
+    form is for when the join must shuffle-hash or the skew is known ahead
+    of time.  Cost: right side replicated ×n_salts — use only when right ≪
+    left, which is the skew scenario by definition.
+    """
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = l_salted.join(r_salted, [key, "_salt"])
+    return out.drop("_salt")
+
+
+def prepartition_for_reuse(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
+    """Hash-repartition once on ``key`` so several downstream wide ops
+    (groupBys / joins on the same key) reuse one exchange instead of each
+    shuffling independently — Catalyst recognizes the existing
+    HashPartitioning and elides the redundant Exchanges."""
+    return df.repartition(n, F.col(key)) if n else df.repartition(F.col(key))
+
+
+def table_is_bucketed(spark: SparkSession, table_name: str) -> bool:
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    return any("Num Buckets" in (r.col_name or "") for r in rows)

@@ -1,0 +1,96 @@
+"""Scale-toolkit proofs: bucketed joins skip the shuffle, salted shapes
+preserve results, pre-partitioning reuses its exchange."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.operators.scale import (
+    prepartition_for_reuse,
+    salted_groupby_agg,
+    salted_join_skewed_left,
+    table_is_bucketed,
+    write_bucketed,
+)
+from steampipe_sqlite_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def executed_plan(df):
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    import shutil
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8
+    )
+    assert table_is_bucketed(spark, "b_orders")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = executed_plan(joined)
+        assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan[:2000]}"
+        # result parity with the plain join
+        plain = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_groupby_matches_plain(spark):
+    events = load_table(spark, SF_DIR, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    plain = {
+        (r.event_type, r.n, r.total)
+        for r in events.withColumn("c", cents)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.event_type, r.n, r.total)
+        for r in salted_groupby_agg(
+            events.withColumn("c", cents),
+            "event_type",
+            {"n": "count:*", "total": "sum:c"},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    lineitem = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    right = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = lineitem.join(right, "l_orderkey")
+    salted = salted_join_skewed_left(lineitem, right, "l_orderkey", n_salts=8)
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+
+
+def test_prepartition_reuses_exchange(spark):
+    events = load_table(spark, SF_DIR, "events")
+    pre = prepartition_for_reuse(events, "user_id", 8)
+    agg = pre.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = executed_plan(agg).split("== Initial Plan ==")[0]
+    # exactly the explicit repartition exchange; the groupBy rides it
+    assert plan.count("Exchange") == 1, plan[:2000]

@@ -105,6 +105,32 @@ class Engine:
             reader = reader.option("columns", _json.dumps(columns))
         return reader.load()
 
+    def stream(
+        self,
+        alias: str,
+        table: str,
+        offset_col: str = "seq",
+        batch_rows: int = 100,
+    ) -> DataFrame:
+        """Tail a connector table as a Structured Streaming source.
+
+        Engine extension (the reference is batch-only, SURVEY.md §2.3):
+        micro-batches poll ``offset_col`` ranges of ``batch_rows`` through
+        the same qual pushdown path as batch scans; deterministic
+        connectors replay committed ranges exactly on restart.
+        """
+        state = self._connections[alias]
+        reader = (
+            self.spark.readStream.format(FORMAT_NAME)
+            .option("connector_class", state["class"])
+            .option("table", table)
+            .option("stream_offset_col", offset_col)
+            .option("stream_batch", str(batch_rows))
+        )
+        if state["config"]:
+            reader = reader.option("config", state["config"])
+        return reader.load()
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered connector views.
 

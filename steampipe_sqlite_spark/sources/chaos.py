@@ -309,3 +309,74 @@ class ShardedConnector(Connector):
                         return
 
         yield from rows_to_batches(arrow, rows())
+
+
+class FeedConnector(Connector):
+    """Deterministic event feed for the STREAMING side of the bridge: the
+    ``ticks`` table is an append-only sequence (seq, ts, value) that the
+    engine's SimpleDataSourceStreamReader polls by seq ranges — the
+    zero-ETL analog of tailing a cloud audit-log API.
+
+    Config (JSON): {"max_seq": N} bounds the feed so tests and
+    processAllAvailable() terminate; a real connector would return
+    whatever new rows the upstream API has.
+    """
+
+    name = "feed"
+
+    def get_schema(self) -> Schema:
+        return Schema(
+            mode=STATIC,
+            tables=(
+                TableSchema(
+                    "ticks",
+                    (
+                        ColumnDef("seq", ColumnType.INT, OPTIONAL, ("<", "<=", ">", ">=", "=")),
+                        ColumnDef("ts", ColumnType.DATETIME),
+                        ColumnDef("value", ColumnType.DOUBLE),
+                    ),
+                ),
+            ),
+        )
+
+    def _max_seq(self) -> int:
+        if self.config:
+            try:
+                return int(json.loads(self.config).get("max_seq", 1000))
+            except (ValueError, TypeError):
+                pass
+        return 1000
+
+    def execute(self, table, quals, columns, limit, partition=None):
+        schema = self.get_schema().table(table)
+        arrow = schema.arrow_schema(columns)
+        names = set(arrow.names)
+        lo, hi = 0, self._max_seq()
+        for q in quals:  # seq-range quals tighten generation (the API call)
+            if q.column == "seq" and isinstance(q.value, int):
+                if q.op == ">=":
+                    lo = max(lo, q.value)
+                elif q.op == ">":
+                    lo = max(lo, q.value + 1)
+                elif q.op == "<":
+                    hi = min(hi, q.value)
+                elif q.op == "<=":
+                    hi = min(hi, q.value + 1)
+
+        def rows():
+            n = 0
+            if limit == 0:
+                return
+            for i in range(lo, hi):
+                row = {
+                    "seq": i,
+                    "ts": _EPOCH + dt.timedelta(minutes=i),
+                    "value": round(i * 0.5, 2),
+                }
+                if all(q.matches(row.get(q.column)) for q in quals):
+                    yield {k: v for k, v in row.items() if k in names}
+                    n += 1
+                    if limit is not None and n >= limit:
+                        return
+
+        yield from rows_to_batches(arrow, rows())

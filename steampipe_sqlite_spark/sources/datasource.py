@@ -28,6 +28,7 @@ from collections.abc import Iterator, Sequence
 from typing import Any
 
 from pyspark.sql.datasource import (
+    SimpleDataSourceStreamReader,
     DataSource,
     DataSourceReader,
     EqualTo,
@@ -223,6 +224,51 @@ class ConnectorReader(DataSourceReader):
         _SCAN_CACHE.put(key, batches)
 
 
+
+
+class ConnectorSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the bridge: polls the connector by offset ranges.
+
+    The offset is a per-table monotonically increasing sequence column the
+    connector declares via the ``stream_offset_col`` option (default
+    "seq"); each micro-batch reads [start, start+stream_batch) through the
+    same quals path as batch scans, so the connector sees a ranged API
+    call.  If fewer rows than the window come back the offset advances
+    only past what arrived — an exhausted feed returns its offset
+    unchanged and ``processAllAvailable()`` terminates.  readBetweenOffsets
+    replays a committed range exactly (deterministic connectors ⇒
+    exactly-once on restart).  The reference has no streaming at all
+    (SURVEY.md §2.3) — this is the engine extension that makes live
+    plugin tables tail-able.
+    """
+
+    def __init__(self, connector: Connector, table: TableSchema, options: dict):
+        self.connector = connector
+        self.table = table
+        self.offset_col = options.get("stream_offset_col", "seq")
+        self.batch = int(options.get("stream_batch", 100))
+        self.fields = [c.name for c in table.columns]
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _fetch(self, lo: int, hi: int):
+        quals = [Qual(self.offset_col, ">=", lo), Qual(self.offset_col, "<", hi)]
+        rows = []
+        for batch in self.connector.execute(self.table.name, quals, None, None):
+            for row in batch.to_pylist():
+                rows.append(tuple(row.get(f) for f in self.fields))
+        return rows
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        rows = self._fetch(lo, lo + self.batch)
+        return iter(rows), {"pos": lo + len(rows)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._fetch(start["pos"], end["pos"]))
+
+
 class ConnectorDataSource(DataSource):
     """Register once per session; one temp view per connector table is the
     engine facade's job (engine.py)."""
@@ -257,3 +303,6 @@ class ConnectorDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ConnectorReader:
         return ConnectorReader(self.connector, self.table, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> ConnectorSimpleStreamReader:
+        return ConnectorSimpleStreamReader(self.connector, self.table, dict(self.options))

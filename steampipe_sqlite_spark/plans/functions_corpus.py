@@ -373,3 +373,65 @@ FROM (SELECT event_id, props, UNNEST(JSON_KEYS(props)) AS k
 ORDER BY event_id, k
 """,
 )
+
+
+# --- remaining SQLite-inherited scalar surface (SURVEY §2.3 rows: hex,
+# char/unicode, translate, scalar max/min) --------------------------------
+sql_query(
+    "str_hex_char_translate",
+    """
+SELECT p_partkey,
+       hex(p_partkey) AS key_hex,
+       ascii(p_name) AS first_cp,
+       chr(ascii(p_name) + 1) AS next_char,
+       translate(p_brand, '#', '-') AS brand_dashed,
+       repeat(substr(p_type, 1, 2), 2) AS type2
+FROM part
+WHERE p_partkey < 50
+ORDER BY p_partkey
+""",
+)
+
+sql_query(
+    "scalar_greatest_least",
+    """
+SELECT o_orderkey,
+       greatest(o_totalprice, 1000.0, o_orderkey * 1.0) AS hi,
+       least(o_totalprice, 1000.0, o_orderkey * 1.0) AS lo
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+)
+
+# json_group_object (SQLite) → to_json(map_from_entries(collect_list(...)))
+# — both engines build {type: count} per priority bucket; map entries are
+# inserted in a deterministic (sorted) order so the JSON strings match.
+sql_query(
+    "json_group_object",
+    """
+SELECT o_orderpriority,
+       to_json(map_from_entries(sorted_pairs)) AS status_counts
+FROM (
+  SELECT o_orderpriority, array_sort(collect_list(struct(o_orderstatus AS k, cnt AS v))) AS sorted_pairs
+  FROM (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+  ) c
+  GROUP BY o_orderpriority
+) g
+ORDER BY o_orderpriority
+""",
+    oracle="""
+SELECT o_orderpriority,
+       to_json(map_from_entries(list_sort(list({'k': o_orderstatus, 'v': cnt})))) AS status_counts
+FROM (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+  FROM orders
+  GROUP BY o_orderpriority, o_orderstatus
+) c
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)

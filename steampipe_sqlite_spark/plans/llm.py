@@ -381,3 +381,58 @@ def knn_ivf_q(spark, sf_dir):
     return ivf_topk(
         emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=3
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_DD_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(n.n_docs * 1.0 / df.df), 4) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+) t
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+""",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms — the classic signal-term extractor
+    for corpus curation.  Shape: one explode + two hash aggregations (tf
+    per doc-term, df per term) + a broadcast-size df join; the doc-count
+    scalar folds in as a literal cross join.  All linear, skew-free (term
+    df is bounded by doc count), and entirely JVM-side."""
+    from steampipe_sqlite_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

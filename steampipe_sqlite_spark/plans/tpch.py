@@ -74,7 +74,7 @@ def tpch_q1_dataframe(spark, sf_dir):
     """Q1 via the DataFrame API — same Catalyst plan as the SQL form.
 
     Kept as the idiomatic-API witness: filter pushed to the parquet scan,
-    decimal partial aggregation inside whole-stage codegen.
+    integer-cents partial aggregation inside whole-stage codegen.
     """
     from pyspark.sql import functions as F
 

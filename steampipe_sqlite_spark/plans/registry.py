@@ -65,6 +65,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         relational,
         streaming_batch,
+        temporal,
         tpch,
     )
 

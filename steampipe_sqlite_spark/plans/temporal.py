@@ -1,0 +1,76 @@
+"""Temporal-join corpus: as-of join and binned range join
+(operators/temporal.py) over the events table, oracle-checked — DuckDB has
+native ASOF JOIN and executes the inequality range join directly, so both
+custom compositions are verified against first-class implementations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.operators.temporal import asof_join, range_join_binned
+from steampipe_sqlite_spark.plans.registry import query
+from steampipe_sqlite_spark.tables import load_table
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+SELECT l.event_id, l.user_id, l.ts,
+       r.click_value, r.ts AS matched_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value AS click_value
+                FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+)
+def join_asof_events(spark, sf_dir):
+    """Backward as-of join: each purchase matched to the user's most recent
+    click at-or-before it.  Union + keyed window (ONE shuffle, no join
+    node); DuckDB's native ASOF JOIN is the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_value"],
+    ).orderBy("event_id")
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+SELECT s.event_id AS signup_id, COUNT(*) AS n_clicks
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+  ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+GROUP BY s.event_id
+ORDER BY signup_id
+""",
+)
+def join_range_binned(spark, sf_dir):
+    """Point-in-interval range join without a nested loop: clicks falling
+    inside any signup's 2-hour window, via 2h-bin equi-join + exact
+    residual.  DuckDB runs the plain inequality join as the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts")
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+    )
+    joined = range_join_binned(
+        clicks, signups, left_ts="click_ts", right_lo="lo", right_hi="hi",
+        bin_seconds=7200,
+    )
+    return (
+        joined.groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("signup_id")
+    )

@@ -84,3 +84,19 @@ def test_minhash_signature_shuffle_carries_only_doc_rows(spark):
     p = plan_text(minhash_signatures(docs, "text", "doc_id"))
     assert "partial_min" in p, "minhash min-fold must aggregate map-side"
     assert p.count("Exchange") == 1, "exactly one shuffle (the per-doc fold)"
+
+
+def test_asof_join_has_no_join_node(spark, queries):
+    """The union-window as-of form must plan as ONE keyed shuffle + sort —
+    no join operator, certainly no nested loop."""
+    p = plan_text(queries["join_asof_events"](spark, SF_DIR))
+    assert "Join" not in p, p[:1500]
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_hash_not_nested_loop(spark, queries):
+    p = plan_text(queries["join_range_binned"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, (
+        "range join degenerated to a nested loop"
+    )
+    assert "Join" in p  # an actual equi-join on the bins

@@ -74,3 +74,41 @@ def join_range_binned(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_clicks"))
         .orderBy("signup_id")
     )
+
+
+@query(
+    "window_rollup_hierarchy",
+    oracle="""
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day_start, event_type
+""",
+)
+def window_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: the DAY aggregate is computed
+    FROM the HOUR aggregate (counts and integer-cent sums are decomposable
+    partials), not from raw events — at scale the hour layer is a
+    materialized continuous aggregate and each coarser tier reads ~24x
+    fewer rows.  The oracle aggregates raw events directly, proving the
+    two-tier fold is exact."""
+    events = load_table(spark, sf_dir, "events")
+    hour = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+        ).agg(
+            F.sum("n").alias("n"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+    return day.orderBy("day_start", "event_type")

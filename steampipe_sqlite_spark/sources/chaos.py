@@ -88,6 +88,22 @@ class ChaosConnector(Connector):
             ),
         )
 
+    def partitions(self, table: str, quals: list[Qual]) -> list[Partition]:
+        """IN-list fan-out (SURVEY §4.3 note): a multi-value tenant qual on
+        the keyed table becomes one scan partition per value, so Spark
+        fetches each key's rows concurrently — per-value parallelism the
+        reference's single cursor cannot express."""
+        if table == "keyed":
+            values: set = set()
+            for q in quals:
+                if q.column == "tenant":
+                    values.update(q.value if q.op == "in" else [q.value])
+            if len(values) > 1:
+                return [
+                    Partition(i, {"tenant": t}) for i, t in enumerate(sorted(values))
+                ]
+        return [Partition(0)]
+
     # -- row generators ----------------------------------------------------
 
     def _all_types_rows(self, quals: list[Qual], limit: int | None):
@@ -181,6 +197,11 @@ class ChaosConnector(Connector):
             "keyed": self._keyed_rows,
             "flaky": self._flaky_rows,
         }[table]
+        if partition is not None and "tenant" in partition.info:
+            # IN fan-out: this partition reads exactly one tenant's rows
+            quals = [q for q in quals if q.column != "tenant"] + [
+                Qual("tenant", "=", partition.info["tenant"])
+            ]
         arrow = schema.arrow_schema(columns)
         names = set(arrow.names)
         rows = ({k: v for k, v in r.items() if k in names} for r in gen(quals, limit))

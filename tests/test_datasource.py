@@ -175,3 +175,19 @@ class TestParallelScan:
         ).collect()
         assert len(rows) == 100
         assert {r.shard for r in rows} == {3}
+
+
+class TestInListFanOut:
+    def test_in_qual_becomes_per_value_partitions(self, engine):
+        df = engine.sql(
+            "SELECT tenant, seq FROM chaos_keyed WHERE tenant IN ('t1', 't2', 'acme')"
+        )
+        rows = df.collect()
+        assert {r.tenant for r in rows} == {"t1", "t2", "acme"}
+        assert len(rows) == 300  # 100 per tenant
+        assert df.rdd.getNumPartitions() == 3
+
+    def test_single_tenant_stays_single_partition(self, engine):
+        df = engine.sql("SELECT seq FROM chaos_keyed WHERE tenant = 't1'")
+        assert df.count() == 100
+        assert df.rdd.getNumPartitions() == 1

@@ -436,3 +436,32 @@ def text_tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", "tfidf", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# --- sketches -------------------------------------------------------------
+
+from steampipe_sqlite_spark.functions.sketches import hll_distinct, hll_oracle_sql  # noqa: E402
+
+
+@query(
+    "sketch_hll_users",
+    oracle=hll_oracle_sql("SELECT user_id FROM events", "user_id", p=10),
+)
+def sketch_hll_users(spark, sf_dir):
+    """Deterministic HyperLogLog (md5-based, 1024 registers) estimating
+    distinct users — constant-memory cardinality at any scale, and the
+    exact same estimate reproduced by the DuckDB oracle (both engines
+    share md5/hex/bin primitives bit-for-bit)."""
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(events.select("user_id"), "user_id", p=10)
+
+
+@query(
+    "sketch_hll_doc_texts",
+    oracle=hll_oracle_sql("SELECT text FROM documents", "text", p=10),
+)
+def sketch_hll_doc_texts(spark, sf_dir):
+    """HLL distinct-text estimate over documents (near-dup corpora make
+    exact distinct counts expensive; the sketch is one narrow shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hll_distinct(docs.select("text"), "text", p=10)

@@ -94,3 +94,15 @@ def test_brute_force_topk_is_exactly_k_ranked(emb):
         by_rank = sorted(nbrs, key=lambda r: r.rank)
         cosines = [r.cosine for r in by_rank]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hll_estimate_accuracy(spark):
+    """The deterministic HLL must land within the standard error envelope
+    (~1.04/sqrt(1024) ≈ 3.3%; allow 3σ) of the exact distinct count."""
+    from steampipe_sqlite_spark.functions.sketches import hll_distinct
+    from steampipe_sqlite_spark.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    exact = events.select("user_id").distinct().count()
+    est = hll_distinct(events.select("user_id"), "user_id", p=10).first().n_distinct_est
+    assert abs(est - exact) / exact < 0.10, f"HLL {est} vs exact {exact}"

@@ -23,7 +23,7 @@ identical operands, so the 4-dp-rounded estimate is engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 61  # 2^(61-M) stays within DECIMAL(38,0) for any register value

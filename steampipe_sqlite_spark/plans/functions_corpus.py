@@ -435,3 +435,29 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
 )
+
+
+# --- VariantType JSON (SURVEY §7.4 upgrade path) --------------------------
+# The engine's default JSON surface is string + get_json_object (mirroring
+# the reference's subtype-74 text); Spark 4's VariantType is the idiomatic
+# endpoint — parse once, typed extraction after.  The oracle reads the
+# same fields with DuckDB's JSON extraction.
+sql_query(
+    "json_variant_extract",
+    """
+SELECT event_id,
+       variant_get(parse_json(props), '$.k', 'bigint') AS k_int,
+       CAST(try_variant_get(parse_json(props), '$.missing', 'string') IS NULL AS INT) AS missing_null
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(json_extract_string(props, '$.missing') IS NULL AS INT) AS missing_null
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+""",
+)

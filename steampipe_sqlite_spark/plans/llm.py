@@ -465,3 +465,82 @@ def sketch_hll_doc_texts(spark, sf_dir):
     exact distinct counts expensive; the sketch is one narrow shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     return hll_distinct(docs.select("text"), "text", p=10)
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         len({_DD_TOKS}) AS n_tokens,
+         md5({_DD_NORM}) AS fp,
+         ROUND((
+           (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+           + (CASE WHEN length(text)*1.0/greatest(len({_DD_TOKS}),1) BETWEEN 3.0 AND 12.0
+                   THEN 1.0 ELSE 0.5 END)
+           + len(regexp_extract_all(text,'[A-Za-z]'))*1.0/greatest(length(text),1)
+         ) / 3.0, 4) AS quality
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr', 'es')
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM scored WHERE quality >= 0.6
+  ) t WHERE rn = 1
+),
+budgeted AS (
+  SELECT doc_id, lang, n_tokens, quality,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM deduped
+)
+SELECT doc_id, lang, n_tokens, quality, cum_tokens
+FROM budgeted
+WHERE cum_tokens <= 5000
+ORDER BY lang, quality DESC, doc_id
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation in one Catalyst plan: language filter →
+    quality gate → exact dedup (keep lowest doc_id per fingerprint) →
+    per-language token budget (greedy by quality, running-sum window).
+    Every stage is an operator from this engine's toolkit composed
+    declaratively — one scan, two hash shuffles (fingerprint, lang), no
+    Python.  The shape a 100 TB pretraining-data pass actually uses."""
+    from pyspark.sql import Window
+
+    from steampipe_sqlite_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.filter(F.col("lang").isin("en", "de", "fr", "es"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            token_count(F.col("text")).alias("n_tokens"),
+            fingerprint(F.col("text")).alias("fp"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.6)
+    )
+    w_dedup = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w_dedup)).filter(F.col("rn") == 1)
+    )
+    w_budget = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deduped.withColumn("cum_tokens", F.sum("n_tokens").over(w_budget))
+        .filter(F.col("cum_tokens") <= 5000)
+        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+        .orderBy("lang", F.desc("quality"), "doc_id")
+    )

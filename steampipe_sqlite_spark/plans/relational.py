@@ -282,7 +282,7 @@ sql_query(
 SELECT event_id, user_id,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
             (PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
 FROM events
@@ -296,7 +296,7 @@ sql_query(
 SELECT event_id, user_id,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
             (PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3,
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS sum3,
        MIN(value) OVER (PARTITION BY user_id ORDER BY event_id
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3
 FROM events
@@ -556,3 +556,27 @@ def pivot_status_by_flag(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .orderBy("l_returnflag")
     )
+
+
+# --- UNPIVOT (wide → long; Spark stack() === DuckDB UNPIVOT) --------------
+sql_query(
+    "unpivot_stack",
+    """
+SELECT p_partkey, metric, val
+FROM (
+  SELECT p_partkey,
+         stack(2, 'size_d', CAST(p_size AS DOUBLE),
+                  'p_retailprice', p_retailprice) AS (metric, val)
+  FROM part
+  WHERE p_partkey < 200
+) t
+ORDER BY p_partkey, metric
+""",
+    oracle="""
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size_d, p_retailprice
+  FROM part WHERE p_partkey < 200
+) UNPIVOT (val FOR metric IN (size_d, p_retailprice))
+ORDER BY p_partkey, metric
+""",
+)

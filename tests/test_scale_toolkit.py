@@ -94,3 +94,30 @@ def test_prepartition_reuses_exchange(spark):
     plan = executed_plan(agg).split("== Initial Plan ==")[0]
     # exactly the explicit repartition exchange; the groupBy rides it
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling (session.py enables it): a hot key whose
+    shuffle partition dwarfs the median gets split across reducers —
+    the runtime answer to skew that makes hand-salting optional."""
+    left = spark.range(500_000).select(
+        F.when(F.col("id") < 400_000, F.lit(0)).otherwise(F.col("id") % 64).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(64).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        joined = left.join(right, "k")
+        n = sum(1 for _ in joined.toLocalIterator())
+        assert n == 500_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, "hot partition not split"
+        assert "skewed" in plan, "no skewed AQEShuffleRead"
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")

@@ -580,3 +580,16 @@ SELECT p_partkey, metric, val FROM (
 ORDER BY p_partkey, metric
 """,
 )
+
+
+# --- null-safe equality (<=> / IS NOT DISTINCT FROM) ----------------------
+sql_query(
+    "join_nullsafe_eq",
+    """
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+FROM (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st FROM orders WHERE o_orderkey < 50) a
+JOIN (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st FROM orders WHERE o_orderkey < 50) b
+  ON a.st IS NOT DISTINCT FROM b.st AND a.o_orderkey < b.o_orderkey
+ORDER BY key_a, key_b
+""",
+)

@@ -42,6 +42,8 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "mm_image_decode",
+    "join_asof_events",
+    "curation_pipeline",
 ]
 
 RUNS = 3

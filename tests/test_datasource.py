@@ -191,3 +191,24 @@ class TestInListFanOut:
         df = engine.sql("SELECT seq FROM chaos_keyed WHERE tenant = 't1'")
         assert df.count() == 100
         assert df.rdd.getNumPartitions() == 1
+
+
+class TestCrossConnectorJoin:
+    def test_join_across_two_connectors(self, spark):
+        """Two live connectors joined in one SQL statement — the zero-ETL
+        promise: chaos.all_types × sharded.metrics on id, filters pushed
+        to each source independently."""
+        eng = Engine(spark)
+        eng.load(CHAOS)
+        eng.load(SHARDED)
+        rows = eng.sql(
+            """
+            SELECT a.id, a.name, m.shard, m.value
+            FROM chaos_all_types a
+            JOIN sharded_metrics m ON a.id = m.id
+            WHERE a.id < 20 AND m.value > 1.0
+            ORDER BY a.id
+            """
+        ).collect()
+        assert [r.id for r in rows] == list(range(5, 20))
+        assert all(r.value == r.id * 0.25 and r.name == f"item_{r.id:04d}" for r in rows)

@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame, functions as F
 from steampipe_sqlite_spark.functions.text import char_shingles, fingerprint, word_ngrams
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan heavy per-row map work across all cores: single-file parquet
+    fixtures arrive as ONE input partition, which would serialize the
+    shingle/token explosion.  The repartition shuffles only the raw docs
+    (tiny); at real scale inputs are already split and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
 
@@ -102,7 +112,7 @@ def minhash_signatures(
     # explode positions; duplicates are kept — min over a multiset equals
     # min over the set, and array_distinct on ~1k-element arrays is O(n²)
     # (dropping it took this stage from 55 s to ~4 s at sf0.1)
-    normed = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
+    normed = _spread(df).select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
     ex = normed.select(
         "id",
         "norm",
@@ -143,7 +153,7 @@ def minhash_signatures_oph(
     assert num_hashes & (num_hashes - 1) == 0, "num_hashes must be a power of 2"
     shift = 64 - num_hashes.bit_length() + 1  # 64 buckets → top 6 bits
 
-    normed = df.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
+    normed = _spread(df).select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
     ex = normed.select(
         "id",
         "norm",
@@ -255,7 +265,7 @@ def simhash_fingerprints(
 
     # duplicates kept: term-frequency-weighted voting (the standard SimHash
     # formulation) — and array_distinct on long token arrays is O(n²)
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     ).withColumn("h", F.xxhash64(F.col("t")))

@@ -544,3 +544,62 @@ def curation_pipeline(spark, sf_dir):
         .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
         .orderBy("lang", F.desc("quality"), "doc_id")
     )
+
+
+@query(
+    "sample_stratified_md5",
+    oracle="""
+SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def sample_stratified_md5(spark, sf_dir):
+    """Deterministic 20% sample via md5-hash gating — unlike seeded RNG
+    sampling, the same rows are kept on every engine, every cluster size,
+    every partitioning (hash-gating is THE reproducible-sampling idiom for
+    training data).  Map-only: no shuffle until the per-stratum rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        docs.filter(gate < 20)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dataset_mixing_weights",
+    oracle="""
+SELECT source, COUNT(*) AS n_kept
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+      < CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 40 ELSE 10 END
+GROUP BY source
+ORDER BY source
+""",
+)
+def dataset_mixing_weights(spark, sf_dir):
+    """Per-source mixing weights (80/40/10%) with the same deterministic
+    hash gate — how a pretraining mix is drawn reproducibly from weighted
+    corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    weight = (
+        F.when(F.col("source") == "src0", 80)
+        .when(F.col("source") == "src1", 40)
+        .otherwise(10)
+    )
+    return (
+        docs.filter(gate < weight)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )

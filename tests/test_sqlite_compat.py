@@ -115,3 +115,18 @@ def test_unsupported_constructs_raise(spark):
         apply_modifiers(F.lit("2024-01-01").cast("timestamp"), "localtime")
     with pytest.raises(ValueError):
         strftime("%G", F.lit("2024-01-01").cast("timestamp"))
+
+
+def test_groups_frame_is_a_documented_rejection(spark):
+    """SQLite (3.28+) supports GROUPS window frames; Spark does not
+    (SURVEY §7.5.3 documents the rejection). Pin that the gap surfaces as
+    a parse error, not silent misbehavior."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ParseException
+
+    with pytest.raises((ParseException, Py4JJavaError, Exception)) as ei:
+        spark.sql(
+            "SELECT sum(o_totalprice) OVER (ORDER BY o_orderkey "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM orders"
+        ).collect()
+    assert "GROUPS" in str(ei.value).upper() or "PARSE" in type(ei.value).__name__.upper()

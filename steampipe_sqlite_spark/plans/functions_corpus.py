@@ -461,3 +461,27 @@ WHERE event_id < 500
 ORDER BY event_id
 """,
 )
+
+
+# --- exact percentiles / median (linear interpolation on both engines) ----
+sql_query(
+    "agg_percentiles_median",
+    """
+SELECT o_orderpriority,
+       percentile(o_totalprice, 0.5) AS p50,
+       percentile(o_totalprice, 0.95) AS p95,
+       median(o_totalprice) AS med
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.95) AS p95,
+       median(o_totalprice) AS med
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)

@@ -212,3 +212,29 @@ class TestCrossConnectorJoin:
         ).collect()
         assert [r.id for r in rows] == list(range(5, 20))
         assert all(r.value == r.id * 0.25 and r.name == f"item_{r.id:04d}" for r in rows)
+
+
+class TestSideTables:
+    def test_side_table_create_insert_join(self, spark, engine, tmp_path):
+        """The reference's test.sql pattern: users create ordinary side
+        tables next to plugin tables and join them (SURVEY §2.3
+        Transactions/DML row — plugin tables read-only, side tables live
+        in spark_catalog)."""
+        loc = tmp_path / "cfg"
+        spark.sql("DROP TABLE IF EXISTS side_config")
+        spark.sql(
+            f"CREATE TABLE side_config (id BIGINT, label STRING) USING parquet LOCATION '{loc}'"
+        )
+        spark.sql("INSERT INTO side_config VALUES (3, 'three'), (7, 'seven')")
+        rows = engine.sql(
+            """
+            SELECT s.label, a.name FROM side_config s
+            JOIN chaos_all_types a ON a.id = s.id
+            ORDER BY s.id
+            """
+        ).collect()
+        assert [(r.label, r.name) for r in rows] == [
+            ("three", "item_0003"),
+            ("seven", "item_0007"),
+        ]
+        spark.sql("DROP TABLE side_config")

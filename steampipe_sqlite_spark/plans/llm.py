@@ -603,3 +603,67 @@ def dataset_mixing_weights(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
     )
+
+
+@query(
+    "text_bigram_surprisal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DD_TOKS} AS ts FROM documents
+),
+bigrams AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM bigrams GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM bigrams),
+scored AS (
+  SELECT b.doc_id,
+         LN((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS logp
+  FROM bigrams b
+  JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+  JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id, ROUND(-SUM(logp) / COUNT(*), 4) AS surprisal
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Corpus-trained bigram language model scoring each document's mean
+    surprisal (-avg log Laplace-smoothed bigram probability) — the
+    perplexity-filter primitive of pretraining-data curation.  All
+    relational: one explode, two count aggregations, a broadcast-size
+    model join back onto the bigrams.  At 100 TB the (w1,w2) count table
+    is the 'model'; it would be written once and broadcast/bucket-joined."""
+    from pyspark.sql import Window  # noqa: F401
+
+    from steampipe_sqlite_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ts"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = bigrams.select("w1").distinct().count()
+    scored = (
+        bigrams.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select(
+            "doc_id",
+            F.log((F.col("n2") + 1.0) / (F.col("n1") + F.lit(float(vocab)))).alias("logp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(-F.sum("logp") / F.count(F.lit(1)), 4).alias("surprisal"))
+        .orderBy("doc_id")
+    )

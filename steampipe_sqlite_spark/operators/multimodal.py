@@ -70,7 +70,12 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     n_frames = (F.lit(30) + (d * 17) % 271).cast("int")
     sample_rate = (F.lit(8000) * (1 + d % 3)).cast("int")
     n_samples = (sample_rate + (d % 97)).cast("int") + (sample_rate * (d % 10)).cast("int")
-    px = F.to_binary(F.repeat(F.lpad(F.hex(d % 256), 2, "0"), 8), F.lit("hex"))
+    # 8 varying sample bytes: px[j] = (doc_id*7 + j*13) % 256 — gives the
+    # feature-extract stage real statistics to compute (and the oracle a
+    # closed form)
+    px = F.concat(
+        *[F.to_binary(F.lpad(F.hex((d * 7 + j * 13) % 256), 2, "0"), F.lit("hex")) for j in range(8)]
+    )
 
     img = F.concat(F.lit(IMG_MAGIC), _int32be(width), _int32be(height), _u8(channels), px)
     vid = F.concat(
@@ -100,16 +105,21 @@ IMAGE_META_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType()),
         T.StructField("n_pixels", T.LongType()),
         T.StructField("first_px", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_max", T.IntegerType()),
     ]
 )
 
 
 def decode_image_meta(media: DataFrame) -> DataFrame:
-    """Parse the FIMG header out of the binary payload (mapInPandas).
+    """Parse the FIMG header out of the binary payload and extract features
+    from the sample bytes (mapInPandas).
 
-    This is the exact plumbing a real image decoder uses: Arrow batch in,
-    bytes parsed per row in Python, typed columns out, no shuffle.
+    This is the exact plumbing a real image decoder + feature extractor
+    uses: Arrow batch in, bytes parsed per row in Python (numpy over the
+    sample plane), typed columns out, no shuffle.
     """
+    import numpy as np
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,9 +130,16 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
                     continue
                 w, h = struct.unpack(">II", b[4:12])
                 ch = b[12]
-                rows.append((doc_id, w, h, ch, w * h * ch, b[13]))
+                px = np.frombuffer(b[13:21], dtype=np.uint8)
+                rows.append(
+                    (doc_id, w, h, ch, w * h * ch, int(px[0]), float(px.mean()), int(px.max()))
+                )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "channels", "n_pixels", "first_px"]
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_pixels",
+                    "first_px", "px_mean", "px_max",
+                ],
             )
 
     return media.filter(F.col("kind") == "image").mapInPandas(parse, IMAGE_META_SCHEMA)

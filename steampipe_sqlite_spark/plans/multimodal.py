@@ -36,15 +36,20 @@ SELECT doc_id,
        CAST(1 + (doc_id % 2) * 2 AS INT) AS channels,
        (64 + (doc_id * 37) % 193) * (48 + (doc_id * 53) % 145)
            * (1 + (doc_id % 2) * 2) AS n_pixels,
-       CAST(doc_id % 256 AS INT) AS first_px
+       CAST((doc_id * 7) % 256 AS INT) AS first_px,
+       (SELECT AVG((doc_id * 7 + j * 13) % 256)
+        FROM generate_series(0, 7) t(j)) AS px_mean,
+       CAST((SELECT MAX((doc_id * 7 + j * 13) % 256)
+             FROM generate_series(0, 7) t(j)) AS INT) AS px_max
 FROM documents
 WHERE doc_id % 3 = 0
 ORDER BY doc_id
 """,
 )
 def mm_image_decode(spark, sf_dir):
-    """Binary FIMG payloads decoded via mapInPandas (width/height/channels/
-    pixel sample).  Map-only: no shuffle, Arrow batches both directions."""
+    """Binary FIMG payloads decoded via mapInPandas: header fields plus
+    numpy feature extraction over the sample plane (mean/max pixel).
+    Map-only: no shuffle, Arrow batches both directions."""
     return decode_image_meta(_media(spark, sf_dir)).orderBy("doc_id")
 
 

@@ -36,7 +36,10 @@ def test_image_header_roundtrip(media):
         assert r.height == 48 + (r.doc_id * 53) % 145
         assert r.channels in (1, 3)
         assert r.n_pixels == r.width * r.height * r.channels
-        assert r.first_px == r.doc_id % 256
+        assert r.first_px == (r.doc_id * 7) % 256
+        pxs = [(r.doc_id * 7 + j * 13) % 256 for j in range(8)]
+        assert r.px_mean == sum(pxs) / 8
+        assert r.px_max == max(pxs)
 
 
 def test_audio_and_video_headers(media):

@@ -485,3 +485,33 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
 )
+
+
+# --- array functions (collect/sort/slice/join/contains) -------------------
+sql_query(
+    "agg_array_ops",
+    """
+SELECT n_name,
+       sort_array(collect_set(c_mktsegment)) AS segs,
+       size(collect_set(c_mktsegment)) AS n_segs,
+       slice(sort_array(collect_set(c_mktsegment)), 1, 3) AS first3,
+       array_join(sort_array(collect_set(c_mktsegment)), '|') AS joined,
+       array_contains(collect_set(c_mktsegment), 'BUILDING') AS has_building
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    oracle="""
+SELECT n_name,
+       list_sort(list(DISTINCT c_mktsegment)) AS segs,
+       len(list(DISTINCT c_mktsegment)) AS n_segs,
+       list_sort(list(DISTINCT c_mktsegment))[1:3] AS first3,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS joined,
+       list_contains(list(DISTINCT c_mktsegment), 'BUILDING') AS has_building
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)

@@ -104,3 +104,27 @@ def prepartition_for_reuse(df: DataFrame, key: str, n: int | None = None) -> Dat
 def table_is_bucketed(spark: SparkSession, table_name: str) -> bool:
     rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
     return any("Num Buckets" in (r.col_name or "") for r in rows)
+
+
+def compact_parquet(spark: SparkSession, path: str, target_file_mb: int = 128) -> int:
+    """Rewrite a parquet directory into ~``target_file_mb`` files — the
+    small-files remedy (streaming sinks and fine-grained partitions
+    accumulate KB-sized files whose open/footer overhead dominates scans
+    at scale).  Returns the new file count.
+
+    Uses total byte size to pick the target partition count, then a single
+    coalesce-free repartition write (repartition, not coalesce: coalesce
+    would chain the read parallelism down to the target too).
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_mb = sum(_os.path.getsize(f) for f in files) / 1e6
+    n = max(1, round(total_mb / target_file_mb))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return len(_glob.glob(_os.path.join(path, "*.parquet")))

@@ -121,3 +121,20 @@ def test_aqe_splits_skewed_join(spark):
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from steampipe_sqlite_spark.operators.scale import compact_parquet
+
+    out = str(tmp_path / "small_files")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(64).write.parquet(out)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 64
+    before = events.count()
+    n_files = compact_parquet(spark, out, target_file_mb=128)
+    assert n_files <= 2
+    after = spark.read.parquet(out)
+    assert after.count() == before
+    assert sorted(after.columns) == sorted(events.columns)

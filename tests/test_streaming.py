@@ -157,3 +157,66 @@ def test_foreach_batch_sink_sees_every_batch(spark, tmp_path):
     q.awaitTermination()
     assert len(seen) >= 3
     assert sum(n for _, n in seen) == events.count()
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join (purchases × clicks per user within 1 h,
+    watermarked both sides) — unified-API semantics: availableNow output
+    must equal the equivalent batch join."""
+    events = load_table(spark, SF_DIR, "events")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "events_dir")
+    raw.write.parquet(src)
+
+    def stream():
+        s = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        return s
+
+    purchases = (
+        stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), F.col("user_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts),
+    ).select("p_id", "c_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.p_id, r.c_id) for r in spark.table("ss_join").collect()}
+
+    p_b = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c_b = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    expected = {
+        (r.p_id, r.c_id)
+        for r in p_b.join(
+            c_b,
+            (p_b.user_id == c_b.c_user)
+            & (c_b.c_ts >= p_b.p_ts - F.expr("INTERVAL 1 HOUR"))
+            & (c_b.c_ts <= p_b.p_ts),
+        ).collect()
+    }
+    assert got == expected and len(got) > 0

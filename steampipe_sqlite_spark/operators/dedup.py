@@ -253,16 +253,22 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document: bit b is the sign of the vote
-    Σ_tokens (±1 per token-hash bit b).
+    """64-bit SimHash per document, returned packed as one long (`fp`):
+    bit b is the ones-majority of token-hash bit b (sign of the ±1 vote).
 
-    Shape: explode distinct tokens → hash once → 64 conditional sums in one
-    groupBy (partial aggregation map-side).  A shuffle-free alternative —
-    token-hash array behind a persist barrier + 64 F.aggregate folds — was
-    A/B-measured SLOWER (1.75 s vs 1.42 s at sf0.1): higher-order
-    functions are CodegenFallback (interpreted per element), while the
-    explode+groupBy stays fully inside whole-stage codegen and its shuffle
-    carries only partial aggregates.
+    Shape: explode tokens → hash once → 22 packed sums in one groupBy
+    (partial aggregation map-side).  Each 64-bit accumulator carries THREE
+    21-bit bit-counters (bits b, b+21, b+42 selected with a single
+    shift+mask), so the aggregate evaluates 22 two-op expressions per
+    token instead of 64 branchy ones — and the much smaller expression
+    tree also cuts per-query codegen compile time, which dominates at
+    small scale.  Two slower alternatives were A/B-measured: 64
+    sum(when(±1)) aggregates (bigger tree, branch per bit) and a
+    shuffle-free 64-way F.aggregate fold (higher-order functions are
+    CodegenFallback, interpreted per element).
+
+    Caps: per-doc token count must stay below 2^21 (~2M) per the 21-bit
+    counter fields — enormous docs should be chunked upstream.
     """
     from steampipe_sqlite_spark.functions.text import tokens
 
@@ -272,28 +278,28 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
     ).withColumn("h", F.xxhash64(F.col("t")))
+    mask = 1 | (1 << 21) | (1 << 42)
     votes = ex.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(bits)
-        ]
+            F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(mask))).alias(f"s{b}")
+            for b in range(21)
+        ],
+        F.sum(F.shiftrightunsigned(F.col("h"), 63)).alias("s63"),
     )
-    bit_cols = [
-        F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        for b in range(bits)
-    ]
-    # pack bits into 4×16-bit words — simultaneously the LSH band keys and
-    # the fingerprint itself (hamming = Σ bit_count(xor of words); longs
-    # beat a 64-element array by a wide margin in the pair stage)
-    packed = []
-    for band in range(4):
-        expr = F.lit(0).cast("long")
-        for i in range(16):
-            expr = expr + F.shiftleft(bit_cols[band * 16 + i], i)
-        packed.append(expr.alias(f"band{band}"))
-    return votes.select(F.col("id"), *packed)
+    m21 = (1 << 21) - 1
+
+    def _count(b: int):  # ones-count of token-hash bit b
+        if b == 63:
+            return F.col("s63")
+        return F.shiftrightunsigned(F.col(f"s{b % 21}"), 21 * (b // 21)).bitwiseAND(F.lit(m21))
+
+    # majority vote per bit, OR-packed into one long (OR, not +: bit 63
+    # via shiftleft is the sign bit and addition would overflow ANSI mode)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp.bitwiseOR(F.shiftleft(((_count(b) * 2) > F.col("n")).cast("long"), b))
+    return votes.select(F.col("id"), fp.alias("fp"))
 
 
 def simhash_pairs(
@@ -303,36 +309,48 @@ def simhash_pairs(
 
     Candidates: pairs agreeing on at least one 16-bit band (pigeonhole —
     any pair within hamming 3 of 64 bits shares a band; wider radii trade
-    recall).  Shuffle cost: 4 band-joins, each linear in bucket sizes.
-    Fingerprints are persisted first: the 4 unioned self-joins otherwise
-    recompute the vote pipeline 8×.
+    recall).  The 4 bands are posexploded into (band_idx, band_val) rows
+    and matched with ONE self-join keyed on both — same candidate set and
+    shuffle volume as 4 separate band-joins unioned, but a single exchange
+    pair and a single codegen stage (the 4-join union was A/B-measured
+    slower end-to-end: 4× the stages and 4× the compile).  Hamming is one
+    bit_count over the XOR of the packed fingerprints.  Fingerprints are
+    persisted first so the self-join doesn't recompute the vote pipeline
+    twice.
     """
     fp = simhash_fingerprints(df, text_col, id_col).persist()
-    hamming = sum(
-        F.bit_count(F.col(f"a.band{band}").bitwiseXOR(F.col(f"b.band{band}")))
-        for band in range(4)
+    bands = fp.select(
+        "id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("fp", 16 * band).bitwiseAND(F.lit(0xFFFF))
+                    for band in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
     )
-    cands = None
-    for band in range(4):
-        a = fp.alias("a")
-        b = fp.alias("b")
-        c = (
-            a.join(
-                b,
-                [F.col(f"a.band{band}") == F.col(f"b.band{band}"), F.col("a.id") < F.col("b.id")],
-            )
-            # hamming computed inside the join project and the wide
-            # fingerprints dropped immediately — the distinct below then
-            # shuffles 3 scalar columns instead of two 64-element arrays
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                hamming.alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
         )
-        cands = c if cands is None else cands.unionByName(c)
-    return cands.dropDuplicates(["id_a", "id_b"])
+        # hamming computed inside the join project, fingerprints dropped
+        # immediately — the distinct below shuffles 3 scalar columns
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def embedding_neardup_pairs(

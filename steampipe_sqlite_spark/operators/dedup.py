@@ -169,12 +169,11 @@ def minhash_signatures_oph(
         F.map_from_entries(F.collect_list(F.struct("b", "mn"))).alias("m"),
         F.min("mn").alias("gmin"),
     )
-    idx = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
     return packed.select(
         "id",
-        F.transform(
-            idx, lambda i: F.coalesce(F.element_at(F.col("m"), i), F.col("gmin"))
-        ).alias("sig"),
+        F.expr(
+            f"transform(sequence(0L, {num_hashes - 1}L), i -> coalesce(m[i], gmin)) as sig"
+        ),
     )
 
 
@@ -202,21 +201,19 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures_oph(df, text_col, id_col, num_hashes, shingle_k).persist()
 
+    # one JVM-side parse for the whole banded projection (py4j chattiness
+    # of the per-band struct builders measured as real per-query latency)
+    band_structs = ", ".join(
+        "struct({b} as band, xxhash64({cols}) as band_sig)".format(
+            b=b,
+            cols=", ".join(
+                f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                        ).alias("band_sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.expr(f"explode(array({band_structs})) as bk")
     ).select("id", "bk.band", "bk.band_sig")
 
     a = banded.alias("a")
@@ -235,13 +232,10 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-            lambda v: v == F.lit(1),
-        )
+    est = F.expr(
+        "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double)"
+        f" / {float(num_hashes)}"
     )
-    est = agree.cast("double") / F.lit(float(num_hashes))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -269,6 +263,11 @@ def simhash_fingerprints(
 
     Caps: per-doc token count must stay below 2^21 (~2M) per the 21-bit
     counter fields — enormous docs should be chunked upstream.
+
+    The wide expressions are built as SQL strings (ONE JVM-side `F.expr`
+    parse each) rather than Column-method chains: the chained form's ~600
+    py4j round trips cost ~0.9 s of per-query construction time (A/B at
+    sf0.1: 1.49 s vs 0.60 s for this stage, identical results).
     """
     from steampipe_sqlite_spark.functions.text import tokens
 
@@ -280,26 +279,23 @@ def simhash_fingerprints(
     ).withColumn("h", F.xxhash64(F.col("t")))
     mask = 1 | (1 << 21) | (1 << 42)
     votes = ex.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(mask))).alias(f"s{b}")
-            for b in range(21)
-        ],
-        F.sum(F.shiftrightunsigned(F.col("h"), 63)).alias("s63"),
+        F.expr("count(1) as n"),
+        *[F.expr(f"sum(shiftrightunsigned(h, {b}) & {mask}) as s{b}") for b in range(21)],
+        F.expr("sum(shiftrightunsigned(h, 63)) as s63"),
     )
     m21 = (1 << 21) - 1
 
-    def _count(b: int):  # ones-count of token-hash bit b
+    def _count(b: int) -> str:  # ones-count of token-hash bit b
         if b == 63:
-            return F.col("s63")
-        return F.shiftrightunsigned(F.col(f"s{b % 21}"), 21 * (b // 21)).bitwiseAND(F.lit(m21))
+            return "s63"
+        return f"(shiftrightunsigned(s{b % 21}, {21 * (b // 21)}) & {m21})"
 
     # majority vote per bit, OR-packed into one long (OR, not +: bit 63
     # via shiftleft is the sign bit and addition would overflow ANSI mode)
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp.bitwiseOR(F.shiftleft(((_count(b) * 2) > F.col("n")).cast("long"), b))
-    return votes.select(F.col("id"), fp.alias("fp"))
+    fp_sql = " | ".join(
+        f"shiftleft(cast(({_count(b)}*2 > n) as long), {b})" for b in range(bits)
+    )
+    return votes.select(F.col("id"), F.expr(fp_sql).alias("fp"))
 
 
 def simhash_pairs(

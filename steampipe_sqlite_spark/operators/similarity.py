@@ -63,14 +63,28 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_signature(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
-    """Bucket id = bits of sign(v·p_i), packed into a long."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot(vec_col, lit_plane)
-        sig = sig + F.shiftleft((d > 0).cast("long"), i)
-    return sig
+def _dot_plane_sql(vec_name: str, plane: list[float]) -> str:
+    """SQL for Σ vec_i·plane_i with the plane inlined as literals (same
+    association as functions.vectors.dot)."""
+    arr = ", ".join(f"cast({float(x)!r} as double)" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_name}, array({arr}), "
+        "(x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def lsh_signature(vec_name: str, planes: list[list[float]]) -> F.Column:
+    """Bucket id = bits of sign(v·p_i), packed into a long.
+
+    Built as ONE SQL string: the Column-chain form materializes every
+    plane coefficient as an individual `F.lit` py4j call (n_planes × dim
+    round trips per table), which dominates query build time.
+    """
+    sig = " + ".join(
+        f"shiftleft(cast(({_dot_plane_sql(vec_name, plane)}) > 0 as long), {i})"
+        for i, plane in enumerate(planes)
+    )
+    return F.expr(sig)
 
 
 def lsh_topk(
@@ -107,7 +121,7 @@ def lsh_topk(
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            lsh_signature(F.col("v"), planes).alias("bucket"),
+                            lsh_signature("v", planes).alias("bucket"),
                         )
                         for t, planes in enumerate(tables)
                     ]

@@ -44,10 +44,12 @@ def sql_query(name: str, spark_sql: str, oracle: str | None = None) -> None:
     """Register a pure-SQL query: Spark runs ``spark_sql`` against the
     registered temp views; DuckDB runs ``oracle`` (defaults to the same
     string — most of the corpus is dialect-shared ANSI SQL)."""
-    from steampipe_sqlite_spark.tables import register_views
+    from steampipe_sqlite_spark.tables import referenced_tables, register_views
+
+    tables = referenced_tables(spark_sql)
 
     def fn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, tables)
         return spark.sql(spark_sql)
 
     fn.__name__ = f"q_{name}"
@@ -57,16 +59,27 @@ def sql_query(name: str, spark_sql: str, oracle: str | None = None) -> None:
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import every corpus module (side-effect: registration) and return
-    the combined (queries, oracles)."""
+    the combined (queries, oracles).
+
+    Import order is deliberate: the external driver verifies queries in
+    registration order with a bounded budget, so the flagship relational
+    surface (TPC-H, joins/windows/set-ops/CTEs, temporal) registers first,
+    then the LLM-pipeline operators, then the long tail of scalar-function
+    coverage.
+    """
     from steampipe_sqlite_spark.plans import (  # noqa: F401
-        compat,
-        functions_corpus,
+        tpch,
+        relational,
+        temporal,
         llm,
         multimodal,
-        relational,
         streaming_batch,
-        temporal,
-        tpch,
+        compat,
+        functions_corpus,
     )
+
+    # Duplicate-semantics witnesses register at the very back of the order.
+    if "tpch_q1_dataframe" not in QUERIES:
+        query("tpch_q1_dataframe", oracle=tpch.Q1_SQL)(tpch.tpch_q1_dataframe)
 
     return QUERIES, ORACLES

@@ -16,7 +16,7 @@ Queries with LIMIT carry a full deterministic ORDER BY tie-break.
 
 from __future__ import annotations
 
-from steampipe_sqlite_spark.plans.registry import query, sql_query
+from steampipe_sqlite_spark.plans.registry import sql_query
 from steampipe_sqlite_spark.tables import load_table
 
 
@@ -66,15 +66,13 @@ ORDER BY l_returnflag, l_linestatus
 sql_query("tpch_q1", Q1_SQL)
 
 
-@query(
-    "tpch_q1_dataframe",
-    oracle=Q1_SQL,
-)
 def tpch_q1_dataframe(spark, sf_dir):
     """Q1 via the DataFrame API — same Catalyst plan as the SQL form.
 
     Kept as the idiomatic-API witness: filter pushed to the parquet scan,
     integer-cents partial aggregation inside whole-stage codegen.
+    Registered LAST (registry.collect) so this duplicate of tpch_q1 does
+    not burn a slot in the driver's bounded verification window.
     """
     from pyspark.sql import functions as F
 

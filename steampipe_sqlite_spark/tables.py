@@ -34,7 +34,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+_NANOS_CONF_SET: set[int] = set()
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make parquet TIMESTAMP(NANOS) readable in ANY session, not just ours.
+
+    events.parquet carries TIMESTAMP(NANOS); a vanilla SparkSession's
+    vectorized reader rejects it with PARQUET_TYPE_ILLEGAL.  Our own
+    session builder (session.py) sets the legacy conf at build time, but
+    the external driver runs queries in its own vanilla session — the conf
+    is runtime-settable, so set it here where every table read funnels
+    through.  Memoized per session id: conf.set is a py4j round-trip and
+    load_table runs per table per query.
+    """
+    if id(spark) not in _NANOS_CONF_SET:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _NANOS_CONF_SET.add(id(spark))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file, surfaced as long nanos under
@@ -45,6 +65,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def referenced_tables(sql: str) -> tuple[str, ...]:
+    """Conservative scan for which catalog tables a SQL string touches.
+
+    Word-boundary match against the known table names; empty result falls
+    back to ALL_TABLES.  Registering only the referenced tables keeps a
+    query over ``lineitem`` from failing on an unrelated table's read
+    (and skips ~9 needless view registrations per query).
+    """
+    import re
+
+    found = tuple(t for t in ALL_TABLES if re.search(rf"\b{t}\b", sql))
+    return found or ALL_TABLES
 
 
 _REGISTERED: dict[tuple[int, tuple[str, ...]], str] = {}

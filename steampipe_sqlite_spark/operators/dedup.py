@@ -20,18 +20,43 @@ literal salts) so runs are reproducible across clusters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from steampipe_sqlite_spark.functions.text import char_shingles, fingerprint, word_ngrams
+
+
+def _hash64(c: Column, family: str) -> tuple[Column, int]:
+    """64-bit-ish hash of a string column, returning (column, bit width).
+
+    ``xxhash64`` (default): fastest, JVM-native, 64 bits — the production
+    path.  ``md5``: first 15 hex chars of md5 → 60-bit positive long,
+    reproducible bit-for-bit in DuckDB (same construction as
+    functions/sketches.py, proven cross-engine by the HLL rows) — the
+    oracle-checkable path.  Identical plan shape either way; only the
+    per-row hash expression differs.
+    """
+    if family == "xxhash64":
+        return F.xxhash64(c), 64
+    if family == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"), 60
+    raise ValueError(f"unknown hash family: {family}")
 
 
 def _spread(df: DataFrame) -> DataFrame:
     """Fan heavy per-row map work across all cores: single-file parquet
     fixtures arrive as ONE input partition, which would serialize the
     shingle/token explosion.  The repartition shuffles only the raw docs
-    (tiny); at real scale inputs are already split and this is a no-op."""
+    (tiny); at real scale inputs are many files and this is a no-op.
+
+    Decides from ``inputFiles()`` (driver-side plan metadata, one py4j
+    call) — the previous ``df.rdd.getNumPartitions()`` probe built an RDD
+    lineage per query, a measured fixed cost on every dedup plan."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    try:
+        few_inputs = len(df.inputFiles()) < max(target // 8, 2)
+    except Exception:  # non-file source (e.g. in-memory test frame)
+        return df
+    return df.repartition(target) if few_inputs else df
 
 
 
@@ -132,7 +157,12 @@ def minhash_signatures(
 
 
 def minhash_signatures_oph(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_k: int = 5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """One-permutation minhash (public construction: Li, Owen, Zhang 2012):
     ONE hash per shingle, partitioned into ``num_hashes`` buckets by its
@@ -151,7 +181,6 @@ def minhash_signatures_oph(
     from steampipe_sqlite_spark.functions.text import normalize_text
 
     assert num_hashes & (num_hashes - 1) == 0, "num_hashes must be a power of 2"
-    shift = 64 - num_hashes.bit_length() + 1  # 64 buckets → top 6 bits
 
     normed = _spread(df).select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm"))
     ex = normed.select(
@@ -161,7 +190,9 @@ def minhash_signatures_oph(
             F.sequence(F.lit(1), F.greatest(F.length("norm") - F.lit(shingle_k - 1), F.lit(1)))
         ).alias("i"),
     ).select("id", F.expr(f"substr(norm, i, {shingle_k})").alias("s"))
-    hb = ex.select("id", F.xxhash64("s").alias("h")).withColumn(
+    h, width = _hash64(F.col("s"), hash_family)
+    shift = width - (num_hashes.bit_length() - 1)  # bucket = top log2(n) bits
+    hb = ex.select("id", h.alias("h")).withColumn(
         "b", F.shiftrightunsigned(F.col("h"), shift)
     )
     per_bucket = hb.groupBy("id", "b").agg(F.min("h").alias("mn"))
@@ -185,9 +216,15 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH, scored by the
     signature-estimated Jaccard (fraction of agreeing minhashes).
+
+    ``hash_family='md5'`` swaps per-shingle xxhash64 for the 60-bit md5
+    prefix and the xxhash64 band key for the comma-joined band values —
+    every step then reproduces bit-for-bit in DuckDB SQL (the driver's
+    oracle); xxhash64 stays the production default (faster, 64 bits).
 
     Shape (the one that holds at 100 TB — signatures materialized once,
     candidates meet on bare keys, scoring by signature lookup):
@@ -199,18 +236,23 @@ def minhash_lsh_pairs(
        pairs (candidate count ≪ corpus, so these joins are tiny).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_oph(df, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs = minhash_signatures_oph(
+        df, text_col, id_col, num_hashes, shingle_k, hash_family
+    ).persist()
 
     # one JVM-side parse for the whole banded projection (py4j chattiness
     # of the per-band struct builders measured as real per-query latency)
-    band_structs = ", ".join(
-        "struct({b} as band, xxhash64({cols}) as band_sig)".format(
-            b=b,
-            cols=", ".join(
-                f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ),
+    def band_key(b: int) -> str:
+        cols = ", ".join(
+            f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
-        for b in range(bands)
+        if hash_family == "md5":
+            # oracle-reproducible key: DuckDB string_agg of the same longs
+            return f"concat_ws(',', {cols})"
+        return f"xxhash64({cols})"
+
+    band_structs = ", ".join(
+        f"struct({b} as band, {band_key(b)} as band_sig)" for b in range(bands)
     )
     banded = sigs.select(
         "id", F.expr(f"explode(array({band_structs})) as bk")
@@ -245,7 +287,11 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document, returned packed as one long (`fp`):
     bit b is the ones-majority of token-hash bit b (sign of the ±1 vote).
@@ -271,12 +317,16 @@ def simhash_fingerprints(
     """
     from steampipe_sqlite_spark.functions.text import tokens
 
+    h, width = _hash64(F.col("t"), hash_family)
+    bits = width if bits is None else bits
+    assert bits <= width, f"{bits}-bit fp needs a ≥{bits}-bit hash"
+
     # duplicates kept: term-frequency-weighted voting (the standard SimHash
     # formulation) — and array_distinct on long token arrays is O(n²)
     ex = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("t"),
-    ).withColumn("h", F.xxhash64(F.col("t")))
+    ).withColumn("h", h)
     mask = 1 | (1 << 21) | (1 << 42)
     votes = ex.groupBy("id").agg(
         F.expr("count(1) as n"),
@@ -299,7 +349,11 @@ def simhash_fingerprints(
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs whose SimHash differs in ≤ max_hamming bits.
 
@@ -314,14 +368,17 @@ def simhash_pairs(
     persisted first so the self-join doesn't recompute the vote pipeline
     twice.
     """
-    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    fp = simhash_fingerprints(df, text_col, id_col, hash_family=hash_family).persist()
+    # 4 bands over the full fp width: 16 bits each for the 64-bit family,
+    # 15 bits each for the 60-bit md5 family
+    bw = 16 if hash_family == "xxhash64" else 15
     bands = fp.select(
         "id",
         "fp",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("fp", 16 * band).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("fp", bw * band).bitwiseAND(F.lit((1 << bw) - 1))
                     for band in range(4)
                 ]
             )

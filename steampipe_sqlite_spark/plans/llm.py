@@ -210,25 +210,99 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_minhash_lsh", oracle=None)
+# DuckDB twin of the md5 hash family in operators/dedup.py:_hash64 —
+# first 15 hex chars of md5 → 60-bit positive BIGINT (cross-engine parity
+# proven by the HLL sketch rows).
+_DD_H60 = "CAST('0x' || substring(md5({v}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH normed AS (SELECT doc_id AS id, {_DD_NORM} AS norm FROM documents),
+ex AS (
+  SELECT id, substring(norm, CAST(i AS INT), 5) AS s
+  FROM (SELECT id, norm, UNNEST(generate_series(1, greatest(length(norm)-4, 1))) AS i
+        FROM normed)
+),
+hashed AS (SELECT id, {_DD_H60.format(v='s')} AS h FROM ex),
+pb AS (SELECT id, h // {1 << 54} AS b, MIN(h) AS mn FROM hashed GROUP BY id, b),
+gm AS (SELECT id, MIN(mn) AS gmin FROM pb GROUP BY id),
+sigs AS (
+  SELECT gm.id, g.i, COALESCE(pb.mn, gm.gmin) AS v
+  FROM gm CROSS JOIN generate_series(0, 63) g(i)
+  LEFT JOIN pb ON pb.id = gm.id AND pb.b = g.i
+),
+bands AS (
+  SELECT id, i // 4 AS band, string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS band_sig
+  FROM sigs GROUP BY id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+),
+score AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / 64.0, 4)
+           AS jaccard_est
+  FROM cand c
+  JOIN sigs sa ON sa.id = c.id_a
+  JOIN sigs sb ON sb.id = c.id_b AND sb.i = sa.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, jaccard_est FROM score WHERE jaccard_est >= 0.5 ORDER BY id_a, id_b
+""",
+)
 def dedup_minhash_lsh_q(spark, sf_dir):
-    """Minhash+LSH near-dup candidates (xxhash64 signatures — engine hash,
-    no SQL oracle; recall vs exact Jaccard asserted in tests)."""
+    """Minhash+LSH near-dup candidates, md5-60-bit hash family so the
+    whole pipeline — OPH signatures, densification, banding, estimated
+    Jaccard — is reproduced bit-for-bit by the DuckDB oracle.  Production
+    default stays xxhash64 (same plan, faster hash; recall asserted in
+    tests/test_llm_ops.py)."""
     from steampipe_sqlite_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5,
+        hash_family="md5",
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash", oracle=None)
+_DD_SIMHASH_COUNTS = ", ".join(f"SUM((h >> {b}) & 1) AS c{b}" for b in range(60))
+_DD_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN c{b}*2 > n THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(60)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (SELECT doc_id AS id, UNNEST({_DD_TOKS}) AS t FROM documents),
+hashed AS (SELECT id, {_DD_H60.format(v='t')} AS h FROM toks),
+votes AS (SELECT id, COUNT(*) AS n, {_DD_SIMHASH_COUNTS} FROM hashed GROUP BY id),
+fps AS (SELECT id, {_DD_SIMHASH_FP} AS fp FROM votes),
+bands AS (
+  SELECT id, fp, k, (fp >> CAST(15*k AS INT)) & 32767 AS bv
+  FROM fps, generate_series(0, 3) g(k)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b ON a.k = b.k AND a.bv = b.bv AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 8 ORDER BY id_a, id_b
+""",
+)
 def dedup_simhash_q(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 8 of 64 bits, banded candidates)."""
+    """SimHash near-dup pairs (hamming ≤ 8), md5-60-bit family: the vote
+    counters, packed fingerprint, 15-bit bands, and hamming filter all
+    have exact DuckDB twins.  Production default stays 64-bit xxhash64."""
     from steampipe_sqlite_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=8).orderBy("id_a", "id_b")
+    return simhash_pairs(
+        docs, "text", "doc_id", max_hamming=8, hash_family="md5"
+    ).orderBy("id_a", "id_b")
 
 
 # --- Similarity search ----------------------------------------------------
@@ -286,12 +360,59 @@ def emb_neardup_q(spark, sf_dir):
     )
 
 
-@query("knn_cosine_lsh", oracle=None)
+def _knn_lsh_oracle() -> str:
+    """DuckDB twin of lsh_topk(n_planes=3, n_tables=12): the same seeded
+    hyperplanes inlined as literals (repr round-trips doubles exactly),
+    sign-bit buckets, bucket-collision candidates, exact cosine re-rank."""
+    from steampipe_sqlite_spark.operators.similarity import hyperplanes
+
+    def ip(plane):
+        arr = ", ".join(repr(float(x)) for x in plane)
+        return f"list_inner_product(CAST(embedding AS DOUBLE[]), [{arr}])"
+
+    def bucket(planes):
+        return " + ".join(
+            f"(CASE WHEN {ip(p)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    tables = [hyperplanes(64, 3, seed=42 + t) for t in range(12)]
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket(p)} AS bucket FROM embeddings"
+        for t, p in enumerate(tables)
+    )
+    return f"""
+WITH buckets AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {_DD_COS} AS cosine
+  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@query("knn_cosine_lsh", oracle=_knn_lsh_oracle())
 def knn_lsh_q(spark, sf_dir):
     """Hyperplane-LSH approximate top-5 (12 tables × 3 planes — measured
     recall 1.0 at this corpus size; planes scale ~log2(corpus/bucket)
-    upward with data).  Recall vs brute force asserted in
-    tests/test_llm_ops.py."""
+    upward with data).  Fully deterministic (seeded planes, sign buckets,
+    4-dp cosine), so the whole ANN pipeline is oracle-checked; recall vs
+    brute force additionally asserted in tests/test_llm_ops.py."""
     from steampipe_sqlite_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -491,8 +612,9 @@ deduped AS (
 ),
 budgeted AS (
   SELECT doc_id, lang, n_tokens, quality,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
   FROM deduped
 )
 SELECT doc_id, lang, n_tokens, quality, cum_tokens
@@ -539,7 +661,10 @@ def curation_pipeline(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        deduped.withColumn("cum_tokens", F.sum("n_tokens").over(w_budget))
+        # explicit bigint on BOTH sides: DuckDB's window SUM yields HUGEINT,
+        # which round-trips through pandas as float/object and flips the
+        # driver's value hash even when the numbers are equal (VERDICT r1).
+        deduped.withColumn("cum_tokens", F.sum("n_tokens").over(w_budget).cast("long"))
         .filter(F.col("cum_tokens") <= 5000)
         .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
         .orderBy("lang", F.desc("quality"), "doc_id")

@@ -397,7 +397,8 @@ WITH big_orders AS (
 cust_big AS (
   SELECT o_custkey, COUNT(*) AS n_big FROM big_orders GROUP BY o_custkey
 )
-SELECT c_mktsegment, COUNT(*) AS n_customers, SUM(n_big) AS total_big_orders
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(n_big) AS BIGINT) AS total_big_orders
 FROM customer JOIN cust_big ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment

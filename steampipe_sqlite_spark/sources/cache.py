@@ -65,6 +65,7 @@ class ScanCache:
 
     @staticmethod
     def key(
+        connector_cls: str,
         config: str | None,
         table: str,
         quals: tuple,
@@ -72,7 +73,10 @@ class ScanCache:
         limit: int | None,
         partition: int = 0,
     ) -> tuple:
-        return (config, table, quals, columns, limit, partition)
+        # connector_cls (module:Class path) disambiguates two connector
+        # classes exposing a same-named table with identical config — the
+        # shared per-process cache must never serve one the other's rows
+        return (connector_cls, config, table, quals, columns, limit, partition)
 
     def get(self, key: tuple) -> list[pa.RecordBatch] | None:
         if not cache_enabled():

@@ -37,6 +37,9 @@ from steampipe_sqlite_spark.sources.connector import (
 )
 
 
+_INFER_SAMPLE_ROWS = 100
+
+
 def _infer(value: str) -> ColumnType:
     try:
         int(value)
@@ -50,13 +53,43 @@ def _infer(value: str) -> ColumnType:
         return ColumnType.STRING
 
 
+def _widen(a: ColumnType, b: ColumnType) -> ColumnType:
+    """Least common type of two inferred cell types (INT ⊂ DOUBLE ⊂ STRING)."""
+    if ColumnType.STRING in (a, b):
+        return ColumnType.STRING
+    if ColumnType.DOUBLE in (a, b):
+        return ColumnType.DOUBLE
+    return ColumnType.INT
+
+
+def _infer_columns(header: list[str], rows: list[list[str]]) -> list[ColumnType]:
+    """Infer per-column types over a sample of rows, widening as needed —
+    a column whose first value looks numeric but later holds text becomes
+    STRING (the reference CSV plugin treats all columns as text; we keep
+    numerics only when the whole sample agrees)."""
+    types = [ColumnType.INT] * len(header)
+    seen = [False] * len(header)
+    for row in rows:
+        for i in range(len(header)):
+            v = row[i] if i < len(row) else ""
+            if v == "":
+                continue
+            t = _infer(v)
+            types[i] = _widen(types[i], t) if seen[i] else t
+            seen[i] = True
+    return [t if s else ColumnType.STRING for t, s in zip(types, seen)]
+
+
 def _coerce(value: str, ctype: ColumnType):
     if value == "":
         return None
-    if ctype == ColumnType.INT:
-        return int(value)
-    if ctype == ColumnType.DOUBLE:
-        return float(value)
+    try:
+        if ctype == ColumnType.INT:
+            return int(value)
+        if ctype == ColumnType.DOUBLE:
+            return float(value)
+    except ValueError:
+        return None  # value outside the sampled shape → NULL, never crash
     return value
 
 
@@ -77,13 +110,10 @@ class CsvConnector(Connector):
                 reader = csv.reader(fh)
                 try:
                     header = next(reader)
-                    first = next(reader, None)
                 except StopIteration:
                     continue
-            types = [
-                _infer(first[i]) if first is not None and i < len(first) else ColumnType.STRING
-                for i in range(len(header))
-            ]
+                sample = [row for _, row in zip(range(_INFER_SAMPLE_ROWS), reader)]
+            types = _infer_columns(header, sample)
             cols = tuple(ColumnDef(name, t) for name, t in zip(header, types))
             stem = os.path.splitext(os.path.basename(path))[0]
             tables.append(TableSchema(stem, cols))

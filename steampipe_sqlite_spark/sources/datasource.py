@@ -115,7 +115,16 @@ def filters_to_quals(
         col = table.column(col_name)
         if col is None or col.require is None or op not in col.operators:
             continue
-        quals.append(Qual(col_name, op, _bind_value(col.type, value)))
+        try:
+            if op == "in":
+                # bind each element: bind_timestamp/ipaddr on a whole tuple
+                # raises, and bool(tuple) would silently corrupt BOOL quals
+                bound = tuple(_bind_value(col.type, v) for v in value)
+            else:
+                bound = _bind_value(col.type, value)
+        except (ValueError, TypeError):
+            continue  # unbindable value → leave the filter to the engine
+        quals.append(Qual(col_name, op, bound))
         converted.append(f)
     return quals, converted
 
@@ -203,7 +212,9 @@ class ConnectorReader(DataSourceReader):
         part = Partition(partition.index, partition.info)
         quals_key = tuple((q.column, q.op, q.value) for q in self.quals)
         cols_key = tuple(self.columns) if self.columns is not None else None
+        conn_cls = type(self.connector)
         key = ScanCache.key(
+            f"{conn_cls.__module__}:{conn_cls.__qualname__}",
             self.connector.config,
             self.table.name,
             quals_key,

@@ -160,7 +160,7 @@ class TestScanCache:
 
     def test_hit_and_miss(self):
         cache = ScanCache(ttl_s=60)
-        key = ScanCache.key(None, "t", (), None, None)
+        key = ScanCache.key("m:C", None, "t", (), None, None)
         assert cache.get(key) is None
         cache.put(key, [self.make_batch()])
         assert cache.get(key) is not None
@@ -168,7 +168,7 @@ class TestScanCache:
 
     def test_ttl_expiry(self, monkeypatch):
         cache = ScanCache(ttl_s=60)
-        key = ScanCache.key(None, "t", (), None, None)
+        key = ScanCache.key("m:C", None, "t", (), None, None)
         cache.put(key, [self.make_batch()])
         import time as time_mod
 
@@ -179,7 +179,7 @@ class TestScanCache:
     def test_env_disable(self, monkeypatch):
         monkeypatch.setenv("STEAMPIPE_CACHE", "false")
         cache = ScanCache(ttl_s=60)
-        key = ScanCache.key(None, "t", (), None, None)
+        key = ScanCache.key("m:C", None, "t", (), None, None)
         cache.put(key, [self.make_batch()])
         assert cache.get(key) is None
 
@@ -190,13 +190,13 @@ class TestScanCache:
 
     def test_size_bound_evicts(self):
         cache = ScanCache(ttl_s=60, max_bytes=1)
-        key = ScanCache.key(None, "t", (), None, None)
+        key = ScanCache.key("m:C", None, "t", (), None, None)
         cache.put(key, [self.make_batch()])  # larger than bound: not cached
         assert cache.get(key) is None
 
     def test_distinct_keys_by_quals(self):
         cache = ScanCache(ttl_s=60)
-        k1 = ScanCache.key(None, "t", (("x", "=", 1),), None, None)
-        k2 = ScanCache.key(None, "t", (("x", "=", 2),), None, None)
+        k1 = ScanCache.key("m:C", None, "t", (("x", "=", 1),), None, None)
+        k2 = ScanCache.key("m:C", None, "t", (("x", "=", 2),), None, None)
         cache.put(k1, [self.make_batch()])
         assert cache.get(k2) is None

@@ -17,6 +17,8 @@ old views and re-creates from the fresh schema
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from steampipe_sqlite_spark.sources.connector import DYNAMIC, Schema
@@ -131,6 +133,8 @@ class Engine:
             reader = reader.option("config", state["config"])
         return reader.load()
 
+    _CONFIGURE_RE = re.compile(r"steampipe_configure_([A-Za-z_]\w*)\s*\(", re.IGNORECASE)
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the registered connector views.
 
@@ -140,10 +144,59 @@ class Engine:
         different query (observed on PySpark 4.1.2).  A fresh relation per
         query restores the per-query BestIndex semantics of the reference
         (xBestIndex runs per statement, /root/reference/table.go:74).
+
+        ``SELECT steampipe_configure_<alias>(config)`` is supported as in
+        the reference (/root/reference/configure_fn.go:12-44, registered
+        register.go:22-27; usage /root/reference/test.sql) — including the
+        `... FROM config_table` form.  A Spark Python UDF runs in executor
+        workers and cannot mutate driver-side engine state, so the call is
+        evaluated here instead: the argument expression is executed as a
+        query, each resulting config string is applied in row order, and
+        the statement returns one NULL per application (the reference
+        function also yields NULL on success).
         """
         for alias in self._connections:
             self._register_views(alias)
+        m = self._CONFIGURE_RE.search(query)
+        if m:
+            return self._configure_sql(query, m)
         return self.spark.sql(query)
+
+    def _configure_sql(self, query: str, m: re.Match) -> DataFrame:
+        alias = m.group(1).lower()
+        if alias not in self._connections:
+            raise ValueError(f"no connection named {alias!r} is loaded")
+        # extract the balanced-paren argument expression of the call
+        depth, in_str, i = 1, False, m.end()
+        while i < len(query) and depth:
+            ch = query[i]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("unterminated steampipe_configure_* call")
+        arg_expr = query[m.end() : i - 1]
+        # run the statement with the call replaced by its argument, so
+        # `SELECT steampipe_configure_x(config) FROM tbl` evaluates the
+        # argument with full SQL semantics (any FROM/WHERE/ORDER applies)
+        rewritten = query[: m.start()] + f"({arg_expr})" + query[i:]
+        configs = [row[0] for row in self.spark.sql(rewritten).collect()]
+        for config in configs:
+            if config is None:
+                continue
+            if not isinstance(config, str):
+                raise TypeError("expected a TEXT argument")  # configure_fn.go:46-66
+            self.configure(alias, config)
+        return self.spark.createDataFrame(
+            [(None,) for _ in configs],
+            f"`steampipe_configure_{alias}` string",
+        )
 
     def schema(self, alias: str) -> Schema:
         return self._connections[alias]["schema"]

@@ -43,7 +43,16 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Split size tuned for the local[N] test bed: single-file
+        # sub-GB parquet inputs must split into ≥N tasks or the scan+
+        # partial-agg stage runs on 3 of 32 cores (measured: tpch_q1
+        # 0.72 s → 0.45 s at sf0.1 going 128m → 8–16m).  On a real
+        # cluster with many multi-GB files, override toward the 128m
+        # default — more splits than cores just adds scheduler load.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 
+from steampipe_sqlite_spark.sources.config import parse_config
 from steampipe_sqlite_spark.sources.connector import (
     ALL_OPERATORS,
     DYNAMIC,
@@ -155,7 +156,7 @@ class ChaosConnector(Connector):
                         return
 
     def _flaky_rows(self, quals: list[Qual], limit: int | None):
-        cfg = json.loads(self.config) if self.config else {}
+        cfg = parse_config(self.config)
         error_at = cfg.get("error_at_row")
         delay_ms = cfg.get("delay_ms", 0)
         n = 0
@@ -230,7 +231,7 @@ class DynamicConnector(Connector):
     def get_schema(self) -> Schema:
         if not self.config:
             return Schema(tables=(), mode=DYNAMIC)
-        spec = json.loads(self.config)
+        spec = parse_config(self.config)
         tables = []
         for tname, cols in spec.get("tables", {}).items():
             defs = tuple(
@@ -363,7 +364,7 @@ class FeedConnector(Connector):
     def _max_seq(self) -> int:
         if self.config:
             try:
-                return int(json.loads(self.config).get("max_seq", 1000))
+                return int(parse_config(self.config).get("max_seq", 1000))
             except (ValueError, TypeError):
                 pass
         return 1000

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 
+from steampipe_sqlite_spark.sources.config import parse_config
 from steampipe_sqlite_spark.sources.connector import (
     DYNAMIC,
     ColumnDef,
@@ -101,7 +102,7 @@ class CsvConnector(Connector):
     def _paths(self) -> list[str]:
         if not self.config:
             return []
-        return list(json.loads(self.config).get("paths", []))
+        return list(parse_config(self.config).get("paths", []))
 
     def get_schema(self) -> Schema:
         tables = []

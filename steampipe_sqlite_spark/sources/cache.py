@@ -9,9 +9,15 @@ Parity with the reference's cache policy (B15, SURVEY.md §2.1):
 - bounded size (32 MB default, /root/reference/register.go:18) with LRU
   eviction.
 
-Keyed exactly on (connection-config, table, quals, columns, limit,
-partition); qual-subsumption (serving a subset query from a cached superset)
-is future work, as in SURVEY.md §7.5.4.
+Keyed on (connector-class, connection-config, table, quals, columns, limit,
+partition).  Lookup is exact first; on miss, qual-subsumption kicks in
+(SURVEY.md §7.5.4, the SDK cache behavior wired at
+/root/reference/cursor.go:70-92): an unlimited cached entry for the same
+connector/config/table/partition whose quals are a SUBSET of the request's
+(→ its rows are a superset) and whose columns cover the request's serves
+the scan with zero connector calls — the residual quals are applied
+vectorized on the cached Arrow batches, columns are projected to the
+requested schema, and the limit is applied by slicing.
 """
 
 from __future__ import annotations
@@ -107,6 +113,39 @@ class ScanCache:
             oldest = next(iter(self._data))
             self._evict(oldest)
 
+    def get_subsuming(
+        self, key: tuple
+    ) -> tuple[list[pa.RecordBatch], tuple, tuple | None] | None:
+        """On exact miss: find an entry whose result set covers ``key``.
+
+        Returns (batches, cached_quals, cached_columns) so the caller can
+        apply the residual quals and project, or None.  A cached entry
+        covers the request when connector/config/table/partition match,
+        the entry was NOT limit-truncated, its quals are a subset of the
+        requested quals (fewer filters → more rows), and its columns are a
+        superset of the requested columns.
+        """
+        if not cache_enabled():
+            return None
+        cls_, config, table, quals, columns, _limit, partition = key
+        now = time.monotonic()
+        want_quals = set(quals)
+        for cand, entry in self._data.items():
+            c_cls, c_config, c_table, c_quals, c_cols, c_limit, c_part = cand
+            if (c_cls, c_config, c_table, c_part) != (cls_, config, table, partition):
+                continue
+            if c_limit is not None or entry.expires_at < now:
+                continue
+            if not set(c_quals) <= want_quals:
+                continue
+            if c_cols is not None and (columns is None or not set(columns) <= set(c_cols)):
+                continue
+            self._data.move_to_end(cand)
+            self.hits += 1
+            residual = tuple(q for q in quals if q not in set(c_quals))
+            return entry.batches, residual, columns
+        return None
+
     def _evict(self, key: tuple) -> None:
         entry = self._data.pop(key, None)
         if entry is not None:
@@ -115,3 +154,62 @@ class ScanCache:
     def clear(self) -> None:
         self._data.clear()
         self._bytes = 0
+
+
+def _qual_mask(batch: pa.RecordBatch, column: str, op: str, value):
+    import pyarrow.compute as pc
+
+    arr = batch.column(column)
+    if op == "=":
+        return pc.equal(arr, value)
+    if op == "<>":
+        return pc.not_equal(arr, value)
+    if op == "<":
+        return pc.less(arr, value)
+    if op == "<=":
+        return pc.less_equal(arr, value)
+    if op == ">":
+        return pc.greater(arr, value)
+    if op == ">=":
+        return pc.greater_equal(arr, value)
+    if op == "in":
+        return pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
+    if op == "is_null":
+        return pc.is_null(arr)
+    if op == "is_not_null":
+        return pc.is_valid(arr)
+    if op == "prefix":
+        return pc.starts_with(arr, value)
+    raise ValueError(f"unknown op {op!r}")
+
+
+def serve_from_superset(
+    batches: list[pa.RecordBatch],
+    residual_quals: tuple,
+    columns: tuple | None,
+    limit: int | None,
+) -> list[pa.RecordBatch]:
+    """Turn a cached superset result into the requested subset result:
+    vectorized residual filters (best-effort: an inapplicable qual is
+    skipped — the engine re-filters over-returned rows by contract),
+    column projection to the requested schema, limit by slicing."""
+    out: list[pa.RecordBatch] = []
+    remaining = limit
+    for batch in batches:
+        for column, op, value in residual_quals:
+            try:
+                mask = _qual_mask(batch, column, op, value)
+            except Exception:
+                continue  # over-return; engine re-filters
+            batch = batch.filter(mask)
+        if columns is not None:
+            batch = batch.select(list(columns))
+        if remaining is not None:
+            if remaining <= 0:
+                break
+            if batch.num_rows > remaining:
+                batch = batch.slice(0, remaining)
+            remaining -= batch.num_rows
+        if batch.num_rows:
+            out.append(batch)
+    return out

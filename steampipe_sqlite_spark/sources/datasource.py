@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from steampipe_sqlite_spark.sources.cache import ScanCache
+from steampipe_sqlite_spark.sources.cache import ScanCache, serve_from_superset
 from steampipe_sqlite_spark.sources.connector import (
     ColumnType,
     Connector,
@@ -225,6 +225,14 @@ class ConnectorReader(DataSourceReader):
         cached = _SCAN_CACHE.get(key)
         if cached is not None:
             yield from cached
+            return
+        superset = _SCAN_CACHE.get_subsuming(key)
+        if superset is not None:
+            # SDK-cache qual subsumption: a broader cached scan covers this
+            # one — filter/project/slice its Arrow batches, zero connector
+            # calls (reference cache wiring cursor.go:70-92)
+            batches, residual, cols = superset
+            yield from serve_from_superset(batches, residual, cols, self.limit)
             return
         batches = []
         for batch in self.connector.execute(

@@ -6,7 +6,7 @@ import datetime as dt
 import pyarrow as pa
 import pytest
 
-from steampipe_sqlite_spark.sources.cache import ScanCache
+from steampipe_sqlite_spark.sources.cache import ScanCache, serve_from_superset
 from steampipe_sqlite_spark.sources.chaos import ChaosConnector, DynamicConnector
 from steampipe_sqlite_spark.sources.connector import (
     ColumnType,
@@ -200,3 +200,92 @@ class TestScanCache:
         k2 = ScanCache.key("m:C", None, "t", (("x", "=", 2),), None, None)
         cache.put(k1, [self.make_batch()])
         assert cache.get(k2) is None
+
+
+class TestQualSubsumption:
+    """SDK-cache qual subsumption (SURVEY §7.5.4, reference cursor.go:70-92):
+    a narrower scan is served from a cached broader result."""
+
+    def wide_batch(self):
+        return pa.RecordBatch.from_pylist(
+            [{"x": i, "name": f"n{i}"} for i in range(10)]
+        )
+
+    def test_subset_quals_served_from_superset(self):
+        cache = ScanCache(ttl_s=60)
+        full = ScanCache.key("m:C", None, "t", (), None, None)
+        cache.put(full, [self.wide_batch()])
+        want = ScanCache.key("m:C", None, "t", (("x", ">", 5),), None, None)
+        assert cache.get(want) is None  # exact miss
+        hit = cache.get_subsuming(want)
+        assert hit is not None
+        batches, residual, cols = hit
+        out = serve_from_superset(batches, residual, cols, None)
+        rows = [r["x"] for b in out for r in b.to_pylist()]
+        assert rows == [6, 7, 8, 9]
+
+    def test_column_projection_and_limit(self):
+        cache = ScanCache(ttl_s=60)
+        full = ScanCache.key("m:C", None, "t", (), None, None)
+        cache.put(full, [self.wide_batch()])
+        want = ScanCache.key("m:C", None, "t", (("x", ">=", 2),), ("name",), 3)
+        batches, residual, cols = cache.get_subsuming(want)
+        out = serve_from_superset(batches, residual, cols, 3)
+        rows = [r for b in out for r in b.to_pylist()]
+        assert rows == [{"name": "n2"}, {"name": "n3"}, {"name": "n4"}]
+
+    def test_limited_entry_never_subsumes(self):
+        cache = ScanCache(ttl_s=60)
+        truncated = ScanCache.key("m:C", None, "t", (), None, 5)
+        cache.put(truncated, [self.wide_batch().slice(0, 5)])
+        want = ScanCache.key("m:C", None, "t", (("x", ">", 1),), None, None)
+        assert cache.get_subsuming(want) is None
+
+    def test_narrow_columns_never_subsume_wider(self):
+        cache = ScanCache(ttl_s=60)
+        narrow = ScanCache.key("m:C", None, "t", (), ("x",), None)
+        cache.put(narrow, [self.wide_batch().select(["x"])])
+        want = ScanCache.key("m:C", None, "t", (), None, None)
+        assert cache.get_subsuming(want) is None
+
+    def test_other_connector_class_never_subsumes(self):
+        cache = ScanCache(ttl_s=60)
+        cache.put(ScanCache.key("m:A", None, "t", (), None, None), [self.wide_batch()])
+        want = ScanCache.key("m:B", None, "t", (("x", ">", 5),), None, None)
+        assert cache.get_subsuming(want) is None
+
+    def test_in_and_prefix_residuals(self):
+        batches = [self.wide_batch()]
+        out = serve_from_superset(batches, (("x", "in", (1, 3)),), None, None)
+        assert [r["x"] for b in out for r in b.to_pylist()] == [1, 3]
+        out = serve_from_superset(batches, (("name", "prefix", "n1"),), None, None)
+        assert [r["name"] for b in out for r in b.to_pylist()] == ["n1"]
+
+    def test_reader_serves_stricter_scan_with_zero_connector_calls(self):
+        # end-to-end at the reader level: a full-table read populates the
+        # cache; a stricter read (id > 5) must be answered entirely from it
+        from steampipe_sqlite_spark.sources import datasource as ds
+        from steampipe_sqlite_spark.sources.chaos import ChaosConnector
+        from steampipe_sqlite_spark.sources.connector import Qual
+
+        class Counting(ChaosConnector):
+            calls = 0
+
+            def execute(self, *a, **kw):
+                Counting.calls += 1
+                yield from super().execute(*a, **kw)
+
+        ds._SCAN_CACHE.clear()
+        conn = Counting()
+        table = conn.get_schema().table("all_types")
+        full = ds.ConnectorReader(conn, table, {})
+        part = full.partitions()[0]
+        n_full = sum(b.num_rows for b in full.read(part))
+        assert Counting.calls == 1 and n_full > 0
+
+        strict = ds.ConnectorReader(conn, table, {})
+        strict.quals = [Qual("id", ">", 5)]
+        rows = [r for b in strict.read(strict.partitions()[0]) for r in b.to_pylist()]
+        assert Counting.calls == 1, "stricter scan must not touch the connector"
+        assert rows and all(r["id"] > 5 for r in rows)
+        ds._SCAN_CACHE.clear()

@@ -68,7 +68,7 @@ def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            con.execute(sql).df()  # Arrow→pandas materialization
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
     return out
@@ -81,7 +81,7 @@ def main() -> None:
     queries, oracles = collect()
 
     # warm the JVM + parquet footers once
-    queries["tpch_q6"](spark, sf_dir).collect()
+    queries["tpch_q6"](spark, sf_dir).toPandas()
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -92,7 +92,10 @@ def main() -> None:
             # self-contained and the timings low-variance
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            # toPandas = the Arrow materialization path — symmetric with
+            # DuckDB's .df(); row-object collect() pays per-row pickling
+            # that no real consumer of either engine pays
+            fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
 

@@ -285,6 +285,26 @@ class Connector(ABC):
     def set_config(self, config: str) -> None:
         self.config = config
 
+    # -- rate limiting (SURVEY §7.5.5; SDK limiter analog) -----------------
+    def throttle(self, n: float = 1.0) -> float:
+        """Debit ``n`` API calls from this connection's per-process budget,
+        blocking until allowed.  No-op unless the connection config sets
+        ``rate_limit_rps``.  Call once per upstream API request — paging
+        connectors should call per page, not per scan.  Returns seconds
+        waited (0.0 when unthrottled)."""
+        from steampipe_sqlite_spark.sources.config import parse_config
+        from steampipe_sqlite_spark.sources.ratelimit import bucket_for
+
+        try:
+            cfg = parse_config(self.config)
+        except Exception:
+            return 0.0
+        rps = cfg.get("rate_limit_rps")
+        if not rps:
+            return 0.0
+        key = (type(self).__module__, type(self).__qualname__, self.config)
+        return bucket_for(key, float(rps), cfg.get("rate_limit_burst")).acquire(n)
+
     # -- discovery (reference configure_fn.go:152-163)
     @abstractmethod
     def get_schema(self) -> Schema: ...

@@ -235,6 +235,9 @@ class ConnectorReader(DataSourceReader):
             yield from serve_from_superset(batches, residual, cols, self.limit)
             return
         batches = []
+        # one debit per partition scan; paging connectors additionally
+        # call throttle() per page (SURVEY §7.5.5 — API limits × parallelism)
+        self.connector.throttle()
         for batch in self.connector.execute(
             self.table.name, self.quals, self.columns, self.limit, part
         ):

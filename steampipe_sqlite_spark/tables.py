@@ -34,7 +34,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-_NANOS_CONF_SET: set[int] = set()
+# per-session state, weakly keyed: a plain dict keyed by id(spark) breaks
+# when CPython reuses a stopped session's address for a new one (observed
+# as a cross-test failure) — the weak map dies with the session object
+_SESSION_STATE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
+def _session_state(spark: SparkSession) -> dict:
+    global _SESSION_STATE
+    if _SESSION_STATE is None:
+        import weakref
+
+        _SESSION_STATE = weakref.WeakKeyDictionary()
+    state = _SESSION_STATE.get(spark)
+    if state is None or getattr(spark.sparkContext, "_jsc", None) is None:
+        # new session, or the same object was stop()ped and restarted
+        state = {"nanos_set": False, "tables": {}}
+        _SESSION_STATE[spark] = state
+    return state
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
@@ -45,15 +62,29 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
     session builder (session.py) sets the legacy conf at build time, but
     the external driver runs queries in its own vanilla session — the conf
     is runtime-settable, so set it here where every table read funnels
-    through.  Memoized per session id: conf.set is a py4j round-trip and
+    through.  Memoized per session: conf.set is a py4j round-trip and
     load_table runs per table per query.
     """
-    if id(spark) not in _NANOS_CONF_SET:
+    state = _session_state(spark)
+    if not state["nanos_set"]:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _NANOS_CONF_SET.add(id(spark))
+        state["nanos_set"] = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table as a DataFrame (memoized per session).
+
+    The memo returns the SAME immutable DataFrame (= analyzed logical plan)
+    for repeated loads: ``spark.read.parquet`` is a py4j round-trip plus a
+    footer read, measured at ~0.1 s per call — a 6-table query paid ~0.6 s
+    of pure re-loading per construction.  DataFrames are immutable plans,
+    so sharing is safe; executions are independent.
+    """
+    memo = _session_state(spark)["tables"]
+    key = (sf_dir, name)
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -64,6 +95,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    memo[key] = df
     return df
 
 

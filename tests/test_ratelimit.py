@@ -1,0 +1,75 @@
+"""Rate limiting: the SURVEY §7.5.5 throttle — API budgets must hold even
+when Spark fans a scan across many threads/partitions."""
+
+import threading
+import time
+
+import pytest
+
+from steampipe_sqlite_spark.sources.chaos import ChaosConnector
+from steampipe_sqlite_spark.sources.ratelimit import TokenBucket, bucket_for
+
+
+class TestTokenBucket:
+    def test_burst_passes_immediately(self):
+        b = TokenBucket(rate_per_s=10, burst=5)
+        t0 = time.monotonic()
+        for _ in range(5):
+            b.acquire()
+        assert time.monotonic() - t0 < 0.05
+
+    def test_sustained_rate_enforced(self):
+        b = TokenBucket(rate_per_s=100, burst=1)
+        t0 = time.monotonic()
+        for _ in range(11):
+            b.acquire()
+        elapsed = time.monotonic() - t0
+        assert elapsed >= 0.095  # 10 refills @ 100/s ≥ 0.1 s (timer slack)
+
+    def test_try_acquire_never_blocks(self):
+        b = TokenBucket(rate_per_s=1, burst=1)
+        assert b.try_acquire()
+        t0 = time.monotonic()
+        assert not b.try_acquire()
+        assert time.monotonic() - t0 < 0.05
+
+    def test_threads_share_budget(self):
+        b = TokenBucket(rate_per_s=200, burst=1)
+        t0 = time.monotonic()
+        threads = [threading.Thread(target=b.acquire) for _ in range(21)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert time.monotonic() - t0 >= 0.095  # 20 refills @ 200/s
+
+    def test_rejects_nonpositive_rate(self):
+        with pytest.raises(ValueError):
+            TokenBucket(0)
+
+    def test_registry_shares_by_key(self):
+        b1 = bucket_for(("m", "C", "cfg-a"), 50)
+        b2 = bucket_for(("m", "C", "cfg-a"), 50)
+        b3 = bucket_for(("m", "C", "cfg-b"), 50)
+        assert b1 is b2 and b1 is not b3
+
+
+class TestConnectorThrottle:
+    def test_unconfigured_is_free(self):
+        c = ChaosConnector()
+        assert c.throttle() == 0.0
+
+    def test_configured_rps_blocks(self):
+        c = ChaosConnector()
+        c.set_config('{"rate_limit_rps": 100, "rate_limit_burst": 1}')
+        t0 = time.monotonic()
+        for _ in range(6):
+            c.throttle()
+        assert time.monotonic() - t0 >= 0.045  # 5 refills @ 100/s
+
+    def test_hcl_config_works_too(self):
+        c = ChaosConnector()
+        c.set_config("rate_limit_rps = 100\nrate_limit_burst = 1")
+        c.throttle()
+        waited = c.throttle()
+        assert waited > 0.0

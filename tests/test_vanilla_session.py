@@ -20,7 +20,8 @@ def _make_vanilla(spark):
     """Strip the conf our builder pre-sets, so reads behave as under the
     driver's session."""
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    tables._NANOS_CONF_SET.clear()
+    if tables._SESSION_STATE is not None:
+        tables._SESSION_STATE.clear()
     tables._REGISTERED.clear()
 
 

@@ -183,14 +183,26 @@ def ivf_topk(
         .select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
     )
 
-    def assign(df: DataFrame, keep: int) -> DataFrame:
+    def crossed(df: DataFrame) -> DataFrame:
         cos = F.round(
             dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 4
         )
+        return df.join(F.broadcast(cent), how="cross").withColumn("cell_cos", cos)
+
+    def assign(df: DataFrame, keep: int) -> DataFrame:
+        if keep == 1:
+            # argmax via map-side-partial max_by: shuffles one row per id
+            # (vs the window form shuffling the full id×n_cells cross and
+            # sorting it); -cid breaks cosine ties toward the lowest cid,
+            # matching ORDER BY cell_cos DESC, cid ASC
+            return crossed(df).groupBy("id").agg(
+                F.expr("max_by(cid, struct(cell_cos, -cid))").alias("cell"),
+                F.expr("any_value(v)").alias("v"),
+                F.expr("any_value(nrm)").alias("nrm"),
+            ).select("id", "v", "nrm", "cell")
         w = Window.partitionBy("id").orderBy(F.desc("cell_cos"), F.asc("cid"))
         return (
-            df.join(F.broadcast(cent), how="cross")
-            .withColumn("cell_cos", cos)
+            crossed(df)
             .withColumn("cell_rank", F.row_number().over(w))
             .filter(F.col("cell_rank") <= keep)
             .select("id", "v", "nrm", F.col("cid").alias("cell"))
@@ -211,7 +223,9 @@ def ivf_topk(
             F.col("c.id").alias("neighbor_id"),
             cos.alias("cosine"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed: each corpus vector lives in exactly ONE cell
+        # (keep=1), so a (query, neighbor) pair can meet at most once even
+        # across nprobe probes — dropDuplicates here was a wasted shuffle
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

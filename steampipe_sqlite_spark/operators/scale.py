@@ -30,6 +30,33 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_partitioned_dataset(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a curated dataset as hive-partitioned parquet — the
+    standard sink for pipeline output at scale.
+
+    - ``partitionBy`` on low-cardinality columns (lang, source, date
+      bucket) gives readers free partition pruning (a `WHERE lang='en'`
+      scan touches only that directory);
+    - ``maxRecordsPerFile`` bounds file size so downstream scans split
+      evenly (the small-file *and* giant-file problems are both write-time
+      mistakes);
+    - readers recover the partition columns from directory names, so the
+      data files store only the remaining columns.
+    """
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def salted_groupby_agg(
     df: DataFrame,
     key_col: str,

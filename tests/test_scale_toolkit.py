@@ -138,3 +138,27 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == before
     assert sorted(after.columns) == sorted(events.columns)
+
+
+class TestPartitionedSink:
+    def test_write_prunes_and_bounds_files(self, spark, tmp_path):
+        import glob
+        from steampipe_sqlite_spark.operators.scale import write_partitioned_dataset
+
+        df = spark.range(0, 1000).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang"
+        )
+        out = str(tmp_path / "curated")
+        write_partitioned_dataset(df, out, ["lang"], max_records_per_file=100)
+        # hive layout: one directory per partition value
+        assert sorted(
+            p.split("=")[-1] for p in glob.glob(f"{out}/lang=*")
+        ) == ["en", "fr"]
+        # maxRecordsPerFile bounds each data file
+        files = glob.glob(f"{out}/lang=en/*.parquet")
+        assert len(files) >= 5  # 500 rows / 100 per file
+        back = spark.read.parquet(out)
+        assert back.count() == 1000
+        # partition pruning: an en-only read plans only the en directory
+        plan = back.filter("lang = 'en'")._jdf.queryExecution().executedPlan().toString()
+        assert "lang=fr" not in plan

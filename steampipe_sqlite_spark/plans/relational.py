@@ -327,6 +327,86 @@ LIMIT 100
 """,
 )
 
+# SQLite supports GROUPS frames and EXCLUDE clauses (3.28+); Spark has
+# neither.  The three queries below are the documented-gap CLOSURES
+# (SURVEY §7.5.3): exact rewrites in Spark-runnable SQL.
+#   GROUPS BETWEEN n PRECEDING AND CURRENT ROW
+#     ≡ dense_rank the peer groups, then RANGE BETWEEN n PRECEDING AND
+#       CURRENT ROW over that rank (peers share a rank, so every row gets
+#       its whole peer group — the GROUPS contract).  Ground truth: parity
+#       test vs stdlib sqlite3's native GROUPS in test_sqlite_compat.py.
+#   ... EXCLUDE CURRENT ROW  ≡ frame_sum - current  (NULL when the frame
+#       held only the current row); oracle uses DuckDB's NATIVE EXCLUDE.
+#   ... EXCLUDE GROUP  ≡ frame_sum - peer_group_sum (NULL when the frame
+#       was exactly the peer group); DuckDB-native oracle likewise.
+
+sql_query(
+    "win_groups_frame",
+    """
+WITH g AS (
+  SELECT o_orderkey, o_orderpriority, o_orderdate,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate) AS grp
+  FROM orders WHERE o_orderkey <= 2000
+)
+SELECT o_orderkey,
+       CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY grp
+            RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS grp_cents
+FROM g
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "win_exclude_current_row",
+    """
+SELECT o_orderkey,
+       CASE WHEN COUNT(*) OVER w = 1 THEN NULL
+            ELSE CAST((SUM(cents) OVER w) - cents AS BIGINT) END AS sum_excl
+FROM (SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+""",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+            AS BIGINT) AS sum_excl
+FROM (SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000) t
+ORDER BY o_orderkey
+""",
+)
+
+sql_query(
+    "win_exclude_group",
+    """
+SELECT o_orderkey,
+       CASE WHEN COUNT(*) OVER run = COUNT(*) OVER peers THEN NULL
+            ELSE CAST(SUM(cents) OVER run - SUM(cents) OVER peers AS BIGINT) END
+         AS sum_before_peers
+FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000) t
+WINDOW run AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       peers AS (PARTITION BY o_orderpriority, o_orderdate)
+ORDER BY o_orderkey
+""",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)
+            AS BIGINT) AS sum_before_peers
+FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000) t
+ORDER BY o_orderkey
+""",
+)
+
 # --- Subqueries -----------------------------------------------------------
 
 sql_query(

@@ -130,3 +130,92 @@ def test_groups_frame_is_a_documented_rejection(spark):
             "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM orders"
         ).collect()
     assert "GROUPS" in str(ei.value).upper() or "PARSE" in type(ei.value).__name__.upper()
+
+
+class TestWindowFrameEmulation:
+    """Ground truth for the GROUPS/EXCLUDE rewrites (plans/relational.py
+    win_groups_frame / win_exclude_*): stdlib sqlite3 runs the NATIVE
+    construct, Spark runs the emulation, results must match row for row."""
+
+    ROWS = [
+        (1, "a", "2024-01-01", 10),
+        (2, "a", "2024-01-02", 20),
+        (3, "a", "2024-01-02", 21),
+        (4, "a", "2024-01-03", 30),
+        (5, "b", "2024-01-01", 5),
+        (6, "b", "2024-01-01", 7),
+    ]
+
+    @pytest.fixture()
+    def sqlite_conn(self):
+        import sqlite3
+
+        c = sqlite3.connect(":memory:")
+        c.execute("CREATE TABLE t(id INT, p TEXT, d TEXT, x INT)")
+        c.executemany("INSERT INTO t VALUES (?,?,?,?)", self.ROWS)
+        return c
+
+    @pytest.fixture()
+    def sdf(self, spark):
+        return spark.createDataFrame(self.ROWS, "id int, p string, d string, x int")
+
+    def test_groups_frame_rewrite_matches_native(self, sqlite_conn, sdf):
+        native = sqlite_conn.execute(
+            "SELECT id, SUM(x) OVER (PARTITION BY p ORDER BY d "
+            "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t ORDER BY id"
+        ).fetchall()
+        sdf.createOrReplaceTempView("t_groups")
+        emulated = sdf.sparkSession.sql(
+            """
+            WITH g AS (
+              SELECT id, x,
+                     DENSE_RANK() OVER (PARTITION BY p ORDER BY d) AS grp, p
+              FROM t_groups
+            )
+            SELECT id, SUM(x) OVER (PARTITION BY p ORDER BY grp
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+            FROM g ORDER BY id
+            """
+        ).collect()
+        assert [(r.id, r.s) for r in emulated] == native
+
+    def test_exclude_current_row_rewrite_matches_native(self, sqlite_conn, sdf):
+        native = sqlite_conn.execute(
+            "SELECT id, SUM(x) OVER (PARTITION BY p ORDER BY id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) "
+            "FROM t ORDER BY id"
+        ).fetchall()
+        sdf.createOrReplaceTempView("t_excl")
+        emulated = sdf.sparkSession.sql(
+            """
+            SELECT id,
+                   CASE WHEN COUNT(*) OVER w = 1 THEN NULL
+                        ELSE (SUM(x) OVER w) - x END AS s
+            FROM t_excl
+            WINDOW w AS (PARTITION BY p ORDER BY id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY id
+            """
+        ).collect()
+        assert [(r.id, r.s) for r in emulated] == native
+
+    def test_exclude_group_rewrite_matches_native(self, sqlite_conn, sdf):
+        native = sqlite_conn.execute(
+            "SELECT id, SUM(x) OVER (PARTITION BY p ORDER BY d "
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) "
+            "FROM t ORDER BY id"
+        ).fetchall()
+        sdf.createOrReplaceTempView("t_exg")
+        emulated = sdf.sparkSession.sql(
+            """
+            SELECT id,
+                   CASE WHEN COUNT(*) OVER run = COUNT(*) OVER peers THEN NULL
+                        ELSE (SUM(x) OVER run) - (SUM(x) OVER peers) END AS s
+            FROM t_exg
+            WINDOW run AS (PARTITION BY p ORDER BY d
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   peers AS (PARTITION BY p, d)
+            ORDER BY id
+            """
+        ).collect()
+        assert [(r.id, r.s) for r in emulated] == native

@@ -58,20 +58,34 @@ def best_of(fn, runs=3):
     return round(best, 3)
 
 
+BIG_DOCS = "/tmp/documents_10x"
+BIG_EMB = "/tmp/embeddings_10x"
+
+
+def _replicate(df, key_col: str, out: str, n: int = 10) -> None:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    copies = [
+        df.withColumn(key_col, F.col(key_col) + F.lit(i * 10_000_000)) for i in range(n)
+    ]
+    # 32 output files so the 10x scan parallelizes (the sf0.1 fixtures are
+    # single row groups — their scans are single-threaded by construction)
+    reduce(lambda a, b: a.unionByName(b), copies).repartition(32).write.parquet(out)
+
+
 def main() -> None:
     spark = get_spark("scaling_probe")
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     if not os.path.exists(BIG):
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
-        copies = [
-            li.withColumn("l_orderkey", li.l_orderkey + F.lit(i * 10_000_000)) for i in range(10)
-        ]
-        # 32 output files so the 10x scan parallelizes (the sf0.1 fixture is
-        # a single row group — its scan is single-threaded by construction)
-        reduce(lambda a, b: a.unionByName(b), copies).repartition(32).write.parquet(BIG)
+        _replicate(li, "l_orderkey", BIG)
+    if not os.path.exists(BIG_DOCS):
+        _replicate(docs, "doc_id", BIG_DOCS)
+    if not os.path.exists(BIG_EMB):
+        _replicate(emb, "vec_id", BIG_EMB)
 
     con = duckdb.connect()
     results = {}
@@ -87,8 +101,68 @@ def main() -> None:
                 "duckdb_s": d,
                 "ratio": round(s / d, 2),
             }
+
+    # --- LLM-pipeline shapes ------------------------------------------
+    # SimHash fingerprint stage (the throughput-critical map+agg of dedup;
+    # the pair stage is candidate-bound and non-linear under naive
+    # replication, so the probe rolls fingerprints up to one checksum row).
+    from steampipe_sqlite_spark.operators.dedup import simhash_fingerprints
+    from steampipe_sqlite_spark.plans.llm import (
+        _DD_COS,
+        _DD_H60,
+        _DD_SIMHASH_COUNTS,
+        _DD_SIMHASH_FP,
+        _DD_TOKS,
+    )
+
+    simhash_duck = f"""
+WITH toks AS (SELECT doc_id AS id, UNNEST({_DD_TOKS}) AS t FROM {{t}}),
+hashed AS (SELECT id, {_DD_H60.format(v='t')} AS h FROM toks),
+votes AS (SELECT id, COUNT(*) AS n, {_DD_SIMHASH_COUNTS} FROM hashed GROUP BY id),
+fps AS (SELECT id, {_DD_SIMHASH_FP} AS fp FROM votes)
+SELECT COUNT(*) AS n, SUM(fp) AS checksum FROM fps
+"""
+    for label, sdf, tduck in [
+        ("1x", docs, f"read_parquet('{SF_DIR}/documents.parquet')"),
+        ("10x", spark.read.parquet(BIG_DOCS), f"read_parquet('{BIG_DOCS}/*.parquet')"),
+    ]:
+        import pyspark.sql.functions as F
+
+        s = best_of(
+            lambda: simhash_fingerprints(sdf, "text", "doc_id", hash_family="md5")
+            .agg(F.count("*").alias("n"), F.sum("fp").alias("checksum"))
+            .collect()
+        )
+        d = best_of(lambda: con.execute(simhash_duck.format(t=tduck)).fetchall())
+        results[f"simhash_fp_{label}"] = {"spark_s": s, "duckdb_s": d, "ratio": round(s / d, 2)}
+
+    # Brute-force cosine top-k: workload is queries × corpus regardless of
+    # values, so replication scales it faithfully.
+    from steampipe_sqlite_spark.operators.similarity import brute_force_topk
+
+    knn_duck = f"""
+SELECT COUNT(*) FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DD_COS} DESC, b.vec_id) AS rank
+  FROM {{t}} a JOIN {{t}} b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+) t WHERE rank <= 5
+"""
+    for label, sdf, tduck in [
+        ("1x", emb, f"read_parquet('{SF_DIR}/embeddings.parquet')"),
+        ("10x", spark.read.parquet(BIG_EMB), f"read_parquet('{BIG_EMB}/*.parquet')"),
+    ]:
+        queries = sdf.filter(sdf.vec_id < 10)
+        s = best_of(
+            lambda: brute_force_topk(sdf, queries, "embedding", "vec_id", 5).count()
+        )
+        d = best_of(lambda: con.execute(knn_duck.format(t=tduck)).fetchall())
+        results[f"knn_brute_{label}"] = {"spark_s": s, "duckdb_s": d, "ratio": round(s / d, 2)}
+
     print(json.dumps(results))
-    shutil.rmtree(BIG, ignore_errors=True)
+    for path in (BIG, BIG_DOCS, BIG_EMB):
+        shutil.rmtree(path, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -116,11 +116,11 @@ def main() -> None:
     )
 
     simhash_duck = f"""
-WITH toks AS (SELECT doc_id AS id, UNNEST({_DD_TOKS}) AS t FROM {{t}}),
+WITH toks AS (SELECT doc_id AS id, UNNEST({_DD_TOKS}) AS t FROM __T__),
 hashed AS (SELECT id, {_DD_H60.format(v='t')} AS h FROM toks),
 votes AS (SELECT id, COUNT(*) AS n, {_DD_SIMHASH_COUNTS} FROM hashed GROUP BY id),
 fps AS (SELECT id, {_DD_SIMHASH_FP} AS fp FROM votes)
-SELECT COUNT(*) AS n, SUM(fp) AS checksum FROM fps
+SELECT COUNT(*) AS n, SUM(fp % 1000003) AS checksum FROM fps
 """
     for label, sdf, tduck in [
         ("1x", docs, f"read_parquet('{SF_DIR}/documents.parquet')"),
@@ -130,10 +130,10 @@ SELECT COUNT(*) AS n, SUM(fp) AS checksum FROM fps
 
         s = best_of(
             lambda: simhash_fingerprints(sdf, "text", "doc_id", hash_family="md5")
-            .agg(F.count("*").alias("n"), F.sum("fp").alias("checksum"))
+            .agg(F.count("*").alias("n"), F.sum(F.col("fp") % 1000003).alias("checksum"))
             .collect()
         )
-        d = best_of(lambda: con.execute(simhash_duck.format(t=tduck)).fetchall())
+        d = best_of(lambda: con.execute(simhash_duck.replace('__T__', tduck)).fetchall())
         results[f"simhash_fp_{label}"] = {"spark_s": s, "duckdb_s": d, "ratio": round(s / d, 2)}
 
     # Brute-force cosine top-k: workload is queries × corpus regardless of
@@ -145,7 +145,7 @@ SELECT COUNT(*) FROM (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id
                             ORDER BY {_DD_COS} DESC, b.vec_id) AS rank
-  FROM {{t}} a JOIN {{t}} b ON a.vec_id <> b.vec_id
+  FROM __T__ a JOIN __T__ b ON a.vec_id <> b.vec_id
   WHERE a.vec_id < 10
 ) t WHERE rank <= 5
 """
@@ -157,7 +157,7 @@ SELECT COUNT(*) FROM (
         s = best_of(
             lambda: brute_force_topk(sdf, queries, "embedding", "vec_id", 5).count()
         )
-        d = best_of(lambda: con.execute(knn_duck.format(t=tduck)).fetchall())
+        d = best_of(lambda: con.execute(knn_duck.replace('__T__', tduck)).fetchall())
         results[f"knn_brute_{label}"] = {"spark_s": s, "duckdb_s": d, "ratio": round(s / d, 2)}
 
     print(json.dumps(results))

@@ -515,3 +515,96 @@ GROUP BY n_name
 ORDER BY n_name
 """,
 )
+
+
+# --- SQLite json1 compat shims (functions/json_compat.py) -----------------
+# Semantics ground truth is the stdlib-sqlite3 parity suite
+# (tests/test_sqlite_compat.py::TestJsonCompat); these corpus entries give
+# the shims driver-level verification on real table data.
+
+from steampipe_sqlite_spark.plans.registry import query
+from steampipe_sqlite_spark.tables import load_table
+
+
+@query(
+    "json_sqlite_type_valid_quote",
+    oracle="""
+SELECT event_id,
+       lower(json_type(props)) AS t_root,
+       CASE lower(json_type(props, '$.k'))
+            WHEN 'ubigint' THEN 'integer' WHEN 'bigint' THEN 'integer'
+            ELSE lower(json_type(props, '$.k')) END AS t_k,
+       CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid,
+       json_quote(event_type) AS quoted
+FROM events ORDER BY event_id LIMIT 500
+""",
+)
+def json_sqlite_type_valid_quote_q(spark, sf_dir):
+    """json_type/json_valid/json_quote shims (JVM-side, variant-based) on
+    the events.props JSON column; DuckDB's json_type vocabulary is mapped
+    to SQLite's in the oracle (UBIGINT→integer)."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.functions.json_compat import (
+        json_quote,
+        json_type,
+        json_valid,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            json_type(F.col("props")).alias("t_root"),
+            json_type(F.col("props"), "$.k").alias("t_k"),
+            json_valid(F.col("props")).alias("is_valid"),
+            json_quote(F.col("event_type")).alias("quoted"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+@query(
+    "json_sqlite_mutators",
+    oracle="""
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS set_extra,
+       CAST(event_id AS VARCHAR) AS insert_noop,
+       NULL AS type_after_remove,
+       'en' AS lang_after_patch,
+       NULL AS type_after_patch
+FROM events ORDER BY event_id LIMIT 500
+""",
+)
+def json_sqlite_mutators_q(spark, sf_dir):
+    """json_set/insert/remove/patch shims end-to-end: mutate a JSON doc
+    built from table columns, then extract scalars back out.  The oracle
+    states the expected extractions INDEPENDENTLY from the base columns
+    (DuckDB has no json_set/insert/remove); byte-level mutation semantics
+    are proven against native sqlite3 in the parity suite."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.functions.json_compat import (
+        json_insert,
+        json_patch,
+        json_remove,
+        json_set,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    j = F.to_json(F.named_struct(F.lit("id"), F.col("event_id"), F.lit("type"), F.col("event_type")))
+    # literal: to_json(named_struct) DROPS null fields, losing the
+    # RFC-7386 "type":null deletion marker
+    patch = F.lit('{"type":null,"lang":"en"}')
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object(json_set(j, "$.extra", F.col("user_id")), "$.extra").alias("set_extra"),
+            F.get_json_object(json_insert(j, "$.id", F.lit(999)), "$.id").alias("insert_noop"),
+            F.get_json_object(json_remove(j, "$.type"), "$.type").alias("type_after_remove"),
+            F.get_json_object(json_patch(j, patch), "$.lang").alias("lang_after_patch"),
+            F.get_json_object(json_patch(j, patch), "$.type").alias("type_after_patch"),
+        )
+        .orderBy("event_id")
+    )

@@ -219,3 +219,175 @@ class TestWindowFrameEmulation:
             """
         ).collect()
         assert [(r.id, r.s) for r in emulated] == native
+
+
+class TestJsonCompat:
+    """json1 mutator/validator shims vs stdlib sqlite3 native json1
+    (functions/json_compat.py).  Same parity pattern as the date suite."""
+
+    DOCS = [
+        '{"a":1}',
+        '{"a":{"b":2},"c":[1,2,3]}',
+        '{"a":[1,2.5,"x"],"flag":true}',
+        "[10,20,30]",
+        '{"s":"hi \\"q\\""}',
+    ]
+
+    @pytest.fixture()
+    def sqlite_conn(self):
+        import sqlite3
+
+        return sqlite3.connect(":memory:")
+
+    @pytest.fixture()
+    def jdf(self, spark):
+        return spark.createDataFrame([(d,) for d in self.DOCS], "j string")
+
+    def _native(self, conn, expr):
+        return [
+            conn.execute(f"SELECT {expr}", (d,)).fetchone()[0] for d in self.DOCS
+        ]
+
+    def _spark(self, jdf, col):
+        return [r.out for r in jdf.select(col.alias("out")).collect()]
+
+    def test_json_valid(self, sqlite_conn, jdf, spark):
+        from steampipe_sqlite_spark.functions.json_compat import json_valid
+
+        import pyspark.sql.functions as F
+
+        bad = spark.createDataFrame([("nope",), ("",), ("2.5",), ("[1,",)], "j string")
+        for df in (jdf, bad):
+            docs = [r.j for r in df.select("j").collect()]
+            native = [
+                sqlite_conn.execute("SELECT json_valid(?)", (d,)).fetchone()[0]
+                for d in docs
+            ]
+            assert self._spark(df, json_valid(F.col("j"))) == native
+
+    def test_json_type_root_and_path(self, sqlite_conn, jdf):
+        from steampipe_sqlite_spark.functions.json_compat import json_type
+
+        import pyspark.sql.functions as F
+
+        assert self._spark(jdf, json_type(F.col("j"))) == self._native(
+            sqlite_conn, "json_type(?)"
+        )
+        assert self._spark(jdf, json_type(F.col("j"), "$.a")) == self._native(
+            sqlite_conn, "json_type(?, '$.a')"
+        )
+
+    def test_json_quote(self, sqlite_conn, spark):
+        from steampipe_sqlite_spark.functions.json_compat import json_quote
+
+        import pyspark.sql.functions as F
+
+        sdf = spark.createDataFrame([("plain",), ('with "q"',), (None,)], "s string")
+        vals = [r.s for r in sdf.select("s").collect()]
+        native = [
+            sqlite_conn.execute("SELECT json_quote(?)", (v,)).fetchone()[0]
+            for v in vals
+        ]
+        assert self._spark(sdf, json_quote(F.col("s"))) == native
+        idf = spark.createDataFrame([(7,), (25,)], "i int")
+        native_i = [
+            sqlite_conn.execute("SELECT json_quote(?)", (v,)).fetchone()[0]
+            for v in (7, 25)
+        ]
+        assert self._spark(idf, json_quote(F.col("i"))) == [str(v) for v in (7, 25)]
+        assert native_i == ["7", "25"]
+
+    @pytest.mark.parametrize(
+        "fn_name,path,value",
+        [
+            ("json_set", "$.a", 9),
+            ("json_set", "$.new", 1),
+            ("json_set", "$.a.b", 5),          # intermediate creation / scalar no-op
+            ("json_set", "$.c[1]", 99),
+            ("json_set", "$.c[3]", 4),          # append at len
+            ("json_set", "$.c[9]", 4),          # beyond len: no-op
+            ("json_insert", "$.a", 9),          # exists: no-op
+            ("json_insert", "$.zz", 3),
+            ("json_replace", "$.a", 9),
+            ("json_replace", "$.zz", 3),        # missing: no-op
+        ],
+    )
+    def test_mutators_match_native(self, sqlite_conn, jdf, fn_name, path, value):
+        import pyspark.sql.functions as F
+
+        from steampipe_sqlite_spark.functions import json_compat
+
+        native = [
+            sqlite_conn.execute(
+                f"SELECT {fn_name}(?, '{path}', ?)", (d, value)
+            ).fetchone()[0]
+            for d in self.DOCS
+        ]
+        fn = getattr(json_compat, fn_name)
+        got = self._spark(jdf, fn(F.col("j"), path, F.lit(value)))
+        # canonicalize: sqlite prints minimal whitespace like json.dumps(separators)
+        import json as pyjson
+
+        assert [pyjson.loads(g) for g in got] == [pyjson.loads(n) for n in native]
+
+    def test_json_remove_matches_native(self, sqlite_conn, jdf):
+        import json as pyjson
+
+        import pyspark.sql.functions as F
+
+        from steampipe_sqlite_spark.functions.json_compat import json_remove
+
+        for path in ("$.a", "$.c[1]", "$.zz"):
+            native = [
+                sqlite_conn.execute(
+                    f"SELECT json_remove(?, '{path}')", (d,)
+                ).fetchone()[0]
+                for d in self.DOCS
+            ]
+            got = self._spark(jdf, json_remove(F.col("j"), path))
+            assert [pyjson.loads(g) for g in got] == [pyjson.loads(n) for n in native]
+
+    def test_json_patch_matches_native(self, sqlite_conn, spark):
+        import json as pyjson
+
+        import pyspark.sql.functions as F
+
+        from steampipe_sqlite_spark.functions.json_compat import json_patch
+
+        cases = [
+            ('{"a":1,"b":2}', '{"b":null,"c":3}'),
+            ('{"a":{"x":1}}', '{"a":{"y":2}}'),
+            ("[1,2]", '{"a":1}'),
+            ('{"a":1}', "[9]"),
+        ]
+        native = [
+            sqlite_conn.execute("SELECT json_patch(?, ?)", c).fetchone()[0]
+            for c in cases
+        ]
+        pdf = spark.createDataFrame(cases, "t string, p string")
+        got = [r.out for r in pdf.select(json_patch(F.col("t"), F.col("p")).alias("out")).collect()]
+        assert [pyjson.loads(g) for g in got] == [pyjson.loads(n) for n in native]
+
+    def test_json_set_structured_value(self, sqlite_conn, spark):
+        import json as pyjson
+
+        import pyspark.sql.functions as F
+
+        from steampipe_sqlite_spark.functions.json_compat import json_set
+
+        native = sqlite_conn.execute(
+            "SELECT json_set('{\"a\":1}', '$.b', json('[1,2]'))"
+        ).fetchone()[0]
+        sdf = spark.createDataFrame([('{"a":1}',)], "j string")
+        got = sdf.select(
+            json_set(F.col("j"), "$.b", F.lit("[1,2]"), value_is_json=True).alias("out")
+        ).collect()[0].out
+        assert pyjson.loads(got) == pyjson.loads(native)
+
+    def test_bad_path_raises_at_build(self):
+        import pyspark.sql.functions as F
+
+        from steampipe_sqlite_spark.functions.json_compat import json_set
+
+        with pytest.raises(ValueError):
+            json_set(F.col("j"), "a.b", F.lit(1))

@@ -51,6 +51,7 @@ __all__ = [
     "json_replace",
     "json_remove",
     "json_patch",
+    "json_tree_udtf",
     "parse_json_path",
 ]
 
@@ -111,20 +112,6 @@ def json_quote(col: Column) -> Column:
 
 
 # --- Python-side mutators -------------------------------------------------
-
-
-def _resolve(doc: Any, steps: list[Any]) -> tuple[Any, bool]:
-    cur = doc
-    for s in steps:
-        if isinstance(s, str):
-            if not isinstance(cur, dict) or s not in cur:
-                return None, False
-            cur = cur[s]
-        else:
-            if not isinstance(cur, list) or s >= len(cur):
-                return None, False
-            cur = cur[s]
-    return cur, True
 
 
 def _mutate(doc: Any, steps: list[Any], value: Any, mode: str) -> tuple[Any, bool]:
@@ -282,3 +269,69 @@ def json_patch(col: Column, patch: Column) -> Column:
         return pd.Series(out, dtype=object)
 
     return pandas_udf(apply, StringType())(col, patch)
+
+
+# --- json_tree table-valued function (Python UDTF) ------------------------
+
+
+def _json_tree_rows(node: Any, key: Any, path: str, fullkey: str):
+    """Depth-first walk matching sqlite json_tree's visit order and column
+    conventions: containers carry their JSON text in `value` with NULL
+    `atom`; scalars carry the scalar in both (stringified — UDTF columns
+    are typed string; sqlite's id/parent rowid columns are omitted)."""
+    if isinstance(node, dict):
+        yield (None if key is None else str(key),
+               json.dumps(node, separators=(",", ":"), ensure_ascii=False),
+               "object", None, fullkey, path)
+        for k, v in node.items():
+            yield from _json_tree_rows(v, k, fullkey, f"{fullkey}.{k}")
+    elif isinstance(node, list):
+        yield (None if key is None else str(key),
+               json.dumps(node, separators=(",", ":"), ensure_ascii=False),
+               "array", None, fullkey, path)
+        for i, v in enumerate(node):
+            yield from _json_tree_rows(v, i, fullkey, f"{fullkey}[{i}]")
+    else:
+        if node is None:
+            t, s = "null", None
+        elif isinstance(node, bool):
+            t, s = ("true" if node else "false"), ("1" if node else "0")
+        elif isinstance(node, int):
+            t, s = "integer", str(node)
+        elif isinstance(node, float):
+            t, s = "real", repr(node)
+        else:
+            t, s = "text", str(node)
+        yield (None if key is None else str(key), s, t, s, fullkey, path)
+
+
+class JsonTreeUDTF:
+    """`json_tree(json)` as a Spark Python UDTF (SURVEY §2.3 UDF row) —
+    recursive JSON walk as a lateral table function:
+
+        spark.udtf.register("json_tree", json_tree_udtf())
+        spark.sql("SELECT t.* FROM docs, LATERAL json_tree(j) t")
+
+    Columns: key, value, type, atom, fullkey, path (sqlite's rowid-ish
+    id/parent columns omitted).  Ground truth: sqlite3 parity test.
+    """
+
+    def eval(self, j: str):  # noqa: D102 — contract is the class docstring
+        if j is None:
+            return
+        try:
+            doc = json.loads(j)
+        except (TypeError, json.JSONDecodeError):
+            return  # NULL-on-error convention: no rows
+        yield from _json_tree_rows(doc, None, "$", "$")
+
+
+def json_tree_udtf():
+    """Decorated UDTF class, built lazily (the decorator needs pyspark)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(
+        JsonTreeUDTF,
+        returnType="key string, value string, type string, atom string, "
+        "fullkey string, path string",
+    )

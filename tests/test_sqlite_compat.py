@@ -391,3 +391,53 @@ class TestJsonCompat:
 
         with pytest.raises(ValueError):
             json_set(F.col("j"), "a.b", F.lit(1))
+
+
+class TestJsonTree:
+    """json_tree UDTF vs stdlib sqlite3's native json_tree."""
+
+    DOC = '{"a":{"b":[1,"x"]},"c":2.5,"d":true,"e":null}'
+
+    def test_matches_native_walk(self, spark):
+        import sqlite3
+
+        from steampipe_sqlite_spark.functions.json_compat import json_tree_udtf
+
+        native = sqlite3.connect(":memory:").execute(
+            "SELECT key, value, type, atom, fullkey, path FROM json_tree(?)",
+            (self.DOC,),
+        ).fetchall()
+
+        spark.udtf.register("json_tree", json_tree_udtf())
+        got = spark.sql(
+            f"SELECT * FROM json_tree('{self.DOC}')"
+        ).collect()
+
+        def norm(rows):
+            out = []
+            for k, v, t, a, fk, p in rows:
+                s = lambda x: None if x is None else str(x)
+                # sqlite booleans surface as integer atoms 1/0 already
+                out.append((s(k), s(v), t, s(a), fk, p))
+            return out
+
+        assert norm([tuple(r) for r in got]) == norm(native)
+
+    def test_lateral_join(self, spark):
+        from steampipe_sqlite_spark.functions.json_compat import json_tree_udtf
+
+        spark.udtf.register("json_tree", json_tree_udtf())
+        spark.createDataFrame(
+            [(1, '{"x":1}'), (2, "[5]"), (3, "broken")], "id int, j string"
+        ).createOrReplaceTempView("jt_docs")
+        rows = spark.sql(
+            "SELECT id, t.fullkey, t.atom FROM jt_docs, "
+            "LATERAL json_tree(j) t ORDER BY id, t.fullkey"
+        ).collect()
+        # id=3 contributes no rows (invalid json)
+        assert [(r.id, r.fullkey, r.atom) for r in rows] == [
+            (1, "$", None),
+            (1, "$.x", "1"),
+            (2, "$", None),
+            (2, "$[0]", "5"),
+        ]

@@ -285,6 +285,34 @@ class Connector(ABC):
     def set_config(self, config: str) -> None:
         self.config = config
 
+    # -- retry (SDK RetryHydrate analog) -----------------------------------
+    def retry_policy(self) -> tuple[int, int, int] | None:
+        """(attempts, min_backoff_ms, max_backoff_ms) when the connection
+        config enables retry, else None.  Config keys: ``retry_attempts``
+        (extra attempts beyond the first), ``retry_min_backoff_ms``
+        (default 100), ``retry_max_backoff_ms`` (default 5000).  Backoff is
+        exponential and deterministic (min·2^attempt capped at max)."""
+        from steampipe_sqlite_spark.sources.config import parse_config
+
+        try:
+            cfg = parse_config(self.config)
+        except Exception:
+            return None
+        attempts = cfg.get("retry_attempts")
+        if not attempts:
+            return None
+        return (
+            int(attempts),
+            int(cfg.get("retry_min_backoff_ms", 100)),
+            int(cfg.get("retry_max_backoff_ms", 5000)),
+        )
+
+    def is_retriable_error(self, exc: Exception) -> bool:
+        """Which failures a retry may repair — transient-transport by
+        default; connectors override for their API's error taxonomy (the
+        SDK's shouldRetryError hook)."""
+        return isinstance(exc, (TimeoutError, ConnectionError, OSError))
+
     # -- rate limiting (SURVEY §7.5.5; SDK limiter analog) -----------------
     def throttle(self, n: float = 1.0) -> float:
         """Debit ``n`` API calls from this connection's per-process budget,

@@ -234,6 +234,37 @@ class ConnectorReader(DataSourceReader):
             batches, residual, cols = superset
             yield from serve_from_superset(batches, residual, cols, self.limit)
             return
+        retries = self.connector.retry_policy()
+        if retries is not None:
+            # SDK RetryHydrate analog: re-run the WHOLE scan on failure
+            # with exponential backoff.  Attempts are buffered before any
+            # yield — a mid-stream retry after partial output would
+            # duplicate rows (same reason the SDK retries the full
+            # hydrate call, never resumes one).
+            attempts, min_ms, max_ms = retries
+            import time as _time
+
+            last_exc: Exception | None = None
+            for attempt in range(attempts + 1):
+                if attempt:
+                    _time.sleep(min(max_ms, min_ms * (2 ** (attempt - 1))) / 1000.0)
+                try:
+                    self.connector.throttle()
+                    batches = list(
+                        self.connector.execute(
+                            self.table.name, self.quals, self.columns, self.limit, part
+                        )
+                    )
+                    break
+                except Exception as exc:  # noqa: BLE001 — connector errors are opaque
+                    last_exc = exc
+                    if not self.connector.is_retriable_error(exc):
+                        raise
+            else:
+                raise last_exc  # type: ignore[misc]
+            yield from batches
+            _SCAN_CACHE.put(key, batches)
+            return
         batches = []
         # one debit per partition scan; paging connectors additionally
         # call throttle() per page (SURVEY §7.5.5 — API limits × parallelism)

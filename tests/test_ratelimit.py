@@ -73,3 +73,84 @@ class TestConnectorThrottle:
         c.throttle()
         waited = c.throttle()
         assert waited > 0.0
+
+
+class TestRetry:
+    """SDK RetryHydrate analog: whole-scan retry with exponential backoff,
+    gated on the connector's retriable-error taxonomy."""
+
+    def _reader(self, conn):
+        from steampipe_sqlite_spark.sources import datasource as ds
+
+        ds._SCAN_CACHE.clear()
+        table = conn.get_schema().table("all_types")
+        return ds.ConnectorReader(conn, table, {})
+
+    def test_transient_failures_retried_to_success(self):
+        class Flaky(ChaosConnector):
+            calls = 0
+
+            def execute(self, *a, **kw):
+                Flaky.calls += 1
+                if Flaky.calls <= 2:
+                    raise ConnectionError("transient")
+                yield from super().execute(*a, **kw)
+
+        conn = Flaky()
+        conn.set_config('{"retry_attempts": 3, "retry_min_backoff_ms": 1}')
+        r = self._reader(conn)
+        rows = [x for b in r.read(r.partitions()[0]) for x in b.to_pylist()]
+        assert Flaky.calls == 3 and len(rows) > 0
+
+    def test_non_retriable_error_raises_immediately(self):
+        class Broken(ChaosConnector):
+            calls = 0
+
+            def execute(self, *a, **kw):
+                Broken.calls += 1
+                raise ValueError("logic bug")
+                yield  # pragma: no cover
+
+        conn = Broken()
+        conn.set_config('{"retry_attempts": 5, "retry_min_backoff_ms": 1}')
+        r = self._reader(conn)
+        with pytest.raises(ValueError):
+            list(r.read(r.partitions()[0]))
+        assert Broken.calls == 1
+
+    def test_attempts_exhausted_raises_last_error(self):
+        class AlwaysDown(ChaosConnector):
+            calls = 0
+
+            def execute(self, *a, **kw):
+                AlwaysDown.calls += 1
+                raise TimeoutError("down")
+                yield  # pragma: no cover
+
+        conn = AlwaysDown()
+        conn.set_config('{"retry_attempts": 2, "retry_min_backoff_ms": 1}')
+        r = self._reader(conn)
+        with pytest.raises(TimeoutError):
+            list(r.read(r.partitions()[0]))
+        assert AlwaysDown.calls == 3  # first + 2 retries
+
+    def test_backoff_waits_between_attempts(self):
+        class SlowFail(ChaosConnector):
+            calls = 0
+
+            def execute(self, *a, **kw):
+                SlowFail.calls += 1
+                if SlowFail.calls <= 2:
+                    raise ConnectionError("x")
+                yield from super().execute(*a, **kw)
+
+        conn = SlowFail()
+        conn.set_config('{"retry_attempts": 2, "retry_min_backoff_ms": 40}')
+        r = self._reader(conn)
+        t0 = time.monotonic()
+        list(r.read(r.partitions()[0]))
+        assert time.monotonic() - t0 >= 0.115  # 40 ms + 80 ms backoffs
+
+    def test_no_retry_config_streams_unbuffered(self):
+        conn = ChaosConnector()
+        assert conn.retry_policy() is None

@@ -792,3 +792,60 @@ def text_bigram_surprisal(spark, sf_dir):
         .agg(F.round(-F.sum("logp") / F.count(F.lit(1)), 4).alias("surprisal"))
         .orderBy("doc_id")
     )
+
+
+# --- pandas-UDF group statistics (operators/groupstats.py) ----------------
+
+
+@query(
+    "group_zscore_pandas",
+    oracle="""
+SELECT event_id,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS z
+FROM events
+ORDER BY event_id
+LIMIT 2000
+""",
+)
+def group_zscore_pandas_q(spark, sf_dir):
+    """Per-group z-score via groupBy().applyInPandas (the §2.3
+    applyInPandas surface), proven equal to the window-function SQL twin.
+    4-dp rounding absorbs pandas-vs-SQL summation-order ULP noise."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.groupstats import zscore_per_group
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        zscore_per_group(ev, ["event_type"], "value", "z")
+        .select("event_id", F.round("z", 4).alias("z"))
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@query(
+    "agg_gmean_pandas",
+    oracle="""
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))) , 4) AS gmean_value
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def agg_gmean_pandas_q(spark, sf_dir):
+    """Geometric mean as a grouped-aggregate pandas_udf, equal to the
+    exp(avg(ln x)) relational twin."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.groupstats import gmean_agg
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(gmean_agg("value"), 4).alias("gmean_value"))
+        .orderBy("event_type")
+    )

@@ -85,7 +85,11 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
+        # bypass the registry plan cache: a re-executed identical DataFrame
+        # object skips its completed shuffle stages (DAG-scheduler stage
+        # reuse), which would make runs 2..N measure shuffle reuse instead
+        # of query execution — not comparable to DuckDB's full re-runs.
+        fn = getattr(queries[name], "__wrapped__", queries[name])
         best = float("inf")
         for _ in range(RUNS):
             # drop persisted intermediates from prior runs: keeps each run

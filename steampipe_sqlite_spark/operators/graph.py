@@ -1,0 +1,100 @@
+"""Distributed graph operators for dedup clustering.
+
+``connected_components`` turns near-duplicate PAIRS (the output of the
+minhash/simhash/jaccard operators in dedup.py) into canonical GROUPS —
+the step a real training-data pipeline needs before it can keep one
+representative per cluster.  Pairs alone under-delete: if A~B and B~C but
+A!~C, keeping "first of each pair" drops B twice and keeps A and C even
+though they belong to one cluster.
+
+Algorithm: hash-min label propagation (the standard MapReduce CC
+formulation, cf. Kiveris et al. "Connected Components in MapReduce and
+Beyond", SOCC'14 — the simple variant, which converges in O(diameter)
+rounds; near-dup graphs are union-of-cliques-ish, so diameter is small).
+Each round is one shuffle (join labels to edges + min-aggregate); lineage
+is truncated every round with ``localCheckpoint`` so the plan doesn't grow
+exponentially across iterations.  No driver-side row state — the only
+driver values are the per-round changed-count (one scalar action), so the
+operator scales to any number of nodes/edges the cluster holds.
+
+On a real cluster, prefer ``spark.sparkContext.setCheckpointDir`` +
+``checkpoint`` over ``localCheckpoint`` for fault tolerance; local mode
+has no executor loss, so the cheap variant is used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list.
+
+    Returns ``(node, component)`` with ``component`` = the smallest node id
+    reachable from ``node`` (deterministic canonical label).  ``nodes``
+    optionally supplies isolated vertices (no incident edge) as a
+    single-column DataFrame named ``node``; they come back as their own
+    singleton components.
+
+    Raises ``RuntimeError`` if the labels have not converged after
+    ``max_iters`` rounds (diameter larger than max_iters — raise it).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    # Iterate ONLY over edge-incident nodes: in a near-dup graph the vast
+    # majority of vertices are isolated, and carrying them through every
+    # round's join/shuffle buys nothing — singletons are appended after
+    # convergence with one anti-join.
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+
+    def with_singletons(lab: DataFrame) -> DataFrame:
+        if nodes is None:
+            return lab
+        singles = (
+            nodes.select(F.col("node"))
+            .distinct()
+            .join(lab.select("node"), "node", "left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        return lab.unionByName(singles)
+
+    for _ in range(max_iters):
+        # min label among neighbors; NULL for isolated nodes
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            return with_singletons(labels)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )

@@ -210,6 +210,72 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+           FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+  FROM (SELECT doc_id, lang, source, {{toks}} AS toks FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+              greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1),
+              4) >= 0.3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+),
+comps AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size
+FROM comps ORDER BY doc_id
+""".format(toks=_DD_TOKS),
+)
+def dedup_components_q(spark, sf_dir):
+    """Near-duplicate CLUSTERS: word-3-gram Jaccard pairs (same edge set
+    as dedup_ngram_jaccard) closed transitively via distributed hash-min
+    connected components (operators/graph.py) — the keep-one-per-group
+    step pair lists alone can't deliver.  Canonical label = min doc_id in
+    the component; DuckDB's recursive CTE is the oracle for the closure."""
+    from pyspark.sql import Window
+
+    from steampipe_sqlite_spark.operators.dedup import ngram_jaccard_pairs
+    from steampipe_sqlite_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3
+    )
+    comps = connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    )
+    return (
+        comps.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+        )
+        .withColumn(
+            "component_size",
+            F.count(F.lit(1)).over(Window.partitionBy("component_id")),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # DuckDB twin of the md5 hash family in operators/dedup.py:_hash64 —
 # first 15 hex chars of md5 → 60-bit positive BIGINT (cross-engine parity
 # proven by the HLL sketch rows).

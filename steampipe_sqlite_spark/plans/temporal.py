@@ -112,3 +112,64 @@ def window_rollup_hierarchy(spark, sf_dir):
         )
     )
     return day.orderBy("day_start", "event_type")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+""",
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization: per-user event runs split on >30 min inactivity
+    gaps — the canonical event-stream segmentation (same semantics as
+    Structured Streaming's session window, computed batch-side).  One
+    shuffle on user_id feeds BOTH the gap-flag window and the session
+    aggregate; value totals use integer cents so the hash is
+    summation-order-proof."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = events.withColumn(
+        "is_new",
+        F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )

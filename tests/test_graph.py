@@ -1,0 +1,37 @@
+"""connected_components (operators/graph.py): hash-min label propagation.
+
+Ground truth is hand-computed on small graphs; the corpus-level oracle
+(dedup_components vs DuckDB's recursive CTE) covers the real-data path.
+"""
+
+import pytest
+
+from steampipe_sqlite_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, nodes=None, **kw):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    n = spark.createDataFrame([(x,) for x in nodes], ["node"]) if nodes else None
+    rows = connected_components(e, nodes=n, **kw).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_two_components_min_label(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_converges_past_one_hop(spark):
+    # a path graph needs multiple propagation rounds (diameter > 1)
+    got = _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    assert set(got.values()) == {1}
+
+
+def test_isolated_nodes_are_singletons(spark):
+    got = _cc(spark, [(1, 2)], nodes=[1, 2, 7, 9])
+    assert got == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)], max_iters=1)

@@ -38,3 +38,22 @@ def normalize(a: Column) -> Column:
     """Unit-normalize an array<float> into array<double>."""
     n = norm(a)
     return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def quantize_int8(a: Column) -> Column:
+    """Symmetric int8 quantization: q_i = round(x_i · 127/max|x|), values
+    in [-127, 127] (stored as long here; cast tinyint at the storage
+    boundary).  The 100 TB story: a 4× (vs float32) memory/IO cut for
+    embedding stores, and integer dot products — cosine over quantized
+    vectors is scale-invariant, so similarity search needs no dequant.
+
+    All arithmetic (one double multiply + round per element) is exactly
+    reproducible in DuckDB; downstream integer sums are order-independent,
+    so quantized-cosine queries hash-match without rounding guards.
+    """
+    mx = F.greatest(
+        F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    scale = F.lit(127.0) / mx
+    return F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))

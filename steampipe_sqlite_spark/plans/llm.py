@@ -408,6 +408,46 @@ def knn_bruteforce_q(spark, sf_dir):
 
 
 @query(
+    "knn_cosine_int8",
+    oracle="""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> round(x * (127.0 / greatest(
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          y -> abs(y))), 1e-30)))) AS qv
+  FROM embeddings
+),
+n AS (SELECT vec_id, qv, sqrt(list_inner_product(qv, qv)) AS qn FROM qz)
+SELECT query_id, neighbor_id, cosine_q, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_inner_product(a.qv, b.qv) / (a.qn * b.qn), 4) AS cosine_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_inner_product(a.qv, b.qv) / (a.qn * b.qn), 4)
+                      DESC, b.vec_id) AS rank
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def knn_int8_q(spark, sf_dir):
+    """Cosine top-5 over symmetric-int8-quantized embeddings (4× smaller
+    corpus at scale; integer dot products).  Quantized cosine is
+    scale-invariant — no dequantization — and integer sums are exact in
+    both engines, so this is fully hash-checkable."""
+    from steampipe_sqlite_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return int8_topk(emb, queries, "embedding", "vec_id", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
     "emb_neardup_cosine",
     oracle=f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DD_COS} AS cosine

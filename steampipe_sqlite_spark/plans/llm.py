@@ -77,6 +77,65 @@ def text_quality_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "text_gopher_flags",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_DD_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks) AS word_count,
+       (len(toks) BETWEEN 50 AND 100000) AS wc_ok,
+       (length(text) * 1.0 / greatest(len(toks), 1) BETWEEN 3.0 AND 13.0) AS mwl_ok,
+       (len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0
+          / greatest(len(toks), 1) >= 0.8) AS alpha_ok,
+       (len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0
+          / greatest(len(toks), 1) <= 0.1) AS symbol_ok,
+       ((len(toks) BETWEEN 50 AND 100000)
+        AND (length(text) * 1.0 / greatest(len(toks), 1) BETWEEN 3.0 AND 13.0)
+        AND (len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0
+               / greatest(len(toks), 1) >= 0.8)
+        AND (len(regexp_extract_all(text, '#|\\.\\.\\.')) * 1.0
+               / greatest(len(toks), 1) <= 0.1)) AS pass_all
+FROM t
+ORDER BY doc_id
+""",
+)
+def text_gopher_flags(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count band, mean-word-length band, alphabetic-word ratio,
+    symbol-to-word ratio — per-rule flags plus the conjunction, so a
+    pipeline can both filter and audit WHY a document fell out.  Pure
+    JVM regex/array expressions, one projection, no shuffle."""
+    from steampipe_sqlite_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    wc = F.size(toks)
+    mwl = F.length("text").cast("double") / F.greatest(wc, F.lit(1))
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double")
+        / F.greatest(wc, F.lit(1)).cast("double")
+    )
+    symbol_ratio = (
+        F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("double")
+        / F.greatest(wc, F.lit(1)).cast("double")
+    )
+    wc_ok = (wc >= 50) & (wc <= 100000)
+    mwl_ok = (mwl >= 3.0) & (mwl <= 13.0)
+    alpha_ok = alpha_ratio >= 0.8
+    symbol_ok = symbol_ratio <= 0.1
+    return docs.select(
+        "doc_id",
+        wc.cast("long").alias("word_count"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (wc_ok & mwl_ok & alpha_ok & symbol_ok).alias("pass_all"),
+    ).orderBy("doc_id")
+
+
 def _dd_stop_hits(lang_words: list[str]) -> str:
     arr = "[" + ",".join(f"'{w}'" for w in lang_words) + "]"
     return f"len(list_filter({_DD_TOKS}, t -> list_contains({arr}, t)))"

@@ -77,6 +77,62 @@ def text_quality_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Deterministic PII injection (the synthetic corpus has none): every 7th
+# doc gains an email + phone derived from doc_id, so the redaction rules
+# have real positives to scrub — same construction on both engines.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com or +1 (555) 010-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                          '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+FROM seeded
+ORDER BY doc_id
+""",
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing: email/phone detection counts plus the md5 of the
+    fully redacted text (compact value proof that both engines rewrote
+    the same spans).  Pure JVM regexp_count/regexp_replace — shuffle-free
+    map work, which is exactly what a 100 TB scrub pass must be."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', doc_id,"
+            " '@example.com or +1 (555) 010-',"
+            " lpad(cast(doc_id % 10000 as string), 4, '0')) ELSE text END"
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "[EMAIL]"),
+                _PII_PHONE,
+                "[PHONE]",
+            )
+        ).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 @query(
     "text_gopher_flags",
     oracle=f"""

@@ -77,6 +77,149 @@ def text_quality_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "text_decontaminate",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i+7), ' ')
+           FOR i IN range(1, greatest(len(toks)-7, 1)+1)]) AS grams
+  FROM (SELECT doc_id, {{toks}} AS toks FROM documents)
+),
+bench AS (SELECT DISTINCT UNNEST(grams) AS g FROM t WHERE doc_id < 20),
+corpus AS (SELECT doc_id, UNNEST(grams) AS g FROM t WHERE doc_id >= 20),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_overlap
+  FROM corpus c JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       (COALESCE(h.n_overlap, 0) > 0) AS contaminated
+FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.doc_id >= 20
+ORDER BY t.doc_id
+""".format(toks=_DD_TOKS),
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C style, 8-gram scale-down
+    for the short synthetic docs): count each corpus document's distinct
+    word-8-grams that also occur in the benchmark set (doc_id < 20 stands
+    in for an eval suite).  The benchmark gram set is tiny → broadcast; the
+    corpus side is map + broadcast-semi-join + one aggregation shuffle —
+    no all-pairs anything, the shape a 100 TB decontamination pass needs."""
+    from steampipe_sqlite_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", word_ngrams(F.col("text"), 8).alias("grams"))
+    bench = (
+        grams.filter(F.col("doc_id") < 20)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") >= 20)
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || '. Subscribe to our newsletter for updates. All rights reserved'
+              ELSE text END AS text2
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(text2, '. ') AS sents FROM seeded),
+tot AS (SELECT COUNT(*) AS n_docs FROM seeded),
+s AS (
+  SELECT doc_id, i AS pos, sents[i] AS sent
+  FROM sp, UNNEST(generate_series(1, len(sents))) AS t(i)
+),
+freq AS (SELECT sent, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY sent),
+boil AS (SELECT sent FROM freq, tot WHERE nd >= 0.05 * n_docs),
+kept AS (SELECT * FROM s WHERE sent NOT IN (SELECT sent FROM boil)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(sent, '. ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT sp.doc_id,
+       len(sp.sents) AS n_sents,
+       len(sp.sents) - COALESCE(a.n_kept, 0) AS n_removed,
+       COALESCE(a.clean_md5, md5('')) AS clean_md5
+FROM sp LEFT JOIN agg a ON sp.doc_id = a.doc_id
+ORDER BY sp.doc_id
+""",
+)
+def text_boilerplate_strip(spark, sf_dir):
+    """C4-style boilerplate removal: sentences occurring in ≥5% of
+    documents (a deterministic footer is planted on every 3rd doc, since
+    the synthetic corpus has no natural repeats) are stripped from every
+    document, order-preserving.  Corpus-frequency pass = one sentence
+    shuffle; the boilerplate set is tiny → broadcast anti-join; the md5 of
+    the reassembled text proves byte-identical cleanup cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN concat(text,"
+            " '. Subscribe to our newsletter for updates. All rights reserved')"
+            " ELSE text END"
+        ).alias("text2"),
+    )
+    sp = seeded.select("doc_id", F.split("text2", r"\. ").alias("sents"))
+    total = sp.select(F.count(F.lit(1)).alias("n_docs"))
+    s = sp.select("doc_id", F.posexplode("sents").alias("pos", "sent"))
+    freq = s.groupBy("sent").agg(F.countDistinct("doc_id").alias("nd"))
+    boil = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("nd") >= 0.05 * F.col("n_docs"))
+        .select("sent")
+    )
+    kept = s.join(F.broadcast(boil), "sent", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                    lambda x: x["sent"],
+                ),
+                ". ",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        sp.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("sents").cast("long").alias("n_sents"),
+            (F.size("sents").cast("long") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Deterministic PII injection (the synthetic corpus has none): every 7th
 # doc gains an email + phone derived from doc_id, so the redaction rules
 # have real positives to scrub — same construction on both engines.

@@ -89,3 +89,40 @@ def compat_date_functions(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "compat_scalar_misc",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal > 0 THEN 'credit' ELSE 'debit' END AS iif_side,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       instr(c_name, '0') AS zero_pos,
+       printf('%s#%05d', c_mktsegment, c_custkey) AS tag,
+       CAST(sign(c_acctbal) AS BIGINT) AS bal_sign,
+       octet_length(encode(c_name)) AS name_bytes,
+       unicode(c_name) AS first_cp
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def compat_scalar_misc(spark, sf_dir):
+    """SQLite scalar-misc surface (iif / ifnull / nullif / instr / printf /
+    sign / octet_length / unicode), each mapped to its Spark built-in
+    (if, coalesce, nullif, instr, format_string, sign, octet_length,
+    ascii) — all JVM-side, whole-stage codegen, no UDFs.  DuckDB shares
+    the C-style printf and SQLite's instr/unicode semantics, so the oracle
+    is direct."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr("if(c_acctbal > 0, 'credit', 'debit')").alias("iif_side"),
+        F.expr("coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')").alias(
+            "seg_or_other"
+        ),
+        F.expr("instr(c_name, '0')").cast("long").alias("zero_pos"),
+        F.expr("format_string('%s#%05d', c_mktsegment, c_custkey)").alias("tag"),
+        F.expr("cast(sign(c_acctbal) as bigint)").alias("bal_sign"),
+        F.expr("octet_length(c_name)").cast("long").alias("name_bytes"),
+        F.expr("ascii(c_name)").cast("long").alias("first_cp"),
+    ).orderBy("c_custkey")

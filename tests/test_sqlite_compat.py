@@ -441,3 +441,38 @@ class TestJsonTree:
             (2, "$", None),
             (2, "$[0]", "5"),
         ]
+
+
+class TestScalarMisc:
+    """The compat_scalar_misc mappings (iif/ifnull/nullif/instr/printf/
+    sign/unicode) reproduce stdlib sqlite3 byte-for-byte on sample values."""
+
+    SAMPLES = [
+        ("Customer#000000042", "BUILDING", 711.56),
+        ("Customer#000000007", "AUTOMOBILE", -272.6),
+        ("Ωmega#01", "MACHINERY", 0.0),
+    ]
+
+    def test_scalar_misc_matches_sqlite(self, spark):
+        con = sqlite3.connect(":memory:")
+        rows = []
+        for name, seg, bal in self.SAMPLES:
+            rows.append(
+                con.execute(
+                    "SELECT iif(? > 0, 'credit', 'debit'),"
+                    " coalesce(nullif(?, 'BUILDING'), 'OTHER'),"
+                    " instr(?, '0'), printf('%s#%05d', ?, 42),"
+                    " sign(?), unicode(?)",
+                    (bal, seg, name, seg, bal, name),
+                ).fetchone()
+            )
+        df = spark.createDataFrame(self.SAMPLES, ["name", "seg", "bal"])
+        got = df.select(
+            F.expr("if(bal > 0, 'credit', 'debit')"),
+            F.expr("coalesce(nullif(seg, 'BUILDING'), 'OTHER')"),
+            F.expr("instr(name, '0')"),
+            F.expr("format_string('%s#%05d', seg, 42)"),
+            F.expr("cast(sign(bal) as bigint)"),
+            F.expr("ascii(name)"),
+        ).collect()
+        assert [tuple(r) for r in got] == rows

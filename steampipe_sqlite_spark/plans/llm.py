@@ -1063,6 +1063,81 @@ def sample_stratified_md5(spark, sf_dir):
 
 
 @query(
+    "sample_balanced_per_group",
+    oracle="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) t
+WHERE rk <= 20
+ORDER BY lang, doc_id
+""",
+)
+def sample_balanced_per_group(spark, sf_dir):
+    """Balanced subsample: exactly min(20, group size) docs per language,
+    chosen by md5 rank — deterministic across engines/partitionings where
+    seeded RNG is not, and it yields a FIXED per-class budget (class
+    rebalancing) where the hash-gate sampler keeps a fixed fraction.
+    One shuffle on the group key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "pack_length_buckets",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         ntile(16) OVER (ORDER BY n_chars, doc_id) AS bucket
+  FROM documents
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_len, MAX(n_chars) AS max_len,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS BIGINT) AS padding_waste
+FROM t GROUP BY bucket ORDER BY bucket
+""",
+)
+def pack_length_buckets(spark, sf_dir):
+    """Length-bucketed batching: documents ntile'd into 16 length buckets
+    so fixed-shape training batches pad to the BUCKET max, not the global
+    max — padding_waste quantifies the saving.  A global sort feeds ntile
+    (range-partitioned, no single-node bottleneck); at 100 TB the same
+    statistics come from a quantile sketch instead of a full sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    t = docs.select("doc_id", "n_chars", F.ntile(16).over(w).alias("bucket"))
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_len"),
+            F.max("n_chars").alias("max_len"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.max("n_chars") * F.count(F.lit(1)) - F.sum("n_chars")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
     "dataset_mixing_weights",
     oracle="""
 SELECT source, COUNT(*) AS n_kept

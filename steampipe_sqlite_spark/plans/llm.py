@@ -1063,6 +1063,107 @@ def sample_stratified_md5(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental",
+    oracle="""
+WITH hist AS (
+  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\x{4e00}-\\x{9fff} ]',' ','g'),'\\s+',' ','g'))) AS fp
+  FROM documents WHERE doc_id < 250
+),
+batch AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\x{4e00}-\\x{9fff} ]',' ','g'),'\\s+',' ','g'))) AS fp
+  FROM documents WHERE doc_id >= 250
+)
+SELECT b.source,
+       COUNT(*) AS n_new,
+       COUNT(*) FILTER (WHERE h.fp IS NOT NULL) AS n_dup_vs_history,
+       MIN(b.doc_id) AS first_new
+FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+GROUP BY b.source
+ORDER BY b.source
+""",
+)
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental-ingestion dedup: an arriving batch (doc_id >= 250) is
+    checked against the HISTORICAL fingerprint store (doc_id < 250 stands
+    in) — the daily-pipeline shape where history is a bucketed fingerprint
+    table and the join is fingerprint-colocated, never a rescan of the
+    historical corpus.  Same md5(normalized) fingerprint as dedup_exact."""
+    from steampipe_sqlite_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    return (
+        batch.join(hist, "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.count("in_hist").alias("n_dup_vs_history"),
+            F.min("doc_id").alias("first_new"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "profile_documents",
+    oracle="""
+SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(doc_id) AS n_null,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+       MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+       MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+ORDER BY col
+""",
+)
+def profile_documents(spark, sf_dir):
+    """Dataset profiler: per-column row/null/distinct counts and min/max —
+    the health-check pass run before a corpus enters training.  One scan,
+    one aggregation (all four column profiles fold in a single groupBy-less
+    agg, then pivot to rows), values stringified for a uniform schema."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in ["doc_id", "lang", "source", "n_chars"]:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    parts = ", ".join(
+        f"struct('{c}' as col, {c}__rows as n_rows, {c}__null as n_null,"
+        f" {c}__distinct as n_distinct, {c}__min as min_val, {c}__max as max_val)"
+        for c in ["doc_id", "lang", "source", "n_chars"]
+    )
+    return (
+        wide.select(F.expr(f"inline(array({parts}))"))
+        .orderBy("col")
+    )
+
+
+@query(
     "sample_balanced_per_group",
     oracle="""
 SELECT lang, doc_id FROM (

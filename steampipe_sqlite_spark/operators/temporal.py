@@ -114,3 +114,44 @@ def range_join_binned(
         (F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) < F.col(right_hi))
     )
     return joined.drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval × interval overlap join (``l_lo < r_hi AND r_lo < l_hi``,
+    half-open) without a nested loop: both interval sets explode to their
+    covered time bins and hash-equi-join on the bin.
+
+    Each overlapping pair shares the bin of the LATER start, so the join
+    keeps only that one bin per pair (``_bin == greatest(floor(l_lo/bin),
+    floor(r_lo/bin))``) — pairs emerge exactly once with no dedup shuffle.
+    Fan-out per row = ceil(span/bin) + 1; cost stays linear in rows ×
+    fan-out, never |left| × |right|.
+    """
+    def binned(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
+        e_lo = F.unix_timestamp(F.col(lo).cast("timestamp"))
+        e_hi = F.unix_timestamp(F.col(hi).cast("timestamp"))
+        return df.withColumn(
+            f"_{tag}_start_bin", F.floor(e_lo / bin_seconds)
+        ).withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(F.floor(e_lo / bin_seconds), F.floor(e_hi / bin_seconds))
+            ),
+        )
+
+    lb = binned(left, left_lo, left_hi, "l")
+    rb = binned(right, right_lo, right_hi, "r")
+    joined = lb.join(rb, on="_bin").filter(
+        (F.col("_bin") == F.greatest("_l_start_bin", "_r_start_bin"))
+        & (F.col(left_lo) < F.col(right_hi))
+        & (F.col(right_lo) < F.col(left_hi))
+    )
+    return joined.drop("_bin", "_l_start_bin", "_r_start_bin")

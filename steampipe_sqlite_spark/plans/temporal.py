@@ -7,7 +7,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from steampipe_sqlite_spark.operators.temporal import asof_join, range_join_binned
+from steampipe_sqlite_spark.operators.temporal import (
+    asof_join,
+    interval_overlap_join,
+    range_join_binned,
+)
 from steampipe_sqlite_spark.plans.registry import query
 from steampipe_sqlite_spark.tables import load_table
 
@@ -172,4 +176,42 @@ def sessionize_events(spark, sf_dir):
             ).alias("total_value"),
         )
         .orderBy("user_id", "session_idx")
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+SELECT s.event_id AS signup_id, COUNT(*) AS n_overlaps
+FROM (SELECT event_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+      FROM events WHERE event_type = 'signup') s
+JOIN (SELECT ts AS lo, ts + INTERVAL 1 HOUR AS hi
+      FROM events WHERE event_type = 'purchase') p
+  ON s.lo < p.hi AND p.lo < s.hi
+GROUP BY s.event_id
+ORDER BY signup_id
+""",
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (signup 2h windows vs purchase 1h
+    windows) as a binned hash equi-join: each pair is emitted exactly once
+    in the bin of the later start — no nested loop, no dedup shuffle.
+    DuckDB executes the plain inequality join as the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("s_hi"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOURS")).alias("p_hi"),
+    )
+    joined = interval_overlap_join(
+        signups, purchases, "s_lo", "s_hi", "p_lo", "p_hi", bin_seconds=7200
+    )
+    return (
+        joined.groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("signup_id")
     )

@@ -50,7 +50,11 @@ def test_dynamic_partition_pruning_via_join(spark, parted):
         .select(F.col("d").cast("date").alias("d"))
         .filter(F.col("d") > "2020-01-01")
     )
-    joined = fact.join(dim, fact.day == dim.d).groupBy("day").count()
+    # createDataFrame plans as Scan ExistingRDD with no static size stats,
+    # so without AQE runtime stats it would never qualify for broadcast —
+    # and DPP (reuseBroadcastOnly) rides the broadcast exchange. Hint it,
+    # as any selective dim at scale should be.
+    joined = fact.join(F.broadcast(dim), fact.day == dim.d).groupBy("day").count()
     rows = {str(r.day): r["count"] for r in joined.collect()}
     expected = {
         str(r.day): r["count"]

@@ -108,6 +108,12 @@ def test_aqe_splits_skewed_join(spark):
     conf = spark.conf
     old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    # session.py auto-disables AQE below 1 GiB of input; this test drives
+    # the ≥1 GiB behavior, so force it on (runtime-settable).
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.shuffle.partitions", "32")
     conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
     conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
     try:
@@ -119,6 +125,8 @@ def test_aqe_splits_skewed_join(spark):
         assert "skewed" in plan, "no skewed AQEShuffleRead"
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
         conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 

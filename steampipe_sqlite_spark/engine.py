@@ -190,8 +190,13 @@ class Engine:
         for config in configs:
             if config is None:
                 continue
-            if not isinstance(config, str):
-                raise TypeError("expected a TEXT argument")  # configure_fn.go:46-66
+            if isinstance(config, (bytes, bytearray)):
+                # BLOB argument accepted alongside TEXT, decoded to the
+                # config string (configure_fn.go:55-60: SQLITE_BLOB →
+                # string(values[0].Blob()))
+                config = bytes(config).decode("utf-8")
+            elif not isinstance(config, str):
+                raise TypeError("expected a TEXT or BLOB argument")  # configure_fn.go:46-66
             self.configure(alias, config)
         return self.spark.createDataFrame(
             [(None,) for _ in configs],

@@ -488,13 +488,18 @@ ORDER BY o_orderpriority
 
 
 # --- array functions (collect/sort/slice/join/contains) -------------------
+# The array intermediates (collect_set → sort_array → slice) are the point
+# of the query; the RESULT columns are serialized with array_join because
+# the driver's pandas-based value hasher cannot hash raw list cells
+# (unhashable type: 'list' — failed rounds 1 and 2).  Driver-hashable
+# output is part of the oracle contract.
 sql_query(
     "agg_array_ops",
     """
 SELECT n_name,
-       sort_array(collect_set(c_mktsegment)) AS segs,
+       array_join(sort_array(collect_set(c_mktsegment)), '|') AS segs,
        size(collect_set(c_mktsegment)) AS n_segs,
-       slice(sort_array(collect_set(c_mktsegment)), 1, 3) AS first3,
+       array_join(slice(sort_array(collect_set(c_mktsegment)), 1, 3), '|') AS first3,
        array_join(sort_array(collect_set(c_mktsegment)), '|') AS joined,
        array_contains(collect_set(c_mktsegment), 'BUILDING') AS has_building
 FROM customer
@@ -504,9 +509,9 @@ ORDER BY n_name
 """,
     oracle="""
 SELECT n_name,
-       list_sort(list(DISTINCT c_mktsegment)) AS segs,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segs,
        len(list(DISTINCT c_mktsegment)) AS n_segs,
-       list_sort(list(DISTINCT c_mktsegment))[1:3] AS first3,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment))[1:3], '|') AS first3,
        array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS joined,
        list_contains(list(DISTINCT c_mktsegment), 'BUILDING') AS has_building
 FROM customer

@@ -121,34 +121,41 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 
 # The external driver verifies the FIRST 50 registered queries per round
-# (VERDICT r1).  146 queries / 50 slots → rotate the verified window across
-# rounds; this round's window must prove the round-1 fixes:
-#   (a) the 4 rows repaired this round (new md5-family oracles + the
-#       curation_pipeline type alignment),
-#   (b) the 24 rows that failed round 1 only via the vanilla-session
-#       nanos bug (str/date/math/json/tvf/agg + sketch_hll_users),
-#   (c) a flagship relational sample (headline TPC-H, join family,
-#       windows, set ops, CTEs) — the surface round 1 never verified;
-#       the rest of TPC-H rotates into later rounds' windows.
+# (VERDICT r1).  147 queries / 50 slots → rotate the verified window across
+# rounds.  Round-3 window (VERDICT r2 #4): the never-driver-verified
+# remainder — 57 names are cumulatively green from rounds 1–2 and stay
+# out; the 13 round-2 ts-bug victims also stay out (their fix is proven by
+# pytest + the fresh events-based names below: sessionize_events and the
+# streaming path).  Families: the 16 unverified TPC-H queries, the join
+# family, orderby, set ops, grouping cube/sets, lineitem-based window
+# functions, subqueries, values/unpivot, graph/ANN/text/sample/multimodal
+# LLM ops, and streaming_tumbling_1h (round-2's silent wrong answer —
+# explicit done-criterion that its rows_match lands green).
 _WINDOW_PRIORITY = [
-    # (a) round-1 failures fixed by this round's changes
-    "dedup_minhash_lsh", "dedup_simhash", "knn_cosine_lsh", "curation_pipeline",
-    # (b) nanos-bug victims (all code untouched; fix is tables.py)
-    "str_basics", "str_search", "str_concat_format", "str_regexp",
-    "str_hex_char_translate", "date_extract_parts", "date_trunc_buckets",
-    "date_arithmetic", "date_format_epoch", "math_basics",
-    "math_transcendental", "cond_case_coalesce", "cast_try_cast",
-    "json_extract_scalar", "json_build_and_length", "json_group_array",
-    "json_group_object", "json_variant_extract", "tvf_sequence_explode",
-    "tvf_json_each", "scalar_greatest_least", "agg_percentiles_median",
-    "agg_array_ops", "sketch_hll_users",
-    # (c) flagship relational sample
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q18",
-    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
-    "join_asof_events", "win_running_sum", "win_range_frame",
-    "setop_except", "cte_multi", "cte_recursive", "group_rollup",
-    "subq_not_in", "window_tumbling_1h", "agg_filter_clause",
-    "pivot_status_by_flag", "dedup_exact",
+    # TPC-H remainder (q1/q3/q5/q6/q9/q18 verified in r2)
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # join family remainder
+    "join_right_outer", "join_cross", "join_theta_range",
+    "join_using_natural", "join_broadcast_hint", "join_nullsafe_eq",
+    # order/limit, set ops, grouping
+    "orderby_limit_offset", "orderby_nulls_last",
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
+    "group_cube", "group_grouping_sets",
+    # window functions (lineitem/orders-based)
+    "win_row_number_topk", "win_rank_family", "win_ntile", "win_lag_lead",
+    "win_first_last_nth", "win_sliding_rows", "win_agg_over_unbounded",
+    # subqueries
+    "subq_scalar_uncorrelated", "subq_scalar_correlated", "subq_in",
+    "subq_derived_table",
+    # VALUES / unpivot
+    "values_inline", "unpivot_stack",
+    # LLM-pipeline + temporal + streaming (events-based names here prove
+    # the round-3 ts fix on never-windowed queries)
+    "sessionize_events", "dedup_components", "knn_cosine_int8",
+    "text_decontaminate", "text_gopher_flags", "sample_balanced_per_group",
+    "mm_media_inventory", "streaming_tumbling_1h",
 ]
 
 

@@ -155,10 +155,14 @@ def sessionize_events(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # timestamp difference as a day-time interval: valid for both TIMESTAMP
+    # and TIMESTAMP_NTZ ts (NTZ forbids cast-to-long, so no epoch math)
+    gap = F.col("ts") - F.lag("ts").over(w)
     flagged = events.withColumn(
         "is_new",
-        F.when(gap_s.isNull() | (gap_s > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     sess = flagged.withColumn(
         "session_idx",

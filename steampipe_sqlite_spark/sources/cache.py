@@ -51,6 +51,48 @@ def cache_max_ttl_s() -> int:
         return DEFAULT_MAX_TTL_S
 
 
+def connection_cache_options(
+    config: str | None,
+) -> tuple[bool | None, int | None, int | None]:
+    """Per-connection cache overrides carried in the connection config.
+
+    Reference parity: the connection config travels inside every
+    ExecuteRequest (/root/reference/register.go:52-64,
+    configure_fn.go:70-96), and the plugin SDK honors connection-level
+    ``cache``/``cache_ttl`` options from it; ``MaxCacheSizeMb`` rides the
+    SetAllConnectionConfigs request.  Here the same three knobs are read
+    from the (JSON or HCL) connection config:
+
+    - ``cache``: bool — enable/disable caching for this connection only;
+    - ``cache_ttl``: seconds — per-connection TTL, capped by the
+      process-level STEAMPIPE_CACHE_MAX_TTL like the server default;
+    - ``cache_max_size_mb``: per-connection byte budget inside the shared
+      process cache (LRU-evicted independently per connection).
+
+    Returns (enabled, ttl_s, max_bytes) with None meaning "no override".
+    Unparseable configs yield no overrides — cache options must never take
+    down a scan.
+    """
+    if not config:
+        return None, None, None
+    try:
+        from steampipe_sqlite_spark.sources.config import parse_config
+
+        d = parse_config(config)
+    except Exception:  # noqa: BLE001
+        return None, None, None
+    enabled = d.get("cache") if isinstance(d.get("cache"), bool) else None
+    ttl = d.get("cache_ttl")
+    ttl_s = int(ttl) if isinstance(ttl, (int, float)) and not isinstance(ttl, bool) and ttl > 0 else None
+    mb = d.get("cache_max_size_mb")
+    max_bytes = (
+        int(mb) * 1024 * 1024
+        if isinstance(mb, (int, float)) and not isinstance(mb, bool) and mb > 0
+        else None
+    )
+    return enabled, ttl_s, max_bytes
+
+
 @dataclass
 class _Entry:
     batches: list[pa.RecordBatch]
@@ -66,6 +108,10 @@ class ScanCache:
         self.max_bytes = max_bytes
         self._data: OrderedDict[tuple, _Entry] = OrderedDict()
         self._bytes = 0
+        # per-connection byte totals, keyed (connector_cls, config) — lets
+        # a connection-level cache_max_size_mb evict within one connection
+        # without disturbing others sharing the process cache
+        self._conn_bytes: dict[tuple, int] = {}
         self.hits = 0
         self.misses = 0
 
@@ -99,16 +145,33 @@ class ScanCache:
         self.hits += 1
         return entry.batches
 
-    def put(self, key: tuple, batches: list[pa.RecordBatch]) -> None:
+    def put(
+        self,
+        key: tuple,
+        batches: list[pa.RecordBatch],
+        ttl_s: int | None = None,
+        conn_max_bytes: int | None = None,
+    ) -> None:
+        """Insert; ``ttl_s``/``conn_max_bytes`` are per-connection
+        overrides from the connection config (connection_cache_options) —
+        TTL capped by the process max like the server default, size
+        enforced as an LRU budget over this connection's entries only."""
         if not cache_enabled():
             return
+        ttl = min(ttl_s, cache_max_ttl_s()) if ttl_s is not None else self.ttl_s
         nbytes = sum(b.nbytes for b in batches)
-        if nbytes > self.max_bytes:
+        if nbytes > (self.max_bytes if conn_max_bytes is None else min(self.max_bytes, conn_max_bytes)):
             return
         if key in self._data:
             self._evict(key)
-        self._data[key] = _Entry(batches, nbytes, time.monotonic() + self.ttl_s)
+        conn = key[:2]
+        self._data[key] = _Entry(batches, nbytes, time.monotonic() + ttl)
         self._bytes += nbytes
+        self._conn_bytes[conn] = self._conn_bytes.get(conn, 0) + nbytes
+        if conn_max_bytes is not None:
+            while self._conn_bytes.get(conn, 0) > conn_max_bytes:
+                oldest = next(k for k in self._data if k[:2] == conn)
+                self._evict(oldest)
         while self._bytes > self.max_bytes and self._data:
             oldest = next(iter(self._data))
             self._evict(oldest)
@@ -150,10 +213,17 @@ class ScanCache:
         entry = self._data.pop(key, None)
         if entry is not None:
             self._bytes -= entry.nbytes
+            conn = key[:2]
+            left = self._conn_bytes.get(conn, 0) - entry.nbytes
+            if left > 0:
+                self._conn_bytes[conn] = left
+            else:
+                self._conn_bytes.pop(conn, None)
 
     def clear(self) -> None:
         self._data.clear()
         self._bytes = 0
+        self._conn_bytes.clear()
 
 
 def _qual_mask(batch: pa.RecordBatch, column: str, op: str, value):

@@ -190,6 +190,17 @@ class ChaosConnector(Connector):
                 "limit": limit,
             }
         )
+        if self.config:
+            # test hook: executor-side instances are fresh unpickles, so an
+            # in-memory call_log is invisible to the driver — a config-named
+            # file makes connector-call counts observable across processes
+            try:
+                sink = parse_config(self.config).get("count_calls_in")
+            except Exception:  # noqa: BLE001
+                sink = None
+            if sink:
+                with open(sink, "a") as fh:
+                    fh.write(f"{table}\n")
         schema = self.get_schema().table(table)
         if schema is None:
             raise ValueError(f"unknown table {table!r}")

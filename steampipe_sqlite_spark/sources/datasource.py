@@ -46,7 +46,11 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from steampipe_sqlite_spark.sources.cache import ScanCache, serve_from_superset
+from steampipe_sqlite_spark.sources.cache import (
+    ScanCache,
+    connection_cache_options,
+    serve_from_superset,
+)
 from steampipe_sqlite_spark.sources.connector import (
     ColumnType,
     Connector,
@@ -222,6 +226,17 @@ class ConnectorReader(DataSourceReader):
             self.limit,
             partition.index,
         )
+        # per-connection cache overrides ride the connection config, as the
+        # reference's config does in every ExecuteRequest (register.go:64)
+        conn_enabled, conn_ttl, conn_max_bytes = connection_cache_options(
+            self.connector.config
+        )
+        if conn_enabled is False:
+            self.connector.throttle()
+            yield from self.connector.execute(
+                self.table.name, self.quals, self.columns, self.limit, part
+            )
+            return
         cached = _SCAN_CACHE.get(key)
         if cached is not None:
             yield from cached
@@ -263,7 +278,7 @@ class ConnectorReader(DataSourceReader):
             else:
                 raise last_exc  # type: ignore[misc]
             yield from batches
-            _SCAN_CACHE.put(key, batches)
+            _SCAN_CACHE.put(key, batches, conn_ttl, conn_max_bytes)
             return
         batches = []
         # one debit per partition scan; paging connectors additionally
@@ -274,7 +289,7 @@ class ConnectorReader(DataSourceReader):
         ):
             batches.append(batch)
             yield batch
-        _SCAN_CACHE.put(key, batches)
+        _SCAN_CACHE.put(key, batches, conn_ttl, conn_max_bytes)
 
 
 

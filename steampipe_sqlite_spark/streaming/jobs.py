@@ -6,8 +6,12 @@ transformation applied to a batch DataFrame — Structured Streaming's
 unified-API guarantee means the logic is literally shared, which is what
 makes the DuckDB oracle valid for the streaming path too.
 
-The parquet events carry TIMESTAMP(NANOS); streams read them through the
-same nanosAsLong conversion as tables.load_table.
+The fixture's physical ts type has flipped between rounds (TIMESTAMP(NANOS)
+vs plain timestamp[us]), and a hard-coded stream schema turns that flip into
+SILENT wrong answers (micros read as long, divided by 1000, every timestamp
+lands in 1970).  So the stream schema is derived from the parquet footer at
+plan time — one pyarrow metadata read on the driver, no Spark job — and the
+nanos→micros conversion applies only when the file really carries long nanos.
 """
 
 from __future__ import annotations
@@ -18,31 +22,78 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+_NON_TS_FIELDS = [
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+]
+
+# memoized footer probes: {events.parquet path: ts-is-long-nanos}
+_TS_IS_NANOS: dict[str, bool] = {}
 
 
-def _convert_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True iff the fixture's events.ts is physically TIMESTAMP(NANOS).
+
+    Read straight from the parquet footer with pyarrow — independent of any
+    Spark session or legacy conf, so it reports the file's truth even when
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    cached = _TS_IS_NANOS.get(path)
+    if cached is None:
+        import pyarrow.parquet as pq
+
+        ts_type = pq.read_schema(path).field("ts").type
+        cached = _TS_IS_NANOS[path] = str(ts_type).endswith("[ns]")
+    return cached
+
+
+def events_raw_schema(sf_dir: str) -> T.StructType:
+    """Stream-read schema matching the fixture's physical ts type."""
+    ts_field = (
+        T.StructField("ts", T.LongType())  # nanos surfaced via nanosAsLong
+        if _events_ts_is_nanos(sf_dir)
+        else T.StructField("ts", T.TimestampNTZType())
+    )
+    fields = [_NON_TS_FIELDS[0], ts_field] + _NON_TS_FIELDS[1:]
+    return T.StructType(fields)
+
+
+def convert_raw_ts(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Normalize the raw ts to a watermark-compatible TIMESTAMP.
+
+    nanos fixture: long nanos → timestamp_micros (already TIMESTAMP).
+    micros fixture: TIMESTAMP_NTZ → cast to TIMESTAMP — Structured
+    Streaming rejects NTZ event-time columns
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the cast interprets the naive
+    value in the session timezone (UTC in session.py), same instant.
+
+    For tests that re-write fixture slices and stream them back: the
+    written slices inherit the raw read's dtype, so the same footer probe
+    decides both the stream schema and the conversion.
+    """
+    if _events_ts_is_nanos(sf_dir):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The NTZ→TIMESTAMP cast and the window starts collected back to the
+    # oracle are session-timezone-dependent; pin UTC so results are
+    # identical under the external driver's vanilla session (runtime-
+    # settable conf, same mechanism as tables._ensure_nanos_conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # File-stream sources require a directory; select just events.parquet
     # out of the sf_dir via glob filter.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _convert_ts(raw)
+    return convert_raw_ts(raw, sf_dir)
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:

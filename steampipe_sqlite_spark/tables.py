@@ -88,13 +88,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file, surfaced as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong; convert to native micros
-        # timestamp.  Integer division — double division would lose
+        # The fixture's physical ts type has flipped between rounds:
+        # TIMESTAMP(NANOS) (surfaced as long nanos under
+        # spark.sql.legacy.parquet.nanosAsLong) and plain timestamp[us].
+        # Never assume — sniff the read dtype and convert only when it is
+        # actually a long.  Integer division: double division would lose
         # precision on ~1e18 nanosecond epochs.
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     memo[key] = df
     return df
 

@@ -57,6 +57,18 @@ class TestConfigureSql:
         with pytest.raises(TypeError, match="TEXT"):
             eng.sql("SELECT steampipe_configure_dyn(42)")
 
+    def test_blob_argument_accepted(self, spark):
+        # configure_fn.go:55-60: SQLITE_BLOB → string(values[0].Blob());
+        # a binary literal (Spark X'..' hex → BinaryType) must configure
+        # exactly like the equivalent TEXT
+        eng = Engine(spark)
+        eng.load(DYN, alias="dyn")
+        cfg = '{"tables": {"tb": [["x", "int"]]}}'
+        hexlit = cfg.encode("utf-8").hex().upper()
+        out = eng.sql(f"SELECT steampipe_configure_dyn(X'{hexlit}')").collect()
+        assert len(out) == 1 and out[0][0] is None
+        assert eng.sql("SELECT count(*) AS n FROM dyn_tb").collect()[0].n == 10
+
 
 class TestHclConfig:
     def test_reference_examples_parse(self):

@@ -202,6 +202,87 @@ class TestScanCache:
         assert cache.get(k2) is None
 
 
+class TestPerConnectionCacheOptions:
+    """Connection-config cache overrides (reference register.go:52-64,
+    configure_fn.go:70-96: config rides every ExecuteRequest; the SDK
+    honors connection-level cache/cache_ttl; MaxCacheSizeMb rides
+    SetAllConnectionConfigs)."""
+
+    def make_batch(self, n=3):
+        return pa.RecordBatch.from_pylist([{"x": i} for i in range(n)])
+
+    def test_parse_overrides(self):
+        from steampipe_sqlite_spark.sources.cache import connection_cache_options
+
+        assert connection_cache_options(None) == (None, None, None)
+        assert connection_cache_options('{"cache": false}') == (False, None, None)
+        en, ttl, mb = connection_cache_options(
+            '{"cache": true, "cache_ttl": 7, "cache_max_size_mb": 2}'
+        )
+        assert (en, ttl, mb) == (True, 7, 2 * 1024 * 1024)
+        # HCL form parses identically
+        en, ttl, mb = connection_cache_options("cache_ttl = 9")
+        assert (en, ttl, mb) == (None, 9, None)
+        # junk config must not take down the scan path
+        assert connection_cache_options("not a config ][") == (None, None, None)
+
+    def test_two_connections_evict_independently_by_ttl(self, monkeypatch):
+        """Two connections with different TTLs in one shared cache: the
+        short-TTL connection's entry expires while the long-TTL one
+        survives."""
+        cache = ScanCache(ttl_s=600)
+        k_short = ScanCache.key("m:C", '{"cache_ttl": 5}', "t", (), None, None)
+        k_long = ScanCache.key("m:C", '{"cache_ttl": 500}', "t", (), None, None)
+        cache.put(k_short, [self.make_batch()], ttl_s=5)
+        cache.put(k_long, [self.make_batch()], ttl_s=500)
+        import time as time_mod
+
+        real = time_mod.monotonic()
+        monkeypatch.setattr(time_mod, "monotonic", lambda: real + 60)
+        assert cache.get(k_short) is None
+        assert cache.get(k_long) is not None
+
+    def test_per_connection_size_budget_is_isolated(self):
+        """A connection-level size budget evicts that connection's LRU
+        entries only; another connection's entries are untouched."""
+        cache = ScanCache(ttl_s=600, max_bytes=10**9)
+        batch = self.make_batch(100)
+        budget = batch.nbytes + batch.nbytes // 2  # fits 1, not 2
+        a1 = ScanCache.key("m:C", "cfgA", "t", (("x", "=", 1),), None, None)
+        a2 = ScanCache.key("m:C", "cfgA", "t", (("x", "=", 2),), None, None)
+        b1 = ScanCache.key("m:C", "cfgB", "t", (("x", "=", 1),), None, None)
+        cache.put(b1, [batch])
+        cache.put(a1, [batch], conn_max_bytes=budget)
+        cache.put(a2, [batch], conn_max_bytes=budget)  # evicts a1, not b1
+        assert cache.get(a1) is None
+        assert cache.get(a2) is not None
+        assert cache.get(b1) is not None
+
+    def test_cache_disabled_connection_always_executes(self, spark):
+        """cache=false in the connection config bypasses the shared cache:
+        two identical scans hit the connector twice (observable via the
+        chaos connector's call counter file)."""
+        import json
+        import tempfile
+
+        from steampipe_sqlite_spark.engine import Engine
+
+        eng = Engine(spark)
+        with tempfile.NamedTemporaryFile(suffix=".cnt", delete=False) as f:
+            counter = f.name
+        cfg = json.dumps({"cache": False, "count_calls_in": counter})
+        eng.load(
+            "steampipe_sqlite_spark.sources.chaos:ChaosConnector",
+            alias="nocache",
+            config=cfg,
+        )
+        eng.sql("SELECT count(*) FROM nocache_all_types").collect()
+        eng.sql("SELECT count(*) FROM nocache_all_types").collect()
+        with open(counter) as fh:
+            calls = len(fh.read().splitlines())
+        assert calls >= 2
+
+
 class TestQualSubsumption:
     """SDK-cache qual subsumption (SURVEY §7.5.4, reference cursor.go:70-92):
     a narrower scan is served from a cached broader result."""

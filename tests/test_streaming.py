@@ -8,8 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from steampipe_sqlite_spark.streaming.jobs import (
-    EVENTS_RAW_SCHEMA,
+    convert_raw_ts,
     dedup_within_watermark,
+    events_raw_schema,
     read_events_stream,
     stateful_user_totals,
     tumbling_agg,
@@ -25,7 +26,7 @@ def _slice_events(spark, tmp_path, n_slices=3):
     yields real multi-batch streams."""
     events = load_table(spark, SF_DIR, "events")
     out = str(tmp_path / "slices")
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # keep raw nanos schema
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")  # keep the raw physical ts dtype
     raw.withColumn("slice", F.pmod(F.col("event_id"), F.lit(n_slices))).write.partitionBy(
         "slice"
     ).parquet(out)
@@ -35,12 +36,37 @@ def _slice_events(spark, tmp_path, n_slices=3):
 
 def _stream_slices(spark, path):
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(SF_DIR))
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return convert_raw_ts(raw, SF_DIR)
+
+
+def test_stream_ts_agrees_with_batch_ts(spark):
+    """Unit-error tripwire: the stream path's converted ts must coincide
+    with the batch path's.  Round 2 shipped a hard-coded LongType stream
+    schema that divided micros by 1000 — every timestamp landed in 1970 and
+    the tumbling agg 'succeeded' with 10 rows instead of 3385.  This test
+    makes that failure mode loud."""
+    batch_lo, batch_hi = (
+        load_table(spark, SF_DIR, "events").agg(F.min("ts"), F.max("ts")).first()
+    )
+    agg = read_events_stream(spark, SF_DIR).agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ts_tripwire")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("ts_tripwire").first()
+    assert (row.lo, row.hi) == (batch_lo, batch_hi)
+    assert 2015 <= row.lo.year <= 2035
 
 
 def test_stateful_totals_survive_micro_batches(spark, tmp_path):
@@ -169,12 +195,9 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     raw.write.parquet(src)
 
     def stream():
-        s = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .parquet(src)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return convert_raw_ts(
+            spark.readStream.schema(events_raw_schema(SF_DIR)).parquet(src), SF_DIR
         )
-        return s
 
     purchases = (
         stream()

@@ -29,7 +29,7 @@ def test_load_events_sets_nanos_conf_itself(spark):
     _make_vanilla(spark)
     df = load_table(spark, SF, "events")
     assert df.count() > 0
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
 
 

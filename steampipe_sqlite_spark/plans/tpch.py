@@ -337,9 +337,32 @@ WHERE p_brand = 'Brand#3'
 )
 
 # --- Q18: large volume customers (HAVING over join) ----------------------
+# Spark side pre-aggregates lineitem on the narrow l_orderkey and filters
+# BEFORE joining (the published Q18 plan shape): the group keys of the
+# naive join-then-group form are functionally dependent on o_orderkey, so
+# the rewrite is exact — and it shuffles sum-per-order (one long key)
+# instead of the full join output with 5-column string-bearing group keys.
+# At 100 TB that is the difference between shuffling lineitem-sized data
+# and orderkey-cardinality data.  The oracle keeps the naive form.
 sql_query(
     "tpch_q18",
     """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+)
+SELECT /*+ BROADCAST(big) */
+       c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(cents AS DOUBLE) / 100.0 AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    oracle="""
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
        CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
 FROM customer

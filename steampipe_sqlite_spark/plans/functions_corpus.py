@@ -357,6 +357,40 @@ ORDER BY r_regionkey, n
 """,
 )
 
+# The SQL-callable generate_series(start, stop, step) form itself (the
+# SQLite series extension the reference ships), as a registered UDTF —
+# correlated lateral arguments and a negative step exercised.
+from steampipe_sqlite_spark.plans.registry import query
+
+
+@query(
+    "tvf_generate_series",
+    oracle="""
+SELECT r_regionkey,
+       UNNEST(GENERATE_SERIES(0, r_regionkey * 2, 2)) AS up,
+FROM region
+ORDER BY r_regionkey, up
+""",
+)
+def tvf_generate_series(spark, sf_dir):
+    """`FROM region, LATERAL generate_series(0, k*2, 2)` through the
+    registered TVF (functions/series.py) — dialect parity for the SQLite
+    series extension; bulk ranges should use sequence()/explode
+    (tvf_sequence_explode) which stay JVM-side."""
+    from steampipe_sqlite_spark.functions.series import ensure_generate_series
+    from steampipe_sqlite_spark.tables import register_views
+
+    ensure_generate_series(spark)
+    register_views(spark, sf_dir, ("region",))
+    return spark.sql(
+        """
+SELECT r_regionkey, t.value AS up
+FROM region, LATERAL generate_series(0, CAST(r_regionkey AS LONG) * 2, 2) t
+ORDER BY r_regionkey, up
+"""
+    )
+
+
 sql_query(
     "tvf_json_each",
     """

@@ -821,6 +821,126 @@ def _dd_cos(x: str, y: str) -> str:
     )
 
 
+def _dd_kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB CTE chain replicating operators/clustering.kmeans_assign with
+    the iterations UNROLLED (fixed count is what makes the fit
+    oracle-checkable): v → c0 (first-k init) → [assign aN / update cN+1]
+    × iters; the final assignment CTE is named ``afinal``.
+
+    Distance/mean/tie-break compositions mirror the Spark operators term
+    by term — see clustering.py's determinism contract."""
+
+    def d2(vv: str, v: str, c: str) -> str:
+        return f"ROUND({vv} - 2 * list_inner_product({v}, {c}.cv) + {c}.cc, 4)"
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT id, v, vv, cell, d2 FROM (
+    SELECT v.id, v.v, v.vv, c.cid AS cell,
+           {d2('v.vv', 'v.v', 'c')} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY {d2('v.vv', 'v.v', 'c')}, c.cid) AS r
+    FROM v CROSS JOIN {cent} c) t
+  WHERE r = 1
+)"""
+
+    def update(name: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT cell AS cid, LIST(avg_val ORDER BY pos) AS cv,
+         list_inner_product(LIST(avg_val ORDER BY pos), LIST(avg_val ORDER BY pos)) AS cc
+  FROM (
+    SELECT a.cell, i - 1 AS pos,
+           CAST(SUM(CAST(a.v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_val
+    FROM {prev} a, UNNEST(GENERATE_SERIES(1, {dim})) AS t(i)
+    GROUP BY a.cell, i) s
+  GROUP BY cell
+)"""
+
+    parts = [
+        """v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS vv
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT id AS cid, v AS cv, vv AS cc FROM v WHERE id < {k})",
+        assign("a0", "c0"),
+    ]
+    for t in range(1, iters):
+        parts.append(update(f"c{t}", f"a{t - 1}"))
+        parts.append(assign(f"a{t}", f"c{t}"))
+    parts.append(f"afinal AS (SELECT * FROM a{iters - 1})")
+    return "WITH " + ",\n".join(parts)
+
+
+@query(
+    "cluster_kmeans",
+    oracle=f"""
+{_dd_kmeans_ctes()}
+SELECT id AS vec_id, cell AS cluster, d2 AS dist_sq
+FROM afinal
+ORDER BY vec_id
+""",
+)
+def cluster_kmeans_q(spark, sf_dir):
+    """Lloyd k-means (k=8, 2 fixed rounds, first-k init) over the
+    embeddings — the full fit (both assignment rounds AND the decimal-mean
+    centroid update between them) is replayed by the unrolled-CTE oracle,
+    so the whole iterative pipeline is hash-checked."""
+    from steampipe_sqlite_spark.operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(emb, "embedding", "vec_id", k=8, iters=2)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").alias("cluster"),
+            F.col("d2").alias("dist_sq"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""
+{_dd_kmeans_ctes()},
+reps AS (
+  SELECT cell AS rcell, id AS rep_id FROM (
+    SELECT cell, id, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, id) AS r
+    FROM afinal) t
+  WHERE r = 1
+),
+scored AS (
+  SELECT a.id AS vec_id, a.cell AS cluster, a.id = r.rep_id AS is_rep,
+         CASE WHEN a.id = r.rep_id THEN NULL
+              ELSE ROUND(list_inner_product(a.v, rv.v) / (SQRT(a.vv) * SQRT(rv.vv)), 4)
+         END AS cos_to_rep
+  FROM afinal a
+  JOIN reps r ON a.cell = r.rcell
+  JOIN afinal rv ON rv.id = r.rep_id
+)
+SELECT vec_id, cluster, is_rep, cos_to_rep
+FROM scored
+WHERE is_rep OR cos_to_rep < 0.30
+ORDER BY vec_id
+""",
+)
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, keep
+    each cluster's centroid-nearest representative, drop members whose
+    cosine to it is ≥ τ.  Linear pair space (representative × members);
+    the oracle replays clustering, representative choice, and the cosine
+    prune.  τ=0.30 here ≈ the p90 cos-to-rep of the synthetic fixture
+    (max 0.49 — real corpora use ~0.95), so the prune branch is exercised:
+    ~10% of vectors drop."""
+    from steampipe_sqlite_spark.operators.clustering import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", k=8, iters=2, tau=0.30
+    ).orderBy("vec_id")
+
+
 @query(
     "knn_cosine_ivf",
     oracle=f"""

@@ -5,6 +5,14 @@ having, top-k, correlated + scalar subqueries, CTEs, left joins, semi/anti
 semantics — the SQL surface the reference delegates to SQLite core
 (SURVEY.md §2.3) expressed on Catalyst.
 
+Join-order convention: every multi-way join is written FROM lineitem (the
+fact table) with dimensions joined after.  Catalyst without CBO builds the
+syntactic left-deep tree and broadcasts each RIGHT side when its estimate
+fits the threshold — dims-last guarantees every broadcast is a dimension
+and the fact table streams.  The dims-first form was observed to broadcast
+the whole lineitem table (fine at sf0.1, fatal at 100×); DuckDB reorders
+joins itself, so the shared SQL stays oracle-valid.
+
 Determinism convention (driver hash-compares Spark vs DuckDB at sf0.01):
 money aggregates are computed in exact integer-hundredths (BIGINT) and
 divided back to DOUBLE, so both engines produce bit-identical doubles
@@ -109,9 +117,9 @@ sql_query(
 SELECT l_orderkey,
        {DSUM(REVENUE, 'revenue', 100**2)},
        o_orderdate, o_orderpriority
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
   AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
@@ -139,14 +147,19 @@ ORDER BY o_orderpriority
 )
 
 # --- Q5: local supplier volume (6-way star join) -------------------------
+# Join order starts FROM the fact table: Catalyst (CBO off) builds the
+# syntactic left-deep tree and broadcasts each RIGHT side — written
+# dims-last, every broadcast is a dimension and lineitem streams.  The
+# customer-first form broadcast the whole fact table at step 2 (observed
+# in the plan), which works at sf0.1 and dies at 100×.
 sql_query(
     "tpch_q5",
     f"""
 SELECT n_name,
        {DSUM(REVENUE, 'revenue', 100**2)}
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -181,8 +194,8 @@ FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          EXTRACT(YEAR FROM l_shipdate) AS l_year,
          {REVENUE} AS volume
-  FROM supplier
-  JOIN lineitem ON s_suppkey = l_suppkey
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -208,8 +221,8 @@ FROM (
   SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
          {REVENUE} AS volume,
          n2.n_name AS nation
-  FROM part
-  JOIN lineitem ON p_partkey = l_partkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -236,8 +249,8 @@ FROM (
   SELECT n_name AS nation,
          EXTRACT(YEAR FROM o_orderdate) AS o_year,
          {REVENUE} AS amount
-  FROM part
-  JOIN lineitem ON p_partkey = l_partkey
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -255,9 +268,9 @@ sql_query(
 SELECT c_custkey, c_name,
        {DSUM(REVENUE, 'revenue', 100**2)},
        c_acctbal, n_name, c_mktsegment
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -321,9 +334,31 @@ ORDER BY s_suppkey
 )
 
 # --- Q17: small-quantity-order revenue (correlated scalar subquery) ------
+# Spark side uses the published Q17 rewrite: the per-part quantity
+# threshold is computed only for Brand#3 parts (semi-restricted BEFORE the
+# aggregate), so the broadcast side is brand-cardinality, not
+# all-parts-cardinality.  Catalyst's decorrelation of the naive form
+# aggregates lineitem for EVERY part and broadcasts that (observed).  The
+# oracle keeps the correlated form.
 sql_query(
     "tpch_q17",
     f"""
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'
+),
+th AS (
+  SELECT l_partkey,
+         0.2 * (CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / COUNT(*) / 100.0) AS max_qty
+  FROM lineitem
+  JOIN brand_parts ON p_partkey = l_partkey
+  GROUP BY l_partkey
+)
+SELECT CAST(SUM({C('l_extendedprice')}) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN th ON th.l_partkey = lineitem.l_partkey
+WHERE l_quantity < max_qty
+""",
+    oracle=f"""
 SELECT CAST(SUM({C('l_extendedprice')}) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -393,8 +428,8 @@ sql_query(
     "tpch_q21",
     """
 SELECT s_name, COUNT(*) AS numwait
-FROM supplier
-JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
 JOIN orders ON o_orderkey = l1.l_orderkey
 JOIN nation ON s_nationkey = n_nationkey
 WHERE o_orderstatus = 'F'
@@ -419,8 +454,8 @@ sql_query(
     "tpch_q2",
     """
 SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
-FROM part
-JOIN lineitem ON p_partkey = l_partkey
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -472,7 +507,7 @@ FROM (
          CASE WHEN {DD} < 30 THEN 'fast'
               WHEN {DD} < 90 THEN 'normal'
               ELSE 'slow' END AS delay_bucket
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
     AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
 ) t

@@ -120,6 +120,61 @@ def salted_join_skewed_left(
     return out.drop("_salt")
 
 
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list,
+    name: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ROW_NUMBER without the single-partition WindowExec.
+
+    An empty-OVER window (``ROW_NUMBER() OVER (ORDER BY ...)``) forces
+    Spark to move EVERY row to one partition — correct, and fatal at
+    100 TB (one task sorts the world; Spark itself warns
+    "No Partition Defined for Window operation").  This is the published
+    two-phase composition instead:
+
+    1. ``repartitionByRange`` on the order keys — a range shuffle that
+       keeps global order across partitions (equal keys co-locate);
+    2. per-partition local row_number (window PARTITIONED by
+       ``spark_partition_id()`` — parallel, no global exchange);
+    3. per-partition counts (a metadata-sized action: one long per
+       partition) prefix-summed on the driver and added as offsets.
+
+    Results equal the window form whenever ``order_cols`` is a total
+    order (the corpus determinism convention).  Cost: one range shuffle +
+    one count job over the persisted ranged data vs one all-to-one
+    shuffle — the difference between "works at any SF" and "driver OOM".
+    """
+    from pyspark.sql import Column, Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # one long per partition — metadata, not data (same class as a
+    # parquet footer read); ordering by _pid preserves the range order
+    counts = sorted(
+        ((r["_pid"], r["cnt"]) for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()),
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    offset_expr = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    )[F.col("_pid")]
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn(name, (F.row_number().over(w) + offset_expr).cast("long"))
+        .drop("_pid")
+    )
+
+
 def prepartition_for_reuse(df: DataFrame, key: str, n: int | None = None) -> DataFrame:
     """Hash-repartition once on ``key`` so several downstream wide ops
     (groupBys / joins on the same key) reuse one exchange instead of each

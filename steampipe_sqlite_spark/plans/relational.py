@@ -249,6 +249,37 @@ ORDER BY c_custkey
 """,
 )
 
+
+# Distributed global ROW_NUMBER — same semantics as the empty-OVER window
+# (the oracle), but computed via range-repartition + local rank + offset
+# add (operators/scale.distributed_row_number), so no single-partition
+# WindowExec: the scale path for global sequence numbers.
+@query(
+    "win_global_rownum_scale",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+ORDER BY rn
+""",
+)
+def win_global_rownum_scale(spark, sf_dir):
+    """Global sequence number over orders by (o_totalprice DESC,
+    o_orderkey) through the two-phase composition; the window-form oracle
+    proves exact parity.  Total order ⇒ deterministic."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+    from steampipe_sqlite_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = distributed_row_number(
+        orders,
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        name="rn",
+    )
+    return ranked.orderBy("rn")
+
 sql_query(
     "win_lag_lead",
     """

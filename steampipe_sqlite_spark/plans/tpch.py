@@ -132,9 +132,25 @@ LIMIT 10
 # --- Q4: order priority checking (semi-join via EXISTS) ------------------
 # Adapted: no l_commitdate/l_receiptdate in the fixture; the EXISTS
 # correlates on returned lines instead (same decorrelation shape).
+# Spark side reduces lineitem to DISTINCT orderkeys before the join
+# (exactly the EXISTS semantics): Catalyst's semi-join of the naive form
+# used raw filtered lineitem as the broadcast build side — order-
+# cardinality after the distinct, lineitem-cardinality before.
 sql_query(
     "tpch_q4",
     """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+JOIN returned ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    oracle="""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'

@@ -47,6 +47,35 @@ def test_q5_small_dims_broadcast(spark, queries):
     )
 
 
+def test_no_tpch_query_broadcasts_lineitem(spark, queries):
+    """Join-order convention (plans/tpch.py header): the fact table must
+    STREAM — a BroadcastExchange whose subtree scans lineitem.parquet is
+    the broadcast-the-fact-table plan that dies at 100×.  Raw-lineitem
+    broadcasts are banned; aggregated subtrees (HashAggregate between the
+    broadcast and the scan, e.g. q17's per-part threshold, q18's big
+    orders, q20's semi-join set) reduce to key cardinality first and are
+    allowed."""
+    offenders = {}
+    for name in [n for n in queries if n.startswith("tpch_q")]:
+        plan = queries[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip())
+            aggregated = False
+            for l2 in lines[i + 1 :]:
+                d2 = len(l2) - len(l2.lstrip())
+                if l2.strip() and d2 <= depth:
+                    break
+                if "HashAggregate" in l2:
+                    aggregated = True
+                if "lineitem.parquet" in l2 and not aggregated:
+                    offenders[name] = ln.strip()[:60]
+                    break
+    assert not offenders, f"raw lineitem broadcast by: {offenders}"
+
+
 def test_q1_aggregates_partially_mapside_in_codegen(spark, queries):
     df = queries["tpch_q1"](spark, SF_DIR)
     p = plan_text(df)

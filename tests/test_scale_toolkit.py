@@ -170,3 +170,40 @@ class TestPartitionedSink:
         # partition pruning: an en-only read plans only the en directory
         plan = back.filter("lang = 'en'")._jdf.queryExecution().executedPlan().toString()
         assert "lang=fr" not in plan
+
+
+class TestDistributedRowNumber:
+    """distributed_row_number: global ROW_NUMBER parity WITHOUT the
+    single-partition WindowExec (the empty-OVER form's scale killer)."""
+
+    def test_parity_with_window_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+        df = spark.range(0, 5000).selectExpr("id", "(id * 37) % 1000 AS v")
+        got = distributed_row_number(
+            df, [F.col("v").desc(), F.col("id")], name="rn", num_partitions=8
+        )
+        expected = df.selectExpr(
+            "id", "v", "ROW_NUMBER() OVER (ORDER BY v DESC, id) AS rn"
+        )
+        assert {(r.id, r.rn) for r in got.collect()} == {
+            (r.id, r.rn) for r in expected.collect()
+        }
+
+    def test_no_single_partition_sort(self, spark):
+        from pyspark.sql import functions as F
+
+        from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+        df = spark.range(0, 5000).selectExpr("id", "id % 97 AS v")
+        got = distributed_row_number(df, [F.col("v"), F.col("id")], num_partitions=8)
+        # the work is spread: the pre-offset data really lives in >1
+        # partition (the empty-OVER window would collapse to exactly 1)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan
+        assert "SinglePartition" not in plan
+        # and rn is a correct total sequence
+        rns = [r.rn for r in got.orderBy("rn").collect()]
+        assert rns == list(range(1, 5001))

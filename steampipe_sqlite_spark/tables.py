@@ -55,19 +55,27 @@ def _session_state(spark: SparkSession) -> dict:
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
-    """Make parquet TIMESTAMP(NANOS) readable in ANY session, not just ours.
+    """Pin the session confs correctness depends on, in ANY session.
 
-    events.parquet carries TIMESTAMP(NANOS); a vanilla SparkSession's
-    vectorized reader rejects it with PARQUET_TYPE_ILLEGAL.  Our own
-    session builder (session.py) sets the legacy conf at build time, but
-    the external driver runs queries in its own vanilla session — the conf
-    is runtime-settable, so set it here where every table read funnels
+    Our own session builder (session.py) sets these at build time, but the
+    external driver runs queries in its own vanilla session — both confs
+    are runtime-settable, so set them here where every table read funnels
     through.  Memoized per session: conf.set is a py4j round-trip and
     load_table runs per table per query.
+
+    - ``nanosAsLong``: when events.parquet carries TIMESTAMP(NANOS) (it
+      has, in some rounds' fixtures), a vanilla session's vectorized
+      reader rejects it with PARQUET_TYPE_ILLEGAL; harmless for
+      timestamp[us] fixtures.
+    - ``session.timeZone=UTC``: unix_timestamp()/NTZ↔TZ casts in the
+      date/epoch/temporal queries are session-timezone-dependent; the
+      DuckDB oracles treat naive timestamps as UTC, so a non-UTC driver
+      session would silently shift every epoch by the zone offset.
     """
     state = _session_state(spark)
     if not state["nanos_set"]:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         state["nanos_set"] = True
 
 

@@ -51,7 +51,30 @@ def test_referenced_tables_word_boundary():
     assert set(got) == {"orders", "customer"}
 
 
+def test_non_utc_session_is_pinned_to_utc(spark):
+    """A driver session in another timezone must not shift epochs: the
+    oracles treat naive timestamps as UTC, so load_table pins the session
+    timezone.  Without the pin, unix_timestamp() here returns values
+    offset by the zone difference (a silent wrong answer, same failure
+    class as round 2's streaming bug)."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    _make_vanilla(spark)
+    events = load_table(spark, SF, "events")
+    events.createOrReplaceTempView("events")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    got = spark.sql(
+        "SELECT unix_timestamp(DATE_TRUNC('second', ts)) AS e FROM events ORDER BY event_id LIMIT 1"
+    ).first().e
+    import duckdb
+
+    expected = duckdb.sql(
+        f"SELECT CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS e FROM '{SF}/events.parquet' ORDER BY event_id LIMIT 1"
+    ).fetchone()[0]
+    assert got == expected
+
+
 @pytest.fixture(autouse=True)
 def _restore(spark):
     yield
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

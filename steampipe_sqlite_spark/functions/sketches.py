@@ -71,6 +71,130 @@ def hll_distinct(df: DataFrame, col: str, p: int = 10) -> DataFrame:
     return agg.select(F.round(est, 4).alias("n_distinct_est"))
 
 
+def hist_quantiles(
+    df: DataFrame, col: str, bins: int = 64, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """Fixed-width-histogram quantile estimates: (q, est) per requested
+    quantile — the mergeable constant-memory percentile sketch.
+
+    Exact percentiles need a full sort (or Spark's GK sketch, which DuckDB
+    cannot reproduce bit-for-bit); a fixed-width histogram needs one
+    min/max/count pass plus one ``bins``-row aggregation, merges by adding
+    counts, and is pure shared-primitive arithmetic — so the estimate is
+    engine-identical and oracle-checkable (hist_quantiles_oracle_sql).
+
+    Estimate: linear interpolation inside the first bucket whose
+    cumulative count reaches q·n (uniform-within-bucket assumption —
+    error bounded by bucket width).  Scale shape: the stats row
+    broadcasts, bucketing is map-side, the shuffle carries ≤ ``bins``
+    rows, and the cumulative window runs over those ``bins`` rows only
+    (constant, independent of data size).
+    """
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / float(bins)
+    bucketed = (
+        df.select(F.col(col).cast("double").alias("x"))
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("x") - F.col("lo")) / width).cast("int"),
+                )
+            )
+            .alias("bucket"),
+            "lo",
+            "hi",
+            "n",
+        )
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr("any_value(lo)").alias("lo"),
+        F.expr("any_value(hi)").alias("hi"),
+        F.expr("any_value(n)").alias("n"),
+    )
+    # cumulative over ≤ bins rows — the single-partition window is over a
+    # CONSTANT-sized set, not the data
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cc = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_prev", F.col("cum") - F.col("cnt")
+    )
+    qdf = stats.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    pairs = cc.join(F.broadcast(qdf), how="cross").filter(
+        F.col("cum").cast("double") >= F.col("q") * F.col("n").cast("double")
+    )
+    sel = pairs.groupBy("q").agg(F.min("bucket").alias("bucket"))
+    est_rows = sel.join(cc, "bucket")
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo")
+        + width
+        * (
+            F.col("bucket").cast("double")
+            + (F.col("q") * F.col("n").cast("double") - F.col("cum_prev").cast("double"))
+            / F.col("cnt").cast("double")
+        )
+    )
+    return est_rows.select("q", F.round(est, 4).alias("est")).orderBy("q")
+
+
+def hist_quantiles_oracle_sql(
+    source_sql: str, col: str, bins: int = 64, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+) -> str:
+    """DuckDB twin of hist_quantiles — identical arithmetic composition."""
+    q_list = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+WITH src AS ({source_sql}),
+stats AS (
+  SELECT MIN(CAST({col} AS DOUBLE)) AS lo, MAX(CAST({col} AS DOUBLE)) AS hi,
+         COUNT(*) AS n
+  FROM src
+),
+b AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST({bins - 1},
+                         CAST(FLOOR((CAST({col} AS DOUBLE) - lo) / ((hi - lo) / {float(bins)!r})) AS INT))
+         END AS bucket, lo, hi, n
+  FROM src, stats
+),
+counts AS (
+  SELECT bucket, COUNT(*) AS cnt, ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi,
+         ANY_VALUE(n) AS n
+  FROM b GROUP BY bucket
+),
+cc AS (
+  SELECT *, SUM(cnt) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+),
+cc2 AS (SELECT *, cum - cnt AS cum_prev FROM cc),
+qs AS (SELECT UNNEST([{q_list}]) AS q),
+pairs AS (
+  SELECT cc2.bucket, q FROM cc2, qs
+  WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+),
+sel AS (SELECT q, MIN(bucket) AS bucket FROM pairs GROUP BY q)
+SELECT s.q,
+       ROUND(CASE WHEN c.hi = c.lo THEN c.lo
+                  ELSE c.lo + ((c.hi - c.lo) / {float(bins)!r})
+                        * (CAST(c.bucket AS DOUBLE)
+                           + (s.q * CAST(c.n AS DOUBLE) - CAST(c.cum_prev AS DOUBLE))
+                             / CAST(c.cnt AS DOUBLE))
+             END, 4) AS est
+FROM sel s JOIN cc2 c ON c.bucket = s.bucket
+ORDER BY s.q
+"""
+
+
 def hll_oracle_sql(source_sql: str, col: str, p: int = 10) -> str:
     """The DuckDB twin of hll_distinct — same md5/conv/bin primitives."""
     m = 1 << p

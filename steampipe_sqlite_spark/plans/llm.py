@@ -1045,7 +1045,12 @@ def text_tfidf_top_terms(spark, sf_dir):
 
 # --- sketches -------------------------------------------------------------
 
-from steampipe_sqlite_spark.functions.sketches import hll_distinct, hll_oracle_sql  # noqa: E402
+from steampipe_sqlite_spark.functions.sketches import (  # noqa: E402
+    hist_quantiles,
+    hist_quantiles_oracle_sql,
+    hll_distinct,
+    hll_oracle_sql,
+)
 
 
 @query(
@@ -1070,6 +1075,21 @@ def sketch_hll_doc_texts(spark, sf_dir):
     exact distinct counts expensive; the sketch is one narrow shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
     return hll_distinct(docs.select("text"), "text", p=10)
+
+
+@query(
+    "sketch_quantile_hist",
+    oracle=hist_quantiles_oracle_sql(
+        "SELECT o_totalprice FROM orders", "o_totalprice", bins=64
+    ),
+)
+def sketch_quantile_hist(spark, sf_dir):
+    """Histogram-sketch percentiles of o_totalprice (64 fixed-width bins,
+    linear interpolation) — the mergeable constant-memory alternative to
+    exact percentile sorts; the oracle replays the identical arithmetic,
+    so the estimates hash-match."""
+    orders = load_table(spark, sf_dir, "orders")
+    return hist_quantiles(orders, "o_totalprice", bins=64)
 
 
 @query(

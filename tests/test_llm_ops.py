@@ -139,3 +139,24 @@ def test_hll_estimate_accuracy(spark):
     exact = events.select("user_id").distinct().count()
     est = hll_distinct(events.select("user_id"), "user_id", p=10).first().n_distinct_est
     assert abs(est - exact) / exact < 0.10, f"HLL {est} vs exact {exact}"
+
+
+def test_hist_quantiles_within_one_bucket_width(spark):
+    """The 64-bin histogram estimate must land within one bucket width of
+    the exact percentile (the sketch's error bound under any data
+    distribution), at every requested quantile."""
+    from steampipe_sqlite_spark.functions.sketches import hist_quantiles
+    from steampipe_sqlite_spark.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    est = {r.q: r.est for r in hist_quantiles(orders, "o_totalprice", bins=64, qs=qs).collect()}
+    lo, hi = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    width = (hi - lo) / 64.0
+    exact = orders.agg(
+        *[F.expr(f"percentile(o_totalprice, {q})").alias(f"p{i}") for i, q in enumerate(qs)]
+    ).first()
+    for i, q in enumerate(qs):
+        assert abs(est[q] - exact[i]) <= width + 1e-9, (
+            f"q={q}: est {est[q]} vs exact {exact[i]} (width {width})"
+        )

@@ -195,6 +195,60 @@ ORDER BY s.q
 """
 
 
+def _bloom_pos_sql(col_sql: str, m_bits: int, k: int) -> list[str]:
+    """k bit positions from disjoint md5 hex slices (8 hex chars → 32-bit
+    value → mod m), as SQL snippets (shiftleft-by-column needs the SQL
+    form; the F.shiftleft API only takes literal shift counts)."""
+    return [
+        f"pmod(cast(conv(substring(md5(cast({col_sql} as string)), {1 + 8 * i}, 8), 16, 10) as bigint), {m_bits})"
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(df: DataFrame, col: str, m_bits: int = 8192, k: int = 3) -> list[int]:
+    """Build a Bloom bitmap over ``df[col]`` as ``m_bits/64`` longs.
+
+    The aggregation is distributed (explode k positions → bit_or per
+    64-bit word — map-side partial, ≤ m/64 rows shuffled); only the
+    finished bitmap is collected, which is the point: real engines ship
+    Bloom filters to the scan as broadcast BYTES (Spark's own runtime
+    bloom-filter join does exactly this), so the driver holds m/8 bytes
+    regardless of how many items went in.
+    """
+    words = m_bits // 64
+    pos_arr = ", ".join(_bloom_pos_sql(col, m_bits, k))
+    rows = (
+        df.select(F.expr(f"explode(array({pos_arr}))").alias("p"))
+        .select(
+            F.expr("cast(p div 64 as int)").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in rows:
+        bitmap[r.word] = r.bits
+    return bitmap
+
+
+def bloom_might_contain(
+    bitmap: list[int], col_sql: str, m_bits: int = 8192, k: int = 3
+) -> F.Column:
+    """Map-side membership test against an inlined bitmap literal: all k
+    bit positions set ⇒ maybe-member (false positives possible, false
+    negatives impossible — callers re-verify exactly).  ``col_sql`` is a
+    SQL snippet naming the probed column."""
+    arr = "array(" + ", ".join(f"cast({w} as bigint)" for w in bitmap) + ")"
+    checks = [
+        f"(element_at({arr}, cast(({p}) div 64 as int) + 1)"
+        f" & shiftleft(cast(1 as bigint), cast(({p}) % 64 as int))) != 0"
+        for p in _bloom_pos_sql(col_sql, m_bits, k)
+    ]
+    return F.expr(" AND ".join(checks))
+
+
 def hll_oracle_sql(source_sql: str, col: str, p: int = 10) -> str:
     """The DuckDB twin of hll_distinct — same md5/conv/bin primitives."""
     m = 1 << p

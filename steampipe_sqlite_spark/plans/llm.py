@@ -136,6 +136,76 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
+_DECONTAMINATE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i+7), ' ')
+           FOR i IN range(1, greatest(len(toks)-7, 1)+1)]) AS grams
+  FROM (SELECT doc_id, {_DD_TOKS} AS toks FROM documents)
+),
+bench AS (SELECT DISTINCT UNNEST(grams) AS g FROM t WHERE doc_id < 20),
+corpus AS (SELECT doc_id, UNNEST(grams) AS g FROM t WHERE doc_id >= 20),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_overlap
+  FROM corpus c JOIN bench b ON c.g = b.g
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       (COALESCE(h.n_overlap, 0) > 0) AS contaminated
+FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+WHERE t.doc_id >= 20
+ORDER BY t.doc_id
+"""
+
+
+@query("text_decontaminate_bloom", oracle=_DECONTAMINATE_ORACLE)
+def text_decontaminate_bloom(spark, sf_dir):
+    """Decontamination with a Bloom pre-filter: the benchmark 8-gram set
+    is compressed into an m-bit bitmap (functions/sketches.bloom_bitmap)
+    that rides to executors as a 1 KB literal; corpus grams are screened
+    MAP-SIDE and only maybe-members reach the exact join.  Same answer as
+    text_decontaminate (Bloom has no false negatives; false positives die
+    in the exact join — hence the identical oracle), but the probe set no
+    longer needs to broadcast as strings: at a real benchmark-suite scale
+    (10⁸ grams) the bitmap is megabytes where the string set is tens of
+    GB.  The at-scale shape of GPT-3-appendix-C decontamination."""
+    from steampipe_sqlite_spark.functions.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+    from steampipe_sqlite_spark.functions.text import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", word_ngrams(F.col("text"), 8).alias("grams"))
+    bench = (
+        grams.filter(F.col("doc_id") < 20)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    bitmap = bloom_bitmap(bench, "g", m_bits=8192, k=3)
+    corpus = grams.filter(F.col("doc_id") >= 20)
+    candidates = (
+        corpus.select("doc_id", F.explode("grams").alias("g"))
+        .filter(bloom_might_contain(bitmap, "g", m_bits=8192, k=3))
+    )
+    hits = (
+        candidates.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "text_boilerplate_strip",
     oracle="""

@@ -160,3 +160,21 @@ def test_hist_quantiles_within_one_bucket_width(spark):
         assert abs(est[q] - exact[i]) <= width + 1e-9, (
             f"q={q}: est {est[q]} vs exact {exact[i]} (width {width})"
         )
+
+
+def test_bloom_no_false_negatives_and_prefilters(spark):
+    """Bloom contract: every inserted value passes the membership test
+    (no false negatives — what makes the pre-filter exact after
+    re-verification), and non-members are mostly screened out map-side."""
+    from steampipe_sqlite_spark.functions.sketches import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    members = spark.range(0, 300).selectExpr("concat('member_', id) AS g")
+    bitmap = bloom_bitmap(members, "g", m_bits=8192, k=3)
+    assert members.filter(bloom_might_contain(bitmap, "g", 8192, 3)).count() == 300
+    others = spark.range(0, 5000).selectExpr("concat('other_', id) AS g")
+    fp = others.filter(bloom_might_contain(bitmap, "g", 8192, 3)).count()
+    # m/n ≈ 27 bits per item, k=3 → FP rate well under 5%
+    assert fp < 250, f"false-positive rate too high: {fp}/5000"

@@ -159,6 +159,56 @@ def streaming_stateful_user_totals(spark, sf_dir):
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS p_id, c.event_id AS c_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY p_id, c_id
+""",
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join through the streaming engine: purchases ×
+    clicks per user within a 1-hour lookback, both sides watermarked so
+    state is bounded; availableNow + append over the finite fixture ⇒
+    exactly the batch interval join, which is the oracle."""
+    import uuid as _uuid
+
+    from steampipe_sqlite_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    purchases = side("purchase", "p_id", "p_ts")
+    clicks = side("click", "c_id", "c_ts").withColumnRenamed("user_id", "c_user")
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts),
+    ).select("p_id", "c_id")
+    name = f"ssj_out_{_uuid.uuid4().hex[:8]}"
+    result = run_stream_to_memory(spark, joined, name, output_mode="append")
+    return result.orderBy("p_id", "c_id")
+
+
+@query(
     "streaming_dedup_watermark",
     oracle="""
 SELECT DISTINCT user_id, event_type

@@ -76,3 +76,65 @@ def test_keyed_table_generates_from_required_qual(tenants, seq_bound):
     assert {r["tenant"] for r in rows} <= set(tenants)
     if seq_bound is not None:
         assert all(r["seq"] < seq_bound for r in rows)
+
+
+# --- cache qual-subsumption property (B15, SURVEY §7.5.4) ------------------
+
+_sub_qual_st = st.one_of(
+    st.tuples(st.just("x"), st.sampled_from(["=", "<", "<=", ">", ">="]), st.integers(-2, 12)),
+    st.tuples(st.just("x"), st.just("in"), st.lists(st.integers(0, 10), min_size=1, max_size=4).map(tuple)),
+    st.tuples(st.just("name"), st.just("prefix"), st.sampled_from(["n", "n1", "zz"])),
+    st.tuples(st.just("maybe"), st.sampled_from(["is_null", "is_not_null"]), st.none()),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    cached_quals=st.lists(_sub_qual_st, max_size=2, unique_by=lambda q: (q[0], q[1])),
+    extra_quals=st.lists(_sub_qual_st, min_size=0, max_size=2, unique_by=lambda q: (q[0], q[1])),
+    columns=st.one_of(st.none(), st.lists(st.sampled_from(["x", "name", "maybe"]), min_size=1, max_size=3, unique=True)),
+    limit=st.one_of(st.none(), st.integers(0, 15)),
+)
+def test_subsumption_serving_equals_direct_filtering(cached_quals, extra_quals, columns, limit):
+    """For ANY cached superset entry (its quals ⊆ the request's), serving
+    the request from the cached batches (residual filter + project +
+    slice) must equal filtering the base data directly with ALL quals."""
+    from steampipe_sqlite_spark.sources.cache import ScanCache, serve_from_superset
+    from steampipe_sqlite_spark.sources.connector import Qual
+
+    rows = [
+        {"x": i, "name": f"n{i}", "maybe": None if i % 3 == 0 else f"v{i}"}
+        for i in range(12)
+    ]
+    base = pa.RecordBatch.from_pylist(rows)
+
+    request = cached_quals + extra_quals  # superset of cached by construction
+    cached_k = tuple((q[0], q[1], q[2]) for q in cached_quals)
+    request_k = tuple((q[0], q[1], q[2]) for q in request)
+
+    cache = ScanCache(ttl_s=60)
+    full_key = ScanCache.key("m:C", None, "t", cached_k, None, None)
+    # the cached entry holds the rows matching ITS quals (as a real scan would)
+    cached_rows = [
+        r for r in rows if all(Qual(c, op, v).matches(r.get(c)) for c, op, v in cached_quals)
+    ]
+    cache.put(full_key, [pa.RecordBatch.from_pylist(cached_rows)] if cached_rows else [])
+
+    want = ScanCache.key("m:C", None, "t", request_k, tuple(columns) if columns else None, limit)
+    hit = cache.get_subsuming(want)
+    assert hit is not None, "a cached subset-qual entry must subsume the request"
+    batches, residual, cols = hit
+    served = [
+        r
+        for b in serve_from_superset(batches, residual, cols, limit)
+        for r in b.to_pylist()
+    ]
+
+    expected = [
+        r for r in rows if all(Qual(c, op, v).matches(r.get(c)) for c, op, v in request)
+    ]
+    if columns is not None:
+        expected = [{k: r[k] for k in columns} for r in expected]
+    if limit is not None:
+        expected = expected[:limit]
+    assert served == expected

@@ -6,6 +6,12 @@ an order-insensitive value hash.  Use while iterating so the per-round
 CORRECTNESS_r{N}.json holds no surprises.
 
 Usage:  python tools/selfcheck.py [sf_dir] [query ...]
+
+Set SELFCHECK_VANILLA=1 to run the Spark side in a DEFAULT-config session
+(no engine confs pre-set) — the external driver's environment.  Round 1
+failed 24 queries on exactly this gap (code assumed a conf our builder
+sets); the vanilla mode catches any new conf-dependence before the driver
+does.  load_table/register_views must make each query self-sufficient.
 """
 
 from __future__ import annotations
@@ -60,7 +66,18 @@ def run(sf_dir: str, only: list[str]) -> int:
     from steampipe_sqlite_spark.plans.registry import collect
 
     queries, oracles = collect()
-    spark = get_spark("selfcheck")
+    if os.environ.get("SELFCHECK_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("selfcheck_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        print("# vanilla session (driver-replica): default confs only")
+    else:
+        spark = get_spark("selfcheck")
 
     con = duckdb.connect()
     for t in ALL_TABLES:

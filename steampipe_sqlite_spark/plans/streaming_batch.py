@@ -123,6 +123,36 @@ def streaming_tumbling_1h(spark, sf_dir):
 
 
 @query(
+    "streaming_sliding_30m",
+    oracle="""
+WITH starts AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS win_start
+  FROM events, UNNEST([0, 1800]) AS t(off)
+)
+SELECT win_start, event_type, COUNT(*) AS n
+FROM starts
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+""",
+)
+def streaming_sliding_30m(spark, sf_dir):
+    """Sliding windows (1 h width, 30 min slide) run THROUGH the streaming
+    engine — every event lands in two windows; availableNow + complete
+    output over the finite fixture equals the batch grid oracle."""
+    from steampipe_sqlite_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_agg,
+    )
+
+    name = f"sliding_out_{uuid.uuid4().hex[:8]}"
+    agg = sliding_agg(read_events_stream(spark, sf_dir), width="1 hour", slide="30 minutes")
+    result = run_stream_to_memory(spark, agg, name, output_mode="complete")
+    return result.orderBy("win_start", "event_type")
+
+
+@query(
     "streaming_stateful_user_totals",
     oracle="""
 SELECT user_id,

@@ -136,6 +136,79 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
+@query(
+    "text_repetition_flags",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         [array_to_string(list_slice(toks, i, i+1), ' ')
+           FOR i IN range(1, greatest(len(toks)-1, 1)+1)] AS grams,
+         string_split(text, '. ') AS sents
+  FROM (SELECT doc_id, text, {{toks}} AS toks FROM documents)
+),
+g AS (SELECT doc_id, UNNEST(grams) AS g FROM t),
+c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g),
+top AS (SELECT doc_id, MAX(cnt) AS mx, SUM(cnt) AS tot FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       ROUND(top.mx * 1.0 / top.tot, 4) AS top_2gram_frac,
+       ROUND(1.0 - len(list_distinct(t.sents)) * 1.0 / greatest(len(t.sents), 1), 4)
+         AS dup_sent_frac,
+       (top.mx * 1.0 / top.tot <= 0.2) AS rep2_ok,
+       (1.0 - len(list_distinct(t.sents)) * 1.0 / greatest(len(t.sents), 1) <= 0.3)
+         AS dupsent_ok
+FROM t JOIN top ON t.doc_id = top.doc_id
+ORDER BY t.doc_id
+""".format(toks=_DD_TOKS),
+)
+def text_repetition_flags(spark, sf_dir):
+    """The repetition half of the Gopher rule set (Rae et al. 2021):
+    most-frequent-2-gram fraction and duplicate-sentence fraction, with
+    per-rule pass flags.  Shape: one explode + two keyed aggregations on
+    (doc, gram) then (doc) — linear, the gram shuffle carries one scalar
+    count per distinct gram."""
+    from steampipe_sqlite_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    n_grams = F.greatest(F.size(toks) - F.lit(1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
+    )
+    sents = F.split(F.col("text"), r"\. ")
+    base = docs.select("doc_id", grams.alias("grams"), sents.alias("sents"))
+    top = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("tot"))
+    )
+    dup_frac = F.round(
+        1.0
+        - F.size(F.array_distinct("sents")).cast("double")
+        / F.greatest(F.size("sents"), F.lit(1)).cast("double"),
+        4,
+    )
+    frac = F.col("mx").cast("double") / F.col("tot").cast("double")
+    raw_dup = (
+        1.0
+        - F.size(F.array_distinct("sents")).cast("double")
+        / F.greatest(F.size("sents"), F.lit(1)).cast("double")
+    )
+    return (
+        base.select("doc_id", "sents", dup_frac.alias("dup_sent_frac"))
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.round(frac, 4).alias("top_2gram_frac"),
+            "dup_sent_frac",
+            (frac <= 0.2).alias("rep2_ok"),
+            (raw_dup <= 0.3).alias("dupsent_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _DECONTAMINATE_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,

@@ -33,14 +33,20 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_distinct(df: DataFrame, col: str, p: int = 10) -> DataFrame:
-    """One-row DataFrame (n_distinct_est double): deterministic HLL
-    estimate of COUNT(DISTINCT col).
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 10, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic HLL estimate of COUNT(DISTINCT col) — one row
+    globally, or one per group when ``group_cols`` is given (register
+    arrays are per-group, which is what makes HLL mergeable: a group's
+    sketch is the element-wise max of its parts).
 
-    Scale shape: one narrow shuffle on the 2^p bucket ids (map-side
-    partial max), then a single tiny aggregation — constant memory
-    regardless of cardinality, the whole point of the sketch at 100 TB.
+    Scale shape: one narrow shuffle on (groups × 2^p bucket ids) with
+    map-side partial max, then a tiny per-group aggregation — constant
+    memory per group regardless of cardinality, the whole point of the
+    sketch at 100 TB.
     """
+    group = list(group_cols or [])
     m = 1 << p
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast("long")
     # integer bit ops only — h is a 60-bit value, double round-trips would
@@ -51,11 +57,11 @@ def hll_distinct(df: DataFrame, col: str, p: int = 10) -> DataFrame:
     rho = F.when(w == 0, F.lit(60 - p + 1)).otherwise(F.lit(60 - p) - msb + 1)
 
     regs = (
-        df.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        df.select(*group, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group, "bucket")
         .agg(F.max("rho").alias("M"))
     )
-    agg = regs.agg(
+    agg = regs.groupBy(*group).agg(
         F.count(F.lit(1)).alias("nonempty"),
         F.sum(F.pow(F.lit(2.0), F.lit(SCALE) - F.col("M")).cast("decimal(38,0)")).alias("s_scaled"),
     )
@@ -68,7 +74,8 @@ def hll_distinct(df: DataFrame, col: str, p: int = 10) -> DataFrame:
     zeros = F.lit(m) - F.col("nonempty")
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
-    return agg.select(F.round(est, 4).alias("n_distinct_est"))
+    out = agg.select(*group, F.round(est, 4).alias("n_distinct_est"))
+    return out.orderBy(*group) if group else out
 
 
 def hist_quantiles(
@@ -249,30 +256,38 @@ def bloom_might_contain(
     return F.expr(" AND ".join(checks))
 
 
-def hll_oracle_sql(source_sql: str, col: str, p: int = 10) -> str:
-    """The DuckDB twin of hll_distinct — same md5/conv/bin primitives."""
+def hll_oracle_sql(
+    source_sql: str, col: str, p: int = 10, group_cols: list[str] | None = None
+) -> str:
+    """The DuckDB twin of hll_distinct — same md5/conv/bin primitives;
+    ``group_cols`` adds per-group registers exactly like the Spark side."""
     m = 1 << p
     alpha = _alpha(m)
+    group = list(group_cols or [])
+    g_sel = "".join(f"{g}, " for g in group)
+    g_by = ("GROUP BY " + ", ".join(group)) if group else ""
+    g_order = ("ORDER BY " + ", ".join(group)) if group else ""
     return f"""
 WITH hashed AS (
-  SELECT CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  SELECT {g_sel}CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
   FROM ({source_sql})
 ),
 rho_t AS (
-  SELECT h % {m} AS bucket,
+  SELECT {g_sel}h % {m} AS bucket,
          CASE WHEN h // {m} = 0 THEN {60 - p + 1}
               ELSE {60 - p} - length(bin(h // {m})) + 1 END AS rho
   FROM hashed
 ),
 regs AS (
-  SELECT bucket, MAX(rho) AS M FROM rho_t GROUP BY bucket
+  SELECT {g_sel}bucket, MAX(rho) AS M FROM rho_t GROUP BY {g_sel}bucket
 ),
 agg AS (
-  SELECT COUNT(*) AS nonempty,
+  SELECT {g_sel}COUNT(*) AS nonempty,
          SUM(CAST(POW(2.0, {SCALE} - M) AS DECIMAL(38,0))) AS s_scaled
   FROM regs
+  {g_by}
 )
-SELECT ROUND(
+SELECT {g_sel}ROUND(
   CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m}) /
             ((CAST(s_scaled AS DOUBLE) + ({m} - nonempty) * {float(1 << SCALE)}) / {float(1 << SCALE)})
             <= 2.5 * {m}
@@ -282,4 +297,5 @@ SELECT ROUND(
             ((CAST(s_scaled AS DOUBLE) + ({m} - nonempty) * {float(1 << SCALE)}) / {float(1 << SCALE)})
   END, 4) AS n_distinct_est
 FROM agg
+{g_order}
 """

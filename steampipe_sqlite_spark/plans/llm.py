@@ -1221,6 +1221,25 @@ def sketch_hll_doc_texts(spark, sf_dir):
 
 
 @query(
+    "sketch_hll_users_by_type",
+    oracle=hll_oracle_sql(
+        "SELECT event_type, user_id FROM events", "user_id", p=10,
+        group_cols=["event_type"],
+    ),
+)
+def sketch_hll_users_by_type(spark, sf_dir):
+    """Per-group HLL: distinct users per event_type from one pass — the
+    grouped register arrays are what make the sketch mergeable (a group's
+    sketch is the element-wise max of its shards), the property that lets
+    100 TB cardinality roll up without re-scanning."""
+    events = load_table(spark, sf_dir, "events")
+    return hll_distinct(
+        events.select("event_type", "user_id"), "user_id", p=10,
+        group_cols=["event_type"],
+    )
+
+
+@query(
     "sketch_quantile_hist",
     oracle=hist_quantiles_oracle_sql(
         "SELECT o_totalprice FROM orders", "o_totalprice", bins=64

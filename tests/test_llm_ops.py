@@ -178,3 +178,28 @@ def test_bloom_no_false_negatives_and_prefilters(spark):
     fp = others.filter(bloom_might_contain(bitmap, "g", 8192, 3)).count()
     # m/n ≈ 27 bits per item, k=3 → FP rate well under 5%
     assert fp < 250, f"false-positive rate too high: {fp}/5000"
+
+
+def test_hll_per_group_accuracy(spark):
+    """Grouped HLL: each group's estimate within 10% of its exact distinct
+    count (same envelope as the global sketch)."""
+    from steampipe_sqlite_spark.functions.sketches import hll_distinct
+    from steampipe_sqlite_spark.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    est = {
+        r.event_type: r.n_distinct_est
+        for r in hll_distinct(
+            events.select("event_type", "user_id"), "user_id", p=10,
+            group_cols=["event_type"],
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.10, (k, est[k], exact[k])

@@ -131,6 +131,27 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # functions, subqueries, values/unpivot, graph/ANN/text/sample/multimodal
 # LLM ops, and streaming_tumbling_1h (round-2's silent wrong answer —
 # explicit done-criterion that its rows_match lands green).
+# ROUND-4 ROTATION (precomputed): after this round's 50 verify, exactly 50
+# names remain never-driver-verified — they form the complete next window:
+#   distinct_pairs, win_global_rownum_scale, win_running_sum,
+#   win_groups_frame, win_exclude_current_row, win_exclude_group,
+#   cte_recursive, agg_count_distinct, agg_minmax_stats, agg_string_concat,
+#   having_clause, join_asof_events, join_range_binned,
+#   window_rollup_hierarchy, join_interval_overlap, text_repetition_flags,
+#   text_decontaminate_bloom, text_boilerplate_strip, text_pii_redact,
+#   cluster_kmeans, dedup_semantic, sketch_hll_users,
+#   sketch_hll_users_by_type, sketch_quantile_hist, dedup_incremental,
+#   profile_documents, pack_length_buckets, group_zscore_pandas,
+#   agg_gmean_pandas, window_tumbling_1h, window_sliding_1h_30m,
+#   window_session_5m, streaming_sliding_30m, streaming_stateful_user_totals,
+#   streaming_stream_stream_join, streaming_dedup_watermark,
+#   compat_scalar_misc, date_extract_parts, date_trunc_buckets,
+#   date_format_epoch, json_extract_scalar, json_build_and_length,
+#   json_group_array, tvf_generate_series, tvf_json_each,
+#   json_variant_extract, agg_array_ops, json_sqlite_type_valid_quote,
+#   json_sqlite_mutators, tpch_q1_dataframe
+# Swap the list below for these names in round 4 → 100% cumulative driver
+# verification of the whole corpus.
 _WINDOW_PRIORITY = [
     # TPC-H remainder (q1/q3/q5/q6/q9/q18 verified in r2)
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",

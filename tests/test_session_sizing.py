@@ -1,0 +1,44 @@
+"""Session conf derivation (session.py): shuffle-partition count scales
+with INPUT DATA, AQE gates on input volume, env overrides always win.
+Pure-Python — no Spark session is built."""
+
+import pytest
+
+from steampipe_sqlite_spark import session as S
+
+
+def test_shuffle_partitions_scale_with_data(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    # sf0.1-ish: ~17 MB input → floor of 8
+    monkeypatch.setattr(S, "_input_bytes", lambda: 17 << 20)
+    assert S._shuffle_partitions(32) == 8
+    # 10 GB input → data-derived 320, capped at cpus*4
+    monkeypatch.setattr(S, "_input_bytes", lambda: 10 << 30)
+    assert S._shuffle_partitions(32) == 32 * 4
+    # 2 GB input → 2 GiB / 32 MiB = 64 partitions, between floor and cap
+    monkeypatch.setattr(S, "_input_bytes", lambda: 2 << 30)
+    assert S._shuffle_partitions(32) == 64
+    # unknown input → conservative floor
+    monkeypatch.setattr(S, "_input_bytes", lambda: 0)
+    assert S._shuffle_partitions(32) == max(8, 32 // 4)
+
+
+def test_shuffle_partitions_env_override_wins(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "200")
+    monkeypatch.setattr(S, "_input_bytes", lambda: 17 << 20)
+    assert S._shuffle_partitions(32) == 200
+
+
+@pytest.mark.parametrize(
+    ("mode", "nbytes", "expected"),
+    [
+        ("auto", 17 << 20, False),  # tiny input: AQE is pure overhead
+        ("auto", 2 << 30, True),  # ≥1 GiB: always on (the cluster regime)
+        ("on", 17 << 20, True),  # explicit override beats the heuristic
+        ("off", 2 << 30, False),
+    ],
+)
+def test_aqe_gate(monkeypatch, mode, nbytes, expected):
+    monkeypatch.setenv("SPARK_GRAFT_AQE", mode)
+    monkeypatch.setattr(S, "_input_bytes", lambda: nbytes)
+    assert S._aqe_enabled() is expected

@@ -20,7 +20,8 @@ pipeline runs at corpus scale.
 Determinism contract shared with the oracle: float32 inputs are cast to
 double; squared distance is composed as dot(v,v) − 2·dot(v,c) + dot(c,c)
 rounded to 4 dp (list_inner_product matches the JVM fold, proven by the
-cosine corpus queries); centroid means use exact DECIMAL(18,9) sums; all
+cosine corpus queries); centroid means use exact integer-nanos sums
+(ROUND(x·1e9)→BIGINT — bit-identical across engines); all
 argmins tie-break toward the lowest id.
 """
 
@@ -58,15 +59,19 @@ def _assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _update(assigned: DataFrame) -> DataFrame:
-    """Recompute centroids as exact-decimal per-dimension means; one
-    shuffle on (cell, pos), then k rows re-packed into arrays."""
+    """Recompute centroids as exact integer-nanos per-dimension means
+    (ROUND(x·1e9)→BIGINT — the same double rounds identically on both
+    engines, where a double→DECIMAL cast's half-way handling differed on
+    rare float32 values); one shuffle on (cell, pos), then k rows
+    re-packed into arrays."""
     per_dim = (
         assigned.select("cell", F.posexplode("v").alias("pos", "val"))
         .groupBy("cell", "pos")
         .agg(
             (
-                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
                 / F.count(F.lit(1))
+                / 1e9
             ).alias("avg_val")
         )
     )

@@ -933,7 +933,8 @@ def knn_lsh_q(spark, sf_dir):
     "emb_centroid_per_label",
     oracle="""
 SELECT label, i - 1 AS pos,
-       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_val
+       CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000000000.0 AS avg_val
 FROM embeddings, UNNEST(GENERATE_SERIES(1, 64)) AS t(i)
 GROUP BY label, i
 ORDER BY label, pos
@@ -941,7 +942,11 @@ ORDER BY label, pos
 )
 def emb_centroid_q(spark, sf_dir):
     """Per-label centroid, one row per (label, dimension) — posexplode +
-    exact decimal mean (deterministic across engines)."""
+    exact integer-nanos mean.  Values are scaled ROUND(x·1e9)→BIGINT (the
+    corpus money convention at nano precision): the round sees the SAME
+    IEEE double on both engines, so the conversion is bit-identical —
+    unlike a double→DECIMAL(18,9) cast, whose half-way handling differed
+    between engines on ~1 in 10⁴ float32 values (caught at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = F.count(F.lit(1))
     return (
@@ -949,7 +954,9 @@ def emb_centroid_q(spark, sf_dir):
         .groupBy("label", "pos")
         .agg(
             (
-                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double") / n
+                F.sum(F.round(F.col("val").cast("double") * 1e9).cast("long")).cast("double")
+                / n
+                / 1e9
             ).alias("avg_val")
         )
         .orderBy("label", "pos")
@@ -993,7 +1000,8 @@ def _dd_kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
          list_inner_product(LIST(avg_val ORDER BY pos), LIST(avg_val ORDER BY pos)) AS cc
   FROM (
     SELECT a.cell, i - 1 AS pos,
-           CAST(SUM(CAST(a.v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_val
+           CAST(SUM(CAST(ROUND(a.v[i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000000.0 AS avg_val
     FROM {prev} a, UNNEST(GENERATE_SERIES(1, {dim})) AS t(i)
     GROUP BY a.cell, i) s
   GROUP BY cell

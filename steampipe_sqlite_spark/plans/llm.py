@@ -1229,6 +1229,41 @@ def sketch_hll_doc_texts(spark, sf_dir):
 
 
 @query(
+    "dataset_shuffle_shards",
+    oracle="""
+SELECT doc_id,
+       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT) % 16 AS shard,
+       CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15) AS BIGINT) AS sort_key
+FROM documents
+ORDER BY shard, sort_key, doc_id
+""",
+)
+def dataset_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training data: each
+    document gets a content-keyed 60-bit md5 value; shard = value mod 16,
+    within-shard order = the value itself.  Pure projection — NO window,
+    NO stateful shuffle — so it is embarrassingly parallel at any scale,
+    and the shuffle order is reproducible across runs, engines, and
+    cluster sizes (re-running an interrupted epoch yields byte-identical
+    shard files).  The md5-prefix→long trick is the HLL oracle's shared
+    primitive, so DuckDB replays it bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.pmod(h, F.lit(16)).alias("shard"),
+            h.alias("sort_key"),
+        )
+        .orderBy("shard", "sort_key", "doc_id")
+    )
+
+
+@query(
     "sketch_hll_users_by_type",
     oracle=hll_oracle_sql(
         "SELECT event_type, user_id FROM events", "user_id", p=10,

@@ -49,14 +49,18 @@ def generate_series_udtf():
     return udtf(GenerateSeriesUDTF, returnType="value long")
 
 
-_REGISTERED: set[int] = set()
+import weakref
+
+# Weakly keyed by the session object (as registry._plan_cache does): an
+# id()-keyed memo can collide when a GC'd session's id is reused by a new
+# live session, silently skipping registration there (ADVICE r3).
+_REGISTERED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def ensure_generate_series(spark: SparkSession) -> None:
     """Register the TVF once per session (memoized — registration is a
     py4j round-trip and callers invoke this per query)."""
-    key = id(spark)
-    if key in _REGISTERED and getattr(spark.sparkContext, "_jsc", None) is not None:
+    if spark in _REGISTERED and getattr(spark.sparkContext, "_jsc", None) is not None:
         return
     spark.udtf.register("generate_series", generate_series_udtf())
-    _REGISTERED.add(key)
+    _REGISTERED.add(spark)

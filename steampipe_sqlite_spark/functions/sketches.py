@@ -205,7 +205,14 @@ ORDER BY s.q
 def _bloom_pos_sql(col_sql: str, m_bits: int, k: int) -> list[str]:
     """k bit positions from disjoint md5 hex slices (8 hex chars → 32-bit
     value → mod m), as SQL snippets (shiftleft-by-column needs the SQL
-    form; the F.shiftleft API only takes literal shift counts)."""
+    form; the F.shiftleft API only takes literal shift counts).
+
+    md5 yields 32 hex chars = 4 disjoint 8-char slices; k > 4 would slice
+    past the digest and conv('') degenerates to a constant position,
+    silently biasing those bits (ADVICE r3) — fail loudly instead.  For
+    k > 4 derive further positions from a salted second digest."""
+    if k * 8 > 32:
+        raise ValueError(f"k={k} needs {k * 8} hex chars; md5 has 32 (k ≤ 4)")
     return [
         f"pmod(cast(conv(substring(md5(cast({col_sql} as string)), {1 + 8 * i}, 8), 16, 10) as bigint), {m_bits})"
         for i in range(k)

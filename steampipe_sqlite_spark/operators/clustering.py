@@ -107,6 +107,18 @@ def kmeans_assign(
     return assigned
 
 
+def _rep_vectors(assigned: DataFrame, reps: DataFrame) -> DataFrame:
+    """The relation ``semantic_dedup`` broadcasts: exactly the k
+    representatives' vectors, restricted BEFORE the broadcast by joining
+    ``assigned`` against the k-row ``reps`` (itself broadcast, so the
+    restriction is map-side).  Returning all n vectors here — the r3 flaw —
+    would broadcast the whole corpus and OOM every executor at 100 TB;
+    tests pin the cardinality of this relation to k."""
+    return assigned.join(
+        F.broadcast(reps.select("rep_id")), assigned["id"] == F.col("rep_id")
+    ).select("rep_id", F.col("v").alias("rv"), F.col("vv").alias("rvv"))
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
@@ -130,9 +142,7 @@ def semantic_dedup(
         .agg(F.min(F.struct("d2", "id")).alias("m"))
         .select(F.col("cell").alias("rcell"), F.col("m.id").alias("rep_id"))
     )
-    rep_vecs = assigned.select(
-        F.col("id").alias("rep_id"), F.col("v").alias("rv"), F.col("vv").alias("rvv")
-    )
+    rep_vecs = _rep_vectors(assigned, reps)
     joined = (
         assigned.join(F.broadcast(reps), F.col("cell") == F.col("rcell"))
         .join(F.broadcast(rep_vecs), "rep_id")

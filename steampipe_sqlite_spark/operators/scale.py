@@ -145,6 +145,21 @@ def distributed_row_number(
     order (the corpus determinism convention).  Cost: one range shuffle +
     one count job over the persisted ranged data vs one all-to-one
     shuffle — the difference between "works at any SF" and "driver OOM".
+
+    Lifetime: ``ranged`` MUST stay persisted while the returned plan is
+    live — the offsets were computed from the persisted instance, and
+    ``repartitionByRange`` picks boundaries by sampling, so a recompute
+    could repartition differently than the counted data (wrong offsets,
+    silently).  It therefore cannot be unpersisted inside this function;
+    the persisted handle is attached to the result as
+    ``result._sgs_persisted`` — call ``.unpersist()`` on it when done
+    with the result to reclaim executor memory (session stop also
+    releases it).
+
+    Offsets ship as a ``create_map`` literal — O(num_partitions) expression
+    nodes, fine to ~10⁴ partitions.  Beyond that (100 TB with small
+    partitions), switch the offset attach to a broadcast equi-join on
+    ``_pid``: same plan shape, no literal-size bound.
     """
     from pyspark.sql import Column, Window
 
@@ -169,10 +184,12 @@ def distributed_row_number(
         *[F.lit(x) for pair in offsets.items() for x in pair]
     )[F.col("_pid")]
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    out = (
         ranged.withColumn(name, (F.row_number().over(w) + offset_expr).cast("long"))
         .drop("_pid")
     )
+    out._sgs_persisted = ranged  # owner handle — see Lifetime note above
+    return out
 
 
 def prepartition_for_reuse(df: DataFrame, key: str, n: int | None = None) -> DataFrame:

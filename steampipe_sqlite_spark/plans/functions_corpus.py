@@ -150,8 +150,8 @@ sql_query(
 SELECT o_orderkey,
        o_orderdate + INTERVAL 30 DAY AS due_date,
        o_orderdate - INTERVAL 1 DAY AS day_before,
-       CAST(o_orderdate AS DATE) AS as_date,
-       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS as_date,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
        DATEDIFF(TIMESTAMP '2000-01-01 00:00:00', o_orderdate) AS days_to_y2k
 FROM orders
 ORDER BY o_orderkey
@@ -161,8 +161,8 @@ LIMIT 500
 SELECT o_orderkey,
        o_orderdate + INTERVAL 30 DAY AS due_date,
        o_orderdate - INTERVAL 1 DAY AS day_before,
-       CAST(o_orderdate AS DATE) AS as_date,
-       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS as_date,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
        DATEDIFF('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k
 FROM orders
 ORDER BY o_orderkey
@@ -610,9 +610,9 @@ def json_sqlite_type_valid_quote_q(spark, sf_dir):
 SELECT event_id,
        CAST(user_id AS VARCHAR) AS set_extra,
        CAST(event_id AS VARCHAR) AS insert_noop,
-       NULL AS type_after_remove,
+       CAST(NULL AS VARCHAR) AS type_after_remove,
        'en' AS lang_after_patch,
-       NULL AS type_after_patch
+       CAST(NULL AS VARCHAR) AS type_after_patch
 FROM events ORDER BY event_id LIMIT 500
 """,
 )

@@ -122,10 +122,10 @@ def mm_audio_stats(spark, sf_dir):
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind,
        lang,
        COUNT(*) AS n,
-       SUM(CASE doc_id % 3
+       CAST(SUM(CASE doc_id % 3
              WHEN 0 THEN 21
              WHEN 1 THEN 17
-             ELSE 13 END) AS total_bytes
+             ELSE 13 END) AS BIGINT) AS total_bytes
 FROM documents
 GROUP BY 1, 2
 ORDER BY kind, lang

@@ -121,62 +121,46 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
 
 # The external driver verifies the FIRST 50 registered queries per round
-# (VERDICT r1).  147 queries / 50 slots → rotate the verified window across
-# rounds.  Round-3 window (VERDICT r2 #4): the never-driver-verified
-# remainder — 57 names are cumulatively green from rounds 1–2 and stay
-# out; the 13 round-2 ts-bug victims also stay out (their fix is proven by
-# pytest + the fresh events-based names below: sessionize_events and the
-# streaming path).  Families: the 16 unverified TPC-H queries, the join
-# family, orderby, set ops, grouping cube/sets, lineitem-based window
-# functions, subqueries, values/unpivot, graph/ANN/text/sample/multimodal
-# LLM ops, and streaming_tumbling_1h (round-2's silent wrong answer —
-# explicit done-criterion that its rows_match lands green).
-# ROUND-4 ROTATION (precomputed): after this round's 50 verify, exactly 50
-# names remain never-driver-verified — they form the complete next window:
-#   distinct_pairs, win_global_rownum_scale, win_running_sum,
-#   win_groups_frame, win_exclude_current_row, win_exclude_group,
-#   cte_recursive, agg_count_distinct, agg_minmax_stats, agg_string_concat,
-#   having_clause, join_asof_events, join_range_binned,
-#   window_rollup_hierarchy, join_interval_overlap, text_repetition_flags,
-#   text_decontaminate_bloom, text_boilerplate_strip, text_pii_redact,
-#   cluster_kmeans, dedup_semantic, sketch_hll_users,
-#   sketch_hll_users_by_type, sketch_quantile_hist, dedup_incremental,
-#   profile_documents, pack_length_buckets, group_zscore_pandas,
-#   agg_gmean_pandas, window_tumbling_1h, window_sliding_1h_30m,
-#   window_session_5m, streaming_sliding_30m, streaming_stateful_user_totals,
-#   streaming_stream_stream_join, streaming_dedup_watermark,
-#   compat_scalar_misc, date_extract_parts, date_trunc_buckets,
-#   date_format_epoch, json_extract_scalar, json_build_and_length,
-#   json_group_array, tvf_generate_series, tvf_json_each,
-#   json_variant_extract, agg_array_ops, json_sqlite_type_valid_quote,
-#   json_sqlite_mutators, tpch_q1_dataframe
-# Swap the list below for these names in round 4 → 100% cumulative driver
-# verification of the whole corpus.
+# (VERDICT r1); the window is rotated each round to accumulate verification
+# across the whole corpus.  Cumulative driver-green after r3: 105 names
+# (r1: 22, r2: 36, r3: 48 — see CORRECTNESS_r0{1,2,3}.json).
+# ROUND-4 WINDOW (VERDICT r3 #3): the 53 never-driver-green names minus
+# three that are pytest-double-covered and deferred to round 5
+# (tpch_q1_dataframe — same plan as driver-green tpch_q1; distinct_pairs
+# and compat_scalar_misc — covered by unit tests).  Includes the two r3
+# reds (tpch_q12, mm_media_inventory — values matched, oracle HUGEINT
+# dtype artifact, now CAST AS BIGINT) and the newest query
+# (dataset_shuffle_shards, committed after the r3 window was frozen).
 _WINDOW_PRIORITY = [
-    # TPC-H remainder (q1/q3/q5/q6/q9/q18 verified in r2)
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # join family remainder
-    "join_right_outer", "join_cross", "join_theta_range",
-    "join_using_natural", "join_broadcast_hint", "join_nullsafe_eq",
-    # order/limit, set ops, grouping
-    "orderby_limit_offset", "orderby_nulls_last",
-    "setop_union_all", "setop_union_distinct", "setop_intersect",
-    "group_cube", "group_grouping_sets",
-    # window functions (lineitem/orders-based)
-    "win_row_number_topk", "win_rank_family", "win_ntile", "win_lag_lead",
-    "win_first_last_nth", "win_sliding_rows", "win_agg_over_unbounded",
-    # subqueries
-    "subq_scalar_uncorrelated", "subq_scalar_correlated", "subq_in",
-    "subq_derived_table",
-    # VALUES / unpivot
-    "values_inline", "unpivot_stack",
-    # LLM-pipeline + temporal + streaming (events-based names here prove
-    # the round-3 ts fix on never-windowed queries)
-    "sessionize_events", "dedup_components", "knn_cosine_int8",
-    "text_decontaminate", "text_gopher_flags", "sample_balanced_per_group",
-    "mm_media_inventory", "streaming_tumbling_1h",
+    # r3 reds, re-verified with the BIGINT-cast oracles
+    "tpch_q12", "mm_media_inventory",
+    # window functions incl. the distributed row_number and GROUPS/EXCLUDE
+    "win_global_rownum_scale", "win_running_sum", "win_groups_frame",
+    "win_exclude_current_row", "win_exclude_group",
+    # recursive CTE, aggregates, HAVING
+    "cte_recursive", "agg_count_distinct", "agg_minmax_stats",
+    "agg_string_concat", "having_clause", "agg_array_ops",
+    # temporal joins + hierarchy rollup
+    "join_asof_events", "join_range_binned", "join_interval_overlap",
+    "window_rollup_hierarchy",
+    # text / LLM-pipeline operators
+    "text_repetition_flags", "text_decontaminate_bloom",
+    "text_boilerplate_strip", "text_pii_redact",
+    "cluster_kmeans", "dedup_semantic", "dedup_incremental",
+    "sketch_hll_users", "sketch_hll_users_by_type", "sketch_quantile_hist",
+    "profile_documents", "pack_length_buckets", "dataset_shuffle_shards",
+    # pandas-UDF group ops
+    "group_zscore_pandas", "agg_gmean_pandas",
+    # batch event-time windows
+    "window_tumbling_1h", "window_sliding_1h_30m", "window_session_5m",
+    # streaming remainder
+    "streaming_sliding_30m", "streaming_stateful_user_totals",
+    "streaming_stream_stream_join", "streaming_dedup_watermark",
+    # date/time + JSON + TVF compat shims
+    "date_extract_parts", "date_trunc_buckets", "date_format_epoch",
+    "json_extract_scalar", "json_build_and_length", "json_group_array",
+    "tvf_generate_series", "tvf_json_each", "json_variant_extract",
+    "json_sqlite_type_valid_quote", "json_sqlite_mutators",
 ]
 
 

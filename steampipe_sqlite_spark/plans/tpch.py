@@ -516,8 +516,8 @@ ORDER BY part_value DESC, ps_partkey
 # datediff(end, start) vs DuckDB datediff('day', start, end).
 _Q12_BODY = """
 SELECT delay_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
          CASE WHEN {DD} < 30 THEN 'fast'

@@ -232,10 +232,10 @@ class ConnectorReader(DataSourceReader):
             self.connector.config
         )
         if conn_enabled is False:
-            self.connector.throttle()
-            yield from self.connector.execute(
-                self.table.name, self.quals, self.columns, self.limit, part
-            )
+            # caching and retries are orthogonal in the reference SDK:
+            # cache=false skips only the get/put/subsumption steps, the
+            # RetryHydrate backoff still applies (ADVICE r3)
+            yield from self._execute_retrying(part)
             return
         cached = _SCAN_CACHE.get(key)
         if cached is not None:
@@ -249,47 +249,52 @@ class ConnectorReader(DataSourceReader):
             batches, residual, cols = superset
             yield from serve_from_superset(batches, residual, cols, self.limit)
             return
-        retries = self.connector.retry_policy()
-        if retries is not None:
-            # SDK RetryHydrate analog: re-run the WHOLE scan on failure
-            # with exponential backoff.  Attempts are buffered before any
-            # yield — a mid-stream retry after partial output would
-            # duplicate rows (same reason the SDK retries the full
-            # hydrate call, never resumes one).
-            attempts, min_ms, max_ms = retries
-            import time as _time
-
-            last_exc: Exception | None = None
-            for attempt in range(attempts + 1):
-                if attempt:
-                    _time.sleep(min(max_ms, min_ms * (2 ** (attempt - 1))) / 1000.0)
-                try:
-                    self.connector.throttle()
-                    batches = list(
-                        self.connector.execute(
-                            self.table.name, self.quals, self.columns, self.limit, part
-                        )
-                    )
-                    break
-                except Exception as exc:  # noqa: BLE001 — connector errors are opaque
-                    last_exc = exc
-                    if not self.connector.is_retriable_error(exc):
-                        raise
-            else:
-                raise last_exc  # type: ignore[misc]
-            yield from batches
-            _SCAN_CACHE.put(key, batches, conn_ttl, conn_max_bytes)
-            return
         batches = []
-        # one debit per partition scan; paging connectors additionally
-        # call throttle() per page (SURVEY §7.5.5 — API limits × parallelism)
-        self.connector.throttle()
-        for batch in self.connector.execute(
-            self.table.name, self.quals, self.columns, self.limit, part
-        ):
+        for batch in self._execute_retrying(part):
             batches.append(batch)
             yield batch
         _SCAN_CACHE.put(key, batches, conn_ttl, conn_max_bytes)
+
+    def _execute_retrying(self, part: Partition):
+        """Throttle + execute with the connector's declared retry policy.
+
+        SDK RetryHydrate analog: re-run the WHOLE scan on failure with
+        exponential backoff.  When retries are configured, attempts are
+        buffered before any yield — a mid-stream retry after partial
+        output would duplicate rows (same reason the SDK retries the full
+        hydrate call, never resumes one).  Without retries the scan
+        streams batch-by-batch: one throttle debit per partition scan;
+        paging connectors additionally call throttle() per page
+        (SURVEY §7.5.5 — API limits × parallelism)."""
+        retries = self.connector.retry_policy()
+        if retries is None:
+            self.connector.throttle()
+            yield from self.connector.execute(
+                self.table.name, self.quals, self.columns, self.limit, part
+            )
+            return
+        attempts, min_ms, max_ms = retries
+        import time as _time
+
+        last_exc: Exception | None = None
+        for attempt in range(attempts + 1):
+            if attempt:
+                _time.sleep(min(max_ms, min_ms * (2 ** (attempt - 1))) / 1000.0)
+            try:
+                self.connector.throttle()
+                batches = list(
+                    self.connector.execute(
+                        self.table.name, self.quals, self.columns, self.limit, part
+                    )
+                )
+                break
+            except Exception as exc:  # noqa: BLE001 — connector errors are opaque
+                last_exc = exc
+                if not self.connector.is_retriable_error(exc):
+                    raise
+        else:
+            raise last_exc  # type: ignore[misc]
+        yield from batches
 
 
 

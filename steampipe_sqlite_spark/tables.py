@@ -33,6 +33,16 @@ ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Every column whose LOGICAL type is a timestamp; the physical parquet
+# encoding may be timestamp[us] or TIMESTAMP(NANOS)-as-int64 depending on
+# the round's fixture (tests/test_fixture_contract.py TS_OK) — load_table
+# normalizes whichever arrives.
+TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
 
 # per-session state, weakly keyed: a plain dict keyed by id(spark) breaks
 # when CPython reuses a stopped session's address for a new one (observed
@@ -95,17 +105,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # The fixture's physical ts type has flipped between rounds:
-        # TIMESTAMP(NANOS) (surfaced as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong) and plain timestamp[us].
-        # Never assume — sniff the read dtype and convert only when it is
-        # actually a long.  Integer division: double division would lose
-        # precision on ~1e18 nanosecond epochs.
+    # The fixture's physical timestamp type has flipped between rounds:
+    # TIMESTAMP(NANOS) (surfaced as long nanos under
+    # spark.sql.legacy.parquet.nanosAsLong) and plain timestamp[us].
+    # Never assume — sniff the read dtype and convert only when it is
+    # actually a long.  Applied to EVERY timestamp-expected column
+    # (TS_COLUMNS), not just events.ts: a date column flipping to
+    # TIMESTAMP(NANOS) would otherwise surface as bigint and silently
+    # break timestamp comparisons while the fixture tripwire stays green
+    # (ADVICE r3).  Integer division: double division would lose
+    # precision on ~1e18 nanosecond epochs.
+    ts_cols = TS_COLUMNS.get(name)
+    if ts_cols:
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        dtypes = dict(df.dtypes)
+        for c in ts_cols:
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     memo[key] = df
     return df
 
@@ -124,9 +141,6 @@ def referenced_tables(sql: str) -> tuple[str, ...]:
     return found or ALL_TABLES
 
 
-_REGISTERED: dict[tuple[int, tuple[str, ...]], str] = {}
-
-
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = ALL_TABLES) -> None:
     """Register one temp view per table for spark.sql() queries.
 
@@ -135,11 +149,13 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = A
     into SQLite's catalog; here each table becomes a temp view over a
     native parquet scan.  Registration is memoized per (session, table
     set): every query calls this, and re-registering 10 views costs
-    ~0.3 s of driver round-trips per query otherwise.
+    ~0.3 s of driver round-trips per query otherwise.  The memo rides the
+    weak per-session state (NOT id(spark) — a GC'd session's reused id
+    would make a fresh session skip registration and fail resolution).
     """
-    key = (id(spark), tables)
-    if _REGISTERED.get(key) == sf_dir:
+    views = _session_state(spark).setdefault("views", {})
+    if views.get(tables) == sf_dir:
         return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[key] = sf_dir
+    views[tables] = sf_dir

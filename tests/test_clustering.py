@@ -8,7 +8,11 @@ improvement, representative choice, and the prune contract.
 import pytest
 from pyspark.sql import functions as F
 
-from steampipe_sqlite_spark.operators.clustering import kmeans_assign, semantic_dedup
+from steampipe_sqlite_spark.operators.clustering import (
+    _rep_vectors,
+    kmeans_assign,
+    semantic_dedup,
+)
 from steampipe_sqlite_spark.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -59,6 +63,28 @@ def test_representative_is_closest_to_centroid(spark, emb):
         .collect()
     }
     assert reps == best
+
+
+def test_broadcast_side_is_k_rows_not_corpus(spark, emb):
+    """Scale guard (r3 verdict #3): the relation semantic_dedup broadcasts
+    (_rep_vectors) must be the k representatives, NOT the n-vector corpus —
+    a full-corpus broadcast OOMs every executor at 100 TB.  n >> k on the
+    fixture, so the broken form (all n rows) fails this hard."""
+    assigned = kmeans_assign(emb, "embedding", "vec_id", k=K, iters=2)
+    reps = (
+        assigned.groupBy("cell")
+        .agg(F.min(F.struct("d2", "id")).alias("m"))
+        .select(F.col("cell").alias("rcell"), F.col("m.id").alias("rep_id"))
+    )
+    n_reps = reps.count()
+    assert n_reps <= K < emb.count()
+    assert _rep_vectors(assigned, reps).count() == n_reps
+    # and the restriction itself is map-side: the k-row reps side is the
+    # broadcast build, never the corpus
+    plan = (
+        _rep_vectors(assigned, reps)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
 
 
 def test_prune_contract(spark, emb):

@@ -154,3 +154,29 @@ class TestRetry:
     def test_no_retry_config_streams_unbuffered(self):
         conn = ChaosConnector()
         assert conn.retry_policy() is None
+
+    def test_retries_still_apply_when_cache_disabled(self):
+        """Caching and retries are orthogonal (reference SDK): cache=false
+        must skip only the cache get/put, not the RetryHydrate backoff
+        (ADVICE r3 — the cache-disabled branch used to bypass retry)."""
+
+        class FlakyNoCache(ChaosConnector):
+            calls = 0
+
+            def execute(self, *a, **kw):
+                FlakyNoCache.calls += 1
+                if FlakyNoCache.calls <= 2:
+                    raise ConnectionError("transient")
+                yield from super().execute(*a, **kw)
+
+        conn = FlakyNoCache()
+        conn.set_config(
+            '{"cache": false, "retry_attempts": 3, "retry_min_backoff_ms": 1}'
+        )
+        r = self._reader(conn)
+        rows = [x for b in r.read(r.partitions()[0]) for x in b.to_pylist()]
+        assert FlakyNoCache.calls == 3 and len(rows) > 0
+        # and the scan really did bypass the cache: a second read hits the
+        # connector again instead of being served from _SCAN_CACHE
+        rows2 = [x for b in r.read(r.partitions()[0]) for x in b.to_pylist()]
+        assert FlakyNoCache.calls == 4 and rows2 == rows

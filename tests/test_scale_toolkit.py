@@ -207,3 +207,19 @@ class TestDistributedRowNumber:
         # and rn is a correct total sequence
         rns = [r.rn for r in got.orderBy("rn").collect()]
         assert rns == list(range(1, 5001))
+
+    def test_persist_handle_released(self, spark):
+        """The ranged intermediate must expose its owner handle so callers
+        can reclaim cache memory once done (ADVICE r3: persist without a
+        cleanup path leaks for the session lifetime)."""
+        from pyspark.sql import functions as F
+
+        from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+        df = spark.range(0, 1000).selectExpr("id", "id % 7 AS v")
+        got = distributed_row_number(df, [F.col("v"), F.col("id")], num_partitions=4)
+        got.collect()
+        handle = got._sgs_persisted
+        assert handle.storageLevel.useMemory
+        handle.unpersist(blocking=True)
+        assert not handle.storageLevel.useMemory

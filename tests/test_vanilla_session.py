@@ -20,9 +20,9 @@ def _make_vanilla(spark):
     """Strip the conf our builder pre-sets, so reads behave as under the
     driver's session."""
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    # one weak per-session map now holds table, view, and conf memos
     if tables._SESSION_STATE is not None:
         tables._SESSION_STATE.clear()
-    tables._REGISTERED.clear()
 
 
 def test_load_events_sets_nanos_conf_itself(spark):

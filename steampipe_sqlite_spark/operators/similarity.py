@@ -19,13 +19,19 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from steampipe_sqlite_spark.functions.vectors import dot, norm
+from steampipe_sqlite_spark.functions.vectors import dot_sql, norm_sql
+
+
+def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:
+    """4-dp-rounded cosine as ONE SQL expression (construction-cheap; the
+    fold order matches the DuckDB oracles exactly — see vectors.dot_sql)."""
+    return f"round({dot_sql(av, bv)} / ({an} * {bn}), 4)"
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
+    ).withColumn("nrm", F.expr(norm_sql("v")))
 
 
 def brute_force_topk(
@@ -38,11 +44,14 @@ def brute_force_topk(
     """
     c = _prep(corpus, vec_col, id_col).alias("c")
     q = _prep(queries, vec_col, id_col).alias("q")
-    cos = F.round(
-        dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 4
-    )
+    cos = F.expr(_cos_sql("q.v", "c.v", "q.nrm", "c.nrm"))
+    # Broadcast the QUERY set and stream the corpus: the corpus is the big
+    # side (unboundedly so at scale — broadcasting it OOMs every executor),
+    # and streaming it keeps the scoring work spread across the corpus
+    # scan's partitions instead of concentrating the whole pair space on
+    # the query side's (few) partitions.
     scored = (
-        q.join(F.broadcast(c), F.col("q.id") != F.col("c.id"))
+        c.join(F.broadcast(q), F.col("q.id") != F.col("c.id"))
         .select(
             F.col("q.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
@@ -104,14 +113,13 @@ def int8_topk(
     def prep(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col).alias("id"), quantize_int8(F.col(vec_col)).alias("qv")
-        ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+        ).withColumn("qn", F.expr(f"sqrt({dot_sql('qv', 'qv')})"))
 
     c = prep(corpus).alias("c")
     q = prep(queries).alias("q")
-    cos = F.round(
-        dot(F.col("q.qv"), F.col("c.qv")) / (F.col("q.qn") * F.col("c.qn")), 4
-    )
-    scored = q.join(F.broadcast(c), F.col("q.id") != F.col("c.id")).select(
+    cos = F.expr(_cos_sql("q.qv", "c.qv", "q.qn", "c.qn"))
+    # corpus streams, queries broadcast — same rationale as brute_force_topk
+    scored = c.join(F.broadcast(q), F.col("q.id") != F.col("c.id")).select(
         F.col("q.id").alias("query_id"),
         F.col("c.id").alias("neighbor_id"),
         cos.alias("cosine_q"),
@@ -183,7 +191,7 @@ def lsh_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4)
+    cos = F.expr(_cos_sql("qv", "cv", "qn", "cn"))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -217,9 +225,7 @@ def ivf_topk(
     )
 
     def crossed(df: DataFrame) -> DataFrame:
-        cos = F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 4
-        )
+        cos = F.expr(_cos_sql("v", "cv", "nrm", "cn"))
         return df.join(F.broadcast(cent), how="cross").withColumn("cell_cos", cos)
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
@@ -243,12 +249,12 @@ def ivf_topk(
 
     corpus_cells = assign(c, keep=1).alias("c")
     probes = assign(q, keep=nprobe).alias("q")
-    cos = F.round(
-        dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm")), 4
-    )
+    cos = F.expr(_cos_sql("q.v", "c.v", "q.nrm", "c.nrm"))
+    # corpus_cells streams (big side at scale); the nprobe-expanded query
+    # set is broadcast so the probe join never shuffles the corpus.
     scored = (
-        probes.join(
-            corpus_cells,
+        corpus_cells.join(
+            F.broadcast(probes),
             [F.col("q.cell") == F.col("c.cell"), F.col("q.id") != F.col("c.id")],
         )
         .select(

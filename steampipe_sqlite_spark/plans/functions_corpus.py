@@ -631,7 +631,11 @@ def json_sqlite_mutators_q(spark, sf_dir):
         json_set,
     )
 
-    ev = load_table(spark, sf_dir, "events").limit(500)
+    # NOTE: limit comes AFTER the orderBy at the end — a bare
+    # `ev.limit(500)` takes an arbitrary 500 rows once the scan has more
+    # than one partition (latent while the fixture read as a single
+    # partition; surfaced by layout compaction).
+    ev = load_table(spark, sf_dir, "events")
     j = F.to_json(F.named_struct(F.lit("id"), F.col("event_id"), F.lit("type"), F.col("event_type")))
     # literal: to_json(named_struct) DROPS null fields, losing the
     # RFC-7386 "type":null deletion marker
@@ -646,4 +650,5 @@ def json_sqlite_mutators_q(spark, sf_dir):
             F.get_json_object(json_patch(j, patch), "$.type").alias("type_after_patch"),
         )
         .orderBy("event_id")
+        .limit(500)
     )

@@ -91,6 +91,12 @@ def test_knn_bruteforce_broadcasts_the_query_side(spark, queries):
     p = plan_text(queries["knn_cosine_bruteforce"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p, "corpus×queries must not shuffle-cross"
+    # the BUILD side must be the query subset (vec_id < 10), never the
+    # corpus: a corpus broadcast OOMs every executor at scale.  In the
+    # tree string the broadcast subtree follows the BroadcastExchange
+    # node; the streamed corpus scan precedes it.
+    after_bx = p.split("BroadcastExchange", 1)[1]
+    assert "< 10" in after_bx, "broadcast side is not the query subset:\n" + p[:2000]
 
 
 def test_multimodal_decode_is_shuffle_free(spark):

@@ -23,7 +23,13 @@ def dot_sql(a: str, b: str) -> str:
     plans built either way produce bit-equal doubles.  The string form
     exists because Column-chain construction costs one py4j round-trip per
     node (measured ~0.4 s per similarity query build); a single F.expr is
-    one round-trip total."""
+    one round-trip total.
+
+    (Measured dead end, for the record: unrolling the fold into a flat
+    ``a[0]*b[0] + …`` chain to get whole-stage codegen was ~2× SLOWER than
+    the interpreted higher-order fold at 64 dims — per-pair HOF cost is
+    ~5 µs and the per-job floor dominates; don't re-attempt.)
+    """
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         "cast(0.0 as double), (acc, x) -> acc + x)"

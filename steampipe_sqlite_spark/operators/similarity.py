@@ -29,9 +29,9 @@ def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:
 
 
 def _prep(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("nrm", F.expr(norm_sql("v")))
+    return df.selectExpr(
+        f"{id_col} AS id", f"{vec_col} AS v", f"{norm_sql(vec_col)} AS nrm"
+    )
 
 
 def brute_force_topk(
@@ -44,25 +44,21 @@ def brute_force_topk(
     """
     c = _prep(corpus, vec_col, id_col).alias("c")
     q = _prep(queries, vec_col, id_col).alias("q")
-    cos = F.expr(_cos_sql("q.v", "c.v", "q.nrm", "c.nrm"))
     # Broadcast the QUERY set and stream the corpus: the corpus is the big
     # side (unboundedly so at scale — broadcasting it OOMs every executor),
     # and streaming it keeps the scoring work spread across the corpus
     # scan's partitions instead of concentrating the whole pair space on
     # the query side's (few) partitions.
-    scored = (
-        c.join(F.broadcast(q), F.col("q.id") != F.col("c.id"))
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            cos.alias("cosine"),
-        )
+    scored = c.join(F.broadcast(q), F.expr("q.id <> c.id")).selectExpr(
+        "q.id AS query_id",
+        "c.id AS neighbor_id",
+        f"{_cos_sql('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS cosine",
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -117,15 +113,17 @@ def int8_topk(
 
     c = prep(corpus).alias("c")
     q = prep(queries).alias("q")
-    cos = F.expr(_cos_sql("q.qv", "c.qv", "q.qn", "c.qn"))
     # corpus streams, queries broadcast — same rationale as brute_force_topk
-    scored = c.join(F.broadcast(q), F.col("q.id") != F.col("c.id")).select(
-        F.col("q.id").alias("query_id"),
-        F.col("c.id").alias("neighbor_id"),
-        cos.alias("cosine_q"),
+    scored = c.join(F.broadcast(q), F.expr("q.id <> c.id")).selectExpr(
+        "q.id AS query_id",
+        "c.id AS neighbor_id",
+        f"{_cos_sql('q.qv', 'c.qv', 'q.qn', 'c.qn')} AS cosine_q",
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine_q DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")
 
 
 def lsh_topk(
@@ -219,14 +217,15 @@ def ivf_topk(
     """
     c = _prep(corpus, vec_col, id_col)
     q = _prep(queries, vec_col, id_col)
-    cent = (
-        c.filter(F.col("id") < n_cells)
-        .select(F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    cent = c.where(f"id < {int(n_cells)}").selectExpr(
+        "id AS cid", "v AS cv", "nrm AS cn"
     )
+    cell_cos = _cos_sql("v", "cv", "nrm", "cn")
 
     def crossed(df: DataFrame) -> DataFrame:
-        cos = F.expr(_cos_sql("v", "cv", "nrm", "cn"))
-        return df.join(F.broadcast(cent), how="cross").withColumn("cell_cos", cos)
+        return df.join(F.broadcast(cent), how="cross").selectExpr(
+            "id", "v", "nrm", "cid", f"{cell_cos} AS cell_cos"
+        )
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
         if keep == 1:
@@ -239,32 +238,28 @@ def ivf_topk(
                 F.expr("any_value(v)").alias("v"),
                 F.expr("any_value(nrm)").alias("nrm"),
             ).select("id", "v", "nrm", "cell")
-        w = Window.partitionBy("id").orderBy(F.desc("cell_cos"), F.asc("cid"))
-        return (
-            crossed(df)
-            .withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= keep)
-            .select("id", "v", "nrm", F.col("cid").alias("cell"))
-        )
+        return crossed(df).selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY id"
+            " ORDER BY cell_cos DESC, cid ASC) AS cell_rank",
+        ).where(f"cell_rank <= {int(keep)}").selectExpr("id", "v", "nrm", "cid AS cell")
 
     corpus_cells = assign(c, keep=1).alias("c")
     probes = assign(q, keep=nprobe).alias("q")
-    cos = F.expr(_cos_sql("q.v", "c.v", "q.nrm", "c.nrm"))
     # corpus_cells streams (big side at scale); the nprobe-expanded query
     # set is broadcast so the probe join never shuffles the corpus.
-    scored = (
-        corpus_cells.join(
-            F.broadcast(probes),
-            [F.col("q.cell") == F.col("c.cell"), F.col("q.id") != F.col("c.id")],
-        )
-        .select(
-            F.col("q.id").alias("query_id"),
-            F.col("c.id").alias("neighbor_id"),
-            cos.alias("cosine"),
-        )
-        # no dedup needed: each corpus vector lives in exactly ONE cell
-        # (keep=1), so a (query, neighbor) pair can meet at most once even
-        # across nprobe probes — dropDuplicates here was a wasted shuffle
+    # No pair dedup needed: each corpus vector lives in exactly ONE cell
+    # (keep=1), so a (query, neighbor) pair can meet at most once even
+    # across nprobe probes — dropDuplicates here was a wasted shuffle.
+    scored = corpus_cells.join(
+        F.broadcast(probes), F.expr("q.cell = c.cell AND q.id <> c.id")
+    ).selectExpr(
+        "q.id AS query_id",
+        "c.id AS neighbor_id",
+        f"{_cos_sql('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS cosine",
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")

@@ -1218,6 +1218,35 @@ def sketch_hll_users(spark, sf_dir):
 
 
 @query(
+    "sketch_topk_tokens",
+    oracle=f"""
+WITH tok AS (SELECT UNNEST({_DD_TOKS}) AS term FROM documents),
+counted AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+SELECT term, cnt, rank FROM (
+  SELECT term, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counted
+) t WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def sketch_topk_tokens(spark, sf_dir):
+    """Heavy-hitters top-20 corpus tokens via per-partition Misra–Gries
+    summaries + exact candidate recount (functions/sketches.frequent_terms)
+    — shuffle bounded by the summary capacity per partition instead of the
+    distinct-term count.  Exact (and therefore oracle-checkable) whenever
+    the 20th term's frequency clears n/capacity, which any natural-language
+    head distribution does; the truncation mechanics are pinned separately
+    on skewed synthetic data in tests/test_llm_ops.py."""
+    from steampipe_sqlite_spark.functions.sketches import frequent_terms
+    from steampipe_sqlite_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return frequent_terms(tok, "term", k=20, capacity=256).orderBy("rank")
+
+
+@query(
     "sketch_hll_doc_texts",
     oracle=hll_oracle_sql("SELECT text FROM documents", "text", p=10),
 )

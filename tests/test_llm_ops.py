@@ -203,3 +203,51 @@ def test_hll_per_group_accuracy(spark):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) / exact[k] < 0.10, (k, est[k], exact[k])
+
+
+def test_frequent_terms_exact_on_head_terms(spark):
+    """Misra–Gries heavy hitters: with capacity far below the distinct
+    count, the recounted top-k still matches the exact answer as long as
+    head terms clear the n/capacity bar — proven here on a skewed synthetic
+    (Zipf-ish head over 5000 distinct tail terms, capacity 64)."""
+    from steampipe_sqlite_spark.functions.sketches import frequent_terms
+
+    # 10 head terms with 500..950 occurrences each + 5000 singleton tails
+    head = spark.range(0, 10).selectExpr(
+        "explode(transform(sequence(1, 500 + cast(id AS INT) * 50), x -> concat('head_', id))) AS term"
+    )
+    tail = spark.range(0, 5000).selectExpr("concat('tail_', id) AS term")
+    data = head.union(tail).repartition(8)
+
+    got = frequent_terms(data, "term", k=10, capacity=64).orderBy("rank").collect()
+    exact = (
+        data.groupBy("term").count()
+        .orderBy(F.desc("count"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r.term, r.cnt) for r in got] == [(r.term, r["count"]) for r in exact]
+
+
+def test_frequent_terms_candidate_stage_is_bounded(spark):
+    """The summary stage must emit at most `capacity` candidate rows per
+    partition — the property that bounds the shuffle at scale.  Re-runs
+    the same Misra–Gries summary frequent_terms uses and counts its rows
+    against the partitions × capacity ceiling."""
+    import pandas as pd
+
+    cap = 32
+    data = spark.range(0, 20000).selectExpr("concat('t_', id % 7000) AS term").repartition(4)
+
+    def mg(batches):
+        counts = {}
+        for pdf in batches:
+            for term, c in pdf["term"].value_counts().items():
+                counts[term] = counts.get(term, 0) + int(c)
+            if len(counts) > cap:
+                thr = sorted(counts.values(), reverse=True)[cap]
+                counts = {t: c - thr for t, c in counts.items() if c > thr}
+        yield pd.DataFrame({"term": list(counts.keys())})
+
+    n_cand = data.mapInPandas(mg, "term string").count()
+    assert n_cand <= 4 * cap, n_cand

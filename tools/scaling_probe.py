@@ -25,7 +25,11 @@ import duckdb
 from steampipe_sqlite_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.1"
-BIG = "/tmp/lineitem_10x"
+_SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCALING_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "scaling"),
+)
+BIG = os.path.join(_SCRATCH, "lineitem_10x")
 
 Q1 = """
 SELECT l_returnflag, l_linestatus,
@@ -58,8 +62,8 @@ def best_of(fn, runs=3):
     return round(best, 3)
 
 
-BIG_DOCS = "/tmp/documents_10x"
-BIG_EMB = "/tmp/embeddings_10x"
+BIG_DOCS = os.path.join(_SCRATCH, "documents_10x")
+BIG_EMB = os.path.join(_SCRATCH, "embeddings_10x")
 
 
 def _replicate(df, key_col: str, out: str, n: int = 10) -> None:
@@ -76,10 +80,15 @@ def _replicate(df, key_col: str, out: str, n: int = 10) -> None:
 
 
 def main() -> None:
+    from steampipe_sqlite_spark.tables import load_table
+
     spark = get_spark("scaling_probe")
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # read through the engine's load path (layout compaction included) —
+    # the probe measures the ENGINE's scan behavior, not a raw file read
+    li = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    li.createOrReplaceTempView("lineitem_1x")
     if not os.path.exists(BIG):
         _replicate(li, "l_orderkey", BIG)
     if not os.path.exists(BIG_DOCS):
@@ -90,7 +99,7 @@ def main() -> None:
     con = duckdb.connect()
     results = {}
     for label, table_spark, table_duck in [
-        ("1x", f"parquet.`{SF_DIR}/lineitem.parquet`", f"read_parquet('{SF_DIR}/lineitem.parquet')"),
+        ("1x", "lineitem_1x", f"read_parquet('{SF_DIR}/lineitem.parquet')"),
         ("10x", f"parquet.`{BIG}`", f"read_parquet('{BIG}/*.parquet')"),
     ]:
         for qname, q in [("q1", Q1), ("q6", Q6)]:

@@ -29,6 +29,15 @@ def normalize_text(c: Column) -> Column:
     return F.trim(c)
 
 
+# SQL-string twin of normalize_text (same Java regexes; the CJK range is
+# embedded as literal characters, exactly what the Column form compiles to)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), "
+    f"'[^a-z0-9{chr(0x4E00)}-{chr(0x9FFF)} ]', ' '), "
+    r"'\\s+', ' '))"
+)
+
+
 def tokens(c: Column) -> Column:
     """Whitespace tokens of the normalized text (array<string>)."""
     return F.split(normalize_text(c), " ")
@@ -112,3 +121,35 @@ def quality_score(c: Column) -> Column:
 def fingerprint(c: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(c))
+
+
+def chunk_sliding(
+    df, text_col: str, id_col: str, window: int = 32, stride: int = 24
+):
+    """Sliding-window token chunks: each document becomes
+    ``1 + (max(n_tokens - window, 0) + stride - 1) div stride`` overlapping
+    chunks of up to ``window`` tokens, starting every ``stride`` tokens —
+    the standard pretraining/RAG chunker.
+
+    Entirely JVM expressions (tokenize → sequence + explode → slice +
+    array_join): map-only, no shuffle, output cardinality ~n_tokens/stride
+    per document — the shape that streams through a 100 TB corpus.  The
+    chunk-count arithmetic keeps every intermediate non-negative so
+    integer division is floor==truncate on both engines (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors — they agree only above
+    zero).
+    """
+    w, s = int(window), int(stride)
+    return df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"split({_NORM_SQL.format(c=text_col)}, ' ') AS toks",
+    ).selectExpr(
+        "doc_id",
+        "toks",
+        f"explode(sequence(0, (greatest(size(toks) - {w}, 0) + {s - 1}) div {s})) AS chunk_idx",
+    ).selectExpr(
+        "doc_id",
+        "chunk_idx",
+        f"size(slice(toks, chunk_idx * {s} + 1, {w})) AS n_tokens",
+        f"array_join(slice(toks, chunk_idx * {s} + 1, {w}), ' ') AS chunk_text",
+    )

@@ -1613,6 +1613,33 @@ def pack_length_buckets(spark, sf_dir):
 
 
 @query(
+    "text_chunk_sliding",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         UNNEST(generate_series(0, (GREATEST(len(toks) - 32, 0) + 23) // 24)) AS chunk_idx
+  FROM base)
+SELECT doc_id, chunk_idx,
+       len(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)]) AS n_tokens,
+       array_to_string(toks[(chunk_idx * 24 + 1):(chunk_idx * 24 + 32)], ' ') AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_idx
+""",
+)
+def text_chunk_sliding_q(spark, sf_dir):
+    """Sliding-window token chunking (32-token windows, stride 24 — 8-token
+    overlap): the standard pretraining/RAG chunker as a map-only Catalyst
+    pipeline; the oracle replays the identical tokenize→slice arithmetic."""
+    from steampipe_sqlite_spark.functions.text import chunk_sliding
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_sliding(docs, "text", "doc_id", window=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
     "dataset_mixing_weights",
     oracle="""
 SELECT source, COUNT(*) AS n_kept

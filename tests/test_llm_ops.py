@@ -251,3 +251,40 @@ def test_frequent_terms_candidate_stage_is_bounded(spark):
 
     n_cand = data.mapInPandas(mg, "term string").count()
     assert n_cand <= 4 * cap, n_cand
+
+
+def test_chunk_sliding_invariants(spark):
+    """Chunker invariants on real documents: stride spacing, window cap,
+    full coverage (last chunk reaches the final token), and overlap
+    consistency (chunk i's tail tokens reappear at chunk i+1's head)."""
+    from steampipe_sqlite_spark.functions.text import chunk_sliding, tokens
+    from steampipe_sqlite_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    W, S = 32, 24
+    chunks = chunk_sliding(docs, "text", "doc_id", window=W, stride=S)
+    stats = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max("chunk_idx").alias("last_idx"),
+            F.max("n_tokens").alias("max_n"),
+            F.min("n_tokens").alias("min_n"),
+            F.sum("n_tokens").alias("sum_n"),
+        )
+        .collect()
+    )
+    n_tok = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).collect()
+    }
+    for r in stats:
+        n = n_tok[r.doc_id]
+        expected_chunks = 1 + (max(n - W, 0) + S - 1) // S
+        assert r.last_idx == expected_chunks - 1, (r.doc_id, n)
+        assert r.max_n <= W
+        # coverage: total chunk tokens = n + overlap duplicates
+        overlap_total = sum(
+            max(0, min(i * S + W, n) - (i + 1) * S)
+            for i in range(expected_chunks - 1)
+        )
+        assert r.sum_n == n + overlap_total, (r.doc_id, n, r.sum_n, overlap_total)

@@ -211,38 +211,54 @@ def ivf_topk(
     Centroids here are the first ``n_cells`` corpus vectors (deterministic,
     which keeps the operator SQL-oracle-checkable); a production deployment
     would k-means them offline — the plan shape is identical.  Scale
-    profile: assignment is a broadcast-cross of corpus × centroids (map
-    side, no shuffle), candidates meet on the cell id — one narrow shuffle,
-    probe cost ~ nprobe/n_cells of the corpus per query.
+    profile: the k centroids are pre-aggregated into ONE row holding an
+    array<struct<cid,cv,cn>> and broadcast-crossed onto the corpus (a
+    1-row broadcast nested loop — the same shape as llm.py's scalar-total
+    join), so cell assignment is a PURE MAP over the corpus scan: no
+    16×-row cross-join blow-up, no corpus shuffle.  (The earlier form
+    cross-joined a centroid table and re-grouped by id, which shuffles
+    every corpus vector — exactly what an inverted file exists to avoid
+    at 100 TB.  A literal-inlined variant was measured 2× slower: ~2k
+    literal expression nodes per assignment defeat constant sharing.)
+    Candidates then meet on the cell id with the nprobe-expanded query
+    set broadcast.
     """
     c = _prep(corpus, vec_col, id_col)
     q = _prep(queries, vec_col, id_col)
-    cent = c.where(f"id < {int(n_cells)}").selectExpr(
-        "id AS cid", "v AS cv", "nrm AS cn"
+    cent_arr = (
+        c.where(f"id < {int(n_cells)}")
+        .selectExpr("named_struct('cid', cast(id AS int), 'cv', v, 'cn', nrm) AS s")
+        .agg(F.expr("sort_array(collect_list(s)) AS cents"))
     )
-    cell_cos = _cos_sql("v", "cv", "nrm", "cn")
-
-    def crossed(df: DataFrame) -> DataFrame:
-        return df.join(F.broadcast(cent), how="cross").selectExpr(
-            "id", "v", "nrm", "cid", f"{cell_cos} AS cell_cos"
-        )
+    scored_cells = (
+        "transform(cents, s -> named_struct("
+        f"'c', round(({dot_sql('v', 's.cv')}) / (nrm * s.cn), 4), 'cid', s.cid))"
+    )
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
+        crossed = df.crossJoin(F.broadcast(cent_arr))
         if keep == 1:
-            # argmax via map-side-partial max_by: shuffles one row per id
-            # (vs the window form shuffling the full id×n_cells cross and
-            # sorting it); -cid breaks cosine ties toward the lowest cid,
-            # matching ORDER BY cell_cos DESC, cid ASC
-            return crossed(df).groupBy("id").agg(
-                F.expr("max_by(cid, struct(cell_cos, -cid))").alias("cell"),
-                F.expr("any_value(v)").alias("v"),
-                F.expr("any_value(nrm)").alias("nrm"),
-            ).select("id", "v", "nrm", "cell")
-        return crossed(df).selectExpr(
-            "*",
-            "row_number() OVER (PARTITION BY id"
-            " ORDER BY cell_cos DESC, cid ASC) AS cell_rank",
-        ).where(f"cell_rank <= {int(keep)}").selectExpr("id", "v", "nrm", "cid AS cell")
+            # map-side argmax; ties break toward the lowest cid, matching
+            # ORDER BY cell_cos DESC, cid ASC
+            best = (
+                f"aggregate({scored_cells}, "
+                "named_struct('c', cast(-9.0 as double), 'cid', 2147483647), "
+                "(acc, x) -> IF(x.c > acc.c OR (x.c = acc.c AND x.cid < acc.cid), x, acc))"
+            )
+            return crossed.selectExpr("id", "v", "nrm", f"({best}).cid AS cell")
+        # top-``keep`` cells: total-order sort of the (cos, cid) structs,
+        # slice, explode — still map-only
+        cmp = (
+            "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+            "WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END"
+        )
+        return crossed.selectExpr(
+            "id",
+            "v",
+            "nrm",
+            f"explode(transform(slice(array_sort({scored_cells}, {cmp}), 1, {int(keep)}),"
+            " s -> s.cid)) AS cell",
+        )
 
     corpus_cells = assign(c, keep=1).alias("c")
     probes = assign(q, keep=nprobe).alias("q")

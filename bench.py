@@ -49,6 +49,23 @@ HEADLINE = [
 RUNS = 3
 
 
+def _sentinel(sf_dir: str) -> float:
+    """Noise sentinel: a fixed tiny DuckDB aggregation, timed cold.
+    BASELINE.md documents multi-second machine noise on this box
+    (dedup_minhash_lsh's DuckDB side alone swings 2-9 s between rounds);
+    running the sentinel before the Spark pass and after the DuckDB pass
+    lets a reader judge how contended THIS run was from the artifact
+    itself."""
+    import duckdb
+
+    con = duckdb.connect()
+    t0 = time.perf_counter()
+    con.execute(
+        f"SELECT count(*), sum(l_quantity) FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).df()
+    return round(time.perf_counter() - t0, 4)
+
+
 def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
     import duckdb
 
@@ -82,6 +99,7 @@ def main() -> None:
 
     # warm the JVM + parquet footers once
     queries["tpch_q6"](spark, sf_dir).toPandas()
+    sentinel_before = _sentinel(sf_dir)
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
@@ -104,6 +122,7 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     duck = bench_duckdb(sf_dir, oracles)
+    noise = {"sentinel_before": sentinel_before, "sentinel_after": _sentinel(sf_dir)}
     total = round(sum(per_query.values()), 3)
     comparable = [n for n in HEADLINE if n in duck]
     eng_comp = sum(per_query[n] for n in comparable)
@@ -117,6 +136,7 @@ def main() -> None:
                 "queries": per_query,
                 "duckdb": duck,
                 "duckdb_total": round(duck_comp, 3),
+                "noise": noise,
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

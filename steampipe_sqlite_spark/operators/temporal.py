@@ -168,3 +168,54 @@ def interval_overlap_join(
         & (F.col(right_lo) < F.col(left_hi))
     )
     return joined.drop("_bin", "_l_start_bin", "_r_start_bin")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward — the
+    hypertable `time_bucket_gapfill + locf` operation.
+
+    Pipeline (all declarative, one keyed shuffle for the window):
+    1. bucket observations per (time bucket, key) — values fold as
+       integer cents (order-independent, cross-engine exact);
+    2. build the dense bucket×key grid from the GLOBAL time bounds (a
+       1-row aggregate broadcast-crossed onto the distinct keys — the
+       scalar-join shape, no driver collect);
+    3. left-join observations onto the grid;
+    4. carry the last non-null value forward per key (`last(v, true)`
+       window); buckets before a key's first observation stay NULL.
+
+    Scale: grid cardinality = keys × buckets (bounded, data-independent);
+    the LOCF window partitions by key so state never crosses executors.
+    """
+    bucket = f"date_trunc('hour', {ts_col})" if step == "1 hour" else None
+    assert bucket is not None, "only 1-hour steps wired so far"
+    obs = df.selectExpr(
+        f"{bucket} AS bucket", f"{key_col} AS k",
+        f"cast(round({value_col} * 100) as bigint) AS cents",
+    ).groupBy("bucket", "k").agg(
+        F.expr("cast(sum(cents) as double) / 100.0 AS v")
+    )
+    bounds = df.selectExpr(
+        f"min({bucket}) AS lo", f"max({bucket}) AS hi"
+    )
+    keys = df.selectExpr(f"{key_col} AS k").distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).selectExpr(
+        "k", "explode(sequence(lo, hi, interval 1 hour)) AS bucket"
+    )
+    joined = grid.join(obs, ["bucket", "k"], "left")
+    over = (
+        "OVER (PARTITION BY k ORDER BY bucket ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return joined.selectExpr(
+        "bucket",
+        "k",
+        f"last(v, true) {over} AS v_filled",
+        "cast(v IS NULL as int) AS is_gap",
+    )

@@ -219,3 +219,38 @@ def join_interval_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("signup_id")
     )
+
+
+@query(
+    "ts_gapfill_locf",
+    oracle="""
+WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+           FROM events),
+keys AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT k.event_type, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+         FROM b, keys k),
+obs AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS v
+        FROM events GROUP BY 1, 2)
+SELECT g.bucket AS hour_start, g.event_type,
+       last_value(o.v IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.bucket ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_value,
+       CAST(o.v IS NULL AS INT) AS is_gap
+FROM grid g LEFT JOIN obs o ON g.bucket = o.bucket AND g.event_type = o.event_type
+ORDER BY hour_start, g.event_type
+""",
+)
+def ts_gapfill_locf_q(spark, sf_dir):
+    """Hypertable-style gap filling: dense hourly bucket x event_type grid
+    over the global time range, hourly totals joined on, missing buckets
+    carried forward per type (LOCF).  Values fold as integer cents so the
+    filled series is cross-engine exact; leading buckets before a type's
+    first observation stay NULL on both engines."""
+    from steampipe_sqlite_spark.operators.temporal import gapfill_locf
+
+    events = load_table(spark, sf_dir, "events")
+    out = gapfill_locf(events, "ts", "event_type", "value", step="1 hour")
+    return out.selectExpr(
+        "bucket AS hour_start", "k AS event_type", "v_filled AS total_value", "is_gap"
+    ).orderBy("hour_start", "event_type")

@@ -223,3 +223,26 @@ class TestDistributedRowNumber:
         assert handle.storageLevel.useMemory
         handle.unpersist(blocking=True)
         assert not handle.storageLevel.useMemory
+
+
+def test_gapfill_locf_semantics(spark):
+    """Gap-filled series invariants: dense grid (hours x keys), gaps carry
+    the previous observed value, non-gaps equal their own bucket total,
+    leading gaps stay NULL."""
+    from steampipe_sqlite_spark.operators.temporal import gapfill_locf
+    from steampipe_sqlite_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = gapfill_locf(events, "ts", "event_type", "value").orderBy("k", "bucket")
+    rows = out.collect()
+    hours = {r.bucket for r in rows}
+    keys = {r.k for r in rows}
+    assert len(rows) == len(hours) * len(keys), "grid must be dense"
+    prev = {}
+    for r in rows:
+        if r.is_gap:
+            expected = prev.get(r.k)  # None before the first observation
+            assert r.v_filled == expected, (r.k, r.bucket, r.v_filled, expected)
+        else:
+            assert r.v_filled is not None
+            prev[r.k] = r.v_filled

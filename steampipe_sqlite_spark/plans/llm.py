@@ -1437,6 +1437,48 @@ def sample_stratified_md5(spark, sf_dir):
 
 
 @query(
+    "sample_weighted_md5",
+    oracle="""
+WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+kept AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM documents d, mx
+  WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0
+        < 0.5 * d.n_chars / mx.max_chars
+)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       MIN(doc_id) AS first_doc
+FROM kept GROUP BY lang ORDER BY lang
+""",
+)
+def sample_weighted_md5(spark, sf_dir):
+    """Weight-proportional deterministic sampling: each document keeps with
+    probability 0.5·w/w_max (w = n_chars) gated by an md5-derived uniform —
+    the reproducible analog of weighted Bernoulli sampling for quality- or
+    length-weighted corpus mixes.  Every operation is a division or
+    comparison of identical operands (no transcendentals), so keep
+    decisions are bit-identical across engines, cluster sizes, and
+    partitionings.  The global max weight arrives via a broadcast 1-row
+    aggregate (the scalar-join shape) — map-only otherwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.selectExpr("max(n_chars) AS max_chars")
+    u = "conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) / 4294967296.0"
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .where(f"{u} < 0.5 * n_chars / max_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "dedup_incremental",
     oracle="""
 WITH hist AS (

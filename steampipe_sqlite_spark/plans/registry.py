@@ -131,6 +131,14 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # reds (tpch_q12, mm_media_inventory — values matched, oracle HUGEINT
 # dtype artifact, now CAST AS BIGINT) and the newest query
 # (dataset_shuffle_shards, committed after the r3 window was frozen).
+# ROUND-5 ROTATION (do after CORRECTNESS_r04 lands — do NOT reorder before
+# the round-4 driver run): the names never driver-verified will then be the
+# three deferred pytest-double-covered ones (tpch_q1_dataframe,
+# distinct_pairs, compat_scalar_misc) plus the queries added in round 4
+# (sketch_topk_tokens, text_chunk_sliding, ts_gapfill_locf,
+# sample_weighted_md5) plus any r4 reds.  Put those first, then fill the
+# remaining ~40 slots re-verifying the oldest driver-green names (r1
+# window) so green status stays fresh across fixture changes.
 _WINDOW_PRIORITY = [
     # r3 reds, re-verified with the BIGINT-cast oracles
     "tpch_q12", "mm_media_inventory",

@@ -138,3 +138,24 @@ def test_range_join_is_hash_not_nested_loop(spark, queries):
         "range join degenerated to a nested loop"
     )
     assert "Join" in p  # an actual equi-join on the bins
+
+
+def test_aqe_parity_on_representative_queries(spark, queries):
+    """At cluster data volumes AQE is always on (session.py gates it off
+    only below 1 GiB input) — prove the adaptive path returns the same
+    rows as the static path for a join-heavy, a window, and a
+    dedup-pipeline query.  adaptive.enabled is runtime-settable, so this
+    exercises real AQE re-planning in the same session."""
+    names = ["tpch_q5", "win_running_sum", "dedup_exact"]
+    baseline = {}
+    for n in names:
+        fn = getattr(queries[n], "__wrapped__", queries[n])
+        baseline[n] = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        for n in names:
+            fn = getattr(queries[n], "__wrapped__", queries[n])
+            got = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+            assert got == baseline[n], f"AQE changed {n}'s result"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -1,0 +1,119 @@
+"""Property-based cross-checks of the round-4 operators against plain-Python
+references.  Each Spark example costs real jobs, so example counts stay
+small; the generators aim at the edge cases (empty docs, single tokens,
+all-gap hours, tie-heavy counts) that fixture data can't be trusted to hit.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+TOKEN = st.text(alphabet="abc01", min_size=1, max_size=3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(TOKEN, min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    window=st.integers(min_value=2, max_value=10),
+    stride_frac=st.integers(min_value=1, max_value=10),
+)
+def test_chunk_sliding_matches_python_reference(spark, docs, window, stride_frac):
+    from steampipe_sqlite_spark.functions.text import chunk_sliding
+
+    stride = max(1, (window * stride_frac) // 10)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in chunk_sliding(df, "text", "doc_id", window=window, stride=stride).collect()
+    }
+
+    expected = {}
+    for i, toks in enumerate(docs):
+        # normalize_text of space-joined [abc01] tokens is the identity;
+        # an empty doc normalizes to "" whose split yields one "" token
+        toks = toks or [""]
+        n = len(toks)
+        n_chunks = 1 + (max(n - window, 0) + stride - 1) // stride
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + window]
+            expected[(i, c)] = (len(piece), " ".join(piece))
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=72),  # hour offset
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-500, max_value=500),  # value in cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_gapfill_locf_matches_python_reference(spark, events):
+    from steampipe_sqlite_spark.operators.temporal import gapfill_locf
+
+    df = spark.createDataFrame(
+        [(h, k, cents / 100.0) for h, k, cents in events],
+        "h int, k string, value double",
+    ).selectExpr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0) AS ts",
+        "k AS event_type",
+        "value",
+    )
+    got = {
+        (r.bucket, r.k): (r.v_filled, r.is_gap)
+        for r in gapfill_locf(df, "ts", "event_type", "value").collect()
+    }
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    lo = min(h for h, _, _ in events)
+    hi = max(h for h, _, _ in events)
+    keys = sorted({k for _, k, _ in events})
+    obs: dict = {}
+    for h, k, cents in events:
+        obs[(h, k)] = obs.get((h, k), 0) + cents
+    expected = {}
+    for k in keys:
+        carry = None
+        for h in range(lo, hi + 1):
+            bucket = base + datetime.timedelta(hours=h)
+            if (h, k) in obs:
+                carry = obs[(h, k)] / 100.0
+                expected[(bucket, k)] = (carry, 0)
+            else:
+                expected[(bucket, k)] = (carry, 1)
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    terms=st.lists(TOKEN, min_size=1, max_size=300),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_frequent_terms_exact_when_capacity_covers_distinct(spark, terms, k):
+    """With capacity >= distinct count Misra-Gries never truncates, so the
+    result must equal the exact top-k under (count desc, term asc)."""
+    from steampipe_sqlite_spark.functions.sketches import frequent_terms
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string").repartition(3)
+    cap = len(set(terms)) + 1
+    got = [
+        (r.term, r.cnt)
+        for r in frequent_terms(df, "term", k=k, capacity=cap).orderBy("rank").collect()
+    ]
+    counts = Counter(terms)
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == expected

@@ -1368,45 +1368,49 @@ def curation_pipeline(spark, sf_dir):
     Every stage is an operator from this engine's toolkit composed
     declaratively — one scan, two hash shuffles (fingerprint, lang), no
     Python.  The shape a 100 TB pretraining-data pass actually uses."""
-    from pyspark.sql import Window
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
 
-    from steampipe_sqlite_spark.functions.text import (
-        fingerprint,
-        quality_score,
-        token_count,
+    # SQL-string twins of text.token_count/fingerprint/quality_score —
+    # identical expression trees (same casts, same addition order, so the
+    # doubles are bit-equal), composed as 3 selectExpr calls instead of
+    # ~50 py4j Column calls (measured 0.17 s of construction per build).
+    norm = _NORM_SQL.format(c="text")
+    n_tokens = f"size(split({norm}, ' '))"
+    quality = (
+        "round((CASE WHEN length(text) >= 100 AND length(text) <= 5000"
+        " THEN 1.0 ELSE 0.5 END"
+        f" + CASE WHEN (cast(length(text) AS double) / greatest({n_tokens}, 1)) >= 3.0"
+        f" AND (cast(length(text) AS double) / greatest({n_tokens}, 1)) <= 12.0"
+        " THEN 1.0 ELSE 0.5 END"
+        " + cast(regexp_count(text, '[A-Za-z]') AS double) / greatest(length(text), 1)"
+        ") / 3.0, 4)"
     )
-
     docs = load_table(spark, sf_dir, "documents")
-    scored = (
-        docs.filter(F.col("lang").isin("en", "de", "fr", "es"))
-        .select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            token_count(F.col("text")).alias("n_tokens"),
-            fingerprint(F.col("text")).alias("fp"),
-            quality_score(F.col("text")).alias("quality"),
-        )
-        .filter(F.col("quality") >= 0.6)
-    )
-    w_dedup = Window.partitionBy("fp").orderBy("doc_id")
-    deduped = (
-        scored.withColumn("rn", F.row_number().over(w_dedup)).filter(F.col("rn") == 1)
-    )
-    w_budget = (
-        Window.partitionBy("lang")
-        .orderBy(F.desc("quality"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        # explicit bigint on BOTH sides: DuckDB's window SUM yields HUGEINT,
-        # which round-trips through pandas as float/object and flips the
-        # driver's value hash even when the numbers are equal (VERDICT r1).
-        deduped.withColumn("cum_tokens", F.sum("n_tokens").over(w_budget).cast("long"))
-        .filter(F.col("cum_tokens") <= 5000)
-        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
-        .orderBy("lang", F.desc("quality"), "doc_id")
-    )
+    scored = docs.where(
+        "lang IN ('en', 'de', 'fr', 'es')"
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars",
+        f"{n_tokens} AS n_tokens",
+        f"md5({norm}) AS fp",
+        f"{quality} AS quality",
+    ).where("quality >= 0.6")
+    deduped = scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn",
+    ).where("rn = 1")
+    # explicit bigint on BOTH sides: DuckDB's window SUM yields HUGEINT,
+    # which round-trips through pandas as float/object and flips the
+    # driver's value hash even when the numbers are equal (VERDICT r1).
+    return deduped.selectExpr(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        "cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_tokens",
+    ).where("cum_tokens <= 5000").orderBy("lang", F.desc("quality"), "doc_id")
 
 
 @query(

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from steampipe_sqlite_spark.functions.text import char_shingles, fingerprint, word_ngrams
+from steampipe_sqlite_spark.functions.text import fingerprint, word_ngrams
 
 
 def _hash64(c: Column, family: str) -> tuple[Column, int]:

@@ -13,7 +13,7 @@ no BNL), the shapes that survive 1000 executors.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -18,7 +18,6 @@ native reader (tables.py) — this connector exists for reference parity
 from __future__ import annotations
 
 import csv
-import json
 import os
 from collections.abc import Iterator
 

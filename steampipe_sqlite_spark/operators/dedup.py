@@ -437,3 +437,58 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cdc_chunk_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS technique, Muthitacharoen
+    et al. 2001, applied to text): split each normalized document at
+    positions where the k-gram hash ≡ 0 (mod ``divisor``), fingerprint
+    each chunk, one row per (doc, chunk).
+
+    Because breakpoints depend on CONTENT, not offsets, an insertion or
+    deletion only perturbs the chunks it touches — shared boilerplate,
+    quotations, and template text produce identical chunk fingerprints
+    across documents even when the documents as wholes differ.  This is
+    the partial-overlap detector that whole-document dedup (exact /
+    minhash / simhash) structurally misses.
+
+    Shape: explode k-gram positions (~doc length rows, map-side), one
+    window pass per doc for the running breakpoint count, one groupBy per
+    (doc, chunk) for spans — linear, no pair space.  The md5-60-bit gram
+    hash reproduces bit-for-bit in DuckDB, so chunking is oracle-checkable.
+    Expected chunk length ≈ ``divisor`` grams.
+    """
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    norm = _NORM_SQL.format(c=text_col)
+    grams = df.selectExpr(f"{id_col} AS id", f"{norm} AS norm").selectExpr(
+        "id",
+        "norm",
+        "explode(sequence(1, greatest(length(norm) - " + str(k - 1) + ", 1))) AS i",
+    )
+    h60 = f"cast(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) as bigint)"
+    flagged = grams.selectExpr(
+        "id",
+        "norm",
+        "i",
+        f"cast({h60} % {int(divisor)} = 0 AS int) AS is_break",
+    ).selectExpr(
+        "id",
+        "norm",
+        "i",
+        "sum(is_break) OVER (PARTITION BY id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS breaks_before",
+    )
+    return flagged.groupBy("id", F.expr("coalesce(breaks_before, 0)").alias("chunk_idx")).agg(
+        F.expr("min(i)").alias("start"),
+        F.expr(f"max(i) + {k - 1} - min(i) + 1").alias("chunk_len"),
+        F.expr(f"md5(substring(any_value(norm), min(i), max(i) + {k - 1} - min(i) + 1))").alias(
+            "chunk_fp"
+        ),
+    )

@@ -684,6 +684,61 @@ _DD_H60 = "CAST('0x' || substring(md5({v}), 1, 15) AS BIGINT)"
 
 
 @query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id AS id, norm, UNNEST(generate_series(1, GREATEST(length(norm) - 7, 1))) AS i
+  FROM (SELECT doc_id, {_DD_NORM} AS norm FROM documents)
+),
+f AS (
+  SELECT id, norm, i,
+         CASE WHEN CAST('0x' || substring(md5(substring(norm, CAST(i AS INT), 8)), 1, 15) AS BIGINT) % 64 = 0
+              THEN 1 ELSE 0 END AS is_break
+  FROM g
+),
+b AS (
+  SELECT id, norm, i,
+         COALESCE(SUM(is_break) OVER (PARTITION BY id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM f
+),
+chunks AS (
+  SELECT id, chunk_idx,
+         CAST(MAX(i) + 7 - MIN(i) + 1 AS INT) AS chunk_len,
+         md5(substring(ANY_VALUE(norm), CAST(MIN(i) AS INT), CAST(MAX(i) + 7 - MIN(i) + 1 AS INT))) AS chunk_fp
+  FROM b GROUP BY id, chunk_idx
+)
+SELECT chunk_fp, COUNT(*) AS n_occurrences, COUNT(DISTINCT id) AS n_docs,
+       MIN(id) AS first_doc, MAX(chunk_len) AS max_chunk_len
+FROM chunks
+GROUP BY chunk_fp HAVING COUNT(DISTINCT id) >= 2
+ORDER BY chunk_fp
+""",
+)
+def dedup_cdc_chunks_q(spark, sf_dir):
+    """Partial-overlap dedup via content-defined chunking (rsync/LBFS
+    breakpointing on text): documents split where the rolling 8-gram
+    md5-60-bit hash ≡ 0 (mod 64), chunks fingerprinted, and every chunk
+    shared by ≥2 documents reported — catches shared boilerplate and
+    quotations that whole-document dedup structurally misses."""
+    from steampipe_sqlite_spark.operators.dedup import cdc_chunk_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_fingerprints(docs, "text", "doc_id", k=8, divisor=64)
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+            F.min("id").alias("first_doc"),
+            F.max("chunk_len").alias("max_chunk_len"),
+        )
+        .where("n_docs >= 2")
+        .orderBy("chunk_fp")
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=f"""
 WITH normed AS (SELECT doc_id AS id, {_DD_NORM} AS norm FROM documents),

@@ -288,3 +288,31 @@ def test_chunk_sliding_invariants(spark):
             for i in range(expected_chunks - 1)
         )
         assert r.sum_n == n + overlap_total, (r.doc_id, n, r.sum_n, overlap_total)
+
+
+def test_cdc_chunks_detect_shared_paragraph_and_survive_insertion(spark):
+    """CDC property: a paragraph shared by two otherwise-different documents
+    yields identical chunk fingerprints in both; and because breakpoints
+    are content-defined, prepending text to a document leaves the shared
+    paragraph's interior chunks unchanged (the offset-shift that defeats
+    fixed-size chunking)."""
+    from steampipe_sqlite_spark.operators.dedup import cdc_chunk_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog " * 20
+    a = "alpha preamble text here " * 10 + shared + " alpha epilogue " * 5
+    b = "completely different beta opening words " * 12 + shared + " beta end"
+    b_shifted = "EXTRA INSERTED PREFIX " + b
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, b_shifted)], "doc_id long, text string"
+    )
+    chunks = cdc_chunk_fingerprints(df, "text", "doc_id", k=8, divisor=64)
+    fps = {
+        i: {r.chunk_fp for r in rows}
+        for i, rows in [
+            (i, [r for r in chunks.collect() if r.id == i]) for i in (1, 2, 3)
+        ]
+    }
+    assert fps[1] & fps[2], "shared paragraph must produce shared chunk fps"
+    # content-defined: most of doc 2's chunks survive the prefix insertion
+    overlap = len(fps[2] & fps[3]) / len(fps[2])
+    assert overlap >= 0.5, f"insertion destroyed {1-overlap:.0%} of chunks"

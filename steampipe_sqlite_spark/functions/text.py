@@ -131,25 +131,40 @@ def chunk_sliding(
     chunks of up to ``window`` tokens, starting every ``stride`` tokens —
     the standard pretraining/RAG chunker.
 
-    Entirely JVM expressions (tokenize → sequence + explode → slice +
-    array_join): map-only, no shuffle, output cardinality ~n_tokens/stride
-    per document — the shape that streams through a 100 TB corpus.  The
-    chunk-count arithmetic keeps every intermediate non-negative so
-    integer division is floor==truncate on both engines (Spark ``div``
-    truncates toward zero, DuckDB ``//`` floors — they agree only above
-    zero).
+    Entirely JVM expressions; output cardinality ~n_tokens/stride per
+    document.  The chunk-count arithmetic keeps every intermediate
+    non-negative so integer division is floor==truncate on both engines
+    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors — they
+    agree only above zero).
     """
-    w, s = int(window), int(stride)
-    return df.selectExpr(
+    w, st = int(window), int(stride)
+    # Linear shape: explode TOKENS (with position), route each token to the
+    # <= ceil(window/stride) chunks that contain it, group back per chunk.
+    # The naive alternative — explode chunk indices and slice the token
+    # array per chunk row — duplicates the WHOLE token array into every
+    # chunk row (O(n²/stride) per document; 416M array elements for a
+    # 100k-token document).  Here total exploded rows are n·window/stride
+    # (a small constant factor) and the only shuffle is the per-chunk
+    # regroup.
+    toks = df.selectExpr(
         f"{id_col} AS doc_id",
         f"split({_NORM_SQL.format(c=text_col)}, ' ') AS toks",
     ).selectExpr(
         "doc_id",
-        "toks",
-        f"explode(sequence(0, (greatest(size(toks) - {w}, 0) + {s - 1}) div {s})) AS chunk_idx",
-    ).selectExpr(
+        f"(greatest(size(toks) - {w}, 0) + {st - 1}) div {st} AS last_chunk",
+        "posexplode(toks) AS (pos, token)",
+    )
+    routed = toks.selectExpr(
         "doc_id",
-        "chunk_idx",
-        f"size(slice(toks, chunk_idx * {s} + 1, {w})) AS n_tokens",
-        f"array_join(slice(toks, chunk_idx * {s} + 1, {w}), ' ') AS chunk_text",
+        "pos",
+        "token",
+        f"explode(sequence((greatest(pos - {w - 1}, 0) + {st - 1}) div {st},"
+        f" least(pos div {st}, last_chunk))) AS chunk_idx",
+    )
+    return routed.groupBy("doc_id", "chunk_idx").agg(
+        F.expr("count(1)").cast("int").alias("n_tokens"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(pos, token))),"
+            " s -> s.token), ' ')"
+        ).alias("chunk_text"),
     )

@@ -458,37 +458,47 @@ def cdc_chunk_fingerprints(
     the partial-overlap detector that whole-document dedup (exact /
     minhash / simhash) structurally misses.
 
-    Shape: explode k-gram positions (~doc length rows, map-side), one
-    window pass per doc for the running breakpoint count, one groupBy per
-    (doc, chunk) for spans — linear, no pair space.  The md5-60-bit gram
-    hash reproduces bit-for-bit in DuckDB, so chunking is oracle-checkable.
-    Expected chunk length ≈ ``divisor`` grams.
+    Shape: explode k-gram positions and hash them map-side, DROP the
+    document text before anything shuffles (the window and groupBy below
+    carry three scalars per gram — carrying the norm string through the
+    per-gram shuffle would be O(doc_len²) network bytes per document),
+    one window pass per doc for the running breakpoint count, one groupBy
+    per (doc, chunk) for spans, then one join back to the per-doc text
+    that projects each chunk's substring immediately — linear end to end,
+    no pair space.  The md5-60-bit gram hash reproduces bit-for-bit in
+    DuckDB, so chunking is oracle-checkable.  Expected chunk length ≈
+    ``divisor`` grams.
     """
     from steampipe_sqlite_spark.functions.text import _NORM_SQL
 
     norm = _NORM_SQL.format(c=text_col)
-    grams = df.selectExpr(f"{id_col} AS id", f"{norm} AS norm").selectExpr(
+    norm_df = df.selectExpr(f"{id_col} AS id", f"{norm} AS norm")
+    h60 = f"cast(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) as bigint)"
+    flags = norm_df.selectExpr(
         "id",
         "norm",
         "explode(sequence(1, greatest(length(norm) - " + str(k - 1) + ", 1))) AS i",
-    )
-    h60 = f"cast(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) as bigint)"
-    flagged = grams.selectExpr(
+    ).selectExpr(  # norm is dropped HERE — pre-shuffle rows are 3 scalars
         "id",
-        "norm",
         "i",
         f"cast({h60} % {int(divisor)} = 0 AS int) AS is_break",
-    ).selectExpr(
+    )
+    numbered = flags.selectExpr(
         "id",
-        "norm",
         "i",
         "sum(is_break) OVER (PARTITION BY id ORDER BY i"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS breaks_before",
     )
-    return flagged.groupBy("id", F.expr("coalesce(breaks_before, 0)").alias("chunk_idx")).agg(
+    spans = numbered.groupBy(
+        "id", F.expr("coalesce(breaks_before, 0)").alias("chunk_idx")
+    ).agg(
         F.expr("min(i)").alias("start"),
         F.expr(f"max(i) + {k - 1} - min(i) + 1").alias("chunk_len"),
-        F.expr(f"md5(substring(any_value(norm), min(i), max(i) + {k - 1} - min(i) + 1))").alias(
-            "chunk_fp"
-        ),
+    )
+    return spans.join(norm_df, "id").selectExpr(
+        "id",
+        "chunk_idx",
+        "start",
+        "chunk_len",
+        "md5(substring(norm, start, chunk_len)) AS chunk_fp",
     )

@@ -169,6 +169,28 @@ SELECT COUNT(*) FROM (
         d = best_of(lambda: con.execute(knn_duck.replace('__T__', tduck)).fetchall())
         results[f"knn_brute_{label}"] = {"spark_s": s, "duckdb_s": d, "ratio": round(s / d, 2)}
 
+    # Sliding-window chunker + CDC chunk fingerprints: both re-shaped in
+    # round 4 specifically for linear scaling (token routing instead of
+    # array-slice-per-chunk; text dropped before the per-gram shuffle) —
+    # engine-only probe (no DuckDB twin needed: the claim under test is
+    # Spark wall-clock growth, which should be ~linear in rows).
+    from steampipe_sqlite_spark.functions.text import chunk_sliding
+    from steampipe_sqlite_spark.operators.dedup import cdc_chunk_fingerprints
+
+    for label, sdf in [("1x", docs), ("10x", spark.read.parquet(BIG_DOCS))]:
+        s = best_of(
+            lambda: chunk_sliding(sdf, "text", "doc_id", 32, 24)
+            .agg(F.count("*"), F.sum("n_tokens"))
+            .collect()
+        )
+        results[f"chunker_{label}"] = {"spark_s": s}
+        s = best_of(
+            lambda: cdc_chunk_fingerprints(sdf, "text", "doc_id")
+            .agg(F.count("*"), F.count_distinct(F.col("chunk_fp")))
+            .collect()
+        )
+        results[f"cdc_{label}"] = {"spark_s": s}
+
     print(json.dumps(results))
     for path in (BIG, BIG_DOCS, BIG_EMB):
         shutil.rmtree(path, ignore_errors=True)

@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_cosine_bruteforce",
+    "knn_cosine_blas",
     "knn_cosine_ivf",
     "mm_image_decode",
     "join_asof_events",
@@ -104,25 +105,60 @@ def main() -> None:
     queries["tpch_q6"](spark, sf_dir).toPandas()
     sentinel_before = _sentinel(sf_dir)
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    # Hybrid run schedule: (RUNS-2) CONSECUTIVE runs per query, then 2
+    # full INTERLEAVED (round-robin) passes; per-query best over all.
+    # Rationale: this box's noise is BURSTY (co-tenant load spikes lasting
+    # seconds — BASELINE.md; observed inflating one query's 5 consecutive
+    # runs 0.3 s → 2+ s while the single-thread sentinel stayed at 6 ms),
+    # and back-to-back runs put ALL of a query's samples inside one burst —
+    # so the round-robin passes spread any burst across one sample of many
+    # queries.  But purely interleaved sampling was measured ~2× slower on
+    # the small queries (each run re-faults the page cache and JIT locality
+    # the 15 other queries just evicted), so the consecutive block supplies
+    # the locality-warm minimum and the interleaved passes supply the
+    # burst-immune fallback.
+    def timed_run(name: str) -> float:
         # bypass the registry plan cache: a re-executed identical DataFrame
         # object skips its completed shuffle stages (DAG-scheduler stage
-        # reuse), which would make runs 2..N measure shuffle reuse instead
-        # of query execution — not comparable to DuckDB's full re-runs.
+        # reuse), which would make repeat runs measure shuffle reuse
+        # instead of query execution — not comparable to DuckDB's full
+        # re-runs.
         fn = getattr(queries[name], "__wrapped__", queries[name])
-        best = float("inf")
-        for _ in range(RUNS):
-            # drop persisted intermediates from prior runs: keeps each run
-            # self-contained and the timings low-variance
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            # toPandas = the Arrow materialization path — symmetric with
-            # DuckDB's .df(); row-object collect() pays per-row pickling
-            # that no real consumer of either engine pays
-            fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+        # drop persisted intermediates from prior runs: keeps each run
+        # self-contained and the timings low-variance
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        # toPandas = the Arrow materialization path — symmetric with
+        # DuckDB's .df(); row-object collect() pays per-row pickling that
+        # no real consumer of either engine pays
+        fn(spark, sf_dir).toPandas()
+        return time.perf_counter() - t0
+
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for name in HEADLINE:
+        for _ in range(RUNS - 2):
+            best[name] = min(best[name], timed_run(name))
+    for _ in range(2):
+        for name in HEADLINE:
+            best[name] = min(best[name], timed_run(name))
+    per_query = {name: round(v, 3) for name, v in best.items()}
+
+    # Framework floor: the cheapest possible scan→shuffle→toPandas query
+    # (a 1M-row range with an 8-key aggregation — no parquet, no real
+    # compute).  Local-mode Spark pays ~0.2-0.3 s of job-submission, task
+    # scheduling, and Arrow-collection cost per query regardless of plan;
+    # queries whose best time sits at this floor have no plan-level
+    # headroom left, and the honest per-query comparison vs an in-process
+    # engine is (query - floor).
+    import pyspark.sql.functions as F
+
+    floor = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        spark.range(1_000_000, numPartitions=32).groupBy(
+            (F.col("id") % 8).alias("k")
+        ).count().toPandas()
+        floor = min(floor, time.perf_counter() - t0)
 
     duck = bench_duckdb(sf_dir, oracles)
     noise = {"sentinel_before": sentinel_before, "sentinel_after": _sentinel(sf_dir)}
@@ -139,6 +175,7 @@ def main() -> None:
                 "queries": per_query,
                 "duckdb": duck,
                 "duckdb_total": round(duck_comp, 3),
+                "spark_stage_floor": round(floor, 3),
                 "noise": noise,
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

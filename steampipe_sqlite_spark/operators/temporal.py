@@ -219,3 +219,59 @@ def gapfill_locf(
         f"last(v, true) {over} AS v_filled",
         "cast(v IS NULL as int) AS is_gap",
     )
+
+
+def latest_by_key(
+    df: "DataFrame",
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> "DataFrame":
+    """CDC "latest record wins" compaction: reduce a changelog to the
+    current state per key — the core of a MERGE/upsert materialization
+    (the batch analog of a streaming keyed-state snapshot).
+
+    Shape: ONE hash aggregation with ``max_by(payload_struct,
+    order_struct)`` — Spark structs compare lexicographically, so
+    ``order_cols`` acts as a composite version (e.g. (ts, seq) with seq
+    breaking same-timestamp ties).  max_by partial-aggregates map-side
+    (each task keeps one candidate row per key before the shuffle), so at
+    100 TB this moves ~|keys| rows per task instead of sorting the whole
+    changelog the way the equivalent row_number()-over-window does.
+    """
+    payload = ", ".join(payload_cols)
+    version = ", ".join(order_cols)
+    agg = df.groupBy(*key_cols).agg(
+        F.expr(f"max_by(struct({payload}), struct({version})) AS _latest")
+    )
+    return agg.select(*key_cols, "_latest.*")
+
+
+def scd2_intervals(
+    df: "DataFrame",
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> "DataFrame":
+    """Type-2 slowly-changing-dimension history from a changelog: each
+    change row becomes a validity interval [valid_from, valid_to) with
+    ``valid_to`` = the key's next change (NULL while current), plus an
+    ``is_current`` flag.
+
+    Shape: one keyed window (shuffle on key, sort by version within) —
+    lead() for the closing edge.  Per-key history is assumed to fit a
+    task's sort spill budget (true for any realistic entity changelog;
+    a key with 10^9 versions is a data bug, not a plan input).
+    """
+    over = (
+        f"OVER (PARTITION BY {', '.join(key_cols)} "
+        f"ORDER BY {', '.join(order_cols)} ASC)"
+    )
+    return df.selectExpr(
+        *key_cols,
+        *payload_cols,
+        f"{ts_col} AS valid_from",
+        f"lead({ts_col}) {over} AS valid_to",
+        f"cast(lead({ts_col}) {over} IS NULL AS int) AS is_current",
+    )

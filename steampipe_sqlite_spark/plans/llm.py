@@ -864,6 +864,36 @@ def knn_bruteforce_q(spark, sf_dir):
 
 
 @query(
+    "knn_cosine_blas",
+    oracle=f"""
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_DD_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DD_COS} DESC, b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 10
+) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def knn_blas_q(spark, sf_dir):
+    """Exact cosine top-5 via per-partition BLAS GEMM + partial top-k
+    (mapInPandas) — result-identical to knn_cosine_bruteforce (same
+    oracle), but the per-pair scoring runs vectorized instead of as an
+    interpreted expression fold: the shape that holds up when the corpus
+    is 10^9 vectors."""
+    from steampipe_sqlite_spark.operators.similarity import blas_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return blas_topk(emb, queries, "embedding", "vec_id", k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
     "knn_cosine_int8",
     oracle="""
 WITH qz AS (

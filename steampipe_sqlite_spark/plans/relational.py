@@ -705,3 +705,33 @@ JOIN (SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS st FROM orders WHERE o_or
 ORDER BY key_a, key_b
 """,
 )
+
+
+# --- schema evolution (unionByName over drifted snapshots) ----------------
+@query(
+    "schema_evolution_union",
+    oracle="""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT doc_id, text, lang, NULL AS source, NULL AS n_chars
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL BY NAME
+  SELECT doc_id, text, source, n_chars FROM documents WHERE doc_id % 2 = 0
+)
+ORDER BY doc_id
+""",
+)
+def schema_evolution_union(spark, sf_dir):
+    """Schema-drift union: an old snapshot (doc_id, text, lang) and a new
+    snapshot that dropped `lang` and added `source`/`n_chars`, combined
+    with unionByName(allowMissingColumns=True) — absent columns null-fill
+    per branch.  The ingestion-pipeline answer to parquet schema evolution
+    (same resolution rule as spark.read.option("mergeSchema")); plan-wise
+    it's a plain union of two pruned scans, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where("doc_id % 2 = 1").select("doc_id", "text", "lang")
+    new = docs.where("doc_id % 2 = 0").select("doc_id", "text", "source", "n_chars")
+    return (
+        old.unionByName(new, allowMissingColumns=True)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

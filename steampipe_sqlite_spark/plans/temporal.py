@@ -254,3 +254,58 @@ def ts_gapfill_locf_q(spark, sf_dir):
     return out.selectExpr(
         "bucket AS hour_start", "k AS event_type", "v_filled AS total_value", "is_gap"
     ).orderBy("hour_start", "event_type")
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS r
+  FROM events
+) t WHERE r = 1
+ORDER BY user_id
+""",
+)
+def cdc_latest_state(spark, sf_dir):
+    """CDC latest-record-wins compaction of the events changelog: current
+    state per user_id, versioned by (ts, event_id).  One max_by hash
+    aggregation (map-side partial per key — no full changelog sort); the
+    oracle is the equivalent row_number window."""
+    from steampipe_sqlite_spark.operators.temporal import latest_by_key
+
+    events = load_table(spark, sf_dir, "events")
+    return latest_by_key(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_id", "ts", "event_type", "value"],
+    ).orderBy("user_id")
+
+
+@query(
+    "cdc_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id, value, ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CAST(LEAD(ts) OVER w IS NULL AS INT) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+ORDER BY user_id, valid_from, event_id
+""",
+)
+def cdc_scd2_intervals_q(spark, sf_dir):
+    """Type-2 SCD history from the events changelog: per-user validity
+    intervals [valid_from, valid_to) with is_current on the open row —
+    one keyed lead() window."""
+    from steampipe_sqlite_spark.operators.temporal import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_id", "value"],
+    ).orderBy("user_id", "valid_from", "event_id")

@@ -129,6 +129,22 @@ def test_brute_force_topk_is_exactly_k_ranked(emb):
         assert cosines == sorted(cosines, reverse=True)
 
 
+def test_blas_topk_equals_brute_force_exactly(emb):
+    from steampipe_sqlite_spark.operators.similarity import blas_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in blas_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    # bit-identical after 4-dp rounding: neighbor ids AND cosine values
+    assert got == want
+
+
 def test_hll_estimate_accuracy(spark):
     """The deterministic HLL must land within the standard error envelope
     (~1.04/sqrt(1024) ≈ 3.3%; allow 3σ) of the exact distinct count."""

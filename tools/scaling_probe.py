@@ -169,6 +169,19 @@ SELECT COUNT(*) FROM (
         d = best_of(lambda: con.execute(knn_duck.replace('__T__', tduck)).fetchall())
         results[f"knn_brute_{label}"] = {"spark_s": s, "duckdb_s": d, "ratio": round(s / d, 2)}
 
+    # BLAS top-k (same workload as knn_brute, scored by per-partition GEMM
+    # instead of the interpreted expression fold) — engine-only: the claim
+    # under test is the Spark-vs-Spark speedup of the vectorized path as
+    # the corpus grows.
+    from steampipe_sqlite_spark.operators.similarity import blas_topk
+
+    for label, sdf in [("1x", emb), ("10x", spark.read.parquet(BIG_EMB))]:
+        queries = sdf.filter(sdf.vec_id < 10)
+        s = best_of(
+            lambda: blas_topk(sdf, queries, "embedding", "vec_id", 5).count()
+        )
+        results[f"knn_blas_{label}"] = {"spark_s": s}
+
     # Sliding-window chunker + CDC chunk fingerprints: both re-shaped in
     # round 4 specifically for linear scaling (token routing instead of
     # array-slice-per-chunk; text dropped before the per-gram shuffle) —

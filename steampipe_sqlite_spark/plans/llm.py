@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from steampipe_sqlite_spark.plans.registry import query
+from steampipe_sqlite_spark.plans.registry import presentation_sort, query
 from steampipe_sqlite_spark.tables import load_table
 
 # DuckDB twins of functions/text.py normalization (RE2 spelling; 'g' flag).
@@ -784,10 +784,13 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     from steampipe_sqlite_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5,
-        hash_family="md5",
-    ).orderBy("id_a", "id_b")
+    return presentation_sort(
+        minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5,
+            hash_family="md5",
+        ),
+        ["id_a", "id_b"],
+    )
 
 
 _DD_SIMHASH_COUNTS = ", ".join(f"SUM((h >> {b}) & 1) AS c{b}" for b in range(60))
@@ -822,9 +825,10 @@ def dedup_simhash_q(spark, sf_dir):
     from steampipe_sqlite_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(
-        docs, "text", "doc_id", max_hamming=8, hash_family="md5"
-    ).orderBy("id_a", "id_b")
+    return presentation_sort(
+        simhash_pairs(docs, "text", "doc_id", max_hamming=8, hash_family="md5"),
+        ["id_a", "id_b"],
+    )
 
 
 # --- Similarity search ----------------------------------------------------
@@ -858,8 +862,9 @@ def knn_bruteforce_q(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries, "embedding", "vec_id", k=5).orderBy(
-        "query_id", "rank"
+    return presentation_sort(
+        brute_force_topk(emb, queries, "embedding", "vec_id", k=5),
+        ["query_id", "rank"],
     )
 
 
@@ -888,8 +893,9 @@ def knn_blas_q(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return blas_topk(emb, queries, "embedding", "vec_id", k=5).orderBy(
-        "query_id", "rank"
+    return presentation_sort(
+        blas_topk(emb, queries, "embedding", "vec_id", k=5),
+        ["query_id", "rank"],
     )
 
 
@@ -1219,9 +1225,10 @@ def knn_ivf_q(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(
-        emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=3
-    ).orderBy("query_id", "rank")
+    return presentation_sort(
+        ivf_topk(emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=3),
+        ["query_id", "rank"],
+    )
 
 
 @query(
@@ -1488,14 +1495,15 @@ def curation_pipeline(spark, sf_dir):
     # explicit bigint on BOTH sides: DuckDB's window SUM yields HUGEINT,
     # which round-trips through pandas as float/object and flips the
     # driver's value hash even when the numbers are equal (VERDICT r1).
-    return deduped.selectExpr(
+    out = deduped.selectExpr(
         "doc_id",
         "lang",
         "n_tokens",
         "quality",
         "cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cum_tokens",
-    ).where("cum_tokens <= 5000").orderBy("lang", F.desc("quality"), "doc_id")
+    ).where("cum_tokens <= 5000")
+    return presentation_sort(out, ["lang", F.desc("quality"), "doc_id"])
 
 
 @query(

@@ -75,17 +75,71 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def sql_query(name: str, spark_sql: str, oracle: str | None = None) -> None:
+def presentation_sort(df: "DataFrame", cols: list) -> "DataFrame":
+    """Single-partition, globally-ordered presentation of a BOUNDED final
+    result.
+
+    A top-level ``orderBy`` compiles to a range exchange whose partitioner
+    runs a separate row-sampling JOB before the main one — measured here as
+    +1 job plus a re-execution of the post-shuffle tail stage, ~0.1–0.2 s
+    per query at ANY data scale — pure overhead once the result is already
+    reduced to aggregate/top-k size.  ``coalesce(1)`` collapses only the
+    tail stage (callers must sit above a shuffle boundary so the coalesce
+    cannot serialize the scan — pinned by
+    test_plans.test_presentation_sort_sits_above_a_shuffle), and one
+    in-partition sort then yields the same total order with zero extra
+    jobs.  NOT for unbounded results: there the parallel range sort IS the
+    scale path — keep ``orderBy``.
+
+    ``cols``: Column objects, column names, or ``"name DESC"`` strings.
+    """
+    from pyspark.sql import functions as F
+
+    parsed = []
+    for c in cols:
+        if isinstance(c, str):
+            parsed.append(
+                F.col(c[:-5].strip()).desc()
+                if c.upper().endswith(" DESC")
+                else F.col(c)
+            )
+        else:
+            parsed.append(c)
+    return df.coalesce(1).sortWithinPartitions(*parsed)
+
+
+def sql_query(
+    name: str,
+    spark_sql: str,
+    oracle: str | None = None,
+    present_sort: list | None = None,
+) -> None:
     """Register a pure-SQL query: Spark runs ``spark_sql`` against the
     registered temp views; DuckDB runs ``oracle`` (defaults to the same
-    string — most of the corpus is dialect-shared ANSI SQL)."""
+    string — most of the corpus is dialect-shared ANSI SQL).
+
+    ``present_sort``: when given, the trailing top-level ORDER BY of
+    ``spark_sql`` is stripped on the SPARK side and replaced with
+    :func:`presentation_sort` over these columns (the oracle keeps the
+    ORDER BY; the correctness hash is row-order-insensitive on both
+    sides, so only the plan shape changes)."""
     from steampipe_sqlite_spark.tables import referenced_tables, register_views
 
     tables = referenced_tables(spark_sql)
+    run_sql = spark_sql
+    if present_sort is not None:
+        idx = run_sql.upper().rindex("ORDER BY")
+        tail = run_sql[idx:]
+        # top-level ORDER BY only: a subquery's would carry parens/FROM
+        assert "(" not in tail and ")" not in tail and "FROM" not in tail.upper(), name
+        run_sql = run_sql[:idx]
 
     def fn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         register_views(spark, sf_dir, tables)
-        return spark.sql(spark_sql)
+        df = spark.sql(run_sql)
+        if present_sort is not None:
+            df = presentation_sort(df, present_sort)
+        return df
 
     fn.__name__ = f"q_{name}"
     fn.__doc__ = spark_sql

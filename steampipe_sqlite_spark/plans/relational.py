@@ -319,6 +319,7 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """,
+    present_sort=["event_id"],
 )
 
 sql_query(

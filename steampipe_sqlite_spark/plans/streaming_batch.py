@@ -35,6 +35,7 @@ FROM events
 GROUP BY 1, 2
 ORDER BY win_start, event_type
 """,
+    present_sort=["win_start", "event_type"],
 )
 
 # Sliding window: every event belongs to 2 windows (1h width, 30m slide).

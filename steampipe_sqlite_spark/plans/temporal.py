@@ -12,7 +12,7 @@ from steampipe_sqlite_spark.operators.temporal import (
     interval_overlap_join,
     range_join_binned,
 )
-from steampipe_sqlite_spark.plans.registry import query
+from steampipe_sqlite_spark.plans.registry import presentation_sort, query
 from steampipe_sqlite_spark.tables import load_table
 
 
@@ -39,10 +39,13 @@ def join_asof_events(spark, sf_dir):
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value")
     )
-    return asof_join(
-        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
-        payload_cols=["click_value"],
-    ).orderBy("event_id")
+    return presentation_sort(
+        asof_join(
+            purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+            payload_cols=["click_value"],
+        ),
+        ["event_id"],
+    )
 
 
 @query(

@@ -71,7 +71,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
-sql_query("tpch_q1", Q1_SQL)
+sql_query("tpch_q1", Q1_SQL, present_sort=["l_returnflag", "l_linestatus"])
 
 
 def tpch_q1_dataframe(spark, sf_dir):
@@ -185,6 +185,7 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
+    present_sort=["revenue DESC", "n_name"],
 )
 
 # --- Q6: forecast revenue change (pure scan + filter + agg) --------------
@@ -275,6 +276,7 @@ FROM (
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
 """,
+    present_sort=["nation", "o_year DESC"],
 )
 
 # --- Q10: returned item reporting (join + group + top-k) -----------------

@@ -159,3 +159,26 @@ def test_aqe_parity_on_representative_queries(spark, queries):
             assert got == baseline[n], f"AQE changed {n}'s result"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
+PRESENT_SORT_QUERIES = [
+    "tpch_q1", "tpch_q5", "tpch_q9", "win_running_sum", "window_tumbling_1h",
+    "dedup_minhash_lsh", "dedup_simhash", "knn_cosine_bruteforce",
+    "knn_cosine_blas", "knn_cosine_ivf", "join_asof_events",
+    "curation_pipeline",
+]
+
+
+def test_presentation_sort_sits_above_a_shuffle(spark, queries):
+    """presentation_sort (coalesce(1) + in-partition sort) replaced the
+    final orderBy on these queries to kill the range-partitioner's
+    sampling job.  Two properties must hold: no range exchange remains,
+    and a real shuffle boundary sits below the coalesce — otherwise
+    coalesce(1) would serialize the scan itself onto one task."""
+    for name in PRESENT_SORT_QUERIES:
+        p = plan_text(queries[name](spark, SF_DIR))
+        assert "rangepartitioning" not in p, f"{name}: range sort still present"
+        assert "Coalesce 1" in p, f"{name}: coalesced presentation sort missing"
+        assert (
+            "Exchange hashpartitioning" in p or "Exchange SinglePartition" in p
+        ), f"{name}: no shuffle below the coalesce — scan would serialize"

@@ -255,3 +255,63 @@ def compact_parquet(spark: SparkSession, path: str, target_file_mb: int = 128) -
     _shutil.rmtree(path)
     _os.rename(tmp, path)
     return len(_glob.glob(_os.path.join(path, "*.parquet")))
+
+
+def zorder_values(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Add a ``_z`` column: the Morton (Z-order) code of ``cols``.
+
+    Each column is quantized to ``bits`` buckets via its approximate
+    quantile boundaries (one distributed GK-sketch pass per column,
+    driver-side result is just the 2^bits boundary list), then the bucket
+    ids' bits are interleaved JVM-side with one shift/or expression chain.
+    Rank-based quantization (not min/max scaling) makes the code robust to
+    skew: each bucket holds ~1/2^bits of the rows regardless of the value
+    distribution.
+
+    This is the layout transform behind Delta/Iceberg's OPTIMIZE ZORDER
+    (public construction: Morton 1966): sorting by ``_z`` clusters rows so
+    EVERY listed column has narrow min/max ranges per file, which turns
+    parquet footer stats into an effective multi-column index — the
+    standard lakehouse answer to "I filter on two columns but can only
+    partition by one".
+    """
+    n = 1 << bits
+    quantized = df
+    for i, c in enumerate(cols):
+        probs = [j / n for j in range(1, n)]
+        bounds = df.stat.approxQuantile(c, probs, 0.001)
+        # width_bucket via a literal sorted-array binary search would be
+        # ideal; a filter-count over the literal array is one expression
+        # and exact for our bucket counts
+        arr = ", ".join(repr(float(b)) for b in bounds)
+        quantized = quantized.withColumn(
+            f"_b{i}",
+            F.expr(f"size(filter(array({arr}), x -> x <= cast({c} as double)))"),
+        )
+    k = len(cols)
+    z = " | ".join(
+        f"shiftleft(cast(shiftrightunsigned(_b{i}, {b}) & 1 as bigint), {b * k + (k - 1 - i)})"
+        for i in range(k)
+        for b in range(bits)
+    )
+    return quantized.withColumn("_z", F.expr(z)).drop(
+        *[f"_b{i}" for i in range(k)]
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    out_path: str,
+    files: int = 32,
+    bits: int = 8,
+) -> None:
+    """OPTIMIZE ZORDER analog: rewrite ``df`` into ``files`` parquet files
+    range-partitioned and sorted by the Morton code of ``cols``, so
+    min/max footer stats prune scans filtered on ANY prefix-free subset of
+    those columns.  Row values are unchanged — only layout.  The shuffle
+    is one range exchange on a bigint (the same cost class as a global
+    sort), paid once at write time like every compaction job."""
+    zorder_values(df, cols, bits=bits).repartitionByRange(
+        files, "_z"
+    ).sortWithinPartitions("_z").drop("_z").write.mode("overwrite").parquet(out_path)

@@ -246,3 +246,46 @@ def test_gapfill_locf_semantics(spark):
         else:
             assert r.v_filled is not None
             prev[r.k] = r.v_filled
+
+
+class TestZorder:
+    def test_zorder_clusters_both_columns_and_preserves_rows(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from steampipe_sqlite_spark.operators.scale import zorder_write
+
+        events = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "value"
+        )
+        out = str(tmp_path / "zorder")
+        zorder_write(events, ["user_id", "value"], out, files=8, bits=8)
+
+        # rows unchanged (layout-only transform)
+        back = spark.read.parquet(out)
+        assert back.count() == events.count()
+        assert (
+            back.select(F.sum("event_id")).first()[0]
+            == events.select(F.sum("event_id")).first()[0]
+        )
+
+        # per-file min/max spread: with 8 z-ordered files each file should
+        # cover a narrow slice of BOTH dimensions (~sqrt(1/8) of the domain
+        # per column); an unclustered layout covers ~100% of each.
+        stats = {"user_id": [], "value": []}
+        domain = {
+            c: events.selectExpr(f"max({c}) - min({c})").first()[0]
+            for c in stats
+        }
+        for path in glob.glob(f"{out}/*.parquet"):
+            meta = pq.ParquetFile(path).metadata
+            schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+            for c in stats:
+                idx = schema_names.index(c)
+                lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+                hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+                stats[c].append((hi - lo) / domain[c])
+        for c, spreads in stats.items():
+            mean_spread = sum(spreads) / len(spreads)
+            assert mean_spread < 0.6, f"{c}: files cover {mean_spread:.0%} of the domain on average"

@@ -134,6 +134,14 @@ def main() -> None:
         fn(spark, sf_dir).toPandas()
         return time.perf_counter() - t0
 
+    # one untimed warm-up run per query first: codegen compilation and the
+    # JIT's profiling tiers need executions before a query reaches steady
+    # state (q1 was measured 2× slower on its first post-construction runs
+    # than after the JVM warmed), and DuckDB's side gets the same treatment
+    # implicitly from best-of-RUNS over its sub-100 ms runs.
+    for name in HEADLINE:
+        timed_run(name)
+
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
     for name in HEADLINE:
         for _ in range(RUNS - 2):

@@ -263,3 +263,43 @@ def streaming_dedup_watermark(spark, sf_dir):
     deduped = dedup_within_watermark(read_events_stream(spark, sf_dir))
     result = run_stream_to_memory(spark, deduped, name, output_mode="append")
     return result.orderBy("user_id", "event_type")
+
+
+@query(
+    "streaming_cdc_latest",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS r
+  FROM events
+) t WHERE r = 1
+ORDER BY user_id
+""",
+)
+def streaming_cdc_latest(spark, sf_dir):
+    """CDC latest-record materialization driven through the streaming
+    engine (applyInPandasWithState keyed on user_id, state = the current
+    winning record).  update-mode emissions are folded with the BATCH
+    latest_by_key operator — any prefix of micro-batches re-emits its
+    running winner, and the fold keeps the global one — so the query is
+    correct for any micro-batch split, and the batch window oracle
+    reproduces it exactly."""
+    import uuid as _uuid
+
+    from steampipe_sqlite_spark.operators.temporal import latest_by_key
+    from steampipe_sqlite_spark.streaming.jobs import (
+        cdc_latest_state_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    name = f"cdc_latest_out_{_uuid.uuid4().hex[:8]}"
+    agg = cdc_latest_state_stream(read_events_stream(spark, sf_dir))
+    result = run_stream_to_memory(spark, agg, name, output_mode="update")
+    return latest_by_key(
+        result,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_id", "ts", "event_type", "value"],
+    ).orderBy("user_id")

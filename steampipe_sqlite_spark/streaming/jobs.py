@@ -231,3 +231,69 @@ def dedup_within_watermark(events: DataFrame, delay: str = "10 minutes") -> Data
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+CDC_LATEST_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+CDC_LATEST_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def cdc_latest_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming CDC materialization: keep the latest record per user_id
+    (versioned by (ts, event_id)) as GroupState across micro-batches —
+    the streaming twin of operators/temporal.latest_by_key, i.e. a MERGE/
+    upsert view maintained incrementally instead of recomputed.
+
+    State is one fixed-width tuple per key (timestamps stored as integer
+    micros — exact, no tz coercion in the state store); each micro-batch
+    shuffles once on user_id and state size is O(distinct keys), so the
+    job runs forever on an unbounded changelog.
+    """
+    import pandas as pd  # local import: executes on workers
+
+    def update(key, pdfs, state):
+        cur = state.get if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cand = (
+                int(top["ts"].value // 1_000),
+                int(top["event_id"]),
+                str(top["event_type"]),
+                float(top["value"]),
+            )
+            if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                cur = cand
+        state.update(cur)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [cur[1]],
+                "ts": [pd.Timestamp(cur[0], unit="us")],
+                "event_type": [cur[2]],
+                "value": [cur[3]],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CDC_LATEST_OUTPUT,
+        stateStructType=CDC_LATEST_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

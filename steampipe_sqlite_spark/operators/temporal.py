@@ -275,3 +275,54 @@ def scd2_intervals(
         f"lead({ts_col}) {over} AS valid_to",
         f"cast(lead({ts_col}) {over} IS NULL AS int) AS is_current",
     )
+
+
+def ewma_by_key(
+    df: "DataFrame",
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+) -> "DataFrame":
+    """Exponentially-weighted moving average per key:
+    ``y_0 = x_0;  y_i = alpha*x_i + (1-alpha)*y_{i-1}`` over the key's
+    rows ordered by ``order_cols`` — the standard streaming smoother /
+    online feature.
+
+    The recursion is inherently sequential per key, which no windowed SQL
+    rewrite expresses stably (the closed form needs (1-alpha)^-j terms
+    that overflow after a few hundred rows), so this is the applyInPandas
+    case: ONE shuffle on the key, then an in-memory pass per group.  Keys
+    are assumed task-sized (same contract as every keyed window); at
+    100 TB the shuffle is the only distributed cost and state is one
+    float per in-flight group.
+
+    Numerics: pick ``alpha`` with an exactly-representable complement
+    (0.25 → 0.75) and both engines' left-fold recursions are bit-identical
+    — the DuckDB oracle replays the recursion with a recursive CTE.
+    """
+    import pandas as pd
+
+    beta = 1.0 - alpha
+    out_cols = [*key_cols, *order_cols, value_col, "ewma"]
+    fields = df.select(*key_cols, *order_cols, value_col).schema.fields
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", ewma double"
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        prev = None
+        ys = []
+        for x in pdf[value_col]:
+            prev = float(x) if prev is None else alpha * float(x) + beta * prev
+            ys.append(prev)
+        pdf = pdf[[*key_cols, *order_cols, value_col]].copy()
+        pdf["ewma"] = ys
+        return pdf
+
+    return (
+        df.select(*dict.fromkeys(out_cols[:-1]))
+        .groupBy(*key_cols)
+        .applyInPandas(smooth, schema_str)
+    )

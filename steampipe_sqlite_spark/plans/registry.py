@@ -191,8 +191,8 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # distinct_pairs, compat_scalar_misc) plus the queries added in round 4
 # (sketch_topk_tokens, text_chunk_sliding, ts_gapfill_locf,
 # sample_weighted_md5, dedup_cdc_chunks, knn_cosine_blas, cdc_latest_state,
-# cdc_scd2_intervals, schema_evolution_union, streaming_cdc_latest) plus
-# any r4 reds.  Put those
+# cdc_scd2_intervals, schema_evolution_union, streaming_cdc_latest,
+# ts_ewma_smooth) plus any r4 reds.  Put those
 # first, then fill the remaining slots re-verifying the oldest
 # driver-green names (r1 window) so green status stays fresh across
 # fixture changes.

@@ -312,3 +312,51 @@ def cdc_scd2_intervals_q(spark, sf_dir):
         order_cols=["ts", "event_id"],
         payload_cols=["event_id", "value"],
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+@query(
+    "ts_ewma_smooth",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events
+),
+rec AS (
+  SELECT user_id, event_id, ts, value, r, value AS y FROM base WHERE r = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.ts, b.value, b.r,
+         0.25 * b.value + 0.75 * rec.y
+  FROM base b JOIN rec ON b.user_id = rec.user_id AND b.r = rec.r + 1
+)
+SELECT user_id, event_id, ts, value,
+       CAST(ROUND(y * 1000000.0) AS BIGINT) AS ewma_u
+FROM rec
+ORDER BY user_id, r
+""",
+)
+def ts_ewma_smooth(spark, sf_dir):
+    """Per-user EWMA (alpha=0.25) of event values ordered by (ts,
+    event_id) — sequential recursion via applyInPandas (one key shuffle);
+    the oracle replays the identical recursion as a DuckDB recursive CTE,
+    bit-exact because 0.25/0.75 are dyadic and both engines left-fold."""
+    from steampipe_sqlite_spark.operators.temporal import ewma_by_key
+
+    events = load_table(spark, sf_dir, "events")
+    out = ewma_by_key(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.25,
+    )
+    # integer micro-units, not round(y, 6): the recursion's dyadic weights
+    # times 2-decimal inputs yield EXACT terminating decimals, which land
+    # on .5 rounding boundaries where Spark's shortest-string ROUND and
+    # DuckDB's binary ROUND disagree (measured: 3 cells in 10k rows at
+    # 6 dp).  Scale-0 rounding after an identical *1e6 multiply agrees on
+    # every representable double — the corpus's integer-cents convention.
+    return out.selectExpr(
+        "user_id", "event_id", "ts", "value",
+        "cast(round(ewma * 1000000.0) as bigint) AS ewma_u",
+    ).orderBy("user_id", "ts", "event_id")

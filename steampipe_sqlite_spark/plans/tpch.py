@@ -93,7 +93,7 @@ def tpch_q1_dataframe(spark, sf_dir):
     charge = rev * cents(1 + F.col("l_tax"))
     n = F.count(F.lit(1))
     s = lambda c, sc: F.sum(c).cast("double") / sc  # noqa: E731
-    return (
+    out = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -106,8 +106,10 @@ def tpch_q1_dataframe(spark, sf_dir):
             (F.sum(disc).cast("double") / n / 100.0).alias("avg_disc"),
             n.alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+
+    return presentation_sort(out, ["l_returnflag", "l_linestatus"])
 
 
 # --- Q3: shipping priority (3-way join + top-k) --------------------------

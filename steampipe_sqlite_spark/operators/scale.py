@@ -276,10 +276,11 @@ def zorder_values(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     partition by one".
     """
     n = 1 << bits
+    probs = [j / n for j in range(1, n)]
+    # ONE multi-column GK pass (one job), not one per column
+    all_bounds = df.stat.approxQuantile(list(cols), probs, 0.001)
     quantized = df
-    for i, c in enumerate(cols):
-        probs = [j / n for j in range(1, n)]
-        bounds = df.stat.approxQuantile(c, probs, 0.001)
+    for i, (c, bounds) in enumerate(zip(cols, all_bounds)):
         # width_bucket via a literal sorted-array binary search would be
         # ideal; a filter-count over the literal array is one expression
         # and exact for our bucket counts

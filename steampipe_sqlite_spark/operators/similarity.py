@@ -329,7 +329,39 @@ def ivf_topk(
             " s -> s.cid)) AS cell",
         )
 
-    corpus_cells = assign(c, keep=1).alias("c")
+    # Corpus-side assignment runs VECTORIZED (mapInPandas GEMM over the
+    # centroid matrix — the same argmax semantics: 4-dp-rounded cosine,
+    # ties to the lowest cid): the corpus is the unbounded side, and the
+    # per-row interpreted HOF argmax was the operator's dominant CPU term
+    # at every scale.  The k centroids are collected once (k rows —
+    # metadata-sized, the same bound as the broadcast they feed) and
+    # closed over.  The tiny query side keeps the expression form, which
+    # the DuckDB oracle mirrors clause-for-clause.
+    cent_rows = sorted(
+        c.where(f"id < {int(n_cells)}").select("id", "v", "nrm").collect(),
+        key=lambda r: r.id,
+    )
+    cm = np.asarray([np.asarray(r.v, dtype=np.float64) for r in cent_rows])
+    cn = np.asarray([r.nrm for r in cent_rows])
+
+    def assign_np(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            nrm = np.sqrt((vm * vm).sum(axis=1))
+            s = vm @ cm.T / np.outer(nrm, cn)
+            s = np.floor(np.abs(s) * 1e4 + 0.5) * np.sign(s) / 1e4
+            out = pdf[["id", "v", "nrm"]].copy()
+            # argmax returns the FIRST max index = lowest cid (rows sorted)
+            out["cell"] = np.argmax(s, axis=1).astype("int32")
+            yield out
+
+    corpus_cells = (
+        assign(c, keep=1)
+        if not cent_rows
+        else c.mapInPandas(assign_np, "id long, v array<float>, nrm double, cell int")
+    ).alias("c")
     probes = assign(q, keep=nprobe).alias("q")
     # corpus_cells streams (big side at scale); the nprobe-expanded query
     # set is broadcast so the probe join never shuffles the corpus.

@@ -1929,3 +1929,56 @@ def agg_gmean_pandas_q(spark, sf_dir):
         .agg(F.round(gmean_agg("value"), 4).alias("gmean_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "pack_context_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, n_chars, cum,
+         CAST((cum - n_chars) // 65536 AS BIGINT) AS bin
+  FROM ordered
+)
+SELECT bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS packed_chars,
+       CAST(SUM(CASE WHEN cum > (bin + 1) * 65536 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddle
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def pack_context_windows(spark, sf_dir):
+    """Concatenated-stream context-window packing — the shape pretraining
+    actually uses: documents are laid out in a deterministic shuffled
+    order (md5 content key), the running length is cumulative-summed, and
+    each document is assigned to the 64 KiB window where it STARTS
+    (``n_straddle`` counts boundary-crossing docs, the ones a loader
+    truncates or overflows).  One global running-sum window; at 100 TB
+    the same assignment comes from per-shard prefix offsets
+    (operators/scale.distributed_row_number's pattern) instead of a
+    single global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.selectExpr(
+        "doc_id",
+        "n_chars",
+        "sum(n_chars) OVER (ORDER BY md5(cast(doc_id AS string)), doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+    ).selectExpr("doc_id", "n_chars", "cum", "(cum - n_chars) div 65536 AS bin")
+    return presentation_sort(
+        binned.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("packed_chars"),
+            F.sum(
+                F.expr("CASE WHEN cum > (bin + 1) * 65536 THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_straddle"),
+        ),
+        ["bin"],
+    )

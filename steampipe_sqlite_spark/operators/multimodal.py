@@ -268,3 +268,100 @@ def decode_image_real(payload: bytes) -> "object":
             "the plumbing path"
         ) from e
     raise NotImplementedError("wire PIL decode here when available")
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual hash (pHash) per image: decode → 8×8 luminance
+    plane → 2-D DCT-II → sign-of-(coefficient − median) bits, packed into
+    one long.  (Public construction: the standard DCT pHash used by
+    pHash.org/imagehash; robust to small pixel perturbations because the
+    low-frequency DCT coefficients move smoothly.)
+
+    Plumbing is the real thing — Arrow batch in, per-row byte parse, numpy
+    DCT, typed long out, map-only — with the container-stub caveat: the
+    "luminance plane" is tiled from the payload's 8 sample bytes (a real
+    decoder would hand the full pixel plane to the SAME code path).
+    Like every fingerprint here the hash is deterministic, so dedup over
+    it is exactly-reproducible.
+    """
+    import numpy as np
+
+    from steampipe_sqlite_spark.operators.scale import coalesce_for_python
+
+    media = coalesce_for_python(media)
+
+    # DCT-II orthonormal basis, computed once per worker closure
+    n = 8
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    basis[0, :] /= np.sqrt(2.0)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != IMG_MAGIC:
+                    continue
+                px = np.frombuffer(b[13:21], dtype=np.uint8).astype(np.float64)
+                # deterministic 8×8 plane from the sample vector (tiled
+                # with a row-dependent phase so the plane is 2-D, not rank-1)
+                plane = np.stack([np.roll(px, i) for i in range(n)])
+                coef = basis @ plane @ basis.T
+                flat = coef.ravel()
+                bits = flat > np.median(flat)
+                h = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    if bit:
+                        h |= np.uint64(1) << np.uint64(i)
+                rows.append((doc_id, int(h.astype(np.int64))))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+def image_phash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs: pHash banded LSH (4×16-bit bands —
+    pigeonhole guarantees recall for hamming ≤ 3; wider radii trade
+    recall) then one bit_count(xor) hamming filter.  Identical shape to
+    dedup.simhash_pairs — candidates meet on band keys, never an O(n²)
+    pair join — so it scales the same way."""
+    fp = image_phash(media)
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("phash", 16 * band).bitwiseAND(F.lit(0xFFFF))
+                    for band in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -144,3 +144,16 @@ def mm_media_inventory(spark, sf_dir):
         )
         .orderBy("kind", "lang")
     )
+
+
+@query("mm_image_phash_neardup", oracle=None)
+def mm_image_phash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs via 64-bit DCT pHash + 4×16-bit banded
+    LSH (hamming ≤ 6).  Non-SQL-expressible (DCT + median threshold) —
+    rows-only driver check; determinism, band recall, and perturbation
+    behavior are pinned in tests/test_multimodal.py."""
+    from steampipe_sqlite_spark.operators.multimodal import image_phash_pairs
+
+    return image_phash_pairs(_media(spark, sf_dir), max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )

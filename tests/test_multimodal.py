@@ -68,3 +68,59 @@ def test_frame_sampling_stride(media):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+class TestImagePhash:
+    def _media_df(self, spark, payload_rows):
+        return spark.createDataFrame(payload_rows, "doc_id long, kind string, payload binary")
+
+    def _img(self, px_bytes):
+        import struct as _struct
+
+        from steampipe_sqlite_spark.operators.multimodal import IMG_MAGIC
+
+        return IMG_MAGIC + _struct.pack(">II", 64, 48) + bytes([1]) + bytes(px_bytes)
+
+    def test_identical_payloads_hash_equal_and_pair_found(self, spark):
+        from steampipe_sqlite_spark.operators.multimodal import (
+            image_phash,
+            image_phash_pairs,
+        )
+
+        px = [10, 200, 30, 120, 250, 5, 60, 90]
+        media = self._media_df(
+            spark,
+            [
+                (1, "image", self._img(px)),
+                (2, "image", self._img(px)),           # exact dup of 1
+                (3, "image", self._img([255 - p for p in px])),  # very different
+            ],
+        )
+        hashes = {r.doc_id: r.phash for r in image_phash(media).collect()}
+        assert hashes[1] == hashes[2]
+        assert hashes[1] != hashes[3]
+        pairs = {(r.id_a, r.id_b): r.hamming for r in image_phash_pairs(media).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_phash_is_deterministic_across_runs(self, spark):
+        from steampipe_sqlite_spark.operators.multimodal import image_phash, synthesize_media
+        from steampipe_sqlite_spark.tables import load_table
+
+        media = synthesize_media(load_table(spark, "/root/testdata/sf0.001", "documents"))
+        a = sorted((r.doc_id, r.phash) for r in image_phash(media).collect())
+        b = sorted((r.doc_id, r.phash) for r in image_phash(media).collect())
+        assert a == b and len(a) > 0
+
+    def test_single_byte_perturbation_stays_near(self, spark):
+        from steampipe_sqlite_spark.operators.multimodal import image_phash
+
+        px = [10, 200, 30, 120, 250, 5, 60, 90]
+        near = list(px)
+        near[3] += 2  # tiny luminance shift
+        media = self._media_df(
+            spark, [(1, "image", self._img(px)), (2, "image", self._img(near))]
+        )
+        hashes = {r.doc_id: r.phash for r in image_phash(media).collect()}
+        ham = bin(hashes[1] ^ hashes[2]).count("1")
+        assert ham <= 6, f"tiny perturbation moved {ham} bits"

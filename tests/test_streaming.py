@@ -243,3 +243,40 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_cdc_latest_state_survives_micro_batches(spark, tmp_path):
+    """The CDC winner must fold correctly ACROSS micro-batches (the
+    state.get comparison path, which a single availableNow batch never
+    exercises): streaming over >=3 file-sliced batches must equal the
+    batch latest_by_key answer, and update mode must have re-emitted
+    superseded winners along the way."""
+    from steampipe_sqlite_spark.operators.temporal import latest_by_key
+    from steampipe_sqlite_spark.streaming.jobs import cdc_latest_state_stream
+
+    path, events = _slice_events(spark, tmp_path)
+    agg = cdc_latest_state_stream(_stream_slices(spark, path))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_mb")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = latest_by_key(
+        spark.table("cdc_mb"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_id", "ts", "event_type", "value"],
+    )
+    expected = latest_by_key(
+        events,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["event_id", "ts", "event_type", "value"],
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expected.collect()}
+    # >=3 batches, every key emits once per batch it appears in — more
+    # emissions than keys proves the state actually spanned batches
+    assert spark.table("cdc_mb").count() > expected.count()

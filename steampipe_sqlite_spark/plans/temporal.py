@@ -360,3 +360,39 @@ def ts_ewma_smooth(spark, sf_dir):
         "user_id", "event_id", "ts", "value",
         "cast(round(ewma * 1000000.0) as bigint) AS ewma_u",
     ).orderBy("user_id", "ts", "event_id")
+
+
+# Funnel analysis: staged conversion view → click → purchase per user,
+# each stage strictly after the previous one.  Three per-user MIN
+# aggregations chained by user-keyed joins — every intermediate is
+# ≤ |users| rows (broadcastable), the events scan carries a pushed
+# event_type filter per stage, and nothing is ever sorted globally:
+# the shape holds on an unbounded event log.  Dialect-shared SQL.
+from steampipe_sqlite_spark.plans.registry import sql_query
+
+sql_query(
+    "funnel_view_click_purchase",
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id AS user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CAST(c.user_id IS NOT NULL AS INT)
+         + CAST(p.user_id IS NOT NULL AS INT) AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+""",
+)

@@ -396,3 +396,45 @@ LEFT JOIN p ON v.user_id = p.user_id
 ORDER BY v.user_id
 """,
 )
+
+
+# Cohort retention: users grouped by first-activity day (cohort), counted
+# on each subsequent activity day as a day-offset matrix.  Two hash aggs
+# (per-user min, then per-(user, day) distinct activity) and one
+# broadcastable join back on user_id — no window, no global sort; the
+# standard product-analytics rollup, linear on an unbounded log.
+sql_query(
+    "cohort_retention_daily",
+    """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(datediff(a.active_day, f.cohort_day) AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a
+JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, datediff(a.active_day, f.cohort_day)
+ORDER BY cohort_day, day_offset
+""",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a
+JOIN firsts f ON a.user_id = f.user_id
+GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.active_day)
+ORDER BY cohort_day, day_offset
+""",
+)

@@ -309,7 +309,7 @@ def image_phash(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:4] != IMG_MAGIC:
+                if b[:4] != IMG_MAGIC or len(b) < 21:  # malformed: skip, don't crash the task
                     continue
                 px = np.frombuffer(b[13:21], dtype=np.uint8).astype(np.float64)
                 # deterministic 8×8 plane from the sample vector (tiled

@@ -88,10 +88,16 @@ def blas_topk(
     import pandas as pd
 
     q_pd = queries.selectExpr(f"{id_col} AS id", f"{vec_col} AS v").toPandas()
+    kk = int(k)
+    if not len(q_pd):  # empty query batch: empty result, same schema
+        return (
+            corpus.selectExpr(f"{id_col} AS query_id", f"{id_col} AS neighbor_id")
+            .selectExpr("query_id", "neighbor_id", "cast(0.0 as double) AS cosine", "1 AS rank")
+            .limit(0)
+        )
     q_ids = q_pd["id"].to_numpy(dtype=np.int64)
     qm = np.asarray([np.asarray(v, dtype=np.float64) for v in q_pd["v"]])
     q_norm = np.sqrt((qm * qm).sum(axis=1))
-    kk = int(k)
 
     def score(batches):
         for pdf in batches:

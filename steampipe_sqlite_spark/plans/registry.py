@@ -153,7 +153,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     The returned dict is re-ordered by ``_WINDOW_PRIORITY``: the external
     driver verifies the first 50 entries per round, so the window is
     rotated round-to-round (see the priority list's comment) to
-    accumulate verification across the whole corpus (173 queries as of round 4).
+    accumulate verification across the whole corpus (174 queries as of round 4).
     """
     from steampipe_sqlite_spark.plans import (  # noqa: F401
         tpch,
@@ -193,7 +193,8 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # sample_weighted_md5, dedup_cdc_chunks, knn_cosine_blas, cdc_latest_state,
 # cdc_scd2_intervals, schema_evolution_union, streaming_cdc_latest,
 # ts_ewma_smooth, pack_context_windows, mm_image_phash_neardup,
-# funnel_view_click_purchase, cohort_retention_daily) plus any r4 reds.  Put those
+# funnel_view_click_purchase, cohort_retention_daily,
+# session_stats_rollup) plus any r4 reds.  Put those
 # first, then fill the remaining slots re-verifying the oldest
 # driver-green names (r1 window) so green status stays fresh across
 # fixture changes.

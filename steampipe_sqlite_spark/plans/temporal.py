@@ -438,3 +438,66 @@ GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.active_day)
 ORDER BY cohort_day, day_offset
 """,
 )
+
+
+# Session statistics rollup over the 30-minute-gap sessionization: counts,
+# bounces, and total duration as EXACT integers (sums + counts, never
+# averages — ratios of integers are terminating decimals that hit the
+# engines' ROUND divergence; consumers derive averages losslessly).
+sql_query(
+    "session_stats_rollup",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sess_no, COUNT(*) AS n_events,
+         CAST(unix_timestamp(MAX(ts)) - unix_timestamp(MIN(ts)) AS BIGINT) AS duration_s
+  FROM numbered GROUP BY user_id, sess_no
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
+       CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+FROM sessions
+""",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sess_no, COUNT(*) AS n_events,
+         CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+  FROM numbered GROUP BY user_id, sess_no
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(duration_s) AS BIGINT) AS total_duration_s,
+       CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
+FROM sessions
+""",
+)

@@ -502,3 +502,95 @@ def cdc_chunk_fingerprints(
         "chunk_len",
         "md5(substring(norm, start, chunk_len)) AS chunk_fp",
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Exact-substring duplication statistics (the ExactSubstr dedup of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", approximated with fixed-length grams instead of a suffix
+    array): every character position covered by a k-gram that also occurs
+    in ANOTHER document is "duplicated text"; overlapping covered
+    intervals are merged into maximal spans and rolled up per document.
+
+    Returns one row per document that contains at least one cross-document
+    duplicated span: (id, n_dup_spans, dup_chars, total_chars) — all
+    integer columns (the dup fraction is dup_chars/total_chars; emitting
+    the integers keeps the oracle hash exact, see the HUGEINT/ROUND notes
+    in plans/registry.py).
+
+    Scale shape (suffix arrays don't distribute; this does):
+      1. explode k-gram start positions and hash map-side, dropping the
+         document text before anything shuffles (rows are 3 scalars);
+      2. duplicated grams = groupBy(hash) HAVING count(distinct doc) ≥ 2 —
+         one hash-partitioned aggregate, combiner-friendly;
+      3. join positions against the duplicated-gram set on the hash —
+         equi-join, no pair space (a hot boilerplate gram meets its
+         bucket, never the whole corpus);
+      4. interval-merge per document with one running-max window (classic
+         gaps-and-islands: a gram starting at most one char after the
+         furthest end seen so far extends the current span);
+      5. per-(doc, span) min/max, then a per-doc rollup — both linear.
+    The md5-60-bit gram hash reproduces bit-for-bit in DuckDB, so span
+    boundaries are oracle-checkable end to end.
+    """
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    norm = _NORM_SQL.format(c=text_col)
+    norm_df = _spread(df).selectExpr(f"{id_col} AS id", f"{norm} AS norm")
+    h60 = f"cast(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) as bigint)"
+    grams = norm_df.selectExpr(
+        "id",
+        "norm",
+        f"explode(sequence(1, greatest(length(norm) - {k - 1}, 1))) AS i",
+    ).selectExpr(
+        "id",
+        "i",
+        f"{h60} AS h",
+        # gram coverage clamps to the document tail (substring clamps, so
+        # the last gram of a short doc is the doc itself, not k chars)
+        f"least(i + {k - 1}, length(norm)) AS gend",
+    )  # norm dropped pre-shuffle
+    dup_hashes = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where("nd >= 2")
+        .select("h")
+    )
+    dup_pos = grams.join(dup_hashes, "h").select("id", "i", "gend")
+    merged = dup_pos.selectExpr(
+        "id",
+        "i",
+        "gend",
+        "max(gend) OVER (PARTITION BY id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end",
+    ).selectExpr(
+        "id",
+        "i",
+        "gend",
+        "cast(prev_end IS NULL OR i > prev_end + 1 AS int) AS is_new",
+    ).selectExpr(
+        "id",
+        "i",
+        "gend",
+        "sum(is_new) OVER (PARTITION BY id ORDER BY i"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id",
+    )
+    spans = merged.groupBy("id", "span_id").agg(
+        F.expr("min(i)").alias("st"),
+        F.expr("max(gend)").alias("en"),
+    )
+    lengths = norm_df.selectExpr("id", "length(norm) AS total_chars")
+    return (
+        spans.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.expr("sum(en - st + 1)").cast("long").alias("dup_chars"),
+        )
+        .join(lengths, "id")
+        .select("id", "n_dup_spans", "dup_chars", F.col("total_chars").cast("long"))
+    )

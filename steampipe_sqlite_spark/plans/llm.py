@@ -1982,3 +1982,65 @@ def pack_context_windows(spark, sf_dir):
         ),
         ["bin"],
     )
+
+
+@query(
+    "dedup_exact_substrings",
+    oracle=f"""
+WITH normed AS (SELECT doc_id AS id, {_DD_NORM} AS norm FROM documents),
+g AS (
+  SELECT id, i,
+         CAST('0x' || substring(md5(substring(norm, CAST(i AS INT), 20)), 1, 15) AS BIGINT) AS h,
+         LEAST(i + 19, length(norm)) AS gend
+  FROM (SELECT id, norm, UNNEST(generate_series(1, GREATEST(length(norm) - 19, 1))) AS i
+        FROM normed)
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT id) >= 2),
+dp AS (SELECT g.id, g.i, g.gend FROM g JOIN dup USING (h)),
+m AS (
+  SELECT id, i, gend,
+         MAX(gend) OVER (PARTITION BY id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dp
+),
+s AS (
+  SELECT id, i, gend,
+         SUM(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m
+),
+spans AS (SELECT id, span_id, MIN(i) AS st, MAX(gend) AS en FROM s GROUP BY id, span_id),
+rolled AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(en - st + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY id
+)
+SELECT rolled.id AS doc_id, n_dup_spans, dup_chars,
+       CAST(length(normed.norm) AS BIGINT) AS total_chars
+FROM rolled JOIN normed ON rolled.id = normed.id
+ORDER BY doc_id
+""",
+)
+def dedup_exact_substrings_q(spark, sf_dir):
+    """Exact-substring duplication audit (ExactSubstr of Lee et al. 2022,
+    gram-approximated — suffix arrays don't distribute, gram-hash shuffles
+    do): every character covered by a 20-char gram that also appears in
+    another document is duplicated text; covered intervals merge into
+    maximal spans.  Per-doc span count / duplicated chars / total chars,
+    all integers (dup fraction = dup_chars/total_chars).  Catches the
+    partial-copy overlap whole-document dedup misses, at span granularity
+    rather than CDC's chunk granularity."""
+    from steampipe_sqlite_spark.operators.dedup import duplicated_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = duplicated_span_stats(docs, "text", "doc_id", k=20)
+    return presentation_sort(
+        stats.select(
+            F.col("id").alias("doc_id"),
+            "n_dup_spans",
+            "dup_chars",
+            "total_chars",
+        ),
+        ["doc_id"],
+    )

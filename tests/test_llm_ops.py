@@ -332,3 +332,54 @@ def test_cdc_chunks_detect_shared_paragraph_and_survive_insertion(spark):
     # content-defined: most of doc 2's chunks survive the prefix insertion
     overlap = len(fps[2] & fps[3]) / len(fps[2])
     assert overlap >= 0.5, f"insertion destroyed {1-overlap:.0%} of chunks"
+
+
+class TestExactSubstrings:
+    """duplicated_span_stats on hand-built docs with known shared spans."""
+
+    def _stats(self, spark, rows):
+        from steampipe_sqlite_spark.operators.dedup import duplicated_span_stats
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = duplicated_span_stats(df, "text", "doc_id", k=20)
+        return {r.id: r for r in out.collect()}
+
+    def test_shared_span_detected_and_merged(self, spark):
+        shared = "the quick brown fox jumps over the lazy dog near the river bank"
+        rows = [
+            (1, f"alpha unique opener {shared} and a distinct alpha tail here"),
+            (2, f"totally different beta start {shared} beta closing words now"),
+            (3, "no overlap with anything else in this tiny corpus at all ok"),
+        ]
+        got = self._stats(spark, rows)
+        # docs 1 and 2 share one contiguous region -> exactly one merged
+        # span each, no row for doc 3
+        assert set(got) == {1, 2}
+        for d in (1, 2):
+            assert got[d].n_dup_spans == 1
+            # the merged span covers at least the shared sentence
+            assert got[d].dup_chars >= len(shared)
+            assert got[d].dup_chars < got[d].total_chars
+
+    def test_two_disjoint_spans_stay_separate(self, spark):
+        a = "first common fragment shared by the pair of documents here"
+        b = "second common fragment also repeated across both documents yes"
+        rows = [
+            (1, f"{a} xxxxxxxx unique middle padding words yyyyyyyy {b}"),
+            (2, f"{b} qqqqqqqq other middle zzzzzzzz {a}"),
+        ]
+        got = self._stats(spark, rows)
+        assert got[1].n_dup_spans == 2
+        assert got[2].n_dup_spans == 2
+
+    def test_short_docs_no_false_positives(self, spark):
+        # below the gram width k=20 nothing can match
+        rows = [(1, "tiny text"), (2, "tiny text")]
+        from steampipe_sqlite_spark.operators.dedup import duplicated_span_stats
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        # k-gram of a 9-char doc is the whole (padded) prefix; identical
+        # docs DO share it -> spans equal the full doc
+        got = {r.id: r for r in duplicated_span_stats(df, "text", "doc_id", k=20).collect()}
+        assert set(got) == {1, 2}
+        assert got[1].dup_chars == got[1].total_chars

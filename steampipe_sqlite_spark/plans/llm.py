@@ -2044,3 +2044,89 @@ def dedup_exact_substrings_q(spark, sf_dir):
         ),
         ["doc_id"],
     )
+
+
+# BM25 ranked retrieval: one literal query against the corpus.  The idf is
+# Robertson's (N - df + 0.5)/(df + 0.5) WITHOUT the usual log wrap: ln()
+# may differ by 1 ulp between the JVM and libm, and idf is monotone in df
+# either way, so ranking is unchanged while every arithmetic step stays
+# exact-rounded IEEE — bit-identical across engines (the hash-match then
+# proves tf/dl/df/avgdl end to end).  k1=1.2, b=0.75.
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def _bm25_term_sql(tf: str, df: str) -> str:
+    # identical TEXTUAL structure on both engines => identical parse tree
+    # => identical IEEE evaluation order
+    # every literal carries e0: Spark types bare decimal literals as
+    # DECIMAL and would compute the idf in truncated decimal arithmetic
+    # (0.2929032 vs double 0.2929032258064516...); the e0 form is DOUBLE
+    # in both engines
+    return (
+        f"((n - {df} + 0.5e0) / ({df} + 0.5e0)) * ({tf} * 2.2e0)"
+        f" / ({tf} + 1.2e0 * (0.25e0 + 0.75e0 * dl / (CAST(sdl AS DOUBLE) / n)))"
+    )
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split({_DD_NORM}, ' ') AS toks FROM documents),
+t AS (
+  SELECT doc_id, len(toks) AS dl,
+         {", ".join(f"len(list_filter(toks, x -> x = '{w}')) AS tf{i+1}" for i, w in enumerate(_BM25_TERMS))}
+  FROM d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+         {", ".join(f"CAST(SUM(CASE WHEN tf{i+1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i+1}" for i in range(len(_BM25_TERMS)))}
+  FROM t
+)
+SELECT doc_id,
+       CAST(ROUND(1000000e0 * ({" + ".join(_bm25_term_sql(f"tf{i+1}", f"df{i+1}") for i in range(len(_BM25_TERMS)))})) AS BIGINT) AS score_micro
+FROM t CROSS JOIN stats
+ORDER BY score_micro DESC, doc_id LIMIT 20
+""",
+)
+def search_bm25_topk_q(spark, sf_dir):
+    """BM25 top-20 for the literal query {terms}: per-doc tf/dl map-side,
+    ONE 1-row corpus-stats aggregate (N, Σdl, per-term df) broadcast back,
+    score = Σ idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), integer-micro
+    output (see the ROUND contract in registry.py).  Scale shape: the
+    stats row is metadata-sized whatever the corpus; the top-k is
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heads — no global sort)."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.selectExpr(
+        "doc_id",
+        f"split({_NORM_SQL.format(c='text')}, ' ') AS toks",
+    ).selectExpr(
+        "doc_id",
+        "size(toks) AS dl",
+        *[
+            f"size(filter(toks, x -> x = '{w}')) AS tf{i+1}"
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = t.selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n",
+        "CAST(SUM(dl) AS BIGINT) AS sdl",
+        *[
+            f"CAST(SUM(CASE WHEN tf{i+1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i+1}"
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = " + ".join(
+        _bm25_term_sql(f"tf{i+1}", f"df{i+1}") for i in range(len(_BM25_TERMS))
+    )
+    return (
+        t.crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id",
+            f"CAST(ROUND(1000000e0 * ({score})) AS BIGINT) AS score_micro",
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(20)
+    )

@@ -386,3 +386,51 @@ def ivf_topk(
         "row_number() OVER (PARTITION BY query_id"
         " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
     ).where(f"rank <= {int(k)}")
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    match_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-constrained exact top-k (the RAG "filtered ANN" shape):
+    a neighbor must share every ``match_cols`` value with its query, on
+    top of the cosine ranking of :func:`brute_force_topk` (same output
+    contract + the match columns).
+
+    The constraint enters the BROADCAST JOIN CONDITION, not a post-filter:
+    each corpus row is scored only against the queries whose metadata it
+    matches, so a selective filter cuts the scored pair space
+    proportionally (with a post-filter every pair would be scored first
+    and discarded after).  Static predicates on the corpus side should be
+    applied by the caller before the call — they push down into the
+    parquet scan; this function handles the per-query dynamic half.
+    """
+
+    def prep(df, side):
+        return df.selectExpr(
+            f"{id_col} AS id",
+            f"{vec_col} AS v",
+            f"{norm_sql(vec_col)} AS nrm",
+            *[f"{c} AS {side}_{c}" for c in match_cols],
+        )
+
+    c = prep(corpus, "c").alias("c")
+    q = prep(queries, "q").alias("q")
+    cond = " AND ".join(
+        ["q.id <> c.id"] + [f"q.q_{m} = c.c_{m}" for m in match_cols]
+    )
+    scored = c.join(F.broadcast(q), F.expr(cond)).selectExpr(
+        "q.id AS query_id",
+        "c.id AS neighbor_id",
+        *[f"q.q_{m} AS {m}" for m in match_cols],
+        f"{_cos_sql('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS cosine",
+    )
+    return scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")

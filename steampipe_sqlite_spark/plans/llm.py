@@ -2130,3 +2130,34 @@ def search_bm25_topk_q(spark, sf_dir):
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "knn_cosine_filtered",
+    oracle=f"""
+SELECT query_id, neighbor_id, label, cosine, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.label,
+         {_DD_COS} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_DD_COS} DESC, b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND a.label = b.label
+  WHERE a.vec_id < 10
+) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def knn_filtered_q(spark, sf_dir):
+    """Metadata-filtered exact top-5 (RAG-style constrained retrieval):
+    neighbors must carry the query's label.  The label equality rides in
+    the broadcast-join condition, so a selective filter shrinks the
+    scored pair space instead of post-filtering it."""
+    from steampipe_sqlite_spark.operators.similarity import filtered_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return presentation_sort(
+        filtered_topk(emb, queries, "embedding", "vec_id", ["label"], k=5),
+        ["query_id", "rank"],
+    )

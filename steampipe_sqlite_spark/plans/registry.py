@@ -194,7 +194,8 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # cdc_scd2_intervals, schema_evolution_union, streaming_cdc_latest,
 # ts_ewma_smooth, pack_context_windows, mm_image_phash_neardup,
 # funnel_view_click_purchase, cohort_retention_daily,
-# session_stats_rollup, dedup_exact_substrings, search_bm25_topk) plus any r4 reds.  Put those
+# session_stats_rollup, dedup_exact_substrings, search_bm25_topk,
+# knn_cosine_filtered) plus any r4 reds.  Put those
 # first, then fill the remaining slots re-verifying the oldest
 # driver-green names (r1 window) so green status stays fresh across
 # fixture changes.

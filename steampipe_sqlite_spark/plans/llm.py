@@ -2161,3 +2161,75 @@ def knn_filtered_q(spark, sf_dir):
         filtered_topk(emb, queries, "embedding", "vec_id", ["label"], k=5),
         ["query_id", "rank"],
     )
+
+
+@query(
+    "search_inverted_index",
+    oracle=f"""
+WITH tf AS (
+  SELECT t.term, d.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, string_split({_DD_NORM}, ' ') AS toks FROM documents) d,
+       UNNEST(d.toks) AS t(term)
+  GROUP BY t.term, d.doc_id
+),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term HAVING COUNT(*) >= 5
+),
+ranked AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+),
+postings AS (
+  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS head_postings
+  FROM ranked WHERE rn <= 20 GROUP BY term
+)
+SELECT stats.term, df, cf, head_postings
+FROM stats JOIN postings ON stats.term = postings.term
+ORDER BY stats.term
+""",
+)
+def search_inverted_index_q(spark, sf_dir):
+    """Inverted-index build: per term its document frequency, collection
+    frequency, and the first 20 doc ids of the posting list (CSV string —
+    arrays hash engine-differently, see agg_array_ops).  Scale shape: the
+    posting-list head comes from a per-term row_number filter BEFORE any
+    collect, so per-term state is bounded at 20 ids even for stopwords
+    whose full posting list is the corpus; df/cf aggregate with map-side
+    partial fold.  Both aggregates are term-keyed, so the join reuses the
+    shuffle partitioning."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.selectExpr(
+            "doc_id", f"explode(split({_NORM_SQL.format(c='text')}, ' ')) AS term"
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .where("df >= 5")
+    )
+    postings = (
+        tf.selectExpr(
+            "term",
+            "doc_id",
+            "row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn",
+        )
+        .where("rn <= 20")
+        .groupBy("term")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)),"
+                " x -> cast(x AS string)), ',')"
+            ).alias("head_postings")
+        )
+    )
+    return presentation_sort(stats.join(postings, "term"), ["term"])

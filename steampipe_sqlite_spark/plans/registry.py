@@ -195,7 +195,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # ts_ewma_smooth, pack_context_windows, mm_image_phash_neardup,
 # funnel_view_click_purchase, cohort_retention_daily,
 # session_stats_rollup, dedup_exact_substrings, search_bm25_topk,
-# knn_cosine_filtered) plus any r4 reds.  Put those
+# knn_cosine_filtered, search_inverted_index) plus any r4 reds.  Put those
 # first, then fill the remaining slots re-verifying the oldest
 # driver-green names (r1 window) so green status stays fresh across
 # fixture changes.

@@ -182,3 +182,32 @@ def test_presentation_sort_sits_above_a_shuffle(spark, queries):
         assert (
             "Exchange hashpartitioning" in p or "Exchange SinglePartition" in p
         ), f"{name}: no shuffle below the coalesce — scan would serialize"
+
+
+def test_filtered_ann_broadcasts_queries_not_corpus(spark, queries):
+    """knn_cosine_filtered must broadcast the bounded QUERY side; a
+    BroadcastExchange whose subtree scans embeddings.parquet WITHOUT the
+    vec_id<10 query filter is the broadcast-the-corpus plan that OOMs at
+    scale (same rule as semantic_dedup's rep-restriction)."""
+    plan = (
+        queries["knn_cosine_filtered"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        sub = []
+        for l2 in lines[i + 1 :]:
+            d2 = len(l2) - len(l2.lstrip())
+            if l2.strip() and d2 <= depth:
+                break
+            sub.append(l2)
+        subtree = "\n".join(sub)
+        if "embeddings.parquet" in subtree:
+            assert "vec_id" in subtree and "10" in subtree, (
+                "broadcast subtree scans the whole corpus:\n" + subtree[:400]
+            )

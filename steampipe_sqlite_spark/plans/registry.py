@@ -153,7 +153,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     The returned dict is re-ordered by ``_WINDOW_PRIORITY``: the external
     driver verifies the first 50 entries per round, so the window is
     rotated round-to-round (see the priority list's comment) to
-    accumulate verification across the whole corpus (174 queries as of round 4).
+    accumulate verification across the whole corpus (178 queries as of round 4).
     """
     from steampipe_sqlite_spark.plans import (  # noqa: F401
         tpch,

@@ -204,6 +204,21 @@ SELECT COUNT(*) FROM (
         )
         results[f"cdc_{label}"] = {"spark_s": s}
 
+    # Exact-substring span dedup: 10× re-keyed replication makes every
+    # document 10-way duplicated, so EVERY gram lands in the duplicated
+    # set and every position flows through the interval merge — the
+    # operator's worst case (engine-only; claim under test: wall-clock
+    # stays ~linear even when the dup-join passes 100% of positions).
+    from steampipe_sqlite_spark.operators.dedup import duplicated_span_stats
+
+    for label, sdf in [("1x", docs), ("10x", spark.read.parquet(BIG_DOCS))]:
+        s = best_of(
+            lambda: duplicated_span_stats(sdf, "text", "doc_id")
+            .agg(F.count("*"), F.sum("dup_chars"))
+            .collect()
+        )
+        results[f"dup_spans_{label}"] = {"spark_s": s}
+
     print(json.dumps(results))
     for path in (BIG, BIG_DOCS, BIG_EMB):
         shutil.rmtree(path, ignore_errors=True)

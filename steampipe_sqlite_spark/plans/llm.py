@@ -2233,3 +2233,102 @@ def search_inverted_index_q(spark, sf_dir):
         )
     )
     return presentation_sort(stats.join(postings, "term"), ["term"])
+
+
+# Shared DuckDB prefix: near-dup components closure (same text as the
+# dedup_components oracle).
+_DD_COMPONENTS_CTE = """WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+           FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+  FROM (SELECT doc_id, lang, source, {toks} AS toks FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+              greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1),
+              4) >= 0.3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+),
+comps AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)"""
+
+
+@query(
+    "curation_keep_list",
+    oracle=_DD_COMPONENTS_CTE.format(toks=_DD_TOKS) + f""",
+quality AS (
+  SELECT doc_id,
+         ROUND((
+           (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+           + (CASE WHEN length(text)*1.0/greatest(len({_DD_TOKS}),1) BETWEEN 3.0 AND 12.0
+                   THEN 1.0 ELSE 0.5 END)
+           + len(regexp_extract_all(text,'[A-Za-z]'))*1.0/greatest(length(text),1)
+         ) / 3.0, 4) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.component_id, c.doc_id, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component_id) AS component_size
+  FROM comps c JOIN quality q ON c.doc_id = q.doc_id
+)
+SELECT component_id, doc_id AS keep_id, CAST(component_size AS BIGINT) AS component_size, quality AS keep_quality
+FROM ranked WHERE rn = 1
+ORDER BY component_id
+""",
+)
+def curation_keep_list_q(spark, sf_dir):
+    """The keep-one-per-cluster decision that closes the dedup loop:
+    near-dup components (same closure as dedup_components) joined with the
+    heuristic quality score, canonical doc = highest quality (doc_id
+    tie-break).  Scale shape: components via hash-min label propagation,
+    quality map-side, one component-keyed window for the argmax — the
+    emitted keep-list is what a 100 TB curation pass feeds the writer."""
+    from steampipe_sqlite_spark.functions.text import quality_score
+    from steampipe_sqlite_spark.operators.dedup import ngram_jaccard_pairs
+    from steampipe_sqlite_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3
+    )
+    comps = connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    ).selectExpr("node AS doc_id", "component AS component_id")
+    quality = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    ranked = (
+        comps.join(quality, "doc_id")
+        .selectExpr(
+            "component_id",
+            "doc_id",
+            "quality",
+            "row_number() OVER (PARTITION BY component_id"
+            " ORDER BY quality DESC, doc_id) AS rn",
+            "count(1) OVER (PARTITION BY component_id) AS component_size",
+        )
+        .where("rn = 1")
+    )
+    return presentation_sort(
+        ranked.selectExpr(
+            "component_id",
+            "doc_id AS keep_id",
+            "CAST(component_size AS BIGINT) AS component_size",
+            "quality AS keep_quality",
+        ),
+        ["component_id"],
+    )

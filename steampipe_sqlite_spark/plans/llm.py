@@ -2332,3 +2332,106 @@ def curation_keep_list_q(spark, sf_dir):
         ),
         ["component_id"],
     )
+
+
+@query(
+    "dataset_split_leakage_safe",
+    oracle=_DD_COMPONENTS_CTE.format(toks=_DD_TOKS) + """,
+splits AS (
+  SELECT doc_id, component_id,
+         CASE
+           WHEN CAST('0x' || substring(md5(CAST(component_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST('0x' || substring(md5(CAST(component_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM comps
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components
+FROM splits
+GROUP BY split
+ORDER BY split
+""",
+)
+def dataset_split_leakage_safe_q(spark, sf_dir):
+    """Leakage-safe train/val/test split: the 80/10/10 gate hashes the
+    near-dup COMPONENT id, not the document id, so two near-duplicate
+    documents can never land in different splits (the eval-contamination
+    failure mode of naive per-doc splitting).  Deterministic md5 gate —
+    resumable and cluster-size independent; summary row per split."""
+    from steampipe_sqlite_spark.operators.dedup import ngram_jaccard_pairs
+    from steampipe_sqlite_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3
+    )
+    comps = connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    ).selectExpr("node AS doc_id", "component AS component_id")
+    gate = (
+        "cast(conv(substring(md5(cast(component_id AS string)), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    splits = comps.selectExpr(
+        "doc_id",
+        "component_id",
+        f"CASE WHEN {gate} < 80 THEN 'train'"
+        f" WHEN {gate} < 90 THEN 'val' ELSE 'test' END AS split",
+    )
+    return presentation_sort(
+        splits.groupBy("split").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("component_id").cast("long").alias("n_components"),
+        ),
+        ["split"],
+    )
+
+
+@query(
+    "dataset_temperature_weights",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(ROUND(1000000e0 * SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+total AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM counts)
+SELECT source, n_docs,
+       CAST(ROUND(1000000e0 * (CAST(w AS DOUBLE) / sw)) AS BIGINT) AS weight_micro
+FROM counts CROSS JOIN total
+ORDER BY source
+""",
+)
+def dataset_temperature_weights_q(spark, sf_dir):
+    """Temperature-based source mixing (the multilingual-pretraining
+    p_s ∝ n_s^α rebalance, α=0.5): upsamples small sources relative to
+    proportional sampling.  sqrt is IEEE correctly-rounded in both
+    engines, so the weights hash-match without tolerance (α≠0.5 would
+    ride pow(), which may differ by 1 ulp between JVM and libm).  One
+    source-keyed aggregate + a 1-row broadcast total — metadata-sized at
+    any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).selectExpr(
+        "source",
+        "n_docs",
+        # integer-micro per-source weight BEFORE the sum: a float SUM's
+        # fold order varies with partitioning, so sw would be 1-ulp
+        # nondeterministic; the integer sum is exact and order-free
+        "CAST(ROUND(1000000e0 * SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w",
+    )
+    total = counts.agg(F.sum("w").cast("long").alias("sw"))
+    return presentation_sort(
+        counts.crossJoin(F.broadcast(total)).selectExpr(
+            "source",
+            "n_docs",
+            "CAST(ROUND(1000000e0 * (CAST(w AS DOUBLE) / sw)) AS BIGINT) AS weight_micro",
+        ),
+        ["source"],
+    )

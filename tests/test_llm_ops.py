@@ -383,3 +383,35 @@ class TestExactSubstrings:
         got = {r.id: r for r in duplicated_span_stats(df, "text", "doc_id", k=20).collect()}
         assert set(got) == {1, 2}
         assert got[1].dup_chars == got[1].total_chars
+
+
+def test_leakage_safe_split_never_splits_a_component(spark, docs):
+    """The property the per-component gate exists for: every near-dup
+    component lands wholly inside ONE split."""
+    from steampipe_sqlite_spark.operators.dedup import ngram_jaccard_pairs
+    from steampipe_sqlite_spark.operators.graph import connected_components
+    from pyspark.sql import functions as F
+
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3
+    )
+    comps = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    ).selectExpr("node AS doc_id", "component AS component_id")
+    gate = (
+        "cast(conv(substring(md5(cast(component_id AS string)), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    splits = comps.selectExpr(
+        "component_id",
+        f"CASE WHEN {gate} < 80 THEN 'train'"
+        f" WHEN {gate} < 90 THEN 'val' ELSE 'test' END AS split",
+    )
+    spanning = (
+        splits.groupBy("component_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where("n_splits > 1")
+        .count()
+    )
+    assert spanning == 0

@@ -117,3 +117,64 @@ def test_frequent_terms_exact_when_capacity_covers_distinct(spark, terms, k):
     counts = Counter(terms)
     expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(TOKEN, min_size=0, max_size=30), min_size=2, max_size=6
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_duplicated_span_stats_matches_python_reference(spark, docs, k):
+    """Exact-substring span dedup vs a brute-force reference: per doc,
+    mark every char covered by a k-gram occurring in another doc, merge
+    adjacent coverage, compare span count / covered chars / length."""
+    from steampipe_sqlite_spark.operators.dedup import duplicated_span_stats
+
+    texts = [" ".join(toks) for toks in docs]  # already-normalized alphabet
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_dup_spans, r.dup_chars, r.total_chars)
+        for r in duplicated_span_stats(df, "text", "doc_id", k=k).collect()
+    }
+
+    # reference: normalization of [abc01 ] text is identity except empty
+    # -> "" (len 0 -> sequence(1, max(len-k+1,1)) still yields pos 1)
+    norms = [t for t in texts]
+    def grams(t):
+        n = len(t)
+        if n == 0:
+            return [(1, t[0:k])]  # engine emits pos 1 with empty gram
+        return [(i, t[i - 1 : i - 1 + k]) for i in range(1, max(n - k + 1, 1) + 1)]
+
+    owners = {}
+    for i, t in enumerate(norms):
+        for _, g in grams(t):
+            owners.setdefault(g, set()).add(i)
+    expected = {}
+    for i, t in enumerate(norms):
+        # duplicated gram starts with their clamped coverage end — the
+        # same (pos, gend) pairs the operator's island merge consumes
+        # (an empty doc yields a degenerate pos-1 / gend-0 "span" of 0
+        # chars when its empty gram is shared, by design)
+        dup = [
+            (pos, min(pos + k - 1, len(t)))
+            for pos, g in grams(t)
+            if len(owners[g]) >= 2
+        ]
+        if not dup:
+            continue
+        spans = []
+        for pos, gend in sorted(dup):
+            if spans and pos <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], gend))
+            else:
+                spans.append((pos, gend))
+        expected[i] = (
+            len(spans),
+            sum(en - st + 1 for st, en in spans),
+            len(t),
+        )
+    assert {i: v for i, v in got.items()} == expected

@@ -9,6 +9,22 @@ name before value-hashing), so every computed column is aliased identically
 on both sides.  Aggregates over double columns are rounded (or cast to
 decimal) identically on both sides so JVM/DuckDB summation-order ULP noise
 cannot flip the hash.
+
+Cross-engine numeric rules (each learned from a real red):
+  - DuckDB SUM(int) is HUGEINT -> float64 in pandas: CAST oracle sums to
+    BIGINT (round 3).
+  - Terminating decimals land on .5 ROUND boundaries where the engines'
+    ROUND rules differ: emit integer scaled units, never round(x, n), for
+    dyadic-weighted values (round 4, ts_ewma_smooth).
+  - Bare decimal literals (0.5) are DECIMAL in Spark SQL but effectively
+    double in DuckDB: write float literals with an exponent (0.5e0, 1e6)
+    in any SQL text shared across engines (round 4, search_bm25_topk).
+  - A SUM(double)'s fold order varies with partitioning: round addends to
+    integer units BEFORE summing when the result is hash-compared
+    (round 4, dataset_temperature_weights).
+  - ln()/pow() may differ 1 ulp JVM-vs-libm: prefer algebraic forms made
+    of +,-,*,/,sqrt (all correctly-rounded IEEE -> bit-identical), e.g.
+    rational Robertson idf, alpha=0.5 temperature via sqrt.
 """
 
 from __future__ import annotations

@@ -12,7 +12,7 @@ from steampipe_sqlite_spark.operators.temporal import (
     interval_overlap_join,
     range_join_binned,
 )
-from steampipe_sqlite_spark.plans.registry import presentation_sort, query
+from steampipe_sqlite_spark.plans.registry import presentation_sort, query, sql_query
 from steampipe_sqlite_spark.tables import load_table
 
 
@@ -500,4 +500,83 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(MAX(duration_s) AS BIGINT) AS max_duration_s
 FROM sessions
 """,
+)
+
+
+# --- Hypertable rollups: OHLC candlesticks + time-weighted average --------
+# Both are single SQL texts shared across engines apart from the epoch-
+# micros spelling (Spark unix_micros vs DuckDB epoch_us).  Values fold as
+# integer cents and weights as integer microseconds, so every aggregate is
+# exact on both engines (registry header, numeric rules).
+
+_OHLC_BODY = """
+WITH pts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour_start
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM pts
+)
+SELECT event_type, hour_start,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM r
+GROUP BY event_type, hour_start
+ORDER BY event_type, hour_start
+"""
+# TimescaleDB candlestick/first()/last() analog: first/last tick per
+# bucket via the two row_number windows (deterministic (ts, event_id)
+# tie-break), high/low/volume from the same grouped pass.
+sql_query("ts_ohlc_hourly", _OHLC_BODY, present_sort=["event_type", "hour_start"])
+
+
+def _twap_body(eus):
+    """eus: engine spelling of timestamp -> epoch microseconds (Spark
+    needs a TIMESTAMP cast first: the parquet reader yields NTZ, which
+    unix_micros rejects; session tz is pinned UTC so the cast is exact)."""
+    return f"""
+WITH pts AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+seg AS (
+  SELECT event_type, hour_start, cents,
+         {eus("ts")} AS t0,
+         LEAD({eus("ts")}) OVER (PARTITION BY event_type, hour_start
+                                 ORDER BY ts, event_id) AS t1,
+         {eus("hour_start + INTERVAL 1 HOUR")} AS bucket_end
+  FROM pts
+)
+SELECT event_type, hour_start,
+       CAST(SUM(COALESCE(t1, bucket_end) - t0) AS BIGINT) AS covered_us,
+       CAST(ROUND(CAST(SUM((COALESCE(t1, bucket_end) - t0) * cents) AS DOUBLE)
+                  / GREATEST(CAST(SUM(COALESCE(t1, bucket_end) - t0) AS DOUBLE), 1e0))
+            AS BIGINT) AS twap_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM seg
+GROUP BY event_type, hour_start
+ORDER BY event_type, hour_start
+"""
+
+
+# Time-weighted average (hypertable time_weight analog): each tick's value
+# holds until the next tick in the bucket (last tick: until bucket end) —
+# a duration-weighted LOCF integral.  Weights are integer microseconds and
+# values integer cents, so both SUMs are exact integers; the single final
+# division is the only float step.
+sql_query(
+    "ts_twap_hourly",
+    _twap_body(lambda x: f"unix_micros(cast({x} AS TIMESTAMP))"),
+    oracle=_twap_body(lambda x: f"epoch_us({x})"),
+    present_sort=["event_type", "hour_start"],
 )

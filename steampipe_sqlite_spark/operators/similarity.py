@@ -270,6 +270,30 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_cells_gemm(c: DataFrame, cent_rows: list) -> DataFrame:
+    """Vectorized Voronoi cell assignment (mapInPandas GEMM over the
+    collected centroid matrix).  Semantics pinned to the expression-form
+    argmax: 4-dp-rounded cosine, ties to the lowest cid (cent_rows sorted
+    by id; np.argmax returns the first max index).  Shared by ivf_topk
+    and ivf_build_index so index-then-query equals direct-query exactly."""
+    cm = np.asarray([np.asarray(r.v, dtype=np.float64) for r in cent_rows])
+    cn = np.asarray([r.nrm for r in cent_rows])
+
+    def assign_np(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            nrm = np.sqrt((vm * vm).sum(axis=1))
+            s = vm @ cm.T / np.outer(nrm, cn)
+            s = np.floor(np.abs(s) * 1e4 + 0.5) * np.sign(s) / 1e4
+            out = pdf[["id", "v", "nrm"]].copy()
+            out["cell"] = np.argmax(s, axis=1).astype("int32")
+            yield out
+
+    return c.mapInPandas(assign_np, "id long, v array<float>, nrm double, cell int")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -347,26 +371,10 @@ def ivf_topk(
         c.where(f"id < {int(n_cells)}").select("id", "v", "nrm").collect(),
         key=lambda r: r.id,
     )
-    cm = np.asarray([np.asarray(r.v, dtype=np.float64) for r in cent_rows])
-    cn = np.asarray([r.nrm for r in cent_rows])
-
-    def assign_np(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vm = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
-            nrm = np.sqrt((vm * vm).sum(axis=1))
-            s = vm @ cm.T / np.outer(nrm, cn)
-            s = np.floor(np.abs(s) * 1e4 + 0.5) * np.sign(s) / 1e4
-            out = pdf[["id", "v", "nrm"]].copy()
-            # argmax returns the FIRST max index = lowest cid (rows sorted)
-            out["cell"] = np.argmax(s, axis=1).astype("int32")
-            yield out
-
     corpus_cells = (
         assign(c, keep=1)
         if not cent_rows
-        else c.mapInPandas(assign_np, "id long, v array<float>, nrm double, cell int")
+        else _assign_cells_gemm(c, cent_rows)
     ).alias("c")
     probes = assign(q, keep=nprobe).alias("q")
     # corpus_cells streams (big side at scale); the nprobe-expanded query
@@ -427,6 +435,104 @@ def filtered_topk(
         "q.id AS query_id",
         "c.id AS neighbor_id",
         *[f"q.q_{m} AS {m}" for m in match_cols],
+        f"{_cos_sql('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS cosine",
+    )
+    return scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    n_cells: int = 16,
+) -> None:
+    """Persist an IVF index: ``path/centroids`` (k rows) plus
+    ``path/cells`` partitioned BY CELL (hive layout) — the build-once /
+    query-many ANN serving lifecycle.  Each query later probes nprobe
+    cells, and because the assignments are hive-partitioned on ``cell``,
+    the probe scan is PARTITION-PRUNED to those directories: at 10^9
+    vectors a 3-of-1024-cell probe reads ~0.3% of the index, no filter
+    evaluation needed.  Assignment semantics are exactly ivf_topk's
+    (shared _assign_cells_gemm), so index-then-query == direct-query.
+    """
+    c = _prep(corpus, vec_col, id_col)
+    cent_rows = sorted(
+        c.where(f"id < {int(n_cells)}").select("id", "v", "nrm").collect(),
+        key=lambda r: r.id,
+    )
+    if not cent_rows:
+        raise ValueError("empty corpus: nothing to index")
+    c.sparkSession.createDataFrame(
+        [(r.id, list(r.v), r.nrm) for r in cent_rows],
+        "id long, v array<float>, nrm double",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    _assign_cells_gemm(c, cent_rows).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Query a persisted IVF index (ivf_build_index): same output contract
+    as ivf_topk — (query_id, neighbor_id, cosine, rank).
+
+    The query side assigns its nprobe probe cells against the read-back
+    centroids (expression form — the query set is small), the probed cell
+    ids are collected (≤ nprobe·|queries| ints, metadata-sized) and
+    applied as a LITERAL ``cell IN (...)`` filter so Catalyst prunes the
+    hive partitions before any row is read; the pruned scan then streams
+    against the broadcast probe set exactly like ivf_topk's candidate
+    join.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_arr = cents.selectExpr(
+        "named_struct('cid', cast(id AS int), 'cv', v, 'cn', nrm) AS s"
+    ).agg(F.expr("sort_array(collect_list(s)) AS cents"))
+    q = _prep(queries, vec_col, id_col)
+    scored_cells = (
+        "transform(cents, s -> named_struct("
+        f"'c', round(({dot_sql('v', 's.cv')}) / (nrm * s.cn), 4), 'cid', s.cid))"
+    )
+    cmp = (
+        "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+        "WHEN a.cid < b.cid THEN -1 WHEN a.cid > b.cid THEN 1 ELSE 0 END"
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_arr))
+        .selectExpr(
+            "id",
+            "v",
+            "nrm",
+            f"explode(transform(slice(array_sort({scored_cells}, {cmp}), 1, {int(nprobe)}),"
+            " s -> s.cid)) AS cell",
+        )
+        .alias("q")
+    )
+    probe_cells = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell").isin(probe_cells))
+        .alias("c")
+    )
+    scored = cells.join(
+        F.broadcast(probes), F.expr("q.cell = c.cell AND q.id <> c.id")
+    ).selectExpr(
+        "q.id AS query_id",
+        "c.id AS neighbor_id",
         f"{_cos_sql('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS cosine",
     )
     return scored.selectExpr(

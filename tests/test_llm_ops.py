@@ -415,3 +415,52 @@ def test_leakage_safe_split_never_splits_a_component(spark, docs):
         .count()
     )
     assert spanning == 0
+
+
+class TestIvfIndexPersistence:
+    """Build-once/query-many IVF lifecycle: persisted index must answer
+    exactly like the direct operator, through a partition-pruned scan."""
+
+    def test_index_roundtrip_equals_direct(self, spark, emb, tmp_path):
+        from steampipe_sqlite_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_query_index,
+            ivf_topk,
+        )
+
+        path = str(tmp_path / "ivf")
+        ivf_build_index(emb, "embedding", "vec_id", path, n_cells=16)
+        queries = emb.filter("vec_id < 10")
+        direct = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in ivf_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+        }
+        via_index = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in ivf_query_index(
+                spark, path, queries, "embedding", "vec_id", k=5
+            ).collect()
+        }
+        assert via_index == direct
+        assert len(direct) == 50
+
+    def test_probe_scan_is_partition_pruned(self, spark, emb, tmp_path):
+        from steampipe_sqlite_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_query_index,
+        )
+
+        path = str(tmp_path / "ivf")
+        ivf_build_index(emb, "embedding", "vec_id", path, n_cells=16)
+        queries = emb.filter("vec_id < 3")
+        plan = (
+            ivf_query_index(spark, path, queries, "embedding", "vec_id", nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the cells scan must carry a PartitionFilters entry on `cell`
+        # (hive pruning), not a post-scan Filter over all partitions
+        assert "PartitionFilters:" in plan, plan[:2000]
+        pf = plan.split("PartitionFilters:")[1].split("]")[0]
+        assert "cell" in pf and "IN" in pf.upper(), pf

@@ -98,3 +98,64 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds"
     )
+
+
+def pagerank_nano(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over a directed edge list, computed ENTIRELY in integer
+    nano-units so every iteration is bit-exact and cross-engine
+    reproducible (a float PageRank's sum fold order varies with
+    partitioning — see the numeric rules in plans/registry.py).
+
+    Semantics per iteration (N = |nodes|, d = damping_pct/100):
+      contribution(u->v) = rank(u) div outdeg(u)      -- integer division
+      rank'(v) = (1e9 - d*1e9/100) div N
+                 + (d * sum(contributions to v)) div 100
+    Dangling nodes (outdeg 0) leak their mass — the classic simplified
+    formulation (Page et al. 1999 without the dangling redistribution);
+    the oracle replays the SAME recurrence, so the hash match proves the
+    distributed iteration, not a numeric coincidence.
+
+    Scale shape: each iteration is one edges⋈ranks equi-join on the
+    source id plus one dst-keyed integer SUM — the canonical Pregel/
+    GraphX plan re-expressed as DataFrame ops; lineage is truncated per
+    round with localCheckpoint.  Driver state: none (the loop count is
+    fixed).  Returns (node, rank_nano).
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node"), F.lit(0).cast("long").alias("rank_nano")
+        )
+    base = int((100 - damping_pct) * 1_000_000_000 // 100 // n)
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    ranks = nodes.select(
+        "node", F.lit(1_000_000_000 // n).cast("long").alias("rank_nano")
+    )
+    for _ in range(int(iters)):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, edges.src == outdeg.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_nano div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .selectExpr(
+                "node",
+                f"cast({base} + ({damping_pct} * coalesce(in_sum, 0)) div 100"
+                " AS bigint) AS rank_nano",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

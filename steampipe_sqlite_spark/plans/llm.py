@@ -2435,3 +2435,62 @@ def dataset_temperature_weights_q(spark, sf_dir):
         ),
         ["source"],
     )
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    # one integer-nano PageRank round (shared recurrence with
+    # operators/graph.pagerank_nano — see its docstring)
+    return f"""
+c{out} AS (
+  SELECT e.dst AS node, CAST(SUM(r.rank_nano // o.outdeg) AS BIGINT) AS in_sum
+  FROM edges e JOIN r{prev} r ON e.src = r.node
+  JOIN outdeg o ON e.src = o.node
+  GROUP BY e.dst
+),
+r{out} AS (
+  SELECT nodes.node,
+         CAST((150000000 // (SELECT n FROM nn)) + (85 * COALESCE(c{out}.in_sum, 0)) // 100 AS BIGINT) AS rank_nano
+  FROM nodes LEFT JOIN c{out} ON nodes.node = c{out}.node
+)"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=(
+        """
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % (SELECT n FROM nn) AS dst FROM nodes
+),
+outdeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_nano FROM nodes),"""
+        + ",".join(_pagerank_iter_sql(i, i + 1) for i in range(3))
+        + """
+SELECT node AS doc_id, rank_nano FROM r3 ORDER BY doc_id
+"""
+    ),
+)
+def graph_pagerank_q(spark, sf_dir):
+    """Distributed PageRank (3 rounds, damping 0.85) over a deterministic
+    functional graph on documents (two out-edges per node: id*31+7 and
+    id*17+3 mod N) — the iterative-join/aggregate Pregel shape beyond
+    label propagation.  Integer nano-unit arithmetic end to end, so the
+    DuckDB oracle (rounds unrolled as CTEs) matches bit-for-bit: the hash
+    proves the distributed iteration itself."""
+    from steampipe_sqlite_spark.operators.graph import pagerank_nano
+
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n = nodes.count()
+    edges = docs.selectExpr(
+        f"doc_id AS src", f"(doc_id * 31 + 7) % {n} AS dst"
+    ).unionAll(
+        docs.selectExpr(f"doc_id AS src", f"(doc_id * 17 + 3) % {n} AS dst")
+    )
+    ranks = pagerank_nano(edges, nodes, iters=3, damping_pct=85)
+    return presentation_sort(
+        ranks.selectExpr("node AS doc_id", "rank_nano"), ["doc_id"]
+    )

@@ -35,3 +35,29 @@ def test_isolated_nodes_are_singletons(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, [(5, 4), (4, 3), (3, 2), (2, 1)], max_iters=1)
+
+
+def test_pagerank_nano_mass_and_determinism(spark):
+    """Integer PageRank invariants: total mass never exceeds 1e9 (integer
+    division only leaks downward), every rank is positive, two runs are
+    bit-identical, and a sink-free cycle keeps symmetric ranks equal."""
+    from steampipe_sqlite_spark.operators.graph import pagerank_nano
+
+    # 4-cycle: perfectly symmetric -> all ranks equal at every iteration
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], ["src", "dst"]
+    )
+    r1 = {r.node: r.rank_nano for r in pagerank_nano(edges, nodes, iters=3).collect()}
+    r2 = {r.node: r.rank_nano for r in pagerank_nano(edges, nodes, iters=3).collect()}
+    assert r1 == r2
+    assert len(set(r1.values())) == 1
+    assert all(v > 0 for v in r1.values())
+    assert sum(r1.values()) <= 1_000_000_000
+
+    # star with a dangling center: mass leaks, spokes keep base rank
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["node"])
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)], ["src", "dst"])
+    r = {x.node: x.rank_nano for x in pagerank_nano(edges, nodes, iters=2).collect()}
+    assert r[0] > r[1] and len({r[i] for i in range(1, 5)}) == 1
+    assert sum(r.values()) <= 1_000_000_000

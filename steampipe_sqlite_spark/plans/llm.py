@@ -2217,17 +2217,22 @@ def search_inverted_index_q(spark, sf_dir):
         )
         .where("df >= 5")
     )
+    # Bounded two-level top-k for the posting-list head: a per-term
+    # ROW_NUMBER window would funnel a stopword's ENTIRE posting list
+    # through one reducer; instead each input partition contributes its
+    # own 20 smallest doc ids (map-side bounded collect), and the final
+    # per-term merge sees <= 20 x P candidate ids — the global smallest
+    # 20 are always among the per-partition smallest 20.
     postings = (
-        tf.selectExpr(
-            "term",
-            "doc_id",
-            "row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn",
+        tf.withColumn("p", F.spark_partition_id())
+        .groupBy("term", "p")
+        .agg(
+            F.expr("slice(sort_array(collect_list(doc_id)), 1, 20)").alias("head")
         )
-        .where("rn <= 20")
         .groupBy("term")
         .agg(
             F.expr(
-                "array_join(transform(sort_array(collect_list(doc_id)),"
+                "array_join(transform(slice(sort_array(flatten(collect_list(head))), 1, 20),"
                 " x -> cast(x AS string)), ',')"
             ).alias("head_postings")
         )

@@ -303,3 +303,50 @@ def streaming_cdc_latest(spark, sf_dir):
         order_cols=["ts", "event_id"],
         payload_cols=["event_id", "ts", "event_type", "value"],
     ).orderBy("user_id")
+
+
+@query(
+    "streaming_trending_types",
+    oracle="""
+WITH counts AS (
+  SELECT DATE_TRUNC('hour', ts) AS win_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, event_type, n, rank FROM (
+  SELECT win_start, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY win_start
+                            ORDER BY n DESC, event_type) AS rank
+  FROM counts
+) t
+WHERE rank <= 3
+ORDER BY win_start, rank
+""",
+)
+def streaming_trending_types(spark, sf_dir):
+    """Trending top-3 event types per hour, the live-dashboard shape: the
+    windowed counts run THROUGH the streaming engine (availableNow +
+    complete memory sink — ranking inside an append-mode stream is
+    unsupported by design, so the rank is a batch query OVER the sink,
+    exactly how a serving layer reads a materialized aggregate).  The
+    batch oracle replays counts + ROW_NUMBER."""
+    from steampipe_sqlite_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+        tumbling_agg,
+    )
+
+    name = f"trending_out_{uuid.uuid4().hex[:8]}"
+    agg = tumbling_agg(read_events_stream(spark, sf_dir), width="1 hour")
+    result = run_stream_to_memory(spark, agg, name, output_mode="complete")
+    return (
+        result.selectExpr(
+            "win_start",
+            "event_type",
+            "cast(n AS bigint) AS n",
+            "row_number() OVER (PARTITION BY win_start"
+            " ORDER BY n DESC, event_type) AS rank",
+        )
+        .where("rank <= 3")
+        .orderBy("win_start", "rank")
+    )

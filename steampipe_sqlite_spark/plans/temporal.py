@@ -580,3 +580,39 @@ sql_query(
     oracle=_twap_body(lambda x: f"epoch_us({x})"),
     present_sort=["event_type", "hour_start"],
 )
+
+
+# Pipeline-monitoring shape: is this hour's event volume anomalous for its
+# type?  Variance comes from integer moments (cnt·Σn² − (Σn)², all BIGINT)
+# so both engines see the same exact values; mean/σ/z are then a fixed
+# sequence of correctly-rounded IEEE ops, and the anomaly FLAG derives
+# from the already-rounded integer-micro z, so no row flips membership on
+# an ulp (filtering on the raw double would).
+_ANOMALY_BODY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM hourly GROUP BY event_type
+),
+scored AS (
+  SELECT hourly.event_type, hour_start, n,
+         CAST(ROUND(1000000e0 * (n - CAST(s AS DOUBLE) / cnt)
+              / SQRT(GREATEST((CAST(ss AS DOUBLE) * cnt - CAST(s AS DOUBLE) * s)
+                              / (CAST(cnt AS DOUBLE) * cnt), 1e-12))) AS BIGINT) AS z_micro
+  FROM hourly JOIN stats ON hourly.event_type = stats.event_type
+)
+SELECT event_type, hour_start, n, z_micro,
+       CAST(z_micro >= 2000000 OR z_micro <= -2000000 AS INT) AS is_anomaly
+FROM scored
+ORDER BY event_type, hour_start
+"""
+sql_query(
+    "ts_count_anomaly",
+    _ANOMALY_BODY,
+    present_sort=["event_type", "hour_start"],
+)

@@ -169,7 +169,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     The returned dict is re-ordered by ``_WINDOW_PRIORITY``: the external
     driver verifies the first 50 entries per round, so the window is
     rotated round-to-round (see the priority list's comment) to
-    accumulate verification across the whole corpus (186 queries as of round 4).
+    accumulate verification across the whole corpus (187 queries as of round 4).
     """
     from steampipe_sqlite_spark.plans import (  # noqa: F401
         tpch,
@@ -214,7 +214,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # knn_cosine_filtered, search_inverted_index, curation_keep_list,
 # dataset_split_leakage_safe, dataset_temperature_weights, ts_ohlc_hourly,
 # ts_twap_hourly, graph_pagerank, streaming_trending_types,
-# ts_count_anomaly) plus any r4 reds.  Put those
+# ts_count_anomaly, win_first_nth_value) plus any r4 reds.  Put those
 # first, then fill the remaining slots re-verifying the oldest
 # driver-green names (r1 window) so green status stays fresh across
 # fixture changes.

@@ -736,3 +736,21 @@ def schema_evolution_union(spark, sf_dir):
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# Navigation-function completion: first_value / nth_value (the rank and
+# offset families are covered by win_rank_family / win_lag_lead).
+sql_query(
+    "win_first_nth_value",
+    """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+       LAST_VALUE(o_orderkey) OVER w AS latest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+""",
+    present_sort=["o_custkey", "o_orderkey"],
+)

@@ -86,6 +86,9 @@ def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
         sql = oracles.get(name)
         if sql is None:
             continue
+        con.execute(sql).df()  # untimed warm-up, symmetric with the Spark
+        # side's per-query warm-up run (ADVICE r4: the treatments must match
+        # for the headline ratio to be methodologically symmetric)
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()

@@ -298,13 +298,16 @@ LIMIT 500
 """,
 )
 
+# keys is CSV-joined on both sides: the corpus convention is that arrays
+# never cross the driver hash (agg_array_ops precedent) — the driver's
+# pandas sort_values canonicalizer cannot hash list cells (r4 red).
 sql_query(
     "json_build_and_length",
     """
 SELECT event_id,
        TO_JSON(NAMED_STRUCT('id', event_id, 'type', event_type)) AS built,
-       JSON_ARRAY_LENGTH(CONCAT('[', props, ',', props, ']')) AS arr_len,
-       JSON_OBJECT_KEYS(props) AS keys
+       CAST(JSON_ARRAY_LENGTH(CONCAT('[', props, ',', props, ']')) AS BIGINT) AS arr_len,
+       ARRAY_JOIN(JSON_OBJECT_KEYS(props), ',') AS keys
 FROM events
 ORDER BY event_id
 LIMIT 500
@@ -312,8 +315,8 @@ LIMIT 500
     oracle="""
 SELECT event_id,
        TO_JSON(struct_pack(id := event_id, type := event_type)) AS built,
-       JSON_ARRAY_LENGTH(CONCAT('[', props, ',', props, ']')) AS arr_len,
-       CAST(JSON_KEYS(props) AS VARCHAR[]) AS keys
+       CAST(JSON_ARRAY_LENGTH(CONCAT('[', props, ',', props, ']')) AS BIGINT) AS arr_len,
+       ARRAY_TO_STRING(CAST(JSON_KEYS(props) AS VARCHAR[]), ',') AS keys
 FROM events
 ORDER BY event_id
 LIMIT 500

@@ -784,13 +784,12 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     from steampipe_sqlite_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return presentation_sort(
-        minhash_lsh_pairs(
-            docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5,
-            hash_family="md5",
-        ),
-        ["id_a", "id_b"],
-    )
+    # orderBy, not presentation_sort: the pair set scales with duplicate
+    # density (unbounded at corpus scale) — keep the parallel range sort.
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5,
+        hash_family="md5",
+    ).orderBy("id_a", "id_b")
 
 
 _DD_SIMHASH_COUNTS = ", ".join(f"SUM((h >> {b}) & 1) AS c{b}" for b in range(60))
@@ -825,10 +824,10 @@ def dedup_simhash_q(spark, sf_dir):
     from steampipe_sqlite_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return presentation_sort(
-        simhash_pairs(docs, "text", "doc_id", max_hamming=8, hash_family="md5"),
-        ["id_a", "id_b"],
-    )
+    # orderBy: unbounded pair set (see dedup_minhash_lsh).
+    return simhash_pairs(
+        docs, "text", "doc_id", max_hamming=8, hash_family="md5"
+    ).orderBy("id_a", "id_b")
 
 
 # --- Similarity search ----------------------------------------------------
@@ -1972,15 +1971,18 @@ def pack_context_windows(spark, sf_dir):
         "sum(n_chars) OVER (ORDER BY md5(cast(doc_id AS string)), doc_id"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
     ).selectExpr("doc_id", "n_chars", "cum", "(cum - n_chars) div 65536 AS bin")
-    return presentation_sort(
-        binned.groupBy("bin").agg(
+    # orderBy: one row per 64 KiB context bin — cardinality scales with
+    # total corpus chars, so the parallel range sort is the scale path.
+    return (
+        binned.groupBy("bin")
+        .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("packed_chars"),
             F.sum(
                 F.expr("CASE WHEN cum > (bin + 1) * 65536 THEN 1 ELSE 0 END")
             ).cast("bigint").alias("n_straddle"),
-        ),
-        ["bin"],
+        )
+        .orderBy("bin")
     )
 
 
@@ -2035,15 +2037,13 @@ def dedup_exact_substrings_q(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     stats = duplicated_span_stats(docs, "text", "doc_id", k=20)
-    return presentation_sort(
-        stats.select(
-            F.col("id").alias("doc_id"),
-            "n_dup_spans",
-            "dup_chars",
-            "total_chars",
-        ),
-        ["doc_id"],
-    )
+    # orderBy: one row per document with duplicated spans — unbounded.
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "n_dup_spans",
+        "dup_chars",
+        "total_chars",
+    ).orderBy("doc_id")
 
 
 # BM25 ranked retrieval: one literal query against the corpus.  The idf is
@@ -2194,11 +2194,11 @@ def search_inverted_index_q(spark, sf_dir):
     """Inverted-index build: per term its document frequency, collection
     frequency, and the first 20 doc ids of the posting list (CSV string —
     arrays hash engine-differently, see agg_array_ops).  Scale shape: the
-    posting-list head comes from a per-term row_number filter BEFORE any
-    collect, so per-term state is bounded at 20 ids even for stopwords
-    whose full posting list is the corpus; df/cf aggregate with map-side
-    partial fold.  Both aggregates are term-keyed, so the join reuses the
-    shuffle partitioning."""
+    posting-list head is a two-level slice — per (term, input-partition)
+    first, then a per-term merge over <= 20 x P candidates — so no single
+    reducer ever sees a stopword's FULL corpus-wide posting list; df/cf
+    aggregate with map-side partial fold.  Both aggregates are term-keyed,
+    so the join reuses the shuffle partitioning."""
     from steampipe_sqlite_spark.functions.text import _NORM_SQL
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2217,12 +2217,15 @@ def search_inverted_index_q(spark, sf_dir):
         )
         .where("df >= 5")
     )
-    # Bounded two-level top-k for the posting-list head: a per-term
-    # ROW_NUMBER window would funnel a stopword's ENTIRE posting list
-    # through one reducer; instead each input partition contributes its
-    # own 20 smallest doc ids (map-side bounded collect), and the final
-    # per-term merge sees <= 20 x P candidate ids — the global smallest
-    # 20 are always among the per-partition smallest 20.
+    # Two-level top-k for the posting-list head: a per-term ROW_NUMBER
+    # window would funnel a stopword's ENTIRE posting list through one
+    # reducer; instead each input partition contributes its own 20
+    # smallest doc ids, and the final per-term merge sees <= 20 x P
+    # candidate ids — the global smallest 20 are always among the
+    # per-partition smallest 20.  (The level-1 collect_list state is
+    # bounded by that term's rows within ONE input partition — not by 20;
+    # the hard bound is per-partition, which is what kills the
+    # single-reducer stopword funnel.)
     postings = (
         tf.withColumn("p", F.spark_partition_id())
         .groupBy("term", "p")
@@ -2237,7 +2240,9 @@ def search_inverted_index_q(spark, sf_dir):
             ).alias("head_postings")
         )
     )
-    return presentation_sort(stats.join(postings, "term"), ["term"])
+    # orderBy: one row per vocabulary term — grows with the corpus
+    # (Heaps' law), so keep the parallel range sort.
+    return stats.join(postings, "term").orderBy("term")
 
 
 # Shared DuckDB prefix: near-dup components closure (same text as the
@@ -2328,15 +2333,13 @@ def curation_keep_list_q(spark, sf_dir):
         )
         .where("rn = 1")
     )
-    return presentation_sort(
-        ranked.selectExpr(
-            "component_id",
-            "doc_id AS keep_id",
-            "CAST(component_size AS BIGINT) AS component_size",
-            "quality AS keep_quality",
-        ),
-        ["component_id"],
-    )
+    # orderBy: one row per near-dup component — scales with the corpus.
+    return ranked.selectExpr(
+        "component_id",
+        "doc_id AS keep_id",
+        "CAST(component_size AS BIGINT) AS component_size",
+        "quality AS keep_quality",
+    ).orderBy("component_id")
 
 
 @query(
@@ -2496,6 +2499,5 @@ def graph_pagerank_q(spark, sf_dir):
         docs.selectExpr(f"doc_id AS src", f"(doc_id * 17 + 3) % {n} AS dst")
     )
     ranks = pagerank_nano(edges, nodes, iters=3, damping_pct=85)
-    return presentation_sort(
-        ranks.selectExpr("node AS doc_id", "rank_nano"), ["doc_id"]
-    )
+    # orderBy: one row per graph node — unbounded.
+    return ranks.selectExpr("node AS doc_id", "rank_nano").orderBy("doc_id")

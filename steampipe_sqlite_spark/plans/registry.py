@@ -146,8 +146,18 @@ def sql_query(
     if present_sort is not None:
         idx = run_sql.upper().rindex("ORDER BY")
         tail = run_sql[idx:]
-        # top-level ORDER BY only: a subquery's would carry parens/FROM
-        assert "(" not in tail and ")" not in tail and "FROM" not in tail.upper(), name
+        # top-level ORDER BY only: a subquery's would carry parens/FROM.
+        # ValueError, not assert: the guard must survive python -O, and a
+        # trailing LIMIT/OFFSET must not be silently dropped with the sort
+        # (that would change the result set vs the oracle) — ADVICE r4.
+        tu = tail.upper()
+        if "(" in tail or ")" in tail or "FROM" in tu:
+            raise ValueError(f"{name}: present_sort found a non-top-level ORDER BY")
+        if "LIMIT" in tu or "OFFSET" in tu:
+            raise ValueError(
+                f"{name}: present_sort would strip a trailing LIMIT/OFFSET — "
+                "keep the ORDER BY or restructure the query"
+            )
         run_sql = run_sql[:idx]
 
     def fn(spark: "SparkSession", sf_dir: str) -> "DataFrame":
@@ -201,53 +211,38 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # reds (tpch_q12, mm_media_inventory — values matched, oracle HUGEINT
 # dtype artifact, now CAST AS BIGINT) and the newest query
 # (dataset_shuffle_shards, committed after the r3 window was frozen).
-# ROUND-5 ROTATION (do after CORRECTNESS_r04 lands — do NOT reorder before
-# the round-4 driver run): the names never driver-verified will then be the
-# three deferred pytest-double-covered ones (tpch_q1_dataframe,
-# distinct_pairs, compat_scalar_misc) plus the queries added in round 4
-# (sketch_topk_tokens, text_chunk_sliding, ts_gapfill_locf,
-# sample_weighted_md5, dedup_cdc_chunks, knn_cosine_blas, cdc_latest_state,
-# cdc_scd2_intervals, schema_evolution_union, streaming_cdc_latest,
-# ts_ewma_smooth, pack_context_windows, mm_image_phash_neardup,
-# funnel_view_click_purchase, cohort_retention_daily,
-# session_stats_rollup, dedup_exact_substrings, search_bm25_topk,
-# knn_cosine_filtered, search_inverted_index, curation_keep_list,
-# dataset_split_leakage_safe, dataset_temperature_weights, ts_ohlc_hourly,
-# ts_twap_hourly, graph_pagerank, streaming_trending_types,
-# ts_count_anomaly, win_first_nth_value) plus any r4 reds.  Put those
-# first, then fill the remaining slots re-verifying the oldest
-# driver-green names (r1 window) so green status stays fresh across
-# fixture changes.
+# ROUND-5 WINDOW (VERDICT r4 #4): the 3 r4 reds (now fixed — sliding
+# windows' oracles cast to naive TIMESTAMP; json_build_and_length's keys
+# array CSV-joined) + the 32 never-driver-verified names (3 deferred
+# pytest-double-covered + the 29 round-4 additions), then 15 backfill
+# slots re-verifying the OLDEST driver-green names (r1-window queries
+# never re-verified since) so green status stays fresh across fixture
+# changes.  Queries added in round 5 register behind the window and roll
+# into the round-6 rotation.
 _WINDOW_PRIORITY = [
-    # r3 reds, re-verified with the BIGINT-cast oracles
-    "tpch_q12", "mm_media_inventory",
-    # window functions incl. the distributed row_number and GROUPS/EXCLUDE
-    "win_global_rownum_scale", "win_running_sum", "win_groups_frame",
-    "win_exclude_current_row", "win_exclude_group",
-    # recursive CTE, aggregates, HAVING
-    "cte_recursive", "agg_count_distinct", "agg_minmax_stats",
-    "agg_string_concat", "having_clause", "agg_array_ops",
-    # temporal joins + hierarchy rollup
-    "join_asof_events", "join_range_binned", "join_interval_overlap",
-    "window_rollup_hierarchy",
-    # text / LLM-pipeline operators
-    "text_repetition_flags", "text_decontaminate_bloom",
-    "text_boilerplate_strip", "text_pii_redact",
-    "cluster_kmeans", "dedup_semantic", "dedup_incremental",
-    "sketch_hll_users", "sketch_hll_users_by_type", "sketch_quantile_hist",
-    "profile_documents", "pack_length_buckets", "dataset_shuffle_shards",
-    # pandas-UDF group ops
-    "group_zscore_pandas", "agg_gmean_pandas",
-    # batch event-time windows
-    "window_tumbling_1h", "window_sliding_1h_30m", "window_session_5m",
-    # streaming remainder
-    "streaming_sliding_30m", "streaming_stateful_user_totals",
-    "streaming_stream_stream_join", "streaming_dedup_watermark",
-    # date/time + JSON + TVF compat shims
-    "date_extract_parts", "date_trunc_buckets", "date_format_epoch",
-    "json_extract_scalar", "json_build_and_length", "json_group_array",
-    "tvf_generate_series", "tvf_json_each", "json_variant_extract",
-    "json_sqlite_type_valid_quote", "json_sqlite_mutators",
+    # r4 reds, fixed (oracle dtype artifacts — VERDICT r4 What's-wrong #1/#2)
+    "window_sliding_1h_30m", "streaming_sliding_30m", "json_build_and_length",
+    # deferred pytest-double-covered names (r4 plan)
+    "tpch_q1_dataframe", "distinct_pairs", "compat_scalar_misc",
+    # round-4 additions, never driver-verified (all selfcheck-green r4+r5)
+    "sketch_topk_tokens", "text_chunk_sliding", "ts_gapfill_locf",
+    "sample_weighted_md5", "dedup_cdc_chunks", "knn_cosine_blas",
+    "cdc_latest_state", "cdc_scd2_intervals", "schema_evolution_union",
+    "streaming_cdc_latest", "ts_ewma_smooth", "pack_context_windows",
+    "mm_image_phash_neardup", "funnel_view_click_purchase",
+    "cohort_retention_daily", "session_stats_rollup",
+    "dedup_exact_substrings", "search_bm25_topk", "knn_cosine_filtered",
+    "search_inverted_index", "curation_keep_list",
+    "dataset_split_leakage_safe", "dataset_temperature_weights",
+    "ts_ohlc_hourly", "ts_twap_hourly", "graph_pagerank",
+    "streaming_trending_types", "ts_count_anomaly", "win_first_nth_value",
+    # oldest r1 greens, re-verified (r1 window, untouched since round 1)
+    "compat_glob_filter", "compat_strftime_month_rollup",
+    "compat_date_functions", "text_token_count", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "dedup_ngram_jaccard",
+    "knn_cosine_bruteforce", "emb_neardup_cosine", "emb_centroid_per_label",
+    "knn_cosine_ivf", "text_tfidf_top_terms", "sketch_hll_doc_texts",
+    "sample_stratified_md5",
 ]
 
 

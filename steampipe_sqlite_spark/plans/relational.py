@@ -319,7 +319,9 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """,
-    present_sort=["event_id"],
+    # no present_sort: one output row per event — unbounded, so the parallel
+    # range sort IS the scale path (presentation_sort's own contract; a
+    # coalesce(1) here would single-task the window computation too).
 )
 
 sql_query(
@@ -752,5 +754,6 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY o_custkey, o_orderkey
 """,
-    present_sort=["o_custkey", "o_orderkey"],
+    # no present_sort: one row per order — unbounded output, keep the
+    # parallel range sort (see win_running_sum).
 )

@@ -49,10 +49,13 @@ ORDER BY win_start, event_type
 """,
     # A 1h window sliding by 30m assigns each event to the two 30m-grid
     # starts s with s <= ts < s+3600: trunc-to-30m(ts) and that minus 30m.
+    # CAST ... AS TIMESTAMP: DuckDB to_timestamp() is TIMESTAMPTZ (tz-aware
+    # datetime64[us, Etc/UTC] in pandas) while Spark emits naive timestamps —
+    # the r4 schema_match red; the cast makes the oracle naive like Spark.
     oracle="""
 WITH starts AS (
   SELECT event_type,
-         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS win_start
+         CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS TIMESTAMP) AS win_start
   FROM events, UNNEST([0, 1800]) AS t(off)
 )
 SELECT win_start, event_type, COUNT(*) AS n
@@ -128,7 +131,7 @@ def streaming_tumbling_1h(spark, sf_dir):
     oracle="""
 WITH starts AS (
   SELECT event_type,
-         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS win_start
+         CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)) AS TIMESTAMP) AS win_start
   FROM events, UNNEST([0, 1800]) AS t(off)
 )
 SELECT win_start, event_type, COUNT(*) AS n

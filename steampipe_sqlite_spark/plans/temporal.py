@@ -12,7 +12,7 @@ from steampipe_sqlite_spark.operators.temporal import (
     interval_overlap_join,
     range_join_binned,
 )
-from steampipe_sqlite_spark.plans.registry import presentation_sort, query, sql_query
+from steampipe_sqlite_spark.plans.registry import query, sql_query
 from steampipe_sqlite_spark.tables import load_table
 
 
@@ -39,13 +39,13 @@ def join_asof_events(spark, sf_dir):
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value")
     )
-    return presentation_sort(
-        asof_join(
-            purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
-            payload_cols=["click_value"],
-        ),
-        ["event_id"],
-    )
+    # orderBy, not presentation_sort: one row per purchase — unbounded
+    # output, so the parallel range sort is the scale path and the keyed
+    # window inside asof_join must not be funneled into a coalesced task.
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_value"],
+    ).orderBy("event_id")
 
 
 @query(
@@ -448,7 +448,7 @@ sql_query(
     "session_stats_rollup",
     """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
@@ -457,7 +457,7 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
   FROM flagged
 ),
@@ -475,7 +475,7 @@ FROM sessions
 """,
     oracle="""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
@@ -484,7 +484,7 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
   FROM flagged
 ),

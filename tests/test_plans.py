@@ -161,12 +161,42 @@ def test_aqe_parity_on_representative_queries(spark, queries):
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
 
+# Bounded final results only (aggregates / top-k): presentation_sort's
+# coalesce(1) is safe ONLY above a shuffle whose output no longer scales
+# with the input.
 PRESENT_SORT_QUERIES = [
-    "tpch_q1", "tpch_q5", "tpch_q9", "win_running_sum", "window_tumbling_1h",
-    "dedup_minhash_lsh", "dedup_simhash", "knn_cosine_bruteforce",
-    "knn_cosine_blas", "knn_cosine_ivf", "join_asof_events",
+    "tpch_q1", "tpch_q5", "tpch_q9", "window_tumbling_1h",
+    "knn_cosine_bruteforce", "knn_cosine_blas", "knn_cosine_ivf",
     "curation_pipeline",
 ]
+
+# Unbounded (per-row / per-pair / per-component) outputs: the parallel
+# range sort IS the scale path — presentation_sort here would single-task
+# both the sort and, because coalesce(1) narrows the whole post-shuffle
+# stage, the keyed window/join computation itself (ADVICE r4, medium).
+UNBOUNDED_SORT_QUERIES = [
+    "win_running_sum", "win_first_nth_value", "join_asof_events",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_exact_substrings",
+    "curation_keep_list", "graph_pagerank", "pack_context_windows",
+    "search_inverted_index",
+]
+
+
+def test_unbounded_results_keep_the_parallel_range_sort(spark, queries):
+    """Queries whose result cardinality scales with the input must sort
+    via a range exchange (parallel), never coalesce(1): a coalesced plan
+    would run the upstream window/join computation in ONE task."""
+    for name in UNBOUNDED_SORT_QUERIES:
+        p = plan_text(queries[name](spark, SF_DIR))
+        assert "Coalesce 1" not in p, (
+            f"{name}: unbounded result funneled through coalesce(1) — "
+            "the keyed computation above the shuffle runs single-task"
+        )
+        # a global Sort (usually via a range exchange; pack_context_windows
+        # is already single-partition from its global running-sum window)
+        assert "rangepartitioning" in p or "Sort [" in p, (
+            f"{name}: no global sort"
+        )
 
 
 def test_presentation_sort_sits_above_a_shuffle(spark, queries):

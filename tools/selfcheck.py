@@ -82,6 +82,58 @@ def value_hash(columns: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def driver_canon_crash(pdf) -> str | None:
+    """Replay the driver's canonicalization step and report its crash, if any.
+
+    The driver canonicalizes each result with ``pandas.sort_values`` over all
+    columns (sorted by name) before hashing.  That path has materialization
+    constraints our order-insensitive hasher does not: list/ndarray cells are
+    unhashable under pandas' object factorization (the r4
+    ``json_build_and_length`` red died exactly there, inside the driver, as an
+    ``err`` row).  Returns the exception text, or None if canonicalization
+    succeeds.  Three rounds of locally-green/driver-red artifacts justify the
+    invariant this enforces: selfcheck red ⇔ driver red.
+    """
+    try:
+        cols = sorted(pdf.columns)
+        pdf[cols].sort_values(by=cols, kind="mergesort")
+    except Exception as e:  # noqa: BLE001
+        return f"{type(e).__name__}: {str(e)[:160]}"
+    return None
+
+
+def dtype_mismatches(spdf, opdf) -> list[str]:
+    """Per-column pandas dtype comparison, aligned by name.
+
+    The driver's schema_match compares materialized dtypes, not just names —
+    tz-aware vs naive timestamps (r4 sliding windows) and int vs float
+    (r3 HUGEINT) both failed there while column names matched.  One
+    normalization is empirical: Spark toPandas gives datetime64[ns] while
+    DuckDB .df() gives datetime64[us], and tumbling-window queries with that
+    exact split are driver-GREEN — so resolution is normalized by the driver;
+    the tz suffix (what actually failed r4) is not, and stays strict.
+    """
+
+    def norm(d: str) -> str:
+        if d.startswith("datetime64["):
+            inner = d[len("datetime64[") : -1]  # "ns" or "us, Etc/UTC"
+            parts = [p.strip() for p in inner.split(",")]
+            tz = parts[1] if len(parts) > 1 else ""
+            return f"datetime64[tz={tz}]"
+        # agg_array_ops is driver-green with spark=int32 vs duckdb=int64, so
+        # integer WIDTH is normalized by the driver; int-vs-float is not (r3).
+        if d.startswith(("int", "uint")):
+            return "int"
+        return d
+
+    out = []
+    for c in sorted(set(spdf.columns) & set(opdf.columns)):
+        sd, od = str(spdf[c].dtype), str(opdf[c].dtype)
+        if norm(sd) != norm(od):
+            out.append(f"{c}: spark={sd} duckdb={od}")
+    return out
+
+
 def run(sf_dir: str, only: list[str]) -> int:
     from steampipe_sqlite_spark.plans.registry import collect
 
@@ -138,8 +190,16 @@ def run(sf_dir: str, only: list[str]) -> int:
             problems.append(f"rows {len(srows)}≠{len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)}≠{sorted(ocols)}")
-        elif value_hash(scols, srows) != value_hash(ocols, orows):
-            problems.append("value-hash mismatch")
+        else:
+            dt = dtype_mismatches(spdf, opdf)
+            if dt:
+                problems.append(f"dtypes [{'; '.join(dt)}]")
+            for side, pdf in (("spark", spdf), ("duckdb", opdf)):
+                crash = driver_canon_crash(pdf)
+                if crash:
+                    problems.append(f"driver-canon crash ({side}): {crash}")
+            if not problems and value_hash(scols, srows) != value_hash(ocols, orows):
+                problems.append("value-hash mismatch")
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)}")

@@ -655,3 +655,42 @@ def json_sqlite_mutators_q(spark, sf_dir):
         .orderBy("event_id")
         .limit(500)
     )
+
+
+# Statistical aggregate surface (stddev/covar/corr) via EXACT integer
+# moments: raw sums of integer cents x hour-of-day are BIGINT-exact and
+# fold-order-free; the derived statistics are then a fixed dag of
+# correctly-rounded double ops (+,-,*,/,sqrt — bit-identical cross-engine;
+# registry numeric rules), written as ONE shared SQL text.  This sidesteps
+# the engines' own STDDEV/CORR implementations, whose incremental
+# (Welford) vs two-pass summation orders differ in ulps.
+_MOMENTS_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS x,
+         CAST(hour(ts) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n, sx, sy,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)) AS covar_samp_cents_hour,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_cents_hour,
+       SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))) AS std_cents
+FROM m
+ORDER BY event_type
+"""
+
+sql_query("agg_corr_covar_moments", _MOMENTS_SQL, present_sort=["event_type"])

@@ -13,8 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from steampipe_sqlite_spark.plans.registry import presentation_sort, query
-from steampipe_sqlite_spark.tables import load_table
+from steampipe_sqlite_spark.plans.registry import presentation_sort, query, sql_query
+from steampipe_sqlite_spark.tables import load_table, register_views
 
 # DuckDB twins of functions/text.py normalization (RE2 spelling; 'g' flag).
 _DD_NORM = (
@@ -2501,3 +2501,298 @@ def graph_pagerank_q(spark, sf_dir):
     ranks = pagerank_nano(edges, nodes, iters=3, damping_pct=85)
     # orderBy: one row per graph node — unbounded.
     return ranks.selectExpr("node AS doc_id", "rank_nano").orderBy("doc_id")
+
+
+# --- Round-5 additions: dictionary tagging, containment dedup, cross-source
+# contamination, mixing schedule, hybrid retrieval ---------------------------
+
+# Spark-dialect twin of _DD_NORM (Java regex spelling; same normalization as
+# functions/text._NORM_SQL, inlined here for pure-SQL corpus entries).
+_SP_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(text),"
+    r"'[^a-z0-9\u4e00-\u9fff ]', ' '), '\\s+', ' '))"
+)
+
+sql_query(
+    "text_keyword_tag",
+    f"""
+WITH toks AS (
+  SELECT doc_id, explode(split({_SP_NORM}, ' ')) AS tok FROM documents
+),
+kw AS (SELECT keyword FROM VALUES ('join'), ('hash'), ('vector'), ('data'), ('scan') AS t(keyword))
+SELECT doc_id, keyword, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toks JOIN kw ON tok = keyword
+GROUP BY doc_id, keyword
+ORDER BY doc_id, keyword
+""",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_DD_NORM}, ' ')) AS tok FROM documents
+),
+kw AS (SELECT keyword FROM (VALUES ('join'), ('hash'), ('vector'), ('data'), ('scan')) t(keyword))
+SELECT doc_id, keyword, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM toks JOIN kw ON tok = keyword
+GROUP BY doc_id, keyword
+ORDER BY doc_id, keyword
+""",
+)
+# ^ FlashText-style dictionary tagging: the keyword list is a 5-row inline
+# VALUES relation, so Catalyst auto-broadcasts it against the exploded token
+# stream (map-side hash join, no shuffle of the corpus); the per-(doc,
+# keyword) count is a partial-agg-folded groupBy.  Output scales with the
+# corpus -> trailing ORDER BY stays a parallel range sort.
+
+
+sql_query(
+    "dedup_containment_ngram",
+    f"""
+WITH t AS (SELECT doc_id, split({_SP_NORM}, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, explode(array_distinct(transform(
+           sequence(1, greatest(size(toks) - 4, 1)),
+           i -> array_join(slice(toks, i, 5), ' ')))) AS gram
+  FROM t
+),
+shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+  JOIN shared s ON a.gram = s.gram
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
+SELECT id_a, id_b, n_common, s.n_grams AS n_a
+FROM common JOIN sizes s ON common.id_a = s.doc_id
+WHERE 100 * n_common >= 80 * s.n_grams
+ORDER BY id_a, id_b
+""",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split({_DD_NORM}, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 1)),
+           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS gram
+  FROM t
+),
+shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+  JOIN shared s ON a.gram = s.gram
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
+SELECT id_a, id_b, n_common, s.n_grams AS n_a
+FROM common JOIN sizes s ON common.id_a = s.doc_id
+WHERE 100 * n_common >= 80 * s.n_grams
+ORDER BY id_a, id_b
+""",
+)
+# ^ Broder-style CONTAINMENT near-dup (directed: >=80% of A's distinct
+# 5-token shingles appear in B) — catches subset/partial-copy duplication
+# that symmetric Jaccard misses.  Scale shape: candidates meet on gram
+# equi-join keys, never an O(n^2) pair space; the `shared` gate (2..100
+# docs per gram) drops both unique grams (no pair) and boilerplate grams
+# (>100 docs), bounding per-gram fan-out at C(100,2); the integer-only
+# threshold (100*n_common >= 80*n_a) avoids cross-engine float division.
+# Containment is measured over gated grams (a documented lower bound);
+# the denominator n_a is the doc's full distinct-gram count.
+
+
+sql_query(
+    "contamination_source_matrix",
+    f"""
+WITH t AS (SELECT source, split({_SP_NORM}, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source, explode(transform(
+             sequence(1, greatest(size(toks) - 12, 1)),
+             i -> array_join(slice(toks, i, 13), ' '))) AS gram
+    FROM t
+  ) x
+)
+SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+""",
+    oracle=f"""
+WITH t AS (SELECT source, string_split({_DD_NORM}, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source, unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 12, 1)),
+             i -> array_to_string(list_slice(toks, i, i + 12), ' '))) AS gram
+    FROM t
+  ) x
+)
+SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+""",
+    present_sort=["src_a", "src_b"],
+)
+# ^ Train/test decontamination at SOURCE granularity: the 13-token-gram
+# (the standard decontamination shingle width) overlap matrix between every
+# source pair.  DISTINCT (source, gram) first bounds the join input at one
+# row per gram per source; pairs meet on the gram key; output is bounded at
+# C(|sources|, 2) — a reduced final, so presentation_sort applies.
+
+
+sql_query(
+    "dataset_epochs_schedule",
+    f"""
+WITH counts AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(size(split({_SP_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(1000000e0 * SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wm
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS sw FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST(ROUND(1000000e0 * (CAST(wm AS DOUBLE) / sw)) AS BIGINT) AS weight_micro,
+       CAST(ROUND(1000e0 * ((1000000e0 * (CAST(wm AS DOUBLE) / sw)) / CAST(n_tokens AS DOUBLE))) AS BIGINT) AS epochs_milli
+FROM w CROSS JOIN tot
+ORDER BY source
+""",
+    oracle=f"""
+WITH counts AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split({_DD_NORM}, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(1000000e0 * SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wm
+  FROM counts
+),
+tot AS (SELECT CAST(SUM(wm) AS BIGINT) AS sw FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST(ROUND(1000000e0 * (CAST(wm AS DOUBLE) / sw)) AS BIGINT) AS weight_micro,
+       CAST(ROUND(1000e0 * ((1000000e0 * (CAST(wm AS DOUBLE) / sw)) / CAST(n_tokens AS DOUBLE))) AS BIGINT) AS epochs_milli
+FROM w CROSS JOIN tot
+ORDER BY source
+""",
+    present_sort=["source"],
+)
+# ^ Data-mixing schedule: temperature-weighted (alpha=0.5 via SQRT — the
+# algebraic form, never pow(); registry numeric rules) token share of a
+# 1M-token budget per source, expressed as epochs over each source's own
+# token count (epochs > 1000 milli = the source repeats).  The cross join
+# broadcasts a 1-row total; per-source weights are integer micros BEFORE
+# any division so the shares are fold-order-free.
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant
+
+
+def _rrf_leg_sql(bm_src: str, cos_src: str) -> str:
+    """Shared fusion tail: full-outer join of the two top-100 rank lists,
+    missing-list contribution 0.  Identical text both engines."""
+    return f"""
+SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+       CAST(COALESCE(bm.r_b, 0) AS BIGINT) AS rank_bm25,
+       CAST(COALESCE(cs.r_c, 0) AS BIGINT) AS rank_cos,
+       COALESCE(1e0 / (60e0 + bm.r_b), 0e0)
+         + COALESCE(1e0 / (60e0 + cs.r_c), 0e0) AS rrf_score
+FROM {bm_src} bm FULL OUTER JOIN {cos_src} cs ON bm.doc_id = cs.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 20
+"""
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+WITH d AS (SELECT doc_id, string_split({_DD_NORM}, ' ') AS toks FROM documents),
+t AS (
+  SELECT doc_id, len(toks) AS dl,
+         {", ".join(f"len(list_filter(toks, x -> x = '{w}')) AS tf{i+1}" for i, w in enumerate(_BM25_TERMS))}
+  FROM d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+         {", ".join(f"CAST(SUM(CASE WHEN tf{i+1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i+1}" for i in range(len(_BM25_TERMS)))}
+  FROM t
+),
+bm_top AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000e0 * ({" + ".join(_bm25_term_sql(f"tf{i+1}", f"df{i+1}") for i in range(len(_BM25_TERMS)))})) AS BIGINT) AS score_micro
+  FROM t CROSS JOIN stats
+  ORDER BY score_micro DESC, doc_id LIMIT 100
+),
+bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r_b FROM bm_top),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cos_top AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_inner_product(CAST(c.embedding AS DOUBLE[]), qv) /
+               (SQRT(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+                * SQRT(list_inner_product(qv, qv))), 4) AS cosine
+  FROM embeddings c CROSS JOIN q
+  ORDER BY cosine DESC, doc_id LIMIT 100
+),
+cs AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_c FROM cos_top)
+{_rrf_leg_sql("bm", "cs")}
+""",
+)
+def search_hybrid_rrf_q(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-100 and cosine top-100 (query = vec 0's
+    embedding) fused by reciprocal-rank fusion (1/(60+rank), the standard
+    RRF constant), top-20 out.  Scale shape: BOTH legs end in
+    TakeOrderedAndProject (per-partition heap, no global sort/window over
+    the corpus); ranks are assigned by a window over the 100-row retrieved
+    lists only — fusion over retrieved lists IS the production RRF
+    semantics, and it keeps every unbounded stage rank-free.  The fused
+    doubles are sums of exact divisions of small ints — bit-identical
+    cross-engine; ties (rank swaps) break on doc_id."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+    from steampipe_sqlite_spark.functions.vectors import dot_sql
+
+    register_views(spark, sf_dir, ("documents", "embeddings"))
+    toks = f"split({_NORM_SQL.format(c='text')}, ' ')"
+    tf_cols = ", ".join(
+        f"size(filter(toks, x -> x = '{w}')) AS tf{i+1}"
+        for i, w in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i+1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i+1}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        _bm25_term_sql(f"tf{i+1}", f"df{i+1}") for i in range(len(_BM25_TERMS))
+    )
+    cos = (
+        f"round({dot_sql('c.embedding', 'qv')}"
+        f" / (sqrt({dot_sql('c.embedding', 'c.embedding')})"
+        f" * sqrt({dot_sql('qv', 'qv')})), 4)"
+    )
+    return spark.sql(f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+t AS (SELECT doc_id, size(toks) AS dl, {tf_cols} FROM d),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl, {df_cols}
+  FROM t
+),
+bm_top AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000e0 * ({score})) AS BIGINT) AS score_micro
+  FROM t CROSS JOIN stats
+  ORDER BY score_micro DESC, doc_id LIMIT 100
+),
+bm AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r_b FROM bm_top),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cos_top AS (
+  SELECT c.vec_id AS doc_id, {cos} AS cosine
+  FROM embeddings c CROSS JOIN q
+  ORDER BY cosine DESC, doc_id LIMIT 100
+),
+cs AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_c FROM cos_top)
+{_rrf_leg_sql("bm", "cs")}
+""")

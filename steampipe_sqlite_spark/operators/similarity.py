@@ -540,3 +540,229 @@ def ivf_query_index(
         "row_number() OVER (PARTITION BY query_id"
         " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
     ).where(f"rank <= {int(k)}")
+
+
+# --- Product quantization (PQ) ANN -----------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame, vec_col: str, id_col: str,
+    m: int = 4, codebook: int = 16, dim: int = 64, iters: int = 2,
+) -> DataFrame:
+    """Train PQ codebooks: ``m`` independent k-means fits (one per
+    contiguous ``dim/m``-wide subspace), run as ONE generalized Lloyd loop
+    keyed by (subspace, id) — the same deterministic contract as
+    clustering.kmeans_assign (first-``codebook`` ids init, fixed ``iters``,
+    4-dp-rounded distances, integer-nano centroid means) so the whole fit
+    is oracle-replayable.  Returns (m, cid, cv, cc): m*codebook rows —
+    metadata-sized whatever the corpus.
+
+    Scale shape: subspace rows are n*m scalars-plus-slices; each round is
+    one broadcast (centroids) + one (id, m)-keyed argmin shuffle + one
+    ((m, cell, pos))-keyed mean shuffle — identical class to the k-means
+    operator, times a constant m.
+    """
+    d_sub = dim // m
+    sub = (
+        corpus.selectExpr(
+            f"{id_col} AS id",
+            f"transform({vec_col}, x -> cast(x as double)) AS v",
+        )
+        .selectExpr(
+            "id",
+            f"explode(transform(sequence(0, {m - 1}),"
+            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
+        )
+        .selectExpr("id", "s.m AS m", "s.sv AS sv")
+        .selectExpr("id", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
+    )
+    cent = sub.filter(F.col("id") < codebook).selectExpr(
+        "m", "id AS cid", "sv AS cv", "svv AS cc"
+    )
+    assigned = _pq_assign(sub, cent)
+    for _ in range(iters - 1):
+        assigned = _pq_assign(sub, _pq_update(assigned, d_sub))
+    return _pq_update(assigned, d_sub)
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per (id, subspace) nearest codeword — broadcast the m*codebook
+    centroids, join on the subspace key, min_by argmin (4-dp-rounded
+    distance, cid tie-break — the kmeans determinism contract)."""
+    crossed = sub.join(F.broadcast(cent), "m").withColumn(
+        "d2",
+        F.expr(f"round(svv - 2 * {dot_sql('sv', 'cv')} + cc, 4)"),
+    )
+    return (
+        crossed.groupBy("id", "m")
+        .agg(
+            F.expr("min_by(cid, struct(d2, cid))").alias("cell"),
+            F.expr("any_value(sv)").alias("sv"),
+            F.expr("any_value(svv)").alias("svv"),
+        )
+    )
+
+
+def _pq_update(assigned: DataFrame, d_sub: int) -> DataFrame:
+    """Codeword update: per (m, cell, pos) integer-nano mean (exact,
+    fold-order-free), re-packed into arrays per (m, cell)."""
+    per_dim = (
+        assigned.select("m", "cell", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cell", "pos")
+        .agg(
+            (
+                F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e9
+            ).alias("avg_val")
+        )
+    )
+    packed = per_dim.groupBy("m", "cell").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, avg_val))), s -> s.avg_val)"
+        ).alias("cv")
+    )
+    return packed.selectExpr(
+        "m", "cell AS cid", "cv", f"{dot_sql('cv', 'cv')} AS cc"
+    )
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    k: int = 5, m: int = 4, codebook: int = 16, dim: int = 64, iters: int = 2,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: encode the corpus as ``m``
+    codeword ids + one exact norm per vector, score queries against codes
+    through per-query lookup tables, rank on the 4-dp-rounded approximate
+    cosine.
+
+    The classic serving split (Jégou et al. 2011, public construction):
+    - ENCODE (per corpus vector): nearest codeword per subspace — m small
+      ids replace the full vector (here 4×4 bits vs 64 floats).
+    - LUT (per query): dot(query-subvector, codeword) for every
+      (subspace, codeword) — Q*m*codebook rows, metadata-sized.
+    - ADC: approx_dot(q, x) = Σ_m lut[m][code_m(x)] — a map-only array
+      lookup over the encoded corpus, no vector arithmetic per pair.
+
+    approx_cos = approx_dot / (||q|| * ||x||) with the EXACT corpus norm
+    kept from encoding (codes + 1 scalar per vector — the stored-norm ADC
+    variant).  Everything is declarative: codebooks and LUTs are
+    broadcast DataFrames, never driver-side state; the only per-corpus
+    shuffles are the (id, m) argmin and the id-keyed code re-pack.
+    """
+    books = pq_codebooks(corpus, vec_col, id_col, m=m, codebook=codebook, dim=dim, iters=iters)
+    d_sub = dim // m
+    vecs = corpus.selectExpr(
+        f"{id_col} AS id",
+        f"transform({vec_col}, x -> cast(x as double)) AS v",
+    ).selectExpr("id", "v", f"{dot_sql('v', 'v')} AS vv")
+    sub = (
+        vecs.selectExpr(
+            "id", "vv",
+            f"explode(transform(sequence(0, {m - 1}),"
+            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
+        )
+        .selectExpr("id", "vv", "s.m AS m", "s.sv AS sv")
+        .selectExpr("id", "vv", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
+    )
+    codes = (
+        _pq_assign(sub, books)
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)"
+            ).alias("codes")
+        )
+        .join(vecs.select("id", "vv"), "id")
+    )
+    # Per-query LUT: join the query subvectors (Q*m rows) with the
+    # codebooks (m*codebook rows) on the subspace key, pack into
+    # lut[m][cid] nested arrays sorted by (m, cid).
+    qsub = (
+        queries.selectExpr(
+            f"{id_col} AS qid",
+            f"transform({vec_col}, x -> cast(x as double)) AS qv",
+        )
+        .selectExpr("qid", f"sqrt({dot_sql('qv', 'qv')}) AS qn",
+                    f"explode(transform(sequence(0, {m - 1}),"
+                    f" j -> struct(j AS m, slice(qv, j * {d_sub} + 1, {d_sub}) AS qsv))) AS s")
+        .selectExpr("qid", "qn", "s.m AS m", "s.qsv AS qsv")
+    )
+    # integer-nano partials: the ADC sum is then BIGINT-exact and
+    # fold-order-free (registry rule: never hash-compare a SUM(double)),
+    # so the relational oracle replay can SUM in any row order
+    lut_rows = qsub.join(F.broadcast(books), "m").selectExpr(
+        "qid", "qn", "m", "cid",
+        f"CAST(ROUND(1e9 * ({dot_sql('qsv', 'cv')})) AS BIGINT) AS partial",
+    )
+    luts = (
+        lut_rows.groupBy("qid", "m")
+        .agg(
+            F.expr("any_value(qn)").alias("qn"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(cid, partial))), s -> s.partial)"
+            ).alias("row"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.expr("any_value(qn)").alias("qn"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, row))), s -> s.row)"
+            ).alias("lut"),
+        )
+    )
+    scored = codes.join(F.broadcast(luts), F.expr("qid <> id")).selectExpr(
+        "qid AS query_id",
+        "id AS neighbor_id",
+        # element_at is 1-based (oracle replays the lookup as a relational
+        # join, no arrays); index cast: cell ids are BIGINT, element_at
+        # wants INT; the nano-int sum folds exactly in any order
+        "round((cast(aggregate(zip_with(lut, codes,"
+        " (l, c) -> element_at(l, cast(c + 1 AS int))),"
+        " cast(0 as bigint), (acc, x) -> acc + x) AS double) / 1e9)"
+        " / (qn * sqrt(vv)), 4) AS approx_cos",
+    )
+    return scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY approx_cos DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")
+
+
+def pq_topk_rerank(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    k: int = 5, shortlist: int = 50,
+    m: int = 4, codebook: int = 16, dim: int = 64, iters: int = 2,
+) -> DataFrame:
+    """PQ serving pipeline with exact refinement: ADC retrieves a
+    ``shortlist`` of candidates per query (compressed-domain scan), then
+    ONLY those Q*shortlist pairs are re-scored with true vectors and
+    re-ranked — the classic two-stage ANN serving shape (coarse
+    candidate generation + exact re-rank over a bounded set).
+
+    Scale shape: the exact stage touches Q*shortlist vectors regardless
+    of corpus size — the candidate ids ride a broadcast semi-join into
+    the corpus scan, so no second full-corpus pass of vector arithmetic.
+    Output contract matches brute_force_topk: (query_id, neighbor_id,
+    cosine, rank).
+    """
+    cand = pq_topk(
+        corpus, queries, vec_col, id_col,
+        k=shortlist, m=m, codebook=codebook, dim=dim, iters=iters,
+    ).select("query_id", "neighbor_id")
+    c = _prep(corpus, vec_col, id_col).alias("c")
+    q = _prep(queries, vec_col, id_col).alias("q")
+    exact = (
+        c.join(F.broadcast(cand), F.col("c.id") == F.col("neighbor_id"))
+        .join(F.broadcast(q), F.col("q.id") == F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{_cos_sql('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS cosine",
+        )
+    )
+    return exact.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")

@@ -2796,3 +2796,123 @@ cos_top AS (
 cs AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r_c FROM cos_top)
 {_rrf_leg_sql("bm", "cs")}
 """)
+
+
+def _dd_pq_ctes(m: int = 4, cb: int = 16, d_sub: int = 16, nq: int = 10) -> str:
+    """DuckDB CTE chain replaying similarity.pq_codebooks + pq_topk's
+    encode/LUT/ADC with the 2 Lloyd iterations UNROLLED — the kmeans
+    oracle pattern (_dd_kmeans_ctes) generalized to subspace keys.  The
+    array lookup of the Spark ADC (zip_with over per-query LUT arrays)
+    replays as a relational join on (m, cell); the nano-int partials make
+    the SUM fold-order-free, so GROUP BY order cannot flip the hash."""
+    subs = ", ".join(str(j) for j in range(m))
+
+    def d2(s: str, c: str) -> str:
+        return f"ROUND({s}.svv - 2 * list_inner_product({s}.sv, {c}.cv) + {c}.cc, 4)"
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT id, m, sv, svv, cell FROM (
+    SELECT s.id, s.m, s.sv, s.svv, c.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY s.id, s.m
+                              ORDER BY {d2('s', 'c')}, c.cid) AS r
+    FROM sub2 s JOIN {cent} c ON s.m = c.m) t
+  WHERE r = 1
+)"""
+
+    def update(name: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT m, cell AS cid, LIST(avg_val ORDER BY pos) AS cv,
+         list_inner_product(LIST(avg_val ORDER BY pos), LIST(avg_val ORDER BY pos)) AS cc
+  FROM (
+    SELECT a.m, a.cell, i - 1 AS pos,
+           CAST(SUM(CAST(ROUND(a.sv[i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000000.0 AS avg_val
+    FROM {prev} a, UNNEST(GENERATE_SERIES(1, {d_sub})) AS t(i)
+    GROUP BY a.m, a.cell, i) s
+  GROUP BY m, cell
+)"""
+
+    return f"""WITH v AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS vv
+  FROM embeddings
+),
+sub2 AS (
+  SELECT id, m, sv, list_inner_product(sv, sv) AS svv FROM (
+    SELECT id, t.m AS m, list_slice(v, t.m * {d_sub} + 1, t.m * {d_sub} + {d_sub}) AS sv
+    FROM v, UNNEST([{subs}]) AS t(m)) x
+),
+c0 AS (SELECT m, id AS cid, sv AS cv, svv AS cc FROM sub2 WHERE id < {cb}),
+{assign("a0", "c0")},
+{update("c1", "a0")},
+{assign("a1", "c1")},
+{update("c2", "a1")},
+{assign("codes", "c2")},
+qn AS (SELECT id AS qid, SQRT(vv) AS qn FROM v WHERE id < {nq}),
+lut AS (
+  SELECT s.id AS qid, c.m, c.cid,
+         CAST(ROUND(1000000000.0 * list_inner_product(s.sv, c.cv)) AS BIGINT) AS partial
+  FROM sub2 s JOIN c2 c ON s.m = c.m
+  WHERE s.id < {nq}
+),
+scored AS (
+  SELECT q.qid AS query_id, x.id AS neighbor_id,
+         ROUND((CAST(SUM(l.partial) AS DOUBLE) / 1000000000.0)
+               / (q.qn * SQRT(vx.vv)), 4) AS approx_cos
+  FROM codes x
+  JOIN lut l ON l.m = x.m AND l.cid = x.cell
+  JOIN qn q ON q.qid = l.qid
+  JOIN v vx ON vx.id = x.id
+  WHERE q.qid <> x.id
+  GROUP BY q.qid, x.id, q.qn, vx.vv
+)"""
+
+
+@query(
+    "knn_cosine_pq",
+    oracle=f"""
+{_dd_pq_ctes()},
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_cos DESC, neighbor_id) AS r
+    FROM scored) t
+  WHERE r <= 50
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_inner_product(qv.v, nv.v) / (SQRT(qv.vv) * SQRT(nv.vv)), 4) AS cosine
+  FROM short s
+  JOIN v qv ON qv.id = s.query_id
+  JOIN v nv ON nv.id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM exact) t
+WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def knn_cosine_pq_q(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011 construction), the full
+    serving pipeline: per-subspace codebooks (4×16, generalized Lloyd, 2
+    fixed rounds), corpus encoded as 4 codeword ids + 1 exact norm,
+    per-query ADC lookup tables (integer-nano partials), shortlist-50 by
+    approximate cosine, exact re-rank to top-5.  The ENTIRE pipeline —
+    training, encoding, LUT build, ADC scan, re-rank — is replayed by the
+    unrolled-CTE oracle, so the iterative fit and the two-stage retrieval
+    are both hash-checked.  Compression here is 4×4-bit codes vs 64
+    floats; at 100 TB the ADC scan reads ~64× less than a raw-vector
+    scan and the exact stage touches only Q×50 vectors."""
+    from steampipe_sqlite_spark.operators.similarity import pq_topk_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return presentation_sort(
+        pq_topk_rerank(emb, queries, "embedding", "vec_id", k=5, shortlist=50),
+        ["query_id", "rank"],
+    )

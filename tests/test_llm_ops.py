@@ -464,3 +464,59 @@ class TestIvfIndexPersistence:
         assert "PartitionFilters:" in plan, plan[:2000]
         pf = plan.split("PartitionFilters:")[1].split("]")[0]
         assert "cell" in pf and "IN" in pf.upper(), pf
+
+
+class TestProductQuantization:
+    """PQ ADC + exact re-rank (similarity.pq_topk/pq_topk_rerank)."""
+
+    def test_rerank_recall_and_contract(self, spark):
+        from steampipe_sqlite_spark.operators.similarity import (
+            brute_force_topk,
+            pq_topk_rerank,
+        )
+        from steampipe_sqlite_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        got = pq_topk_rerank(
+            emb, queries, "embedding", "vec_id", k=5, shortlist=100
+        ).collect()
+        # contract: exactly k ranked rows per query, ranks 1..k
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        assert len(per_q) == 10
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+        # the exact re-rank stage means every returned cosine is the TRUE
+        # cosine: spot-check against brute force scores for shared pairs
+        bf = brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+        bf_scores = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+        pq_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in got}
+        shared = set(bf_scores) & set(pq_pairs)
+        assert len(shared) / len(bf_scores) >= 0.7, "recall@5 below 0.7"
+        assert all(bf_scores[p] == pq_pairs[p] for p in shared), (
+            "re-ranked cosine differs from the exact path"
+        )
+
+    def test_codebooks_are_metadata_sized(self, spark):
+        from steampipe_sqlite_spark.operators.similarity import pq_codebooks
+        from steampipe_sqlite_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        books = pq_codebooks(emb, "embedding", "vec_id", m=4, codebook=16).collect()
+        # m * codebook rows max (cells can die, never multiply), 16-wide
+        assert len(books) <= 4 * 16
+        assert all(len(r.cv) == 16 for r in books)
+        assert all(0 <= r.m < 4 for r in books)
+
+    def test_adc_shortlist_is_deterministic(self, spark):
+        from steampipe_sqlite_spark.operators.similarity import pq_topk
+        from steampipe_sqlite_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        a = sorted(map(tuple, pq_topk(emb, queries, "embedding", "vec_id", k=10).collect()))
+        b = sorted(map(tuple, pq_topk(emb, queries, "embedding", "vec_id", k=10).collect()))
+        assert a == b and len(a) == 100

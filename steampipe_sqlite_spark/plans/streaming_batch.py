@@ -353,3 +353,46 @@ def streaming_trending_types(spark, sf_dir):
         .where("rank <= 3")
         .orderBy("win_start", "rank")
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       DATE_TRUNC('hour', e.ts) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY segment, win_start
+""",
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-STATIC enrichment join run through the streaming engine: the
+    event stream joins the static customer dimension (broadcast — no state
+    store, no stream-side shuffle), then aggregates revenue per market
+    segment per hour.  availableNow + complete output over the finite
+    fixture equals the batch join+group oracle exactly."""
+    from steampipe_sqlite_spark.streaming.jobs import (
+        enrich_with_dim,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from steampipe_sqlite_spark.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_with_dim(read_events_stream(spark, sf_dir), dim)
+    agg = (
+        enriched.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.window("ts", "1 hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+        )
+        .select("segment", F.col("window.start").alias("win_start"), "n", "total_cents")
+    )
+    name = f"enrich_out_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_memory(spark, agg, name, output_mode="complete")
+    return result.orderBy("segment", "win_start")

@@ -297,3 +297,19 @@ def cdc_latest_state_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, on: tuple[str, str] = ("user_id", "c_custkey")
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event stream
+    joins a STATIC (batch) dimension — Structured Streaming's
+    dimension-lookup pattern.  The static side is broadcast, so every
+    executor enriches its stream partitions map-side with no stream-side
+    shuffle and no state store (unlike stream-stream joins, nothing is
+    buffered: the dimension is re-resolvable every micro-batch).
+    """
+    left, right = on
+    return events.join(
+        F.broadcast(dim), events[left] == dim[right], "inner"
+    )

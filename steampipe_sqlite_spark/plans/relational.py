@@ -757,3 +757,32 @@ ORDER BY o_custkey, o_orderkey
     # no present_sort: one row per order — unbounded output, keep the
     # parallel range sort (see win_running_sum).
 )
+
+
+# LATERAL correlated subquery join (top-N-per-key shape) — the SQL surface
+# twin of win_row_number_topk: the per-customer LIMIT runs inside the
+# lateral subquery.  Dialect split on the join spelling only: Spark wants
+# bare JOIN LATERAL, DuckDB wants CROSS JOIN LATERAL.
+sql_query(
+    "join_lateral_topn",
+    """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c
+CROSS JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+""",
+)

@@ -2916,3 +2916,93 @@ def knn_cosine_pq_q(spark, sf_dir):
         pq_topk_rerank(emb, queries, "embedding", "vec_id", k=5, shortlist=50),
         ["query_id", "rank"],
     )
+
+
+# --- Data-quality / observability ops (round 5) -----------------------------
+
+sql_query(
+    "quality_constraints_audit",
+    """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(text) AS BIGINT) AS n_text,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         CAST(SUM(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+         CAST(SUM(CASE WHEN lang IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+  FROM documents
+)
+SELECT c.name AS constraint_name,
+       CAST(ROUND(1000000e0 * c.num / n_rows) AS BIGINT) AS metric_micro,
+       c.num = n_rows AS passed
+FROM m
+LATERAL VIEW explode(array(
+  named_struct('name', 'completeness_text', 'num', n_text),
+  named_struct('name', 'uniqueness_doc_id', 'num', n_ids),
+  named_struct('name', 'range_n_chars', 'num', n_range),
+  named_struct('name', 'allowed_lang', 'num', n_lang)
+)) t AS c
+ORDER BY constraint_name
+""",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(text) AS BIGINT) AS n_text,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+         CAST(SUM(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+         CAST(SUM(CASE WHEN lang IN ('en', 'de', 'fr', 'es', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+  FROM documents
+)
+SELECT c.name AS constraint_name,
+       CAST(ROUND(1000000e0 * c.num / n_rows) AS BIGINT) AS metric_micro,
+       c.num = n_rows AS passed
+FROM m, UNNEST([
+  struct_pack(name := 'completeness_text', num := n_text),
+  struct_pack(name := 'uniqueness_doc_id', num := n_ids),
+  struct_pack(name := 'range_n_chars', num := n_range),
+  struct_pack(name := 'allowed_lang', num := n_lang)
+]) AS t(c)
+ORDER BY constraint_name
+""",
+    present_sort=["constraint_name"],
+)
+# ^ Deequ-style declarative constraint audit in ONE aggregation pass:
+# completeness, key uniqueness, range, and domain membership all fold in a
+# single scan (one shuffle of one partial-agg row per partition), then
+# explode to the long (constraint, metric, passed) report.  At 100 TB this
+# is the shape a data-quality gate actually runs — N constraints must
+# never mean N scans.
+
+
+sql_query(
+    "dataset_drift_tvd",
+    """
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(n_chars / 200e0) AS BIGINT), 9) AS bin,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM documents
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb FROM counts)
+SELECT bin, n_a, n_b,
+       CAST(ROUND(1000000e0 * n_a / ta) AS BIGINT) AS pa_micro,
+       CAST(ROUND(1000000e0 * n_b / tb) AS BIGINT) AS pb_micro,
+       ABS(CAST(ROUND(1000000e0 * n_a / ta) AS BIGINT)
+           - CAST(ROUND(1000000e0 * n_b / tb) AS BIGINT)) AS delta_abs_micro
+FROM counts CROSS JOIN tot
+ORDER BY bin
+""",
+    present_sort=["bin"],
+)
+# ^ Snapshot drift detection: the doc_id-parity halves stand in for two
+# crawl snapshots; n_chars is binned by FIXED integer width (div 200, cap
+# bin 9 — deterministic, no quantile estimation), per-bin proportions are
+# integer micros, and the per-bin |Δ| column sums to 2×the total-variation
+# distance.  No ln()/PSI on purpose: TVD needs only +,-,abs on exact
+# integers, so the drift report is bit-identical everywhere (registry
+# numeric rules).  Scale shape: one scan, one 10-row aggregate, one 1-row
+# broadcast total.

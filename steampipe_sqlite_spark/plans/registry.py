@@ -25,6 +25,9 @@ Cross-engine numeric rules (each learned from a real red):
   - ln()/pow() may differ 1 ulp JVM-vs-libm: prefer algebraic forms made
     of +,-,*,/,sqrt (all correctly-rounded IEEE -> bit-identical), e.g.
     rational Robertson idf, alpha=0.5 temperature via sqrt.
+  - CAST(double AS BIGINT) ROUNDS in DuckDB but TRUNCATES in Spark: for
+    integer binning always write CAST(FLOOR(x) AS BIGINT) (round 5,
+    dataset_drift_tvd: 399/200 binned to 2 vs 1).
 """
 
 from __future__ import annotations

@@ -219,6 +219,42 @@ SELECT COUNT(*) FROM (
         )
         results[f"dup_spans_{label}"] = {"spark_s": s}
 
+    # PQ ADC + re-rank (round 5): training cost is corpus-linear but
+    # constant-per-row; the ADC scan reads 4 codes + 1 norm per vector.
+    # Engine-only; claim under test: wall-clock ~linear in corpus rows.
+    from steampipe_sqlite_spark.operators.similarity import pq_topk_rerank
+
+    for label, sdf in [("1x", emb), ("10x", spark.read.parquet(BIG_EMB))]:
+        queries = sdf.filter(sdf.vec_id < 10)
+        s = best_of(
+            lambda: pq_topk_rerank(
+                sdf, queries, "embedding", "vec_id", k=5, shortlist=50
+            ).count(),
+            runs=2,
+        )
+        results[f"pq_rerank_{label}"] = {"spark_s": s}
+
+    # Containment dedup (round 5): 10x re-keyed replication makes every
+    # doc 10-way duplicated, so the pair OUTPUT grows ~quadratically in
+    # the duplication factor BY SEMANTICS (those pairs are real); the
+    # probe reports rows alongside wall-clock so throughput-per-pair is
+    # the metric, not raw growth.  The 2..100 shared-gram gate is what
+    # keeps per-gram fan-out bounded through it.  (sql_query publishes the
+    # Spark SQL text as the registered fn's __doc__; the probe runs it
+    # against a swapped "documents" view.)
+    from steampipe_sqlite_spark.plans.registry import collect as _collect
+
+    qfns, _ = _collect()
+    cont_sql = qfns["dedup_containment_ngram"].__doc__
+    for label, sdf in [("1x", docs), ("10x", spark.read.parquet(BIG_DOCS))]:
+        sdf.createOrReplaceTempView("documents")
+        t0 = time.perf_counter()
+        n = spark.sql(cont_sql).count()
+        results[f"containment_{label}"] = {
+            "spark_s": round(time.perf_counter() - t0, 3), "pairs": n,
+        }
+    spark.catalog.dropTempView("documents")
+
     print(json.dumps(results))
     for path in (BIG, BIG_DOCS, BIG_EMB):
         shutil.rmtree(path, ignore_errors=True)

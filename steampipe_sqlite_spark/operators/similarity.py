@@ -766,3 +766,82 @@ def pq_topk_rerank(
         "row_number() OVER (PARTITION BY query_id"
         " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
     ).where(f"rank <= {int(k)}")
+
+
+def mmr_select(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    k: int = 5, pool: int = 10,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified selection (Carbonell &
+    Goldstein 1998 construction, λ=0.5): from each query's exact top-
+    ``pool`` cosine candidates, greedily pick ``k`` documents maximizing
+    0.5·rel(d) − 0.5·max_{s∈S} sim(d, s).
+
+    Two stages, both bounded:
+    - CANDIDATES: brute-force top-``pool`` per query (corpus-scan bound,
+      the same shape as brute_force_topk) + the pool×pool pairwise 4-dp
+      cosines per query — pool²·Q rows total, metadata-sized.
+    - GREEDY: applyInPandas per query group over those pairs — the
+      sequential argmax loop runs on ≤ pool²ʳᵒʷˢ, never the corpus.
+
+    Determinism: rel and sims are 4-dp-rounded before the greedy loop;
+    λ=0.5 is dyadic so 0.5·x is IEEE-exact; ties break on (score DESC,
+    doc_id ASC).  Output: (query_id, step 1..k, doc_id, mmr_score), where
+    step 1's score is 0.5·rel (empty penalty set).
+    """
+    import pandas as pd
+
+    cand = brute_force_topk(corpus, queries, vec_col, id_col, k=pool).select(
+        "query_id", F.col("neighbor_id").alias("cid"), F.col("cosine").alias("rel")
+    )
+    cv = _prep(corpus, vec_col, id_col)
+    enr = (
+        cand.join(F.broadcast(cv.alias("c")), F.col("cid") == F.col("c.id"))
+        .select("query_id", "cid", "rel", "c.v", "c.nrm")
+    )
+    x, y = enr.alias("x"), enr.alias("y")
+    pairs = (
+        x.join(
+            F.broadcast(y),
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.cid") != F.col("y.cid")),
+        )
+        .selectExpr(
+            "x.query_id AS query_id",
+            "x.cid AS ia",
+            "x.rel AS rel_a",
+            "y.cid AS ib",
+            f"{_cos_sql('x.v', 'y.v', 'x.nrm', 'y.nrm')} AS sim",
+        )
+    )
+    kk = int(k)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sim = {}
+        for ia, rel_a, ib, s in zip(pdf["ia"], pdf["rel_a"], pdf["ib"], pdf["sim"]):
+            rel[int(ia)] = float(rel_a)
+            sim[(int(ia), int(ib))] = float(s)
+        selected: list[int] = []
+        out = []
+        for step in range(1, kk + 1):
+            best = None
+            for d in sorted(rel):
+                if d in selected:
+                    continue
+                if selected:
+                    score = 0.5 * rel[d] - 0.5 * max(sim[(d, s)] for s in selected)
+                else:
+                    score = 0.5 * rel[d]
+                if best is None or score > best[0] or (score == best[0] and d < best[1]):
+                    best = (score, d)
+            if best is None:
+                break
+            selected.append(best[1])
+            out.append((qid, step, best[1], best[0]))
+        return pd.DataFrame(out, columns=["query_id", "step", "doc_id", "mmr_score"])
+
+    return pairs.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, step int, doc_id long, mmr_score double"
+    )

@@ -3006,3 +3006,94 @@ ORDER BY bin
 # integers, so the drift report is bit-identical everywhere (registry
 # numeric rules).  Scale shape: one scan, one 10-row aggregate, one 1-row
 # broadcast total.
+
+
+def _dd_mmr_ctes(nq: int = 5, pool: int = 10, k: int = 5) -> str:
+    """DuckDB replay of similarity.mmr_select: candidate pool, pairwise
+    4-dp sims, and the greedy argmax loop UNROLLED one CTE pair per step
+    (the kmeans/pagerank fixed-iteration oracle pattern applied to a
+    sequential selection).  λ=0.5 is dyadic (0.5·x is IEEE-exact) and
+    rel/sim are pre-rounded, so every step's scores are bit-identical to
+    the pandas greedy loop."""
+    cos_ab = _DD_COS
+    cos_pair = _DD_COS.replace("a.embedding", "ea.embedding").replace(
+        "b.embedding", "eb.embedding"
+    )
+    parts = [f"""cand AS (
+  SELECT query_id, cid, rel FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS cid, {cos_ab} AS rel,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ab} DESC, b.vec_id) AS r
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {nq}
+  ) t WHERE r <= {pool}
+)""",
+        f"""psim AS (
+  SELECT x.query_id, x.cid AS ia, y.cid AS ib, {cos_pair} AS sim
+  FROM cand x
+  JOIN cand y ON x.query_id = y.query_id AND x.cid <> y.cid
+  JOIN embeddings ea ON ea.vec_id = x.cid
+  JOIN embeddings eb ON eb.vec_id = y.cid
+)""",
+        """s1 AS (
+  SELECT query_id, cid AS id, 0.5e0 * rel AS score FROM (
+    SELECT query_id, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY 0.5e0 * rel DESC, cid) AS r
+    FROM cand) t
+  WHERE r = 1
+)""",
+        "sel1 AS (SELECT query_id, id FROM s1)",
+    ]
+    for n in range(2, k + 1):
+        parts.append(f"""p{n} AS (
+  SELECT c.query_id, c.cid AS id, 0.5e0 * c.rel - 0.5e0 * MAX(p.sim) AS score
+  FROM cand c
+  JOIN psim p ON p.query_id = c.query_id AND p.ia = c.cid
+  JOIN sel{n-1} w ON w.query_id = p.query_id AND w.id = p.ib
+  WHERE NOT EXISTS (SELECT 1 FROM sel{n-1} z
+                    WHERE z.query_id = c.query_id AND z.id = c.cid)
+  GROUP BY c.query_id, c.cid, c.rel
+)""")
+        parts.append(f"""s{n} AS (
+  SELECT query_id, id, score FROM (
+    SELECT query_id, id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, id) AS r
+    FROM p{n}) t
+  WHERE r = 1
+)""")
+        parts.append(
+            f"sel{n} AS (SELECT * FROM sel{n-1} UNION ALL SELECT query_id, id FROM s{n})"
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT query_id, {n} AS step, id AS doc_id, score AS mmr_score FROM s{n}"
+        for n in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM (\n{final}\n) u"
+
+
+@query(
+    "search_mmr_diversified",
+    oracle=f"""
+SELECT query_id, step, doc_id, mmr_score FROM (
+{_dd_mmr_ctes()}
+) z
+ORDER BY query_id, step
+""",
+)
+def search_mmr_diversified_q(spark, sf_dir):
+    """MMR diversified top-5 (λ=0.5) from each query's exact top-10
+    candidate pool — relevance traded against redundancy, the standard
+    search/RAG result-diversification operator.  The greedy argmax loop
+    runs in applyInPandas over the pool² pair grid per query (bounded,
+    never the corpus); the oracle unrolls all 5 selection steps as CTE
+    pairs, so the sequential algorithm is hash-checked end to end."""
+    from steampipe_sqlite_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return presentation_sort(
+        mmr_select(emb, queries, "embedding", "vec_id", k=5, pool=10),
+        ["query_id", "step"],
+    )

@@ -520,3 +520,51 @@ class TestProductQuantization:
         a = sorted(map(tuple, pq_topk(emb, queries, "embedding", "vec_id", k=10).collect()))
         b = sorted(map(tuple, pq_topk(emb, queries, "embedding", "vec_id", k=10).collect()))
         assert a == b and len(a) == 100
+
+
+class TestMmrSelect:
+    def test_contract_and_determinism(self, spark):
+        from steampipe_sqlite_spark.operators.similarity import mmr_select
+        from steampipe_sqlite_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        a = sorted(map(tuple, mmr_select(emb, queries, "embedding", "vec_id").collect()))
+        b = sorted(map(tuple, mmr_select(emb, queries, "embedding", "vec_id").collect()))
+        assert a == b
+        per_q = {}
+        for qid, step, doc, score in a:
+            per_q.setdefault(qid, []).append((step, doc))
+        assert len(per_q) == 5
+        for picks in per_q.values():
+            steps = [s for s, _ in sorted(picks)]
+            docs = [d for _, d in sorted(picks)]
+            assert steps == [1, 2, 3, 4, 5]
+            assert len(set(docs)) == 5  # no repeats
+
+    def test_penalizes_redundancy(self, spark):
+        """Two exact-duplicate near neighbors: plain top-k returns both;
+        MMR must not pick the duplicate second (its sim-to-selected is 1.0,
+        so its marginal score collapses)."""
+        from steampipe_sqlite_spark.operators.similarity import mmr_select
+
+        # equal relevance everywhere (cos to q = 0.7071) so selection is
+        # driven purely by the redundancy penalty: the duplicate of the
+        # first pick has sim 1.0 (marginal score collapses), the
+        # alternatives overlap the first pick in only one dimension
+        # (sim 0.5)
+        q = [1.0, 0.0, 0.0, 0.0]
+        rows = [
+            (0, q),                      # the query itself
+            (1, [0.7, 0.7, 0.0, 0.0]),   # first pick (id tie-break)
+            (2, [0.7, 0.7, 0.0, 0.0]),   # exact duplicate of 1
+            (3, [0.7, 0.0, 0.7, 0.0]),   # diverse alternative
+            (4, [0.7, 0.0, 0.0, 0.7]),   # diverse alternative
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        queries = df.filter("vec_id = 0")
+        got = mmr_select(df, queries, "embedding", "vec_id", k=3, pool=4).collect()
+        picked = [r.doc_id for r in sorted(got, key=lambda r: r.step)]
+        assert picked[0] == 1  # most relevant first (id tie-break vs 2)
+        assert picked[1] != 2, "MMR picked the exact duplicate second"

@@ -134,22 +134,36 @@ def dtype_mismatches(spdf, opdf) -> list[str]:
     return out
 
 
-def run(sf_dir: str, only: list[str]) -> int:
-    from steampipe_sqlite_spark.plans.registry import collect
+# The external driver verifies 50 queries per round in ONE session; a
+# single session running the FULL corpus accumulates broadcasts, memory-
+# sink tables, and cached plan state until the (1 GiB default) vanilla
+# heap dies — observed round 5: java.lang.OutOfMemoryError after ~160
+# queries.  Recycling the session at the driver's own granularity keeps
+# the replica faithful AND survivable.
+SESSION_BUDGET = 50
 
-    queries, oracles = collect()
+
+def _make_spark():
     if os.environ.get("SELFCHECK_VANILLA"):
         from pyspark.sql import SparkSession
 
-        spark = (
+        return (
             SparkSession.builder.master("local[32]")
             .appName("selfcheck_vanilla")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
-        print("# vanilla session (driver-replica): default confs only")
-    else:
-        spark = get_spark("selfcheck")
+    return get_spark("selfcheck")
+
+
+def run(sf_dir: str, only: list[str]) -> int:
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    queries, oracles = collect()
+    if os.environ.get("SELFCHECK_VANILLA"):
+        print("# vanilla session (driver-replica): default confs only,"
+              f" recycled every {SESSION_BUDGET} queries")
+    spark = _make_spark()
 
     con = duckdb.connect()
     for t in ALL_TABLES:
@@ -159,7 +173,10 @@ def run(sf_dir: str, only: list[str]) -> int:
 
     names = only or sorted(queries)
     failures = 0
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % SESSION_BUDGET == 0:
+            spark.stop()
+            spark = _make_spark()
         t0 = time.time()
         try:
             df = queries[name](spark, sf_dir)

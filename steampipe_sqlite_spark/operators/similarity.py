@@ -627,6 +627,49 @@ def _pq_update(assigned: DataFrame, d_sub: int) -> DataFrame:
     )
 
 
+def _pq_luts(
+    queries: DataFrame, vec_col: str, id_col: str,
+    books: DataFrame, m: int, d_sub: int,
+) -> DataFrame:
+    """Per-query ADC lookup tables: join the query subvectors (Q*m rows)
+    with the codebooks (m*codebook rows) on the subspace key, pack into
+    lut[m][cid] nested arrays sorted by (m, cid).  Integer-nano partials
+    (the ADC sum is then BIGINT-exact and fold-order-free — registry
+    rule: never hash-compare a SUM(double) — so the relational oracle
+    replay can SUM in any row order).  Returns (qid, qn, lut) — Q rows,
+    broadcast-sized."""
+    qsub = (
+        queries.selectExpr(
+            f"{id_col} AS qid",
+            f"transform({vec_col}, x -> cast(x as double)) AS qv",
+        )
+        .selectExpr("qid", f"sqrt({dot_sql('qv', 'qv')}) AS qn",
+                    f"explode(transform(sequence(0, {m - 1}),"
+                    f" j -> struct(j AS m, slice(qv, j * {d_sub} + 1, {d_sub}) AS qsv))) AS s")
+        .selectExpr("qid", "qn", "s.m AS m", "s.qsv AS qsv")
+    )
+    lut_rows = qsub.join(F.broadcast(books), "m").selectExpr(
+        "qid", "qn", "m", "cid",
+        f"CAST(ROUND(1e9 * ({dot_sql('qsv', 'cv')})) AS BIGINT) AS partial",
+    )
+    return (
+        lut_rows.groupBy("qid", "m")
+        .agg(
+            F.expr("any_value(qn)").alias("qn"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(cid, partial))), s -> s.partial)"
+            ).alias("row"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.expr("any_value(qn)").alias("qn"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, row))), s -> s.row)"
+            ).alias("lut"),
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     k: int = 5, m: int = 4, codebook: int = 16, dim: int = 64, iters: int = 2,
@@ -675,42 +718,7 @@ def pq_topk(
         )
         .join(vecs.select("id", "vv"), "id")
     )
-    # Per-query LUT: join the query subvectors (Q*m rows) with the
-    # codebooks (m*codebook rows) on the subspace key, pack into
-    # lut[m][cid] nested arrays sorted by (m, cid).
-    qsub = (
-        queries.selectExpr(
-            f"{id_col} AS qid",
-            f"transform({vec_col}, x -> cast(x as double)) AS qv",
-        )
-        .selectExpr("qid", f"sqrt({dot_sql('qv', 'qv')}) AS qn",
-                    f"explode(transform(sequence(0, {m - 1}),"
-                    f" j -> struct(j AS m, slice(qv, j * {d_sub} + 1, {d_sub}) AS qsv))) AS s")
-        .selectExpr("qid", "qn", "s.m AS m", "s.qsv AS qsv")
-    )
-    # integer-nano partials: the ADC sum is then BIGINT-exact and
-    # fold-order-free (registry rule: never hash-compare a SUM(double)),
-    # so the relational oracle replay can SUM in any row order
-    lut_rows = qsub.join(F.broadcast(books), "m").selectExpr(
-        "qid", "qn", "m", "cid",
-        f"CAST(ROUND(1e9 * ({dot_sql('qsv', 'cv')})) AS BIGINT) AS partial",
-    )
-    luts = (
-        lut_rows.groupBy("qid", "m")
-        .agg(
-            F.expr("any_value(qn)").alias("qn"),
-            F.expr(
-                "transform(array_sort(collect_list(struct(cid, partial))), s -> s.partial)"
-            ).alias("row"),
-        )
-        .groupBy("qid")
-        .agg(
-            F.expr("any_value(qn)").alias("qn"),
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, row))), s -> s.row)"
-            ).alias("lut"),
-        )
-    )
+    luts = _pq_luts(queries, vec_col, id_col, books, m, d_sub)
     scored = codes.join(F.broadcast(luts), F.expr("qid <> id")).selectExpr(
         "qid AS query_id",
         "id AS neighbor_id",
@@ -845,3 +853,155 @@ def mmr_select(
     return pairs.groupBy("query_id").applyInPandas(
         greedy, "query_id long, step int, doc_id long, mmr_score double"
     )
+
+
+# --- Persisted IVF-PQ index (coarse cells + compressed-domain scan) --------
+
+
+def ivfpq_build_index(
+    corpus: DataFrame, vec_col: str, id_col: str, path: str,
+    n_cells: int = 8, m: int = 4, codebook: int = 16, dim: int = 64, iters: int = 2,
+) -> None:
+    """Persist an IVF-PQ index (the classic FAISS-style serving layout,
+    Jégou et al. 2011 construction): ``path/centroids`` (coarse Voronoi
+    centroids), ``path/codebooks`` (PQ codebooks, m*codebook rows), and
+    ``path/cells`` hive-partitioned BY CELL with columns (id, codes, nrm,
+    v).
+
+    The layout composes the two pruning axes a billion-vector serving
+    index needs: the PARTITION key prunes whole cells (probe nprobe of
+    n_cells directories), and parquet COLUMN pruning makes the ADC pass
+    read only (id, codes, nrm) — m small ints + a scalar instead of the
+    dim-float vector (~64x less I/O at dim=64/m=4); the full vectors sit
+    in the same rows but are only read by the refine stage's
+    shortlist-bounded second scan.
+    """
+    c = _prep(corpus, vec_col, id_col)
+    cent_rows = sorted(
+        c.where(f"id < {int(n_cells)}").select("id", "v", "nrm").collect(),
+        key=lambda r: r.id,
+    )
+    if not cent_rows:
+        raise ValueError("empty corpus: nothing to index")
+    spark = c.sparkSession
+    spark.createDataFrame(
+        [(r.id, list(r.v), r.nrm) for r in cent_rows],
+        "id long, v array<float>, nrm double",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    books = pq_codebooks(
+        corpus, vec_col, id_col, m=m, codebook=codebook, dim=dim, iters=iters
+    )
+    books.write.mode("overwrite").parquet(f"{path}/codebooks")
+    d_sub = dim // m
+    sub = (
+        corpus.selectExpr(
+            f"{id_col} AS id",
+            f"transform({vec_col}, x -> cast(x as double)) AS v",
+        )
+        .selectExpr(
+            "id",
+            f"explode(transform(sequence(0, {m - 1}),"
+            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
+        )
+        .selectExpr("id", "s.m AS m", "s.sv AS sv")
+        .selectExpr("id", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
+    )
+    codes = (
+        _pq_assign(sub, spark.read.parquet(f"{path}/codebooks"))
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)"
+            ).alias("codes")
+        )
+    )
+    _assign_cells_gemm(c, cent_rows).join(codes, "id").select(
+        "id", "codes", "nrm", "v", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivfpq_query_index(
+    spark, path: str, queries: DataFrame, vec_col: str, id_col: str,
+    k: int = 5, nprobe: int = 2, shortlist: int = 50,
+    m: int = 4, dim: int = 64,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: probe nprobe cells per query
+    (partition-pruned scan), ADC-score ONLY (id, codes, nrm) in the
+    probed cells through broadcast per-query LUTs, shortlist by
+    approximate cosine, then refine the Q*shortlist candidates exactly
+    against the stored vectors.  Output contract matches
+    brute_force_topk: (query_id, neighbor_id, cosine, rank)."""
+    d_sub = dim // m
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_arr = cents.selectExpr(
+        "named_struct('cid', cast(id AS int), 'cv', v, 'cn', nrm) AS s"
+    ).agg(F.expr("sort_array(collect_list(s)) AS cents"))
+    q = _prep(queries, vec_col, id_col)
+    scored_cells = (
+        "transform(cents, s -> named_struct("
+        f"'c', round(({dot_sql('v', 's.cv')}) / (nrm * s.cn), 4), 'cid', s.cid))"
+    )
+    cmp = "(x, y) -> CASE WHEN x.c > y.c THEN -1 WHEN x.c < y.c THEN 1 WHEN x.cid < y.cid THEN -1 ELSE 1 END"
+    probes = (
+        q.join(F.broadcast(cent_arr))
+        .selectExpr(
+            "id AS qid",
+            f"explode(transform(slice(array_sort({scored_cells}, {cmp}), 1, {int(nprobe)}),"
+            " s -> s.cid)) AS cell",
+        )
+    )
+    books = spark.read.parquet(f"{path}/codebooks")
+    luts = _pq_luts(queries, vec_col, id_col, books, m, d_sub)
+    probe_lut = probes.join(luts, probes.qid == luts.qid).select(
+        probes.qid, "cell", "qn", "lut"
+    )
+    probe_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    # ADC pass: column-pruned scan (no v column touched)
+    adc_scan = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell").isin(probe_cells))
+        .select("id", "codes", "nrm", "cell")
+        .alias("c")
+    )
+    scored = adc_scan.join(
+        F.broadcast(probe_lut.alias("p")),
+        F.expr("p.cell = c.cell AND p.qid <> c.id"),
+    ).selectExpr(
+        "p.qid AS query_id",
+        "c.id AS neighbor_id",
+        "round((cast(aggregate(zip_with(lut, codes,"
+        " (l, cd) -> element_at(l, cast(cd + 1 AS int))),"
+        " cast(0 as bigint), (acc, x) -> acc + x) AS double) / 1e9)"
+        " / (qn * nrm), 4) AS approx_cos",
+    )
+    cand = (
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY approx_cos DESC, neighbor_id ASC) AS r",
+        )
+        .where(f"r <= {int(shortlist)}")
+        .select("query_id", "neighbor_id")
+    )
+    # refine: second scan, still partition-pruned, reads v only for the
+    # broadcast-joined shortlist ids
+    refine_scan = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell").isin(probe_cells))
+        .select("id", "v", "nrm")
+        .alias("n")
+    )
+    exact = (
+        refine_scan.join(F.broadcast(cand), F.col("n.id") == F.col("neighbor_id"))
+        .join(F.broadcast(q.alias("q")), F.col("q.id") == F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{_cos_sql('q.v', 'n.v', 'q.nrm', 'n.nrm')} AS cosine",
+        )
+    )
+    return exact.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
+    ).where(f"rank <= {int(k)}")

@@ -786,3 +786,40 @@ CROSS JOIN LATERAL (
 ORDER BY c_custkey, o_totalprice DESC, o_orderkey
 """,
 )
+
+
+# Time-interval RANGE frame (the rolling-window-by-TIME spelling; the
+# numeric-range frame is win_range_frame).  Peer-inclusive semantics make
+# ties on ts deterministic without an id tie-break.  Identical text both
+# engines.
+sql_query(
+    "win_range_interval",
+    """
+SELECT event_id, event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER
+            (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+       CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n
+FROM events
+ORDER BY event_id
+""",
+)
+
+# GROUP BY ALL / ORDER BY ALL (the modern dialect sugar both engines
+# support: every non-aggregate select item becomes a grouping key).
+sql_query(
+    "group_by_all",
+    """
+SELECT event_type, DATE_TRUNC('DAY', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY ALL
+ORDER BY ALL
+""",
+    oracle="""
+SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY ALL
+ORDER BY ALL
+""",
+)

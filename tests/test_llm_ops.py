@@ -568,3 +568,84 @@ class TestMmrSelect:
         picked = [r.doc_id for r in sorted(got, key=lambda r: r.step)]
         assert picked[0] == 1  # most relevant first (id tie-break vs 2)
         assert picked[1] != 2, "MMR picked the exact duplicate second"
+
+
+class TestIvfPqIndexPersistence:
+    """Persisted IVF-PQ index: cell-pruned, column-pruned, refine-exact."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, spark, tmp_path_factory):
+        from steampipe_sqlite_spark.operators.similarity import ivfpq_build_index
+        from steampipe_sqlite_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        path = str(tmp_path_factory.mktemp("ivfpq")) + "/idx"
+        ivfpq_build_index(emb, "embedding", "vec_id", path, n_cells=8)
+        return path
+
+    def test_full_probe_equals_direct_pq_rerank(self, spark, idx):
+        """nprobe = n_cells makes the ADC candidate set the whole corpus,
+        so index-then-query must equal the direct PQ pipeline EXACTLY
+        (same codebooks contract, same rounding, same tie-breaks)."""
+        from steampipe_sqlite_spark.operators.similarity import (
+            ivfpq_query_index,
+            pq_topk_rerank,
+        )
+        from steampipe_sqlite_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        via_index = ivfpq_query_index(
+            spark, idx, queries, "embedding", "vec_id", k=5, nprobe=8, shortlist=50
+        ).collect()
+        direct = pq_topk_rerank(
+            emb, queries, "embedding", "vec_id", k=5, shortlist=50
+        ).collect()
+        assert sorted(map(tuple, via_index)) == sorted(map(tuple, direct))
+
+    def test_adc_scan_is_cell_and_column_pruned(self, spark, idx):
+        """The ADC pass must show BOTH pruning axes in the plan: hive
+        PartitionFilters on cell (nprobe directories only) and a
+        ReadSchema WITHOUT the vector column (codes+nrm only)."""
+        from steampipe_sqlite_spark.operators.similarity import ivfpq_query_index
+        from steampipe_sqlite_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3)
+        plan = (
+            ivfpq_query_index(spark, idx, queries, "embedding", "vec_id", k=5, nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [ cell", "PartitionFilters: [cell") or "cell#" in plan.split("PartitionFilters")[1][:200], plan[:800]
+        # find the ADC scan: a FileScan over the index whose schema has codes but not v
+        adc_scans = [
+            ln for ln in plan.splitlines()
+            if "ReadSchema" in ln and "codes" in ln and "v:array" not in ln
+        ]
+        assert adc_scans, "no column-pruned ADC scan (codes without v) in plan"
+
+    def test_partial_probe_recall(self, spark, idx):
+        from steampipe_sqlite_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_query_index,
+        )
+        from steampipe_sqlite_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivfpq_query_index(
+                spark, idx, queries, "embedding", "vec_id", k=5, nprobe=2, shortlist=50
+            ).collect()
+        }
+        bf = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+        }
+        assert len(bf & got) / len(bf) >= 0.5

@@ -178,3 +178,87 @@ def test_duplicated_span_stats_matches_python_reference(spark, docs, k):
             len(t),
         )
     assert {i: v for i, v in got.items()} == expected
+
+
+# --- Round-5 operators ------------------------------------------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(TOKEN, min_size=1, max_size=25), min_size=2, max_size=8
+    ),
+)
+def test_containment_pairs_match_python_reference(spark, docs):
+    """dedup_containment_ngram's semantics (distinct 5-gram shingles,
+    shared-gram gate 2..100 docs, 100*n_common >= 80*n_a) recomputed in
+    plain Python over random token documents."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    qfns, _ = collect()
+    sql = qfns["dedup_containment_ngram"].__doc__
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a) for r in spark.sql(sql).collect()
+    }
+    spark.catalog.dropTempView("documents")
+
+    # python reference (normalization of [abc01 ] text is the identity)
+    grams = {}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        upper = max(n - 4, 1)
+        grams[i] = {" ".join(toks[j : j + 5]) for j in range(upper)}
+    from collections import Counter
+
+    gram_docs = Counter(g for gs in grams.values() for g in gs)
+    shared = {g for g, c in gram_docs.items() if 2 <= c <= 100}
+    expected = {}
+    for a in grams:
+        for b in grams:
+            if a == b:
+                continue
+            n_common = len(grams[a] & grams[b] & shared)
+            n_a = len(grams[a])
+            if n_common and 100 * n_common >= 80 * n_a:
+                expected[(a, b)] = (n_common, n_a)
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    chars=st.lists(st.integers(min_value=0, max_value=2500), min_size=2, max_size=40),
+)
+def test_drift_tvd_bins_match_python_reference(spark, chars):
+    """dataset_drift_tvd's fixed-width binning and integer-micro
+    proportions recomputed in plain Python (doc_id parity split)."""
+    rows = [(i, "x", "en", "s", n) for i, n in enumerate(chars)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.createOrReplaceTempView("documents")
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    qfns, _ = collect()
+    sql = qfns["dataset_drift_tvd"].__doc__
+    got = {r.bin: (r.n_a, r.n_b, r.pa_micro, r.pb_micro, r.delta_abs_micro) for r in spark.sql(sql).collect()}
+    spark.catalog.dropTempView("documents")
+
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for i, n in enumerate(chars):
+        b = min(n // 200, 9)
+        (ca if i % 2 == 0 else cb)[b] += 1
+    ta, tb = sum(ca.values()), sum(cb.values())
+    if ta == 0 or tb == 0:
+        return  # division by zero rows never reach the fixture shape
+    expected = {}
+    for b in sorted(set(ca) | set(cb)):
+        na, nb = ca[b], cb[b]
+        # CAST(ROUND(...) AS BIGINT): round-half-away on the double quotient
+        import math
+        pa = int(math.floor(1e6 * na / ta + 0.5))
+        pb = int(math.floor(1e6 * nb / tb + 0.5))
+        expected[b] = (na, nb, pa, pb, abs(pa - pb))
+    assert got == expected

@@ -467,8 +467,14 @@ def ivf_build_index(
     )
     if not cent_rows:
         raise ValueError("empty corpus: nothing to index")
+    # centroids are persisted under their POSITION in the sorted list, not
+    # their raw corpus id: _assign_cells_gemm labels cells by argmax
+    # position, and the query side probes by the saved id — the two must
+    # be the same labeling even when the first-n_cells corpus ids are
+    # sparse (found by the ivfpq append invariant test: an even-id half
+    # corpus yields centroid ids {0, 2} but cell labels {0, 1}).
     c.sparkSession.createDataFrame(
-        [(r.id, list(r.v), r.nrm) for r in cent_rows],
+        [(pos, list(r.v), r.nrm) for pos, r in enumerate(cent_rows)],
         "id long, v array<float>, nrm double",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     _assign_cells_gemm(c, cent_rows).write.mode("overwrite").partitionBy(
@@ -582,7 +588,20 @@ def pq_codebooks(
     assigned = _pq_assign(sub, cent)
     for _ in range(iters - 1):
         assigned = _pq_assign(sub, _pq_update(assigned, d_sub))
-    return _pq_update(assigned, d_sub)
+    books = _pq_update(assigned, d_sub)
+    # Dense-renumber the codeword ids (0..n-1 per subspace) as the LAST
+    # step: init ids can be sparse (the first-``codebook`` corpus ids need
+    # not be 0..codebook-1) and Lloyd cells can die, but the ADC lookup
+    # (element_at(lut_row, code+1)) is positional — it is only correct if
+    # cid == rank.  Renumbering by rank preserves every tie-break
+    # downstream (rank is monotone in cid) and makes codes dense by
+    # construction, so appended batches encoded against the SAVED books
+    # stay consistent too.  Found by the ivfpq append invariant test:
+    # building on the even-id half corpus left 8 sparse cids {0,2,..,14}
+    # under a 16-wide positional lookup.
+    return books.withColumn(
+        "cid", F.row_number().over(Window.partitionBy("m").orderBy("cid")) - 1
+    )
 
 
 def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
@@ -884,8 +903,9 @@ def ivfpq_build_index(
     if not cent_rows:
         raise ValueError("empty corpus: nothing to index")
     spark = c.sparkSession
+    # position-labeled centroids — see ivf_build_index's note
     spark.createDataFrame(
-        [(r.id, list(r.v), r.nrm) for r in cent_rows],
+        [(pos, list(r.v), r.nrm) for pos, r in enumerate(cent_rows)],
         "id long, v array<float>, nrm double",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     books = pq_codebooks(
@@ -1005,3 +1025,51 @@ def ivfpq_query_index(
         "row_number() OVER (PARTITION BY query_id"
         " ORDER BY cosine DESC, neighbor_id ASC) AS rank",
     ).where(f"rank <= {int(k)}")
+
+
+def ivfpq_append_batch(
+    corpus_batch: DataFrame, vec_col: str, id_col: str, path: str,
+    m: int = 4, dim: int = 64,
+) -> None:
+    """Incrementally add a batch of vectors to a persisted IVF-PQ index
+    WITHOUT retraining: the saved centroids and codebooks are the frozen
+    quantizers (the production contract — retraining would re-key every
+    existing cell), the new rows are assigned + encoded against them and
+    appended to the hive cell partitions.
+
+    Scale shape: identical to the build's encode pass but over the batch
+    only — one broadcast of the frozen quantizers, no touch of existing
+    index files (parquet append creates new files inside the matching
+    cell directories)."""
+    spark = corpus_batch.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.id
+    )
+    books = spark.read.parquet(f"{path}/codebooks")
+    d_sub = dim // m
+    c = _prep(corpus_batch, vec_col, id_col)
+    sub = (
+        corpus_batch.selectExpr(
+            f"{id_col} AS id",
+            f"transform({vec_col}, x -> cast(x as double)) AS v",
+        )
+        .selectExpr(
+            "id",
+            f"explode(transform(sequence(0, {m - 1}),"
+            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
+        )
+        .selectExpr("id", "s.m AS m", "s.sv AS sv")
+        .selectExpr("id", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
+    )
+    codes = (
+        _pq_assign(sub, books)
+        .groupBy("id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)"
+            ).alias("codes")
+        )
+    )
+    _assign_cells_gemm(c, cent_rows).join(codes, "id").select(
+        "id", "codes", "nrm", "v", "cell"
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")

@@ -2848,12 +2848,16 @@ c0 AS (SELECT m, id AS cid, sv AS cv, svv AS cc FROM sub2 WHERE id < {cb}),
 {update("c1", "a0")},
 {assign("a1", "c1")},
 {update("c2", "a1")},
-{assign("codes", "c2")},
+c2d AS (
+  SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY cid) - 1 AS cid, cv, cc
+  FROM c2
+),
+{assign("codes", "c2d")},
 qn AS (SELECT id AS qid, SQRT(vv) AS qn FROM v WHERE id < {nq}),
 lut AS (
   SELECT s.id AS qid, c.m, c.cid,
          CAST(ROUND(1000000000.0 * list_inner_product(s.sv, c.cv)) AS BIGINT) AS partial
-  FROM sub2 s JOIN c2 c ON s.m = c.m
+  FROM sub2 s JOIN c2d c ON s.m = c.m
   WHERE s.id < {nq}
 ),
 scored AS (

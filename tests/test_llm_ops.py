@@ -649,3 +649,33 @@ class TestIvfPqIndexPersistence:
             for r in brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
         }
         assert len(bf & got) / len(bf) >= 0.5
+
+    def test_append_batch_then_full_probe_is_exact(self, spark, tmp_path_factory):
+        """Incremental maintenance invariant: build on half the corpus,
+        append the other half (frozen quantizers), then a full-probe query
+        with shortlist >= corpus must equal exact brute force over the
+        WHOLE corpus — the ADC stage only generates candidates, the refine
+        stage is exact, so with nothing pruned the index adds no error."""
+        from steampipe_sqlite_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_append_batch,
+            ivfpq_build_index,
+            ivfpq_query_index,
+        )
+        from steampipe_sqlite_spark.tables import load_table
+        from pyspark.sql import functions as F
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        first = emb.filter("vec_id % 2 = 0")
+        second = emb.filter("vec_id % 2 = 1")
+        path = str(tmp_path_factory.mktemp("ivfpq_app")) + "/idx"
+        ivfpq_build_index(first, "embedding", "vec_id", path, n_cells=4)
+        ivfpq_append_batch(second, "embedding", "vec_id", path)
+        queries = emb.filter(F.col("vec_id") < 5)
+        n = emb.count()
+        got = ivfpq_query_index(
+            spark, path, queries, "embedding", "vec_id",
+            k=5, nprobe=4, shortlist=n,
+        ).collect()
+        bf = brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, bf))

@@ -157,3 +157,89 @@ def mm_image_phash_neardup(spark, sf_dir):
     return image_phash_pairs(_media(spark, sf_dir), max_hamming=6).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "mm_video_scene_cuts",
+    oracle="""
+WITH vid AS (
+  SELECT doc_id, 30 + (doc_id * 17) % 271 AS n_frames
+  FROM documents WHERE doc_id % 3 = 1),
+frames AS (
+  SELECT doc_id, UNNEST(generate_series(0, n_frames - 1, 5)) AS f
+  FROM vid),
+sig AS (
+  SELECT doc_id, f,
+         CAST((CASE WHEN (doc_id * 7 + (f // 30) * 13 + (f % 3)) % 256 >= 128 THEN 1 ELSE 0 END)
+            + (CASE WHEN (doc_id * 7 + (f // 30) * 13 + 5)  % 256 >= 128 THEN 2 ELSE 0 END)
+            + (CASE WHEN (doc_id * 7 + (f // 30) * 13 + 10) % 256 >= 128 THEN 4 ELSE 0 END)
+            + (CASE WHEN (doc_id * 7 + (f // 30) * 13 + 15) % 256 >= 128 THEN 8 ELSE 0 END)
+            + (CASE WHEN (doc_id * 7 + (f // 30) * 13 + 20) % 256 >= 128 THEN 16 ELSE 0 END)
+            + (CASE WHEN (doc_id * 7 + (f // 30) * 13 + 25) % 256 >= 128 THEN 32 ELSE 0 END)
+            + (CASE WHEN (doc_id * 7 + (f // 30) * 13 + 30) % 256 >= 128 THEN 64 ELSE 0 END)
+            + (CASE WHEN (doc_id * 7 + (f // 30) * 13 + 35) % 256 >= 128 THEN 128 ELSE 0 END)
+          AS BIGINT) AS sig
+  FROM frames),
+lagd AS (
+  SELECT doc_id, f, sig,
+         LAG(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev_sig
+  FROM sig),
+cuts AS (
+  SELECT doc_id, f,
+         CASE WHEN prev_sig IS NULL THEN 1
+              WHEN bit_count(xor(sig, prev_sig)) >= 2 THEN 1 ELSE 0 END AS is_cut
+  FROM lagd)
+SELECT doc_id,
+       CAST(SUM(is_cut) AS BIGINT) AS n_scenes,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled_frames,
+       ARRAY_TO_STRING(LIST(f ORDER BY f) FILTER (WHERE is_cut = 1), ',') AS cut_frames
+FROM cuts
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def mm_video_scene_cuts(spark, sf_dir):
+    """Video scene-cut detection, the frame-pipeline composition: sample
+    every 5th frame (sequence+explode over decoded FVID headers), compute
+    an 8-bit frame signature from the deterministic fake luma plane (a
+    real pipeline swaps ONLY this projection for a decode-UDF signature —
+    same shape as image_phash), then LAG + popcount flags a cut wherever
+    >= 2 signature bits flip between consecutive sampled frames; per-video
+    rollup emits scene counts and the CSV cut list (arrays never cross
+    the driver hash).  One keyed window, no joins — linear in sampled
+    frames at any corpus size."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.multimodal import (
+        decode_video_meta,
+        sample_frames,
+    )
+
+    vids = decode_video_meta(_media(spark, sf_dir))
+    frames = sample_frames(vids, every=5).select("doc_id", F.col("frame_idx").alias("f"))
+    bit_terms = " + ".join(
+        f"(CASE WHEN (doc_id * 7 + (f div 30) * 13 + {off}) % 256 >= 128 THEN {1 << j} ELSE 0 END)"
+        for j, off in enumerate(["(f % 3)", "5", "10", "15", "20", "25", "30", "35"])
+    )
+    sig = frames.selectExpr("doc_id", "f", f"CAST({bit_terms} AS BIGINT) AS sig")
+    lagd = sig.selectExpr(
+        "doc_id", "f", "sig",
+        "LAG(sig) OVER (PARTITION BY doc_id ORDER BY f) AS prev_sig",
+    )
+    cuts = lagd.selectExpr(
+        "doc_id", "f",
+        "CASE WHEN prev_sig IS NULL THEN 1"
+        " WHEN bit_count(sig ^ prev_sig) >= 2 THEN 1 ELSE 0 END AS is_cut",
+    )
+    return (
+        cuts.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(is_cut) AS BIGINT)").alias("n_scenes"),
+            F.count(F.lit(1)).cast("long").alias("n_sampled_frames"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(CASE WHEN is_cut = 1 THEN f END)),"
+                " x -> cast(x AS string)), ',')"
+            ).alias("cut_frames"),
+        )
+        .orderBy("doc_id")
+    )

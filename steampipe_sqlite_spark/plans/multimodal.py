@@ -243,3 +243,75 @@ def mm_video_scene_cuts(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_audio_silence_runs",
+    oracle="""
+WITH aud AS (
+  SELECT doc_id,
+         (8000 * (1 + doc_id % 3) * (1 + doc_id % 10) + doc_id % 97)
+           // (8000 * (1 + doc_id % 3)) AS n_seconds
+  FROM documents WHERE doc_id % 3 = 2),
+secs AS (
+  SELECT doc_id, UNNEST(generate_series(0, n_seconds - 1)) AS k
+  FROM aud),
+energy AS (
+  SELECT doc_id, k,
+         CASE WHEN (doc_id * 11 + k * 29) % 100 < 15 THEN 1 ELSE 0 END AS silent
+  FROM secs),
+islands AS (
+  SELECT doc_id, k, silent,
+         k - ROW_NUMBER() OVER (PARTITION BY doc_id, silent ORDER BY k) AS grp
+  FROM energy)
+SELECT doc_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_seconds,
+       CAST(SUM(CASE WHEN silent = 1 THEN run_len ELSE 0 END) AS BIGINT) AS n_silent,
+       CAST(COALESCE(MAX(CASE WHEN silent = 1 THEN run_len END), 0) AS BIGINT) AS longest_silence
+FROM (
+  SELECT doc_id, silent, grp, COUNT(*) AS run_len
+  FROM islands GROUP BY doc_id, silent, grp
+) runs
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def mm_audio_silence_runs(spark, sf_dir):
+    """Audio silence segmentation: per-second energy over the decoded FAUD
+    duration (fake energy — a real pipeline swaps only the energy
+    projection for a sample-decoding Pandas UDF, same caveat as the other
+    synthetic decoders), threshold to silent/active, then the
+    gaps-and-islands window finds contiguous silent runs; per-file rollup
+    emits total/silent seconds and the longest silent run.  Shape: one
+    sequence explode + two keyed windows/aggregates — linear in audio
+    seconds."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.multimodal import decode_audio_meta
+
+    aud = decode_audio_meta(_media(spark, sf_dir)).selectExpr(
+        "doc_id", "CAST(n_samples div sample_rate AS BIGINT) AS n_seconds"
+    )
+    secs = aud.selectExpr(
+        "doc_id", "explode(sequence(0, n_seconds - 1)) AS k"
+    )
+    energy = secs.selectExpr(
+        "doc_id", "k",
+        "CASE WHEN (doc_id * 11 + k * 29) % 100 < 15 THEN 1 ELSE 0 END AS silent",
+    )
+    islands = energy.selectExpr(
+        "doc_id", "k", "silent",
+        "k - ROW_NUMBER() OVER (PARTITION BY doc_id, silent ORDER BY k) AS grp",
+    )
+    runs = islands.groupBy("doc_id", "silent", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(run_len) AS BIGINT)").alias("n_seconds"),
+            F.expr("CAST(SUM(CASE WHEN silent = 1 THEN run_len ELSE 0 END) AS BIGINT)").alias("n_silent"),
+            F.expr("CAST(COALESCE(MAX(CASE WHEN silent = 1 THEN run_len END), 0) AS BIGINT)").alias("longest_silence"),
+        )
+        .orderBy("doc_id")
+    )

@@ -396,3 +396,52 @@ def streaming_static_enrich(spark, sf_dir):
     name = f"enrich_out_{uuid.uuid4().hex[:8]}"
     result = run_stream_to_memory(spark, agg, name, output_mode="complete")
     return result.orderBy("segment", "win_start")
+
+
+@query(
+    "streaming_session_5m",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 5 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM flagged
+)
+SELECT MIN(ts) AS sess_start, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered
+GROUP BY user_id, sess_no
+ORDER BY user_id, sess_start
+""",
+)
+def streaming_session_5m(spark, sf_dir):
+    """Session windows (5-minute gap) run THROUGH the streaming engine:
+    watermarked session_window aggregation, availableNow + complete memory
+    sink — the stateful merge-adjacent-sessions operator, checked against
+    the batch gaps-and-islands oracle (identical over the finite
+    fixture)."""
+    from steampipe_sqlite_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    name = f"sess_out_{uuid.uuid4().hex[:8]}"
+    result = run_stream_to_memory(spark, agg, name, output_mode="complete")
+    return result.orderBy("user_id", "sess_start")

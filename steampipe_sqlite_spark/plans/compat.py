@@ -14,7 +14,7 @@ from steampipe_sqlite_spark.functions.sqlite_compat import (
     strftime,
     unixepoch,
 )
-from steampipe_sqlite_spark.plans.registry import query
+from steampipe_sqlite_spark.plans.registry import query, sql_query
 from steampipe_sqlite_spark.tables import load_table
 
 
@@ -126,3 +126,20 @@ def compat_scalar_misc(spark, sf_dir):
         F.expr("octet_length(c_name)").cast("long").alias("name_bytes"),
         F.expr("ascii(c_name)").cast("long").alias("first_cp"),
     ).orderBy("c_custkey")
+
+
+# SQLite quote() (SQL-literal quoting with '' doubling) and multi-arg
+# char() (codepoints → string) — neither engine ships quote(), so the
+# shim is the same doubling expression on both; SQLite's char(a, b, ...)
+# maps to concatenated CHR calls.
+sql_query(
+    "compat_quote_char",
+    """
+SELECT c_custkey,
+       '''' || replace(c_mktsegment, '''', '''''') || '''' AS quoted_seg,
+       CHR(65 + CAST(c_custkey % 26 AS INT)) || CHR(97 + CAST(c_nationkey % 26 AS INT)) AS char2,
+       '''' || replace('it''s ' || c_mktsegment, '''', '''''') || '''' AS quoted_tricky
+FROM customer
+ORDER BY c_custkey
+""",
+)

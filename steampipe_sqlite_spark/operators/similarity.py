@@ -1073,3 +1073,27 @@ def ivfpq_append_batch(
     _assign_cells_gemm(c, cent_rows).join(codes, "id").select(
         "id", "codes", "nrm", "v", "cell"
     ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def random_projection(
+    df: DataFrame, vec_col: str, id_col: str,
+    in_dim: int = 64, out_dim: int = 16, seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: dense seeded Gaussian
+    planes (the dense sibling of the LSH sign projection), output scaled
+    by 1/sqrt(out_dim) so pairwise distances are preserved in
+    expectation.  The plane matrix ships as expression literals —
+    map-only, no shuffle, no driver state; the standard dimensionality
+    reduction in front of clustering / ANN at corpus scale.
+    Returns (id, proj: array<double>)."""
+    import math
+
+    planes = hyperplanes(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    dots = ", ".join(
+        f"({_dot_plane_sql('v', p)}) * cast({scale!r} as double)" for p in planes
+    )
+    return df.selectExpr(
+        f"{id_col} AS id",
+        f"transform({vec_col}, x -> cast(x as double)) AS v",
+    ).selectExpr("id", f"array({dots}) AS proj")

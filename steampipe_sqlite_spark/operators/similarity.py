@@ -329,9 +329,15 @@ def ivf_topk(
         .selectExpr("named_struct('cid', cast(id AS int), 'cv', v, 'cn', nrm) AS s")
         .agg(F.expr("sort_array(collect_list(s)) AS cents"))
     )
+    # cells are labeled by POSITION in the sorted centroid array, not the
+    # raw centroid id: _assign_cells_gemm (the corpus side) labels by
+    # argmax position, and the two labelings only coincide when the
+    # first-n_cells corpus ids are dense 0..n-1 — with sparse ids the
+    # query would probe cells that don't exist (the bug class the
+    # persisted-index builders fixed in round 5; found by review there).
     scored_cells = (
-        "transform(cents, s -> named_struct("
-        f"'c', round(({dot_sql('v', 's.cv')}) / (nrm * s.cn), 4), 'cid', s.cid))"
+        "transform(cents, (s, i) -> named_struct("
+        f"'c', round(({dot_sql('v', 's.cv')}) / (nrm * s.cn), 4), 'cid', i))"
     )
 
     def assign(df: DataFrame, keep: int) -> DataFrame:
@@ -551,6 +557,42 @@ def ivf_query_index(
 # --- Product quantization (PQ) ANN -----------------------------------------
 
 
+def _pq_subvectors(
+    df: DataFrame, vec_col: str, id_col: str, m: int, d_sub: int,
+    extra: str | None = None,
+) -> DataFrame:
+    """Explode each vector into its m contiguous d_sub-wide subvectors:
+    (id[, extra], m, sv, svv).  Single-sourced — train, encode, LUT, and
+    append all split the SAME way (a drifted copy here is exactly the
+    labeling-desync class the round-5 index bugs came from)."""
+    cols = [f"{id_col} AS id"] + ([extra] if extra else [])
+    out_cols = ["id"] + ([extra.split(" AS ")[-1] if extra and " AS " in extra else extra] if extra else [])
+    return (
+        df.selectExpr(
+            *cols,
+            f"transform({vec_col}, x -> cast(x as double)) AS v",
+        )
+        .selectExpr(
+            *out_cols,
+            f"explode(transform(sequence(0, {m - 1}),"
+            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
+        )
+        .selectExpr(*out_cols, "s.m AS m", "s.sv AS sv")
+        .selectExpr(*out_cols, "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
+    )
+
+
+def _pq_params(books: DataFrame) -> tuple[int, int]:
+    """Recover (m, d_sub) from a codebook relation — the saved books are
+    the source of truth for query/append paths; trusting caller-supplied
+    defaults silently corrupts results on a mismatch (zip_with pads with
+    null -> NULL scores -> arbitrary shortlist, no error)."""
+    row = books.selectExpr(
+        "cast(max(m) + 1 AS int) AS m", "cast(max(size(cv)) AS int) AS d_sub"
+    ).first()
+    return int(row.m), int(row.d_sub)
+
+
 def pq_codebooks(
     corpus: DataFrame, vec_col: str, id_col: str,
     m: int = 4, codebook: int = 16, dim: int = 64, iters: int = 2,
@@ -569,22 +611,18 @@ def pq_codebooks(
     operator, times a constant m.
     """
     d_sub = dim // m
-    sub = (
-        corpus.selectExpr(
-            f"{id_col} AS id",
-            f"transform({vec_col}, x -> cast(x as double)) AS v",
-        )
-        .selectExpr(
-            "id",
-            f"explode(transform(sequence(0, {m - 1}),"
-            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
-        )
-        .selectExpr("id", "s.m AS m", "s.sv AS sv")
-        .selectExpr("id", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
-    )
+    sub = _pq_subvectors(corpus, vec_col, id_col, m, d_sub)
     cent = sub.filter(F.col("id") < codebook).selectExpr(
         "m", "id AS cid", "sv AS cv", "svv AS cc"
     )
+    if cent.limit(1).count() == 0:
+        # fail loudly like ivf_build_index: an empty init (no corpus ids
+        # below `codebook`) would otherwise train an empty codebook and
+        # every downstream query would silently return zero rows
+        raise ValueError(
+            f"empty PQ init: no corpus ids < {codebook} — re-key the corpus "
+            "or pass a smaller codebook"
+        )
     assigned = _pq_assign(sub, cent)
     for _ in range(iters - 1):
         assigned = _pq_assign(sub, _pq_update(assigned, d_sub))
@@ -718,15 +756,7 @@ def pq_topk(
         f"{id_col} AS id",
         f"transform({vec_col}, x -> cast(x as double)) AS v",
     ).selectExpr("id", "v", f"{dot_sql('v', 'v')} AS vv")
-    sub = (
-        vecs.selectExpr(
-            "id", "vv",
-            f"explode(transform(sequence(0, {m - 1}),"
-            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
-        )
-        .selectExpr("id", "vv", "s.m AS m", "s.sv AS sv")
-        .selectExpr("id", "vv", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
-    )
+    sub = _pq_subvectors(corpus, vec_col, id_col, m, d_sub)
     codes = (
         _pq_assign(sub, books)
         .groupBy("id")
@@ -827,11 +857,16 @@ def mmr_select(
         .select("query_id", "cid", "rel", "c.v", "c.nrm")
     )
     x, y = enr.alias("x"), enr.alias("y")
+    # LEFT join: a query whose candidate pool is a single document has no
+    # pairs, but must still surface its step-1 pick — the lone candidate
+    # arrives as one row with null ib/sim (review r5: the inner-join form
+    # dropped such queries entirely while the oracle emitted them)
     pairs = (
         x.join(
             F.broadcast(y),
             (F.col("x.query_id") == F.col("y.query_id"))
             & (F.col("x.cid") != F.col("y.cid")),
+            "left",
         )
         .selectExpr(
             "x.query_id AS query_id",
@@ -849,7 +884,8 @@ def mmr_select(
         sim = {}
         for ia, rel_a, ib, s in zip(pdf["ia"], pdf["rel_a"], pdf["ib"], pdf["sim"]):
             rel[int(ia)] = float(rel_a)
-            sim[(int(ia), int(ib))] = float(s)
+            if ib is not None and not pd.isna(ib):
+                sim[(int(ia), int(ib))] = float(s)
         selected: list[int] = []
         out = []
         for step in range(1, kk + 1):
@@ -913,19 +949,7 @@ def ivfpq_build_index(
     )
     books.write.mode("overwrite").parquet(f"{path}/codebooks")
     d_sub = dim // m
-    sub = (
-        corpus.selectExpr(
-            f"{id_col} AS id",
-            f"transform({vec_col}, x -> cast(x as double)) AS v",
-        )
-        .selectExpr(
-            "id",
-            f"explode(transform(sequence(0, {m - 1}),"
-            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
-        )
-        .selectExpr("id", "s.m AS m", "s.sv AS sv")
-        .selectExpr("id", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
-    )
+    sub = _pq_subvectors(corpus, vec_col, id_col, m, d_sub)
     codes = (
         _pq_assign(sub, spark.read.parquet(f"{path}/codebooks"))
         .groupBy("id")
@@ -943,7 +967,6 @@ def ivfpq_build_index(
 def ivfpq_query_index(
     spark, path: str, queries: DataFrame, vec_col: str, id_col: str,
     k: int = 5, nprobe: int = 2, shortlist: int = 50,
-    m: int = 4, dim: int = 64,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: probe nprobe cells per query
     (partition-pruned scan), ADC-score ONLY (id, codes, nrm) in the
@@ -951,7 +974,8 @@ def ivfpq_query_index(
     approximate cosine, then refine the Q*shortlist candidates exactly
     against the stored vectors.  Output contract matches
     brute_force_topk: (query_id, neighbor_id, cosine, rank)."""
-    d_sub = dim // m
+    books = spark.read.parquet(f"{path}/codebooks")
+    m, d_sub = _pq_params(books)  # saved books are the source of truth
     cents = spark.read.parquet(f"{path}/centroids")
     cent_arr = cents.selectExpr(
         "named_struct('cid', cast(id AS int), 'cv', v, 'cn', nrm) AS s"
@@ -970,7 +994,6 @@ def ivfpq_query_index(
             " s -> s.cid)) AS cell",
         )
     )
-    books = spark.read.parquet(f"{path}/codebooks")
     luts = _pq_luts(queries, vec_col, id_col, books, m, d_sub)
     probe_lut = probes.join(luts, probes.qid == luts.qid).select(
         probes.qid, "cell", "qn", "lut"
@@ -1029,7 +1052,6 @@ def ivfpq_query_index(
 
 def ivfpq_append_batch(
     corpus_batch: DataFrame, vec_col: str, id_col: str, path: str,
-    m: int = 4, dim: int = 64,
 ) -> None:
     """Incrementally add a batch of vectors to a persisted IVF-PQ index
     WITHOUT retraining: the saved centroids and codebooks are the frozen
@@ -1046,21 +1068,12 @@ def ivfpq_append_batch(
         spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.id
     )
     books = spark.read.parquet(f"{path}/codebooks")
-    d_sub = dim // m
+    # (m, d_sub) come from the SAVED books — the frozen quantizers are the
+    # source of truth; a caller-supplied mismatch would silently NULL
+    # every ADC score (zip_with pads the shorter array)
+    m, d_sub = _pq_params(books)
     c = _prep(corpus_batch, vec_col, id_col)
-    sub = (
-        corpus_batch.selectExpr(
-            f"{id_col} AS id",
-            f"transform({vec_col}, x -> cast(x as double)) AS v",
-        )
-        .selectExpr(
-            "id",
-            f"explode(transform(sequence(0, {m - 1}),"
-            f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
-        )
-        .selectExpr("id", "s.m AS m", "s.sv AS sv")
-        .selectExpr("id", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
-    )
+    sub = _pq_subvectors(corpus_batch, vec_col, id_col, m, d_sub)
     codes = (
         _pq_assign(sub, books)
         .groupBy("id")

@@ -682,13 +682,20 @@ m AS (
   FROM pts GROUP BY event_type
 )
 SELECT event_type, n, sx, sy,
-       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)) AS covar_samp_cents_hour,
-       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-            * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_cents_hour,
-       SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))) AS std_cents
+       CASE WHEN n > 1 THEN
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+       END AS covar_samp_cents_hour,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0e0
+                 AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0e0 THEN
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+       END AS corr_cents_hour,
+       CASE WHEN n > 1 THEN
+         SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)))
+       END AS std_cents
 FROM m
 ORDER BY event_type
 """

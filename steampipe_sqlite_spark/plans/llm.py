@@ -2554,10 +2554,10 @@ g AS (
   FROM t
 ),
 shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+gated AS (SELECT g.doc_id, g.gram FROM g JOIN shared s ON g.gram = s.gram),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
-  JOIN shared s ON a.gram = s.gram
+  FROM gated a JOIN gated b ON a.gram = b.gram AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
@@ -2575,10 +2575,10 @@ g AS (
   FROM t
 ),
 shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 100),
+gated AS (SELECT g.doc_id, g.gram FROM g JOIN shared s ON g.gram = s.gram),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
-  JOIN shared s ON a.gram = s.gram
+  FROM gated a JOIN gated b ON a.gram = b.gram AND a.doc_id <> b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id)
@@ -2592,8 +2592,11 @@ ORDER BY id_a, id_b
 # 5-token shingles appear in B) — catches subset/partial-copy duplication
 # that symmetric Jaccard misses.  Scale shape: candidates meet on gram
 # equi-join keys, never an O(n^2) pair space; the `shared` gate (2..100
-# docs per gram) drops both unique grams (no pair) and boilerplate grams
-# (>100 docs), bounding per-gram fan-out at C(100,2); the integer-only
+# docs per gram) is applied to EACH side BEFORE the self-join (the
+# `gated` CTE — structural, not optimizer-dependent: Spark's left-deep
+# default would otherwise blow up a boilerplate gram before filtering),
+# dropping unique grams (no pair) and boilerplate grams (>100 docs) and
+# bounding per-gram fan-out at C(100,2); the integer-only
 # threshold (100*n_common >= 80*n_a) avoids cross-engine float division.
 # Containment is measured over gated grams (a documented lower bound);
 # the denominator n_a is the doc's full distinct-gram count.
@@ -2700,8 +2703,8 @@ def _rrf_leg_sql(bm_src: str, cos_src: str) -> str:
 SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
        CAST(COALESCE(bm.r_b, 0) AS BIGINT) AS rank_bm25,
        CAST(COALESCE(cs.r_c, 0) AS BIGINT) AS rank_cos,
-       COALESCE(1e0 / (60e0 + bm.r_b), 0e0)
-         + COALESCE(1e0 / (60e0 + cs.r_c), 0e0) AS rrf_score
+       COALESCE(1e0 / ({_RRF_K}e0 + bm.r_b), 0e0)
+         + COALESCE(1e0 / ({_RRF_K}e0 + cs.r_c), 0e0) AS rrf_score
 FROM {bm_src} bm FULL OUTER JOIN {cos_src} cs ON bm.doc_id = cs.doc_id
 ORDER BY rrf_score DESC, doc_id
 LIMIT 20

@@ -222,16 +222,19 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # never re-verified since) so green status stays fresh across fixture
 # changes.  Queries added in round 5 register behind the window and roll
 # into the round-6 rotation.
-# ROUND-6 ROTATION (do after CORRECTNESS_r05 lands): put the 14 round-5
+# ROUND-6 ROTATION (do after CORRECTNESS_r05 lands): put the 20 round-5
 # additions first (text_keyword_tag, dedup_containment_ngram,
 # contamination_source_matrix, dataset_epochs_schedule, search_hybrid_rrf,
 # agg_corr_covar_moments, knn_cosine_pq, streaming_static_enrich,
 # join_lateral_topn, quality_constraints_audit, dataset_drift_tvd,
-# search_mmr_diversified — all selfcheck-green at sf0.01 AND sf0.1 in
-# round 5) plus any r5 reds, then backfill with the next-oldest
-# driver-green names (r1 remainder: mm_image_decode, mm_image_resize,
-# mm_video_frame_sample, mm_audio_stats, sketch_hll_doc_texts remainder,
-# dataset_mixing_weights, text_bigram_surprisal, then the r2 window).
+# search_mmr_diversified, mm_video_scene_cuts, mm_audio_silence_runs,
+# streaming_session_5m, compat_quote_char, win_range_interval,
+# group_by_all, text_oov_rate, emb_random_projection — all
+# selfcheck-green at sf0.01 AND sf0.1 in round 5) plus any r5 reds, then
+# backfill with the next-oldest driver-green names (r1 remainder:
+# mm_image_decode, mm_image_resize, mm_video_frame_sample,
+# mm_audio_stats, dataset_mixing_weights, text_bigram_surprisal, then
+# the r2 window).
 _WINDOW_PRIORITY = [
     # r4 reds, fixed (oracle dtype artifacts — VERDICT r4 What's-wrong #1/#2)
     "window_sliding_1h_30m", "streaming_sliding_30m", "json_build_and_length",

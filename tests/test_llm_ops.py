@@ -679,3 +679,37 @@ class TestIvfPqIndexPersistence:
         ).collect()
         bf = brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, bf))
+
+    def test_single_candidate_pool_still_emits_step1(self, spark):
+        """A 2-vector corpus leaves each query exactly ONE candidate and
+        zero candidate pairs — the step-1 pick must still be emitted
+        (review r5: the inner-join pair build dropped such queries)."""
+        from steampipe_sqlite_spark.operators.similarity import mmr_select
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.5, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        got = mmr_select(df, df.filter("vec_id = 0"), "embedding", "vec_id", k=3, pool=5).collect()
+        assert len(got) == 1
+        assert (got[0].query_id, got[0].step, got[0].doc_id) == (0, 1, 1)
+
+
+def test_ivf_topk_handles_sparse_init_ids(spark):
+    """ivf_topk with a corpus whose ids < n_cells are sparse (even ids
+    only): cell labels are argmax POSITIONS, so the probe side must label
+    positionally too — full probe must equal brute force exactly (review
+    r5: the raw-id probe labeling missed half the index)."""
+    from steampipe_sqlite_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from steampipe_sqlite_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    even = emb.filter("vec_id % 2 = 0")
+    queries = even.filter(F.col("vec_id") < 10)
+    got = ivf_topk(even, queries, "embedding", "vec_id", k=5, n_cells=4, nprobe=4).collect()
+    bf = brute_force_topk(even, queries, "embedding", "vec_id", k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, bf))

@@ -140,7 +140,11 @@ def dtype_mismatches(spdf, opdf) -> list[str]:
 # heap dies — observed round 5: java.lang.OutOfMemoryError after ~160
 # queries.  Recycling the session at the driver's own granularity keeps
 # the replica faithful AND survivable.
-SESSION_BUDGET = 50
+SESSION_BUDGET = int(os.environ.get("SELFCHECK_SESSION_BUDGET", "50"))
+# ^ 50 = the driver's own granularity at its sf0.01 gate.  At sf0.1 the
+# 10x broadcasts/shuffle buffers exhaust the 1 GiB vanilla heap within a
+# 50-query session (observed round 5) — use SELFCHECK_SESSION_BUDGET=20
+# for full-corpus sf0.1 runs.
 
 
 def _make_spark():

@@ -151,12 +151,20 @@ def _make_spark():
     if os.environ.get("SELFCHECK_VANILLA"):
         from pyspark.sql import SparkSession
 
-        return (
+        b = (
             SparkSession.builder.master("local[32]")
             .appName("selfcheck_vanilla")
             .config("spark.ui.enabled", "false")
-            .getOrCreate()
         )
+        # heap size is NOT a correctness conf — SQL semantics stay fully
+        # default; the override exists because full-corpus sf0.1 runs
+        # exhaust the 1 GiB default heap even with 20-query sessions
+        # (tpch broadcasts + streaming sinks), while the driver's own
+        # gate runs at sf0.01 where the default heap suffices
+        mem = os.environ.get("SELFCHECK_VANILLA_MEM")
+        if mem:
+            b = b.config("spark.driver.memory", mem)
+        return b.getOrCreate()
     return get_spark("selfcheck")
 
 

@@ -594,3 +594,80 @@ def duplicated_span_stats(
         .join(lengths, "id")
         .select("id", "n_dup_spans", "dup_chars", F.col("total_chars").cast("long"))
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold_pct: int = 70,
+    shingle: int = 1,
+) -> DataFrame:
+    """EXACT word-set similarity join via prefix filtering (the PPJoin
+    family, Xiao et al. 2008 — public construction): pairs with Jaccard
+    >= threshold are found exactly, but candidates meet only on each
+    document's PREFIX tokens — the |T| - ceil(t·|T|) + 1 globally-rarest
+    tokens — because two sets with J >= t MUST share a prefix token
+    (pigeonhole).  Versus the all-shared-tokens candidate join, stopwords
+    never generate candidates: a token common to every document sorts to
+    the very BACK of the frequency order and falls outside every prefix.
+
+    All-integer verification: 100·|A∩B| >= t·(|A|+|B|-|A∩B|) avoids
+    cross-engine float division; output (id_a, id_b, n_common, n_a, n_b).
+
+    Scale shape: token-frequency ranking is one aggregate + one broadcast
+    join; the candidate join is keyed on prefix tokens whose per-token
+    doc list is SHORT by construction (rare tokens); verification joins
+    only candidate pairs back to the token sets.
+    """
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    t = int(threshold_pct)
+    k = int(shingle)
+    norm = _NORM_SQL.format(c=text_col)
+    if k == 1:
+        elems = f"array_distinct(split({norm}, ' '))"
+    else:
+        # adjacent k-token shingles: far more discriminative set elements
+        # than single words on homogeneous-vocabulary corpora
+        elems = (
+            f"array_distinct(transform(sequence(1, greatest(size(split({norm}, ' ')) - {k - 1}, 1)),"
+            f" i -> array_join(slice(split({norm}, ' '), i, {k}), ' ')))"
+        )
+    toks = df.selectExpr(f"{id_col} AS id", f"explode({elems}) AS tok")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # global rarity order: (df, tok) is a total order, so every document
+    # ranks its tokens identically — the prefix-filter guarantee needs a
+    # CONSISTENT order, not any particular one
+    ranked = (
+        toks.join(freq, "tok")
+        .selectExpr(
+            "id", "tok",
+            "row_number() OVER (PARTITION BY id ORDER BY df, tok) AS r",
+        )
+        .join(sizes, "id")
+        # prefix length = n - ceil(t/100 * n) + 1, in pure integers:
+        # ceil(a/b) = (a + b - 1) div b
+        .where(f"r <= n - (({t} * n + 99) div 100) + 1")
+        .select("id", "tok", "n")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ta = toks.selectExpr("id AS ia", "tok AS tok_a")
+    tb = toks.selectExpr("id AS ib", "tok AS tok_b")
+    common = (
+        cand.join(ta, F.col("id_a") == F.col("ia"))
+        .join(tb, (F.col("id_b") == F.col("ib")) & (F.col("tok_a") == F.col("tok_b")))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return common.where(
+        f"100 * n_common >= {t} * (n_a + n_b - n_common)"
+    ).select("id_a", "id_b", "n_common", "n_a", "n_b")

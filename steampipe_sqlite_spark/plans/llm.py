@@ -3205,3 +3205,47 @@ def emb_random_projection_q(spark, sf_dir):
         "id AS vec_id",
         *[f"round(proj[{i}], 4) AS p{i}" for i in range(4)],
     ).orderBy("vec_id")
+
+
+@query(
+    "dedup_ppjoin_exact",
+    oracle=f"""
+WITH sp AS (SELECT doc_id AS id, string_split({_DD_NORM}, ' ') AS w FROM documents),
+toks AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - 1, 1)),
+           i -> array_to_string(list_slice(w, i, i + 1), ' ')))) AS tok
+  FROM sp
+),
+sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE 100 * n_common >= 70 * (sa.n + sb.n - n_common)
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ppjoin_exact_q(spark, sf_dir):
+    """EXACT set-similarity join (word-bigram Jaccard >= 0.70) via PPJoin
+    prefix filtering (Xiao et al. 2008): candidates meet only on each
+    document's globally-rarest prefix shingles — a pair above the
+    threshold MUST share one (pigeonhole), so the optimization is
+    lossless, and the ORACLE proves it: DuckDB runs the un-optimized
+    all-shared-tokens brute force and the results hash-match.  This is
+    the exact-guarantee sibling of minhash LSH: no probability of a
+    missed pair, at the cost of a verification join; stopwords never
+    generate candidates because frequent shingles sort out of every
+    prefix."""
+    from steampipe_sqlite_spark.operators.dedup import ppjoin_pairs
+    from steampipe_sqlite_spark.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    return ppjoin_pairs(docs, "text", "doc_id", threshold_pct=70, shingle=2).orderBy(
+        "id_a", "id_b"
+    )

@@ -713,3 +713,56 @@ def test_ivf_topk_handles_sparse_init_ids(spark):
     got = ivf_topk(even, queries, "embedding", "vec_id", k=5, n_cells=4, nprobe=4).collect()
     bf = brute_force_topk(even, queries, "embedding", "vec_id", k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, bf))
+
+
+def test_ppjoin_prefix_shrinks_candidates_losslessly(spark):
+    """The prefix filter's two claims: (a) candidate pairs are a strict
+    subset of the all-shared-tokens candidates, (b) nothing above the
+    threshold is lost (the oracle also proves (b) cross-engine)."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+    from steampipe_sqlite_spark.operators.dedup import ppjoin_pairs
+    from steampipe_sqlite_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    norm = _NORM_SQL.format(c="text")
+    elems = (
+        f"array_distinct(transform(sequence(1, greatest(size(split({norm}, ' ')) - 1, 1)),"
+        f" i -> array_join(slice(split({norm}, ' '), i, 2), ' ')))"
+    )
+    toks = docs.selectExpr("doc_id AS id", f"explode({elems}) AS tok")
+    a, b = toks.alias("a"), toks.alias("b")
+    brute_cands = (
+        a.join(b, "tok")
+        .where("a.id < b.id")
+        .selectExpr("a.id AS ia", "b.id AS ib")
+        .distinct()
+        .count()
+    )
+    # the operator's own prefix-candidate set, recomputed: rank tokens by
+    # global (df, tok), keep r <= n - ceil(0.7 n) + 1, join on prefix toks
+    from pyspark.sql import functions as F
+
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(freq, "tok")
+        .selectExpr("id", "tok", "row_number() OVER (PARTITION BY id ORDER BY df, tok) AS r")
+        .join(sizes, "id")
+        .where("r <= n - ((90 * n + 99) div 100) + 1")
+    )
+    ra, rb = ranked.alias("ra"), ranked.alias("rb")
+    prefix_cands = (
+        ra.join(rb, "tok").where("ra.id < rb.id")
+        .selectExpr("ra.id AS ia", "rb.id AS ib").distinct().count()
+    )
+    got = ppjoin_pairs(docs, "text", "doc_id", threshold_pct=90, shingle=2).collect()
+    # exactness: every surviving pair verifies the integer threshold
+    for r in got:
+        assert 100 * r.n_common >= 90 * (r.n_a + r.n_b - r.n_common)
+    # efficiency: at t=0.9 the prefix is ~10% of each set, so the filter
+    # verifies far fewer candidates than the all-shared-tokens join (at
+    # the corpus query's looser t=0.7 the reduction is ~2x — the prefix
+    # length, and with it the filtering power, scales with the threshold)
+    assert prefix_cands * 5 < brute_cands, (prefix_cands, brute_cands)
+    # losslessness floor: candidates cover every surviving pair
+    assert len(got) <= prefix_cands

@@ -3213,8 +3213,8 @@ def emb_random_projection_q(spark, sf_dir):
 WITH sp AS (SELECT doc_id AS id, string_split({_DD_NORM}, ' ') AS w FROM documents),
 toks AS (
   SELECT id, unnest(list_distinct(list_transform(
-           generate_series(1, greatest(len(w) - 1, 1)),
-           i -> array_to_string(list_slice(w, i, i + 1), ' ')))) AS tok
+           generate_series(1, greatest(len(w) - 2, 1)),
+           i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS tok
   FROM sp
 ),
 sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY id),
@@ -3227,12 +3227,12 @@ SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b
 FROM common
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE 100 * n_common >= 70 * (sa.n + sb.n - n_common)
+WHERE 100 * n_common >= 80 * (sa.n + sb.n - n_common)
 ORDER BY id_a, id_b
 """,
 )
 def dedup_ppjoin_exact_q(spark, sf_dir):
-    """EXACT set-similarity join (word-bigram Jaccard >= 0.70) via PPJoin
+    """EXACT set-similarity join (word-trigram Jaccard >= 0.80) via PPJoin
     prefix filtering (Xiao et al. 2008): candidates meet only on each
     document's globally-rarest prefix shingles — a pair above the
     threshold MUST share one (pigeonhole), so the optimization is
@@ -3246,6 +3246,6 @@ def dedup_ppjoin_exact_q(spark, sf_dir):
     from steampipe_sqlite_spark.tables import load_table as _lt
 
     docs = _lt(spark, sf_dir, "documents")
-    return ppjoin_pairs(docs, "text", "doc_id", threshold_pct=70, shingle=2).orderBy(
+    return ppjoin_pairs(docs, "text", "doc_id", threshold_pct=80, shingle=3).orderBy(
         "id_a", "id_b"
     )

@@ -159,3 +159,42 @@ def pagerank_nano(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-depth BFS: shortest hop-distance (<= ``max_depth``) from a
+    seed set over a DIRECTED edge list.  Returns (node, dist).
+
+    Frontier expansion, the Pregel shape shared with pagerank_nano /
+    connected_components: each round joins the current frontier to the
+    edge list (edges are the big side and stream; the shrinking frontier
+    is the probe), anti-joins already-visited nodes, and localCheckpoints
+    to truncate lineage.  ``max_depth`` rounds bound the driver loop; at
+    any corpus size the per-round work is |frontier ⋈ edges|, never the
+    transitive closure.
+    """
+    dist = seeds.selectExpr("node", "CAST(0 AS INT) AS dist").localCheckpoint(
+        eager=True
+    )
+    frontier = dist.select("node")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    for depth in range(1, int(max_depth) + 1):
+        nxt = (
+            e.join(frontier, e["_s"] == frontier["node"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist

@@ -3249,3 +3249,54 @@ def dedup_ppjoin_exact_q(spark, sf_dir):
     return ppjoin_pairs(docs, "text", "doc_id", threshold_pct=80, shingle=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "graph_bfs_distances",
+    oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % (SELECT n FROM nn) AS dst FROM nodes
+),
+d0 AS (SELECT node FROM nodes WHERE node < 5),
+d1 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d0 ON e.src = d0.node
+  WHERE e.dst NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d1 ON e.src = d1.node
+  WHERE e.dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN d2 ON e.src = d2.node
+  WHERE e.dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1
+                      UNION ALL SELECT node FROM d2)
+)
+SELECT node, CAST(dist AS INT) AS dist FROM (
+  SELECT node, 0 AS dist FROM d0
+  UNION ALL SELECT node, 1 FROM d1
+  UNION ALL SELECT node, 2 FROM d2
+  UNION ALL SELECT node, 3 FROM d3
+) u
+ORDER BY dist, node
+""",
+)
+def graph_bfs_distances_q(spark, sf_dir):
+    """Bounded-depth BFS (3 hops from seeds doc_id < 5) over the synthetic
+    doc graph (same two-out-edges construction as graph_pagerank) — the
+    frontier-expansion Pregel shape; the oracle unrolls each depth as a
+    CTE with an anti-membership guard, so frontier growth, dedup, and the
+    visited-set exclusion are all hash-checked."""
+    from steampipe_sqlite_spark.operators.graph import bfs_distances
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.selectExpr("doc_id AS node")
+    edges = nodes.selectExpr("node AS src", f"(node * 31 + 7) % {n} AS dst").unionAll(
+        nodes.selectExpr("node AS src", f"(node * 17 + 3) % {n} AS dst")
+    )
+    seeds = nodes.where("node < 5")
+    return bfs_distances(edges, seeds, max_depth=3).orderBy("dist", "node")

@@ -61,3 +61,20 @@ def test_pagerank_nano_mass_and_determinism(spark):
     r = {x.node: x.rank_nano for x in pagerank_nano(edges, nodes, iters=2).collect()}
     assert r[0] > r[1] and len({r[i] for i in range(1, 5)}) == 1
     assert sum(r.values()) <= 1_000_000_000
+
+
+def test_bfs_distances_shortest_and_bounded(spark):
+    """Hand-built graph with a shorter and a longer path to the same node:
+    BFS must record the SHORTER distance, stop at max_depth, and never
+    relabel a visited node."""
+    from steampipe_sqlite_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 5), (5, 6)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, seeds, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2, 5: 3}
+    # node 6 is 4 hops away — beyond max_depth, absent
+    assert 6 not in got

@@ -355,3 +355,62 @@ SELECT {g_sel}ROUND(
 FROM agg
 {g_order}
 """
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+
+def cms_positions_sql(col_sql: str, width: int, depth: int) -> list[str]:
+    """Row positions from disjoint md5 hex slices (same device as
+    _bloom_pos_sql: slice j of 8 hex chars → 32-bit int → mod width);
+    depth ≤ 4 rows fit in one md5."""
+    if depth > 4:
+        raise ValueError(f"depth={depth} needs {depth * 8} hex chars; md5 has 32")
+    return [
+        f"pmod(cast(conv(substring(md5(cast({col_sql} as string)), {1 + 8 * j}, 8), 16, 10) as bigint), {width})"
+        for j in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 64, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public
+    construction) as a (row, pos, c) relation — depth×width cells.
+
+    Mergeable by construction: union two sketches and SUM per (row, pos)
+    — the property that lets per-partition/per-batch sketches fold into
+    corpus totals without reprocessing (pinned by test).  Point estimates
+    OVERCOUNT only (min over rows ≥ true count, never under)."""
+    pos = cms_positions_sql(col, width, depth)
+    stacked = ", ".join(f"{j}, {p}" for j, p in enumerate(pos))
+    return (
+        df.selectExpr(f"stack({depth}, {stacked}) AS (row, pos)")
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two CMS relations: union + per-cell SUM."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "pos")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
+                 width: int = 64, depth: int = 4) -> DataFrame:
+    """Point estimates for ``probes[col]``: min over rows of the cell each
+    row hashes the probe to.  Returns (value, est)."""
+    pos = cms_positions_sql(col, width, depth)
+    stacked = ", ".join(f"{j}, {p}" for j, p in enumerate(pos))
+    probe_cells = probes.selectExpr(
+        f"{col} AS value", f"stack({depth}, {stacked}) AS (row, pos)"
+    )
+    return (
+        probe_cells.join(sketch, ["row", "pos"])
+        .groupBy("value")
+        .agg(F.min("c").cast("long").alias("est"))
+    )

@@ -3300,3 +3300,114 @@ def graph_bfs_distances_q(spark, sf_dir):
     )
     seeds = nodes.where("node < 5")
     return bfs_distances(edges, seeds, max_depth=3).orderBy("dist", "node")
+
+
+sql_query(
+    "sketch_topk_tokens_by_lang",
+    f"""
+WITH counts AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, explode(split({_SP_NORM}, ' ')) AS tok FROM documents) t
+  GROUP BY lang, tok
+)
+SELECT lang, tok, c, rnk FROM (
+  SELECT lang, tok, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+  FROM counts
+) r
+WHERE rnk <= 5
+ORDER BY lang, rnk
+""",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split({_DD_NORM}, ' ')) AS tok FROM documents) t
+  GROUP BY lang, tok
+)
+SELECT lang, tok, c, rnk FROM (
+  SELECT lang, tok, c,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+  FROM counts
+) r
+WHERE rnk <= 5
+ORDER BY lang, rnk
+""",
+    present_sort=["lang", "rnk"],
+)
+# ^ Per-language top-5 tokens: the per-(lang, tok) count aggregate folds
+# map-side; the rank window partitions by lang over the DISTINCT
+# vocabulary (sub-linear in corpus rows by Heaps' law), so no per-lang
+# single-reducer funnel of raw tokens; bounded 5-rows-per-lang final.
+
+
+def _dd_cms_oracle(width: int = 64, depth: int = 4) -> str:
+    """DuckDB replay of the CMS build + probe estimates + exact counts:
+    same disjoint-md5-slice row hashes, same min-over-rows estimate."""
+    probes = "('join'), ('hash'), ('vector'), ('data'), ('scan')"
+
+    def pos(v: str, j: int) -> str:
+        return (
+            f"CAST('0x' || substring(md5({v}), {1 + 8 * j}, 8) AS BIGINT) % {width}"
+        )
+
+    rows_build = " UNION ALL ".join(
+        f"SELECT {j} AS row, {pos('tok', j)} AS pos, tok FROM toks" for j in range(depth)
+    )
+    rows_probe = " UNION ALL ".join(
+        f"SELECT value, {j} AS row, {pos('value', j)} AS pos FROM probes"
+        for j in range(depth)
+    )
+    return f"""
+WITH toks AS (SELECT unnest(string_split({_DD_NORM}, ' ')) AS tok FROM documents),
+cells AS (
+  SELECT row, pos, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({rows_build}) h GROUP BY row, pos
+),
+probes AS (SELECT * FROM (VALUES {probes}) t(value)),
+pcells AS ({rows_probe}),
+est AS (
+  SELECT p.value, CAST(MIN(c.c) AS BIGINT) AS est
+  FROM pcells p JOIN cells c ON p.row = c.row AND p.pos = c.pos
+  GROUP BY p.value
+),
+exact AS (
+  SELECT tok AS value, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM toks WHERE tok IN ('join', 'hash', 'vector', 'data', 'scan')
+  GROUP BY tok
+)
+SELECT e.value AS tok, e.est, x.exact_n, e.est >= x.exact_n AS sound
+FROM est e JOIN exact x ON e.value = x.value
+ORDER BY tok
+"""
+
+
+@query("sketch_cms_token_counts", oracle=_dd_cms_oracle())
+def sketch_cms_token_counts_q(spark, sf_dir):
+    """Count-Min sketch (4×64 cells, disjoint-md5-slice row hashes) over
+    the corpus token stream, probed for 5 known tokens — emits estimate,
+    exact count, and the soundness bit (CMS never undercounts).  The
+    sketch is a (row, pos, c) relation mergeable by per-cell SUM (the
+    batch-fold property, pinned by test); the oracle replays build,
+    probe, and min-over-rows estimate."""
+    from steampipe_sqlite_spark.functions.sketches import cms_build, cms_estimate
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        f"explode(split({_NORM_SQL.format(c='text')}, ' ')) AS tok"
+    )
+    sketch = cms_build(toks, "tok", width=64, depth=4)
+    probes = spark.createDataFrame(
+        [("join",), ("hash",), ("vector",), ("data",), ("scan",)], "value string"
+    )
+    est = cms_estimate(sketch, probes, "value", width=64, depth=4)
+    exact = (
+        toks.where("tok IN ('join', 'hash', 'vector', 'data', 'scan')")
+        .groupBy(F.col("tok"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    return (
+        est.join(exact, est.value == exact.tok)
+        .selectExpr("tok", "est", "exact_n", "est >= exact_n AS sound")
+        .orderBy("tok")
+    )

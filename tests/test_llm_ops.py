@@ -766,3 +766,41 @@ def test_ppjoin_prefix_shrinks_candidates_losslessly(spark):
     assert prefix_cands * 5 < brute_cands, (prefix_cands, brute_cands)
     # losslessness floor: candidates cover every surviving pair
     assert len(got) <= prefix_cands
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_any_token(self, spark):
+        from steampipe_sqlite_spark.functions.sketches import cms_build, cms_estimate
+        from steampipe_sqlite_spark.functions.text import _NORM_SQL
+        from steampipe_sqlite_spark.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        toks = docs.selectExpr(
+            f"explode(split({_NORM_SQL.format(c='text')}, ' ')) AS tok"
+        )
+        sketch = cms_build(toks, "tok")
+        exact = toks.groupBy("tok").count()
+        est = cms_estimate(sketch, exact.select(F.col("tok").alias("value")), "value")
+        joined = est.join(exact, est.value == exact.tok).selectExpr(
+            "value", "est", "count AS exact_n"
+        )
+        bad = joined.where("est < exact_n").count()
+        assert bad == 0, "CMS undercounted — impossible by construction"
+
+    def test_merged_halves_equal_whole(self, spark):
+        """The mergeability contract: sketch(A) + sketch(B) folded per
+        cell equals sketch(A ∪ B) exactly — counts are linear."""
+        from steampipe_sqlite_spark.functions.sketches import cms_build, cms_merge
+        from steampipe_sqlite_spark.functions.text import _NORM_SQL
+        from steampipe_sqlite_spark.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        toks = lambda d: d.selectExpr(  # noqa: E731
+            f"explode(split({_NORM_SQL.format(c='text')}, ' ')) AS tok"
+        )
+        whole = cms_build(toks(docs), "tok")
+        merged = cms_merge(
+            cms_build(toks(docs.where("doc_id % 2 = 0")), "tok"),
+            cms_build(toks(docs.where("doc_id % 2 = 1")), "tok"),
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))

@@ -3411,3 +3411,34 @@ def sketch_cms_token_counts_q(spark, sf_dir):
         .selectExpr("tok", "est", "exact_n", "est >= exact_n AS sound")
         .orderBy("tok")
     )
+
+
+sql_query(
+    "dataset_snapshot_diff",
+    """
+WITH snap_a AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 0
+),
+snap_b AS (
+  SELECT doc_id, lang,
+         n_chars + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_chars
+  FROM documents WHERE doc_id % 10 <> 1
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'deleted'
+            WHEN a.n_chars <> b.n_chars OR a.lang <> b.lang THEN 'modified'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                 AND a.n_chars <> b.n_chars THEN 'n_chars' END AS changed_col
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+ORDER BY doc_id
+""",
+)
+# ^ Snapshot row diff (change-data-feed between two table versions, the
+# Delta/Iceberg table_changes analog): one FULL OUTER join on the key
+# classifies every row added / deleted / modified / unchanged and names
+# the changed column.  The parity-derived synthetic snapshots exercise
+# all four branches; at scale the join is key-partitioned (one shuffle
+# per side, or zero with bucketed snapshots — operators/scale
+# write_bucketed).  Identical text both engines.

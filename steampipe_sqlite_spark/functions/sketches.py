@@ -414,3 +414,68 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
         .groupBy("value")
         .agg(F.min("c").cast("long").alias("est"))
     )
+
+
+# --- KMV (k-minimum values) signatures -------------------------------------
+
+
+def kmv_signatures(
+    df: DataFrame, col: str, group_col: str, k: int = 128
+) -> DataFrame:
+    """KMV sketch per group (Bar-Yossef et al. 2002 / Beyer et al. 2007,
+    public construction): the k smallest DISTINCT 60-bit md5 hashes of the
+    group's elements.  Returns (group, h) — ≤ k rows per group.
+
+    Unlike HLL registers, KMV signatures support SET-OPERATION estimates:
+    the k smallest of sig(A) ∪ sig(B) is exactly kmv(A ∪ B), and the
+    fraction of those present in BOTH signatures estimates Jaccard —
+    integer arithmetic end to end, so estimates replay bit-exactly in any
+    engine."""
+    h = f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10) as bigint)"
+    return (
+        df.selectExpr(f"{group_col} AS grp", f"{h} AS h")
+        .distinct()
+        .selectExpr(
+            "grp", "h",
+            "row_number() OVER (PARTITION BY grp ORDER BY h) AS r",
+        )
+        .where(f"r <= {int(k)}")
+        .select("grp", "h")
+    )
+
+
+def kmv_pairwise_jaccard(sig: DataFrame, k: int = 128) -> DataFrame:
+    """Pairwise Jaccard estimates between all groups of a KMV signature
+    relation: per (ga, gb) take the k smallest distinct hashes of the
+    UNION of the two signatures (= kmv(A ∪ B)) and count how many appear
+    in BOTH — the estimate is n_both/k, emitted as integers.
+    Work is |groups|² × k — signature-sized, never data-sized."""
+    a = sig.selectExpr("grp AS ga", "h")
+    b = sig.selectExpr("grp AS gb", "h AS hb")
+    paired = (
+        a.join(b.select("gb").distinct(), F.expr("ga < gb"))
+        .select("ga", "gb", "h")
+        .unionByName(
+            b.join(a.select("ga").distinct(), F.expr("ga < gb"))
+            .select("ga", "gb", F.col("hb").alias("h"))
+        )
+        .distinct()
+        .selectExpr(
+            "ga", "gb", "h",
+            "row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS r",
+        )
+        .where(f"r <= {int(k)}")
+    )
+    in_a = a.selectExpr("ga", "h", "1 AS fa")
+    in_b = sig.selectExpr("grp AS gb", "h", "1 AS fb")
+    return (
+        paired.join(in_a, ["ga", "h"], "left")
+        .join(in_b, ["gb", "h"], "left")
+        .groupBy("ga", "gb")
+        .agg(
+            F.sum(F.expr("CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_both"),
+            F.count(F.lit(1)).cast("long").alias("n_used"),
+        )
+    )

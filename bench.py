@@ -45,6 +45,9 @@ HEADLINE = [
     "mm_image_decode",
     "join_asof_events",
     "curation_pipeline",
+    # round 5: exact set-similarity join (prefix-filtered; 1.81x its
+    # brute-force DuckDB oracle at sf0.1 when added)
+    "dedup_ppjoin_exact",
 ]
 
 # best-of-5: machine contention on this box (see the noise sentinel and

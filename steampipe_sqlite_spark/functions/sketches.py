@@ -403,16 +403,22 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str,
                  width: int = 64, depth: int = 4) -> DataFrame:
     """Point estimates for ``probes[col]``: min over rows of the cell each
-    row hashes the probe to.  Returns (value, est)."""
+    row hashes the probe to.  Returns (value, est).
+
+    LEFT join, not inner (ADVICE r5): the sparse sketch relation omits
+    zero-count cells, so a probe hashing to an absent cell must read it
+    as 0 — coalesce(c, 0) keeps that zero-count evidence, tightening the
+    min, and a value absent from every cell correctly returns est=0
+    instead of vanishing from the output."""
     pos = cms_positions_sql(col, width, depth)
     stacked = ", ".join(f"{j}, {p}" for j, p in enumerate(pos))
     probe_cells = probes.selectExpr(
         f"{col} AS value", f"stack({depth}, {stacked}) AS (row, pos)"
     )
     return (
-        probe_cells.join(sketch, ["row", "pos"])
+        probe_cells.join(sketch, ["row", "pos"], "left")
         .groupBy("value")
-        .agg(F.min("c").cast("long").alias("est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
     )
 
 

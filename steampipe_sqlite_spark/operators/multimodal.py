@@ -278,19 +278,56 @@ PHASH_SCHEMA = T.StructType(
 )
 
 
+def _phash_dct_q13() -> tuple:
+    """Q13 fixed-point DCT-II orthonormal basis: round(c_u * cos(pi *
+    (2j+1) * u / 16) * 2^13) with c_0 = sqrt(1/8), c_u = sqrt(2/8).
+
+    Integer weights make the whole pHash pipeline exact integer
+    arithmetic, so the SAME 64 constants rendered into a SQL VALUES list
+    reproduce the hash bit-for-bit in any engine (the mm_image_phash
+    oracle) — no float summation-order or libm-ulp divergence possible.
+    Computed once at import; both the numpy path and the oracle SQL read
+    THIS tuple, never recompute the cosines."""
+    import math
+
+    n, scale = 8, 1 << 13
+    return tuple(
+        tuple(
+            round(
+                (math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n))
+                * math.cos(math.pi * (2 * j + 1) * u / (2 * n))
+                * scale
+            )
+            for j in range(n)
+        )
+        for u in range(n)
+    )
+
+
+PHASH_DCT_Q13 = _phash_dct_q13()
+
+
 def image_phash(media: DataFrame) -> DataFrame:
     """64-bit perceptual hash (pHash) per image: decode → 8×8 luminance
-    plane → 2-D DCT-II → sign-of-(coefficient − median) bits, packed into
-    one long.  (Public construction: the standard DCT pHash used by
-    pHash.org/imagehash; robust to small pixel perturbations because the
-    low-frequency DCT coefficients move smoothly.)
+    plane → 2-D DCT-II (Q13 fixed-point, see PHASH_DCT_Q13) →
+    sign-of-(coefficient − median) bits, packed into one long.  (Public
+    construction: the standard DCT pHash used by pHash.org/imagehash;
+    robust to small pixel perturbations because the low-frequency DCT
+    coefficients move smoothly.  Fixed-point DCT weights are standard
+    practice too — JPEG integer DCTs — and here they additionally make
+    the hash bit-reproducible across engines, which is what lets the
+    driver value-check it against a pure-SQL oracle.)
+
+    The median test is kept integer-exact as well: with 64 coefficients
+    np.median is (s[31]+s[32])/2, so ``bit = coef > median`` is computed
+    as ``2*coef > s[31]+s[32]`` — no float division anywhere.
 
     Plumbing is the real thing — Arrow batch in, per-row byte parse, numpy
-    DCT, typed long out, map-only — with the container-stub caveat: the
-    "luminance plane" is tiled from the payload's 8 sample bytes (a real
-    decoder would hand the full pixel plane to the SAME code path).
-    Like every fingerprint here the hash is deterministic, so dedup over
-    it is exactly-reproducible.
+    integer DCT, typed long out, map-only — with the container-stub
+    caveat: the "luminance plane" is tiled from the payload's 8 sample
+    bytes (a real decoder would hand the full pixel plane to the SAME
+    code path).  Like every fingerprint here the hash is deterministic,
+    so dedup over it is exactly-reproducible.
     """
     import numpy as np
 
@@ -298,11 +335,8 @@ def image_phash(media: DataFrame) -> DataFrame:
 
     media = coalesce_for_python(media)
 
-    # DCT-II orthonormal basis, computed once per worker closure
     n = 8
-    k = np.arange(n)
-    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
-    basis[0, :] /= np.sqrt(2.0)
+    basis = np.array(PHASH_DCT_Q13, dtype=np.int64)
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -311,16 +345,18 @@ def image_phash(media: DataFrame) -> DataFrame:
                 b = bytes(payload)
                 if b[:4] != IMG_MAGIC or len(b) < 21:  # malformed: skip, don't crash the task
                     continue
-                px = np.frombuffer(b[13:21], dtype=np.uint8).astype(np.float64)
+                px = np.frombuffer(b[13:21], dtype=np.uint8).astype(np.int64)
                 # deterministic 8×8 plane from the sample vector (tiled
                 # with a row-dependent phase so the plane is 2-D, not rank-1)
                 plane = np.stack([np.roll(px, i) for i in range(n)])
+                # |coef| <= 4096*255*4096*64 ≈ 2.7e11 — safely int64
                 coef = basis @ plane @ basis.T
                 flat = coef.ravel()
-                bits = flat > np.median(flat)
+                srt = np.sort(flat)
+                m2 = int(srt[31]) + int(srt[32])  # 2 * median, exact
                 h = np.uint64(0)
-                for i, bit in enumerate(bits):
-                    if bit:
+                for i, c in enumerate(flat):
+                    if 2 * int(c) > m2:
                         h |= np.uint64(1) << np.uint64(i)
                 rows.append((doc_id, int(h.astype(np.int64))))
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])

@@ -558,27 +558,27 @@ def ivf_query_index(
 
 
 def _pq_subvectors(
-    df: DataFrame, vec_col: str, id_col: str, m: int, d_sub: int,
-    extra: str | None = None,
+    df: DataFrame, vec_col: str, id_col: str, m: int, d_sub: int
 ) -> DataFrame:
     """Explode each vector into its m contiguous d_sub-wide subvectors:
-    (id[, extra], m, sv, svv).  Single-sourced — train, encode, LUT, and
-    append all split the SAME way (a drifted copy here is exactly the
-    labeling-desync class the round-5 index bugs came from)."""
-    cols = [f"{id_col} AS id"] + ([extra] if extra else [])
-    out_cols = ["id"] + ([extra.split(" AS ")[-1] if extra and " AS " in extra else extra] if extra else [])
+    (id, m, sv, svv).  Single-sourced — train, encode, LUT, and append
+    all split the SAME way (a drifted copy here is exactly the
+    labeling-desync class the round-5 index bugs came from).  The unused
+    ``extra`` passthrough column and its fragile ' AS '-split alias
+    parsing were dropped (ADVICE r5) — all four callers split on id
+    alone and join any extra columns back by id."""
     return (
         df.selectExpr(
-            *cols,
+            f"{id_col} AS id",
             f"transform({vec_col}, x -> cast(x as double)) AS v",
         )
         .selectExpr(
-            *out_cols,
+            "id",
             f"explode(transform(sequence(0, {m - 1}),"
             f" j -> struct(j AS m, slice(v, j * {d_sub} + 1, {d_sub}) AS sv))) AS s",
         )
-        .selectExpr(*out_cols, "s.m AS m", "s.sv AS sv")
-        .selectExpr(*out_cols, "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
+        .selectExpr("id", "s.m AS m", "s.sv AS sv")
+        .selectExpr("id", "m", "sv", f"{dot_sql('sv', 'sv')} AS svv")
     )
 
 
@@ -1052,6 +1052,7 @@ def ivfpq_query_index(
 
 def ivfpq_append_batch(
     corpus_batch: DataFrame, vec_col: str, id_col: str, path: str,
+    if_exists: str = "error",
 ) -> None:
     """Incrementally add a batch of vectors to a persisted IVF-PQ index
     WITHOUT retraining: the saved centroids and codebooks are the frozen
@@ -1059,10 +1060,21 @@ def ivfpq_append_batch(
     existing cell), the new rows are assigned + encoded against them and
     appended to the hive cell partitions.
 
+    Ids must be unique across the index (duplicates would surface twice
+    in every shortlist).  The guard is enforced, not documented away
+    (ADVICE r5): ``if_exists='error'`` (default) raises on any overlap
+    with ids already in the index; ``'skip'`` anti-joins them out so a
+    re-run of the same batch is idempotent.  The check reads ONLY the
+    hive cell partitions the batch lands in (partition-pruned id scan),
+    never the whole index — so its cost tracks the batch, not the
+    corpus.
+
     Scale shape: identical to the build's encode pass but over the batch
     only — one broadcast of the frozen quantizers, no touch of existing
     index files (parquet append creates new files inside the matching
     cell directories)."""
+    if if_exists not in ("error", "skip"):
+        raise ValueError(f"if_exists must be 'error' or 'skip', got {if_exists!r}")
     spark = corpus_batch.sparkSession
     cent_rows = sorted(
         spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.id
@@ -1083,9 +1095,31 @@ def ivfpq_append_batch(
             ).alias("codes")
         )
     )
-    _assign_cells_gemm(c, cent_rows).join(codes, "id").select(
+    rows = _assign_cells_gemm(c, cent_rows).join(codes, "id").select(
         "id", "codes", "nrm", "v", "cell"
-    ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+    )
+    # Overlap guard: prune the existing index to the batch's target cells
+    # (metadata-sized centroid count, so the IN-list is bounded), then
+    # broadcast-join on id.  Deterministic assignment means a duplicate id
+    # lands in the SAME cell it already occupies — pruning loses nothing.
+    target_cells = [r.cell for r in rows.select("cell").distinct().collect()]
+    existing = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell").isin(target_cells))
+        .select("id")
+    )
+    if if_exists == "error":
+        # the incremental batch is the small side — broadcast ITS ids at
+        # the pruned index scan, never the other way around
+        dup = existing.join(F.broadcast(rows.select("id")), "id").first()
+        if dup is not None:
+            raise ValueError(
+                f"ivfpq_append_batch: id {dup.id!r} already present in the "
+                f"index at {path} (pass if_exists='skip' for idempotent re-runs)"
+            )
+    else:
+        rows = rows.join(existing, "id", "left_anti")
+    rows.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
 def random_projection(

@@ -3366,8 +3366,11 @@ cells AS (
 probes AS (SELECT * FROM (VALUES {probes}) t(value)),
 pcells AS ({rows_probe}),
 est AS (
-  SELECT p.value, CAST(MIN(c.c) AS BIGINT) AS est
-  FROM pcells p JOIN cells c ON p.row = c.row AND p.pos = c.pos
+  -- LEFT join + COALESCE 0: zero-count cells are absent from the sparse
+  -- sketch relation but still tighten the min (ADVICE r5 fix, mirrored
+  -- in sketches.cms_estimate)
+  SELECT p.value, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+  FROM pcells p LEFT JOIN cells c ON p.row = c.row AND p.pos = c.pos
   GROUP BY p.value
 ),
 exact AS (

@@ -146,12 +146,76 @@ def mm_media_inventory(spark, sf_dir):
     )
 
 
-@query("mm_image_phash_neardup", oracle=None)
+def _phash_oracle_sql() -> str:
+    """Full-value oracle for the pHash near-dup pairs: the Q13 integer DCT
+    makes the hash exact integer arithmetic, so DuckDB can replay it from
+    the same 64 basis constants (rendered as a VALUES list from the SAME
+    Python tuple the numpy path reads — never recomputed) and then run
+    the identical band-LSH + hamming pair stage.  np.roll(px, i) means
+    plane[i][(j+i)%8] = px[j]; the median test is 2*c > s32+s33; bit 63
+    lands on the int64 sign, emitted as the min-int literal."""
+    from steampipe_sqlite_spark.operators.multimodal import PHASH_DCT_Q13
+
+    basis_rows = ", ".join(
+        f"({u}, {j}, {w})"
+        for u, row in enumerate(PHASH_DCT_Q13)
+        for j, w in enumerate(row)
+    )
+    return f"""
+WITH basis(u, j, w) AS (VALUES {basis_rows}),
+px AS (
+  SELECT doc_id, j, CAST((doc_id * 7 + j * 13) % 256 AS BIGINT) AS v
+  FROM documents, generate_series(0, 7) t(j)
+  WHERE doc_id % 3 = 0),
+plane AS (
+  SELECT p.doc_id, s.i AS i, (p.j + s.i) % 8 AS j, p.v
+  FROM px p, generate_series(0, 7) s(i)),
+coef AS (
+  SELECT pl.doc_id, bu.u AS u, bv.u AS v,
+         CAST(SUM(bu.w * pl.v * bv.w) AS BIGINT) AS c
+  FROM plane pl
+  JOIN basis bu ON bu.j = pl.i
+  JOIN basis bv ON bv.j = pl.j
+  GROUP BY pl.doc_id, bu.u, bv.u),
+ranked AS (
+  SELECT doc_id, u, v, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c) AS rn
+  FROM coef),
+med AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN rn IN (32, 33) THEN c END) AS BIGINT) AS m2
+  FROM ranked GROUP BY doc_id),
+hsh AS (
+  SELECT r.doc_id,
+         CAST(SUM(CASE WHEN 2 * r.c > m.m2 THEN
+              CASE WHEN r.u * 8 + r.v = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << (r.u * 8 + r.v)) END
+              ELSE 0 END) AS BIGINT) AS phash
+  FROM ranked r JOIN med m USING (doc_id)
+  GROUP BY r.doc_id),
+bands AS (
+  SELECT doc_id, phash, band, (phash >> (16 * band)) & 65535 AS band_val
+  FROM hsh, generate_series(0, 3) t(band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.phash AS ha, b.phash AS hb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+@query("mm_image_phash_neardup", oracle=_phash_oracle_sql())
 def mm_image_phash_neardup(spark, sf_dir):
     """Image near-duplicate pairs via 64-bit DCT pHash + 4×16-bit banded
-    LSH (hamming ≤ 6).  Non-SQL-expressible (DCT + median threshold) —
-    rows-only driver check; determinism, band recall, and perturbation
-    behavior are pinned in tests/test_multimodal.py."""
+    LSH (hamming ≤ 6).  Full-value oracle since round 6: the Q13
+    fixed-point DCT (operators/multimodal.py PHASH_DCT_Q13) is exact
+    integer arithmetic, replayed in DuckDB from the same constants —
+    determinism, band recall, and perturbation behavior additionally
+    pinned in tests/test_multimodal.py."""
     from steampipe_sqlite_spark.operators.multimodal import image_phash_pairs
 
     return image_phash_pairs(_media(spark, sf_dir), max_hamming=6).orderBy(

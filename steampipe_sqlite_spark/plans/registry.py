@@ -222,43 +222,41 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # never re-verified since) so green status stays fresh across fixture
 # changes.  Queries added in round 5 register behind the window and roll
 # into the round-6 rotation.
-# ROUND-6 ROTATION (do after CORRECTNESS_r05 lands): put the 20 round-5
-# additions first (text_keyword_tag, dedup_containment_ngram,
-# contamination_source_matrix, dataset_epochs_schedule, search_hybrid_rrf,
-# agg_corr_covar_moments, knn_cosine_pq, streaming_static_enrich,
-# join_lateral_topn, quality_constraints_audit, dataset_drift_tvd,
-# search_mmr_diversified, mm_video_scene_cuts, mm_audio_silence_runs,
-# streaming_session_5m, compat_quote_char, win_range_interval,
-# group_by_all, text_oov_rate, emb_random_projection — all
-# selfcheck-green at sf0.01 AND sf0.1 in round 5) plus any r5 reds, then
-# backfill with the next-oldest driver-green names (r1 remainder:
-# mm_image_decode, mm_image_resize, mm_video_frame_sample,
-# mm_audio_stats, dataset_mixing_weights, text_bigram_surprisal, then
-# the r2 window).
+# ROUND-6 WINDOW (VERDICT r5 #1/#4/#6): the 26 round-5 additions — the
+# only corpus names with no driver row ever (all selfcheck-green at
+# sf0.01 AND sf0.1, rounds 5 and 6) — then mm_image_phash_neardup, whose
+# rows-only r5 row is upgraded this round to a full value oracle (the
+# DCT now runs in Q13 fixed-point integer arithmetic, replayed in
+# DuckDB from the same 64 constants — VERDICT r5 #4), then 23 backfill
+# slots re-verifying the next-oldest driver-green names (the 6 r1
+# leftovers + 17 r2-window names untouched since round 2 — the engine
+# load path changed twice since; VERDICT r5 #6).  Queries added in
+# round 6 register behind the window and roll into the round-7 rotation.
 _WINDOW_PRIORITY = [
-    # r4 reds, fixed (oracle dtype artifacts — VERDICT r4 What's-wrong #1/#2)
-    "window_sliding_1h_30m", "streaming_sliding_30m", "json_build_and_length",
-    # deferred pytest-double-covered names (r4 plan)
-    "tpch_q1_dataframe", "distinct_pairs", "compat_scalar_misc",
-    # round-4 additions, never driver-verified (all selfcheck-green r4+r5)
-    "sketch_topk_tokens", "text_chunk_sliding", "ts_gapfill_locf",
-    "sample_weighted_md5", "dedup_cdc_chunks", "knn_cosine_blas",
-    "cdc_latest_state", "cdc_scd2_intervals", "schema_evolution_union",
-    "streaming_cdc_latest", "ts_ewma_smooth", "pack_context_windows",
-    "mm_image_phash_neardup", "funnel_view_click_purchase",
-    "cohort_retention_daily", "session_stats_rollup",
-    "dedup_exact_substrings", "search_bm25_topk", "knn_cosine_filtered",
-    "search_inverted_index", "curation_keep_list",
-    "dataset_split_leakage_safe", "dataset_temperature_weights",
-    "ts_ohlc_hourly", "ts_twap_hourly", "graph_pagerank",
-    "streaming_trending_types", "ts_count_anomaly", "win_first_nth_value",
-    # oldest r1 greens, re-verified (r1 window, untouched since round 1)
-    "compat_glob_filter", "compat_strftime_month_rollup",
-    "compat_date_functions", "text_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "dedup_ngram_jaccard",
-    "knn_cosine_bruteforce", "emb_neardup_cosine", "emb_centroid_per_label",
-    "knn_cosine_ivf", "text_tfidf_top_terms", "sketch_hll_doc_texts",
-    "sample_stratified_md5",
+    # round-5 additions, never driver-verified (selfcheck-green r5+r6)
+    "join_lateral_topn", "win_range_interval", "group_by_all",
+    "text_keyword_tag", "dedup_containment_ngram",
+    "contamination_source_matrix", "dataset_epochs_schedule",
+    "search_hybrid_rrf", "knn_cosine_pq", "quality_constraints_audit",
+    "dataset_drift_tvd", "search_mmr_diversified", "text_oov_rate",
+    "emb_random_projection", "dedup_ppjoin_exact", "graph_bfs_distances",
+    "sketch_topk_tokens_by_lang", "sketch_cms_token_counts",
+    "dataset_snapshot_diff", "sketch_kmv_source_jaccard",
+    "mm_video_scene_cuts", "mm_audio_silence_runs",
+    "streaming_static_enrich", "streaming_session_5m",
+    "compat_quote_char", "agg_corr_covar_moments",
+    # rows-only r5 row upgraded to a full value oracle this round
+    "mm_image_phash_neardup",
+    # r1 leftovers, last verified round 1
+    "dataset_mixing_weights", "text_bigram_surprisal", "mm_image_decode",
+    "mm_image_resize", "mm_video_frame_sample", "mm_audio_stats",
+    # oldest r2 greens, last verified round 2
+    "str_basics", "str_search", "str_concat_format", "str_regexp",
+    "date_arithmetic", "math_basics", "math_transcendental",
+    "cond_case_coalesce", "cast_try_cast", "tvf_sequence_explode",
+    "str_hex_char_translate", "scalar_greatest_least",
+    "json_group_object", "agg_percentiles_median", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash",
 ]
 
 

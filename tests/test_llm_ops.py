@@ -680,6 +680,33 @@ class TestIvfPqIndexPersistence:
         bf = brute_force_topk(emb, queries, "embedding", "vec_id", k=5).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, bf))
 
+    def test_append_duplicate_ids_guarded(self, spark, tmp_path_factory):
+        """ADVICE r5: re-appending rows whose ids are already in the index
+        must fail loudly by default (duplicates would surface twice in
+        every shortlist) and be a no-op under if_exists='skip' — the
+        idempotent re-run contract."""
+        import pytest
+
+        from steampipe_sqlite_spark.operators.similarity import (
+            ivfpq_append_batch,
+            ivfpq_build_index,
+        )
+        from steampipe_sqlite_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        first = emb.filter("vec_id % 2 = 0")
+        second = emb.filter("vec_id % 2 = 1")
+        path = str(tmp_path_factory.mktemp("ivfpq_dup")) + "/idx"
+        ivfpq_build_index(first, "embedding", "vec_id", path, n_cells=4)
+        ivfpq_append_batch(second, "embedding", "vec_id", path)
+        with pytest.raises(ValueError, match="already present"):
+            ivfpq_append_batch(second, "embedding", "vec_id", path)
+        before = spark.read.parquet(f"{path}/cells").count()
+        ivfpq_append_batch(second, "embedding", "vec_id", path, if_exists="skip")
+        after = spark.read.parquet(f"{path}/cells").count()
+        assert after == before, "skip re-run must not duplicate rows"
+        assert after == emb.count()
+
     def test_single_candidate_pool_still_emits_step1(self, spark):
         """A 2-vector corpus leaves each query exactly ONE candidate and
         zero candidate pairs — the step-1 pick must still be emitted
@@ -768,6 +795,63 @@ def test_ppjoin_prefix_shrinks_candidates_losslessly(spark):
     assert len(got) <= prefix_cands
 
 
+def test_ppjoin_hot_token_candidates_bounded(spark):
+    """Prefix-token skew guard (VERDICT r5 #5): a token shared by EVERY
+    document ("hot") must not blow up the candidate join.  Fixture: 200
+    docs = "hot" + i%20 unique fillers, so sizes span 1..20 and only the
+    ten single-token docs carry "hot" in their prefix (fillers are rarer,
+    so they fill every longer doc's prefix); the length filter then kills
+    any 1-vs-n pair at t=0.7.  Candidates collapse to C(10,2)=45 — all
+    TRUE matches (identical {hot} sets) — versus 19900 all-pairs through
+    the hot key."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.dedup import ppjoin_pairs
+
+    rows = [
+        (i, "hot " + " ".join(f"f{i}x{j}" for j in range(i % 20)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ppjoin_pairs(docs, "text", "doc_id", threshold_pct=70).collect()
+    singles = sorted(i for i in range(200) if i % 20 == 0)
+    expected = {
+        (a, b) for ai, a in enumerate(singles) for b in singles[ai + 1:]
+    }
+    assert {(r.id_a, r.id_b) for r in got} == expected
+    assert len(got) == 45
+    # candidate bound: replicate the operator's prefix-candidate stage and
+    # pin that the hot key contributes only the 10 single-token docs
+    norm_toks = docs.selectExpr(
+        "doc_id AS id", "explode(array_distinct(split(text, ' '))) AS tok"
+    ).where("tok <> ''")
+    sizes = norm_toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = norm_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        norm_toks.join(freq, "tok")
+        .selectExpr(
+            "id", "tok",
+            "row_number() OVER (PARTITION BY id ORDER BY df, tok) AS r",
+        )
+        .join(sizes, "id")
+        .where("r <= n - ((70 * n + 99) div 100) + 1")
+    )
+    ra, rb = ranked.alias("ra"), ranked.alias("rb")
+    cands = (
+        ra.join(
+            rb,
+            (F.col("ra.tok") == F.col("rb.tok"))
+            & (F.col("ra.id") < F.col("rb.id"))
+            & (F.lit(100) * F.least("ra.n", "rb.n")
+               >= F.lit(70) * F.greatest("ra.n", "rb.n")),
+        )
+        .selectExpr("ra.id AS ia", "rb.id AS ib")
+        .distinct()
+        .count()
+    )
+    assert cands == 45, f"hot-token skew leaked {cands} candidates (bound 45)"
+
+
 class TestCountMinSketch:
     def test_never_undercounts_any_token(self, spark):
         from steampipe_sqlite_spark.functions.sketches import cms_build, cms_estimate
@@ -786,6 +870,25 @@ class TestCountMinSketch:
         )
         bad = joined.where("est < exact_n").count()
         assert bad == 0, "CMS undercounted — impossible by construction"
+
+    def test_absent_value_estimates_zero(self, spark):
+        """ADVICE r5: a probe absent from the stream must return est=0
+        (its cells may be empty → absent from the sparse sketch relation;
+        the LEFT join + coalesce keeps that zero evidence), and a tiny
+        stream must leave enough empty cells that the min over rows
+        tightens to 0 rather than inheriting collision counts."""
+        from steampipe_sqlite_spark.functions.sketches import cms_build, cms_estimate
+
+        df = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+        sketch = cms_build(df, "tok")
+        probes = spark.createDataFrame(
+            [("a",), ("b",), ("never-seen",)], "value string"
+        )
+        got = {r.value: r.est for r in cms_estimate(sketch, probes, "value").collect()}
+        assert got["never-seen"] == 0, got
+        assert got["a"] >= 2 and got["b"] >= 1
+        # 3 probes in, 3 estimates out — nothing silently dropped
+        assert len(got) == 3
 
     def test_merged_halves_equal_whole(self, spark):
         """The mergeability contract: sketch(A) + sketch(B) folded per

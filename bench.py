@@ -180,6 +180,18 @@ def main() -> None:
     comparable = [n for n in HEADLINE if n in duck]
     eng_comp = sum(per_query[n] for n in comparable)
     duck_comp = sum(duck[n] for n in comparable)
+    # Floor-adjusted per-query ratios: the conf-sweep (BASELINE.md round
+    # 6) found the ~0.12 s 2-stage floor irreducible at the settings
+    # level (locality.wait, revive.interval, compression, arrow batch,
+    # GC all measured neutral-or-worse), so (query − floor)/duckdb is
+    # the honest plan-quality number for an in-process-engine comparison
+    # — it is what the 10×/100× scaling probes converge to as the floor
+    # amortizes.  Clamped at 0 for queries already at the floor.
+    ratio_ex_floor = {
+        n: round(max(per_query[n] - floor, 0.0) / duck[n], 2)
+        for n in comparable
+        if duck[n] > 0
+    }
     print(
         json.dumps(
             {
@@ -192,6 +204,7 @@ def main() -> None:
                 "spark_stage_floor": round(floor, 3),
                 "noise": noise,
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
+                "ratio_ex_floor_per_query": ratio_ex_floor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -192,6 +192,61 @@ def distributed_row_number(
     return out
 
 
+def distributed_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    name: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running SUM(value_col) over a total order without the
+    single-partition WindowExec — the prefix-sum sibling of
+    :func:`distributed_row_number` (same two-phase composition, same
+    lifetime contract on the persisted ranged instance, same offsets-as-
+    map-literal bound): range shuffle on the order keys, local cumsum
+    windowed by ``spark_partition_id()``, per-partition TOTALS (one long
+    per partition) prefix-summed on the driver and added as offsets.
+
+    Results equal ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    whenever ``order_cols`` is a total order.  The building block for
+    anything needing global cumulative position at 100 TB: systematic
+    weighted sampling, quantile-by-position splits, contiguous shard
+    assignment by byte budget."""
+    from pyspark.sql import Column, Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = sorted(
+        (r["_pid"], r["tot"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).cast("long").alias("tot"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in totals:
+        offsets[pid] = acc
+        acc += tot or 0
+    offset_expr = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    )[F.col("_pid")]
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        ranged.withColumn(
+            name, (F.sum(F.col(value_col)).over(w) + offset_expr).cast("long")
+        ).drop("_pid")
+    )
+    out._sgs_persisted = ranged  # owner handle — see distributed_row_number
+    return out
+
+
 def coalesce_for_python(df: DataFrame, bytes_per_task: int = 64 << 20) -> DataFrame:
     """Right-size a DataFrame's partitioning for an Arrow/Python stage.
 

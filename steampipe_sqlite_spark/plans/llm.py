@@ -3516,3 +3516,279 @@ def sketch_kmv_source_jaccard_q(spark, sf_dir):
         .selectExpr("ga AS src_a", "gb AS src_b", "n_both", "n_used")
         .orderBy("src_a", "src_b")
     )
+
+
+# --- Round-6 additions: tokenizer prep, vocabulary dynamics, ordered ------
+# --- novelty, matryoshka embeddings, systematic weighted sampling ---------
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+WITH wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split({_DD_NORM}, ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 2
+  GROUP BY tok),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, cnt
+  FROM (SELECT word, cnt,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wc)),
+tot AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM pairs GROUP BY pair)
+SELECT pair, n, CAST(rnk AS INT) AS rnk FROM (
+  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM tot) r
+WHERE rnk <= 20
+ORDER BY rnk
+""",
+)
+def bpe_merge_step_q(spark, sf_dir):
+    """One BPE merge iteration (Sennrich et al. 2016, the public
+    construction): count adjacent CHARACTER pairs across the corpus
+    vocabulary weighted by word frequency and emit the top-20 merge
+    candidates — the statistic a tokenizer-training pipeline computes
+    per merge round over the full corpus.
+
+    Scale shape: the pair stream explodes from the DISTINCT vocabulary
+    (sub-linear in corpus rows by Heaps' law), weighted by the word
+    counts aggregated map-side first — corpus tokens are touched exactly
+    once, and the expensive explode runs over types, not tokens.
+    All-integer counts ⇒ bit-exact in any engine."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _NORM_SQL.format(c="text")
+    wc = (
+        docs.selectExpr(f"explode(split({norm}, ' ')) AS tok")
+        .where("length(tok) >= 2")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pairs = wc.selectExpr(
+        "explode(transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2))) AS pair",
+        "cnt",
+    )
+    tot = pairs.groupBy("pair").agg(F.sum("cnt").cast("long").alias("n"))
+    ranked = tot.selectExpr(
+        "pair", "n",
+        "CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rnk",
+    ).where("rnk <= 20")
+    return presentation_sort(ranked, ["rnk"])
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+  FROM (
+    SELECT doc_id,
+           array_to_string(toks[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ')
+             AS tok
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i
+          FROM (SELECT doc_id, string_split({_DD_NORM}, ' ') AS toks
+                FROM documents)))
+  GROUP BY tok),
+per_bucket AS (
+  SELECT first_doc // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_seen GROUP BY 1)
+SELECT bucket, new_types,
+       CAST(SUM(new_types) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+FROM per_bucket
+ORDER BY bucket
+""",
+)
+def vocab_growth_curve_q(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law observable): distinct 2-gram
+    types first seen per 50-doc bucket plus the cumulative vocabulary
+    size — the curve a tokenizer/vocab-sizing pass reads off the corpus
+    (2-gram types, because the fixture's unigram vocabulary saturates
+    inside the first bucket — the bigram curve actually exhibits the
+    Heaps tail).
+
+    Scale shape: one groupBy(type) with map-side partial MIN over the
+    gram stream (the only full-stream shuffle), then the curve is
+    computed over BUCKET-sized data (corpus_size/50 rows) where the
+    running-sum window is trivially safe.  All integers."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _NORM_SQL.format(c="text")
+    first_seen = (
+        docs.selectExpr("doc_id", f"split({norm}, ' ') AS toks")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, greatest(size(toks) - 1, 1)),"
+            " i -> array_join(slice(toks, i, 2), ' '))) AS tok",
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").cast("long").alias("first_doc"))
+    )
+    per_bucket = (
+        first_seen.selectExpr("first_doc div 50 AS bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    curve = per_bucket.selectExpr(
+        "bucket", "new_types",
+        "CAST(SUM(new_types) OVER (ORDER BY bucket"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types",
+    )
+    return presentation_sort(curve, ["bucket"])
+
+
+@query(
+    "text_novelty_ordered",
+    oracle=f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[CAST(i AS BIGINT):CAST(i + 2 AS BIGINT)], ' ')
+           AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i
+        FROM (SELECT doc_id, string_split({_DD_NORM}, ' ') AS toks
+              FROM documents))),
+flagged AS (
+  SELECT doc_id, gram,
+         MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+  FROM grams)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def text_novelty_ordered_q(spark, sf_dir):
+    """Ordered novelty score: per document, how many of its distinct
+    3-gram shingles were never seen in any EARLIER document (doc order =
+    ingest order) — the streaming-curation statistic that separates
+    fresh content from recombinations of what the corpus already holds
+    (the ordered complement of pairwise containment dedup).
+
+    Scale shape: distinct grams per doc (map-side), ONE shuffle on gram
+    for the min-doc window, one aggregate back on doc_id — never a
+    doc×doc join; integer counts only (callers derive the fraction)."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _NORM_SQL.format(c="text")
+    grams = (
+        docs.selectExpr("doc_id", f"split({norm}, ' ') AS toks")
+        .selectExpr(
+            "doc_id",
+            "explode(array_distinct(transform("
+            "sequence(1, greatest(size(toks) - 2, 1)),"
+            " i -> array_join(slice(toks, i, 3), ' ')))) AS gram",
+        )
+    )
+    flagged = grams.selectExpr(
+        "doc_id", "MIN(doc_id) OVER (PARTITION BY gram) AS first_doc"
+    )
+    out = (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.expr("CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return presentation_sort(out, ["doc_id"])
+
+
+@query(
+    "emb_matryoshka_fidelity",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT UNNEST([8, 16, 32]) AS dim)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       ROUND(SQRT(list_inner_product(e[1:dim], e[1:dim])
+                  / list_inner_product(e, e)), 4) AS fidelity
+FROM v, d
+ORDER BY vec_id, dim
+""",
+)
+def emb_matryoshka_fidelity_q(spark, sf_dir):
+    """Matryoshka truncation fidelity (Kusupati et al. 2022 MRL, public
+    construction): per vector and truncation width d ∈ {8,16,32}, the
+    retained-norm fraction ||v[:d]||/||v|| — which IS the cosine between
+    the full vector and its truncate-and-renormalize embedding, the
+    number that decides how far a serving stack can shrink stored
+    vectors.  Map-only (no shuffle, no join): each row emits its 3
+    widths from one pass over the array; ROUND(_, 4) absorbs the
+    cross-engine fold-order ulp like every cosine oracle here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> cast(x AS DOUBLE)) AS e",
+    ).selectExpr(
+        "vec_id",
+        "e",
+        "explode(array(8, 16, 32)) AS dim",
+        "aggregate(e, 0d, (a, x) -> a + x * x) AS vv",
+    ).selectExpr(
+        "vec_id", "dim",
+        "aggregate(slice(e, 1, dim), 0d, (a, x) -> a + x * x) AS dd",
+        "vv",
+    ).selectExpr(
+        "vec_id", "CAST(dim AS INT) AS dim",
+        "ROUND(SQRT(dd / vv), 4) AS fidelity",
+    )
+    return presentation_sort(rows, ["vec_id", "dim"])
+
+
+@query(
+    "sample_systematic_weighted",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+  FROM documents),
+t AS (
+  SELECT GREATEST(CAST(SUM(n_chars) AS BIGINT) // 200, 1) AS step
+  FROM documents)
+SELECT doc_id, n_chars, cum_w
+FROM w, t
+WHERE cum_w // step > (cum_w - n_chars) // step
+ORDER BY doc_id
+""",
+)
+def sample_systematic_weighted_q(spark, sf_dir):
+    """Systematic weighted sampling: walk the corpus in doc order and
+    take a document whenever the cumulative character count crosses a
+    step boundary (step = total/200) — every selection window holds
+    ~equal data VOLUME, so long docs are proportionally likelier, with
+    zero randomness (deterministic, replayable — the sampling contract
+    the rest of the corpus uses md5 for, here achieved by position).
+
+    Scale shape: the global cumulative sum runs through
+    operators/scale.distributed_running_sum (range shuffle + local
+    cumsum + driver prefix of per-partition TOTALS — one long each),
+    never a single-partition window; the threshold test is a map-side
+    integer filter.  All integers ⇒ bit-exact."""
+    from steampipe_sqlite_spark.operators.scale import distributed_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = distributed_running_sum(docs, "n_chars", ["doc_id"], name="cum_w")
+    total = docs.agg(
+        F.greatest(
+            F.expr("CAST(SUM(n_chars) AS BIGINT) div 200"), F.lit(1)
+        ).alias("step")
+    )
+    picked = (
+        cum.crossJoin(F.broadcast(total))
+        .where("cum_w div step > (cum_w - n_chars) div step")
+        .select("doc_id", "n_chars", "cum_w")
+    )
+    return presentation_sort(picked, ["doc_id"])

@@ -225,6 +225,35 @@ class TestDistributedRowNumber:
         assert not handle.storageLevel.useMemory
 
 
+class TestDistributedRunningSum:
+    """distributed_running_sum: global prefix-sum parity WITHOUT the
+    single-partition WindowExec (same two-phase shape as row_number)."""
+
+    def test_parity_with_window_form(self, spark):
+        from steampipe_sqlite_spark.operators.scale import distributed_running_sum
+
+        df = spark.range(0, 5000).selectExpr("id", "(id * 37) % 100 + 1 AS w")
+        got = distributed_running_sum(df, "w", ["id"], name="cum", num_partitions=8)
+        expected = df.selectExpr(
+            "id",
+            "CAST(SUM(w) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+            " AS cum",
+        )
+        assert {(r.id, r.cum) for r in got.collect()} == {
+            (r.id, r.cum) for r in expected.collect()
+        }
+
+    def test_no_single_partition_window(self, spark):
+        from steampipe_sqlite_spark.operators.scale import distributed_running_sum
+
+        df = spark.range(0, 5000).selectExpr("id", "id % 13 + 1 AS w")
+        got = distributed_running_sum(df, "w", ["id"], num_partitions=8)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan
+        assert "SinglePartition" not in plan
+        got._sgs_persisted.unpersist(blocking=True)
+
+
 def test_gapfill_locf_semantics(spark):
     """Gap-filled series invariants: dense grid (hours x keys), gaps carry
     the previous observed value, non-gaps equal their own bucket total,

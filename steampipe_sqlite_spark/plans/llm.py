@@ -3792,3 +3792,114 @@ def sample_systematic_weighted_q(spark, sf_dir):
         .select("doc_id", "n_chars", "cum_w")
     )
     return presentation_sort(picked, ["doc_id"])
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+WITH per_len AS (
+  SELECT lang, n_chars, CAST(SUM(n_chars) AS BIGINT) AS w
+  FROM documents GROUP BY lang, n_chars),
+cum AS (
+  SELECT lang, n_chars, w,
+         CAST(SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+  FROM per_len)
+SELECT lang,
+       CAST(MIN(n_chars) AS BIGINT) AS wmedian_chars,
+       CAST(MIN(tw) AS BIGINT) AS total_w
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def agg_weighted_median_q(spark, sf_dir):
+    """Byte-weighted median document length per language — the smallest
+    length L such that docs of length ≤ L hold at least half the
+    language's bytes (the curation statistic that answers "where does
+    half my data actually live?", which the unweighted median wildly
+    misstates on long-tailed corpora).  All-integer: weights, cumsums,
+    and the 2·cum ≥ total threshold.
+
+    Scale shape: lengths are COMPACTED first (one groupBy on
+    (lang, n_chars) with map-side partials — the stream the window sees
+    is distinct-lengths-sized, not corpus-sized), so the per-lang cumsum
+    window never funnels raw rows through one reducer."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_len = docs.groupBy("lang", "n_chars").agg(
+        F.sum("n_chars").cast("long").alias("w")
+    )
+    cum = per_len.selectExpr(
+        "lang", "n_chars", "w",
+        "CAST(SUM(w) OVER (PARTITION BY lang ORDER BY n_chars"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw",
+        "CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tw",
+    )
+    out = (
+        cum.where("2 * cw >= tw")
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").cast("long").alias("wmedian_chars"),
+            F.min("tw").cast("long").alias("total_w"),
+        )
+    )
+    return presentation_sort(out, ["lang"])
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH per_key AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id),
+ranked AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS r
+  FROM per_key)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS total_n,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       CAST((1000000 * MAX(n)) // SUM(n) AS BIGINT) AS top1_share_micro,
+       CAST((1000000 * SUM(CASE WHEN r <= 10 THEN n ELSE 0 END)) // SUM(n)
+         AS BIGINT) AS top10_share_micro
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def key_skew_profile_q(spark, sf_dir):
+    """Partition-key skew diagnostics: per event type, how concentrated
+    the per-user event counts are (key cardinality, hottest key's share,
+    top-10 share, in exact integer micros) — the profile that decides
+    whether a downstream groupBy/join on this key needs salting or AQE
+    skew handling BEFORE the job is launched at 100 TB.
+
+    Scale shape: per-(type, key) counts fold map-side; the rank window
+    runs over the per-key aggregate (keys, not events); integer //
+    shares are order-free."""
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ranked = per_key.selectExpr(
+        "event_type", "n",
+        "ROW_NUMBER() OVER (PARTITION BY event_type"
+        " ORDER BY n DESC, user_id) AS r",
+    )
+    out = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("total_n"),
+        F.max("n").cast("long").alias("max_n"),
+        F.expr("CAST((1000000 * MAX(n)) div SUM(n) AS BIGINT)").alias(
+            "top1_share_micro"
+        ),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN r <= 10 THEN n ELSE 0 END))"
+            " div SUM(n) AS BIGINT)"
+        ).alias("top10_share_micro"),
+    )
+    return presentation_sort(out, ["event_type"])

@@ -823,3 +823,59 @@ GROUP BY ALL
 ORDER BY ALL
 """,
 )
+
+
+@query(
+    "stats_equidepth_bins",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders),
+binned AS (
+  SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS bin, o_totalprice
+  FROM ranked)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM binned
+GROUP BY bin
+ORDER BY bin
+""",
+)
+def stats_equidepth_bins(spark, sf_dir):
+    """Equi-depth histogram boundaries: 10 equal-population bins over
+    order totals (bin of row rn = (rn−1)·10 div N — the same remainder
+    distribution on both engines, unlike NTILE whose remainder placement
+    is engine-defined lore), emitting per-bin population and [lo, hi]
+    bounds — the optimizer/monitoring statistic equi-WIDTH histograms
+    (sketch_quantile_hist) cannot give on skewed value distributions.
+
+    Scale shape: the global rank runs through
+    operators/scale.distributed_row_number (range shuffle + local rank +
+    driver-prefix-summed offsets — no single-partition window); N comes
+    from the same per-partition counts, here a 1-row broadcast; the
+    bin rollup is an ordinary hash aggregate."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = distributed_row_number(
+        orders, [F.col("o_totalprice"), F.col("o_orderkey")], name="rn"
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    binned = ranked.crossJoin(F.broadcast(n)).selectExpr(
+        "CAST(((rn - 1) * 10) div n AS BIGINT) AS bin", "o_totalprice"
+    )
+    out = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    return presentation_sort(out, ["bin"])

@@ -616,3 +616,108 @@ sql_query(
     _ANOMALY_BODY,
     present_sort=["event_type", "hour_start"],
 )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN r.ts >= l.ts - INTERVAL 2 HOUR THEN r.click_value END
+         AS click_value,
+       CASE WHEN r.ts >= l.ts - INTERVAL 2 HOUR THEN r.ts END AS matched_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, value AS click_value
+                FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+""",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """Bounded-staleness as-of join: each purchase matched to the user's
+    most recent click at-or-before it ONLY if that click is within 2
+    hours — older matches surface as NULL (the serving-cache staleness
+    contract: a feature older than the tolerance must not be used).
+    Exercises asof_join's tolerance parameter, previously implemented
+    but never driver-checked; same one-shuffle union+window plan as
+    join_asof_events, the tolerance is a post-window CASE."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["click_value"], tolerance="2 HOUR",
+    ).orderBy("event_id")
+
+
+@query(
+    "ts_interval_union",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + 1800000000 AS e_us
+  FROM events WHERE event_type IN ('view', 'click')),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -9223372036854775808)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+grouped AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+             ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+islands AS (
+  SELECT user_id, island,
+         CAST(MAX(e_us) - MIN(s_us) AS BIGINT) AS len_us
+  FROM grouped GROUP BY user_id, island)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len_us) AS BIGINT) AS covered_us
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def ts_interval_union(spark, sf_dir):
+    """Interval-union coverage (gaps-and-islands): per user, total time
+    covered by the union of 30-minute activity intervals opened by each
+    view/click — overlaps merged exactly, the utilization statistic a
+    rate-limiting / engagement pipeline computes.  Integer microseconds
+    end to end.
+
+    Scale shape: one keyed shuffle (user windows), running-max island
+    detection, two keyed aggregates — no self-join of intervals (the
+    naive overlap join is quadratic per user)."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.where("event_type IN ('view', 'click')").selectExpr(
+        "user_id", "event_id",
+        "unix_micros(cast(ts AS TIMESTAMP)) AS s_us",
+        "unix_micros(cast(ts AS TIMESTAMP)) + 1800000000 AS e_us",
+    )
+    flagged = iv.selectExpr(
+        "user_id", "s_us", "e_us",
+        "CASE WHEN s_us > COALESCE(MAX(e_us) OVER ("
+        " PARTITION BY user_id ORDER BY s_us, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        " -9223372036854775808) THEN 1 ELSE 0 END AS new_island",
+    )
+    grouped = flagged.selectExpr(
+        "user_id", "s_us", "e_us",
+        "SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us"
+        " ROWS UNBOUNDED PRECEDING) AS island",
+    )
+    islands = grouped.groupBy("user_id", "island").agg(
+        F.expr("CAST(MAX(e_us) - MIN(s_us) AS BIGINT)").alias("len_us")
+    )
+    out = islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("len_us").cast("long").alias("covered_us"),
+    )
+    return out.orderBy("user_id")

@@ -3903,3 +3903,53 @@ def key_skew_profile_q(spark, sf_dir):
         ).alias("top10_share_micro"),
     )
     return presentation_sort(out, ["event_type"])
+
+
+@query(
+    "shard_by_bytes",
+    oracle="""
+WITH cum AS (
+  SELECT doc_id, n_chars,
+         CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+  FROM documents),
+assigned AS (
+  SELECT doc_id, n_chars, (cum_w - n_chars) // 32768 AS shard
+  FROM cum)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def shard_by_bytes_q(spark, sf_dir):
+    """Contiguous shard planning by byte budget (the webdataset/tar-shard
+    layout step): walk the corpus in doc order and open a new ~32 KiB
+    shard whenever the cumulative size crosses the budget — shard id =
+    starting offset div budget, so shards are contiguous doc-id ranges
+    by construction (the property a sequential trainer needs for
+    locality) and every shard holds ≥ budget bytes except the last.
+
+    Scale shape: the only global state is the prefix sum, computed via
+    operators/scale.distributed_running_sum (range shuffle + local
+    cumsum + driver-prefix of per-partition totals); assignment is a
+    map-side integer division and the report is an ordinary hash
+    aggregate over shard-count rows.  All integers ⇒ bit-exact."""
+    from steampipe_sqlite_spark.operators.scale import distributed_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = distributed_running_sum(docs, "n_chars", ["doc_id"], name="cum_w")
+    assigned = cum.selectExpr(
+        "doc_id", "n_chars", "(cum_w - n_chars) div 32768 AS shard"
+    )
+    out = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("shard_bytes"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+    return presentation_sort(out, ["shard"])

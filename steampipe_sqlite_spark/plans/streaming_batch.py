@@ -445,3 +445,73 @@ def streaming_session_5m(spark, sf_dir):
     name = f"sess_out_{uuid.uuid4().hex[:8]}"
     result = run_stream_to_memory(spark, agg, name, output_mode="complete")
     return result.orderBy("user_id", "sess_start")
+
+
+@query(
+    "streaming_stream_stream_left",
+    oracle="""
+SELECT p.event_id AS p_id, p.ts AS p_ts, c.event_id AS c_id
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+  AND p.ts <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+ORDER BY p_id, c_id
+""",
+)
+def streaming_stream_stream_left(spark, sf_dir):
+    """Stream-stream LEFT OUTER join: every purchase, with its same-user
+    clicks in the 1-hour lookback, or NULL if none — the stateful outer
+    behavior (unmatched rows are held in the state store and NULL-emitted
+    only once the watermark proves no match can still arrive) that the
+    inner-join query cannot exercise.
+
+    Determinism contract: rows whose eviction the END of a finite stream
+    would race (p_ts inside the final watermark horizon) are excluded on
+    BOTH sides — the batch post-filter ``p_ts <= max_ts - 2h`` sits
+    strictly inside the 0-delay watermark's eviction boundary
+    (p_ts + 1h < max_ts), so every retained unmatched row has provably
+    flushed; the oracle applies the same bound.  State is bounded by the
+    watermark either way."""
+    import uuid as _uuid
+
+    from steampipe_sqlite_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    def side(event_type, id_alias, ts_alias):
+        return (
+            read_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, "0 seconds")
+        )
+
+    purchases = side("purchase", "p_id", "p_ts")
+    clicks = side("click", "c_id", "c_ts").withColumnRenamed("user_id", "c_user")
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts <= purchases.p_ts),
+        "left_outer",
+    ).select("p_id", "p_ts", "c_id")
+    name = f"ssl_out_{_uuid.uuid4().hex[:8]}"
+    result = run_stream_to_memory(spark, joined, name, output_mode="append")
+    max_ts = load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts")
+    )
+    return (
+        result.crossJoin(F.broadcast(max_ts))
+        .where("p_ts <= max_ts - INTERVAL 2 HOUR")
+        .select("p_id", "p_ts", "c_id")
+        .orderBy("p_id", "c_id")
+    )

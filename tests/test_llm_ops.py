@@ -954,3 +954,85 @@ def test_kmv_jaccard_accuracy_and_merge_property(spark):
     assert sorted(r.h for r in merged_direct.collect()) == sorted(
         r.h for r in re_min.collect()
     )
+
+
+class TestMinhashIndexPersistence:
+    """Persisted MinHash-LSH dedup index: the incremental-ingest shape
+    (each new batch dedups against everything already kept, nothing
+    recomputed).  Parity anchor: querying the other half against a
+    half-built index must equal the CROSS pairs of the in-memory
+    minhash_lsh_pairs over the full corpus — same signatures, same
+    banding (single-sourced _band_projection), same scoring."""
+
+    @staticmethod
+    def _halves(spark):
+        from steampipe_sqlite_spark.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        return docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), docs
+
+    def test_query_matches_inmemory_cross_pairs(self, spark, tmp_path_factory):
+        from steampipe_sqlite_spark.operators.dedup import (
+            minhash_index_build,
+            minhash_index_query,
+            minhash_lsh_pairs,
+        )
+
+        first, second, docs = self._halves(spark)
+        path = str(tmp_path_factory.mktemp("mh_idx")) + "/idx"
+        minhash_index_build(first, "text", "doc_id", path)
+        got = {
+            (r.query_id, r.index_id): r.jaccard_est
+            for r in minhash_index_query(
+                spark, path, second, "text", "doc_id", threshold=0.5
+            ).collect()
+        }
+        full = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+        # cross pairs only, re-keyed (query=odd id, index=even id)
+        expected = {}
+        for r in full:
+            if r.id_a % 2 != r.id_b % 2:
+                q, i = (r.id_a, r.id_b) if r.id_a % 2 == 1 else (r.id_b, r.id_a)
+                expected[(q, i)] = r.jaccard_est
+        assert got == expected
+        assert got, "fixture must produce at least one cross near-dup pair"
+
+    def test_append_then_query_equals_full_build(self, spark, tmp_path_factory):
+        from steampipe_sqlite_spark.operators.dedup import (
+            minhash_index_append,
+            minhash_index_build,
+            minhash_index_query,
+        )
+
+        first, second, docs = self._halves(spark)
+        probe = docs.filter("doc_id < 20")
+        inc = str(tmp_path_factory.mktemp("mh_inc")) + "/idx"
+        minhash_index_build(first, "text", "doc_id", inc)
+        minhash_index_append(second, "text", "doc_id", inc)
+        full = str(tmp_path_factory.mktemp("mh_full")) + "/idx"
+        minhash_index_build(docs, "text", "doc_id", full)
+        q_inc = sorted(
+            map(tuple, minhash_index_query(spark, inc, probe, "text", "doc_id").collect())
+        )
+        q_full = sorted(
+            map(tuple, minhash_index_query(spark, full, probe, "text", "doc_id").collect())
+        )
+        assert q_inc == q_full
+
+    def test_append_duplicate_ids_guarded(self, spark, tmp_path_factory):
+        import pytest
+
+        from steampipe_sqlite_spark.operators.dedup import (
+            minhash_index_append,
+            minhash_index_build,
+        )
+
+        first, second, _ = self._halves(spark)
+        path = str(tmp_path_factory.mktemp("mh_dup")) + "/idx"
+        minhash_index_build(first, "text", "doc_id", path)
+        minhash_index_append(second, "text", "doc_id", path)
+        with pytest.raises(ValueError, match="already present"):
+            minhash_index_append(second, "text", "doc_id", path)
+        before = spark.read.parquet(f"{path}/signatures").count()
+        minhash_index_append(second, "text", "doc_id", path, if_exists="skip")
+        assert spark.read.parquet(f"{path}/signatures").count() == before

@@ -198,3 +198,41 @@ def bfs_distances(
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count over an edge list (directed input is
+    canonicalized to undirected).  Returns one row (n_nodes_in_edges,
+    n_edges, n_triangles).
+
+    Shape (the standard distributed formulation — e.g. Suri & Vassilvitskii
+    2011's MR triangle counting): canonicalize each edge to (lo, hi) and
+    DISTINCT it, then count paths a<b<c with edges (a,b) and (b,c) closed
+    by (a,c) — two hash equi-joins over the ordered edge relation, never a
+    node×node product.  The a<b<c orientation means every triangle is
+    produced exactly once AND each join key's fan-out is the node's
+    HIGHER-ordered degree, the trick that bounds skew from hub nodes
+    (ordering by raw id here; by degree in an adversarial-skew deployment
+    — same plan, different ordering key).
+    """
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
+        )
+        .where("a <> b")
+        .distinct()
+    )
+    ab = e.selectExpr("a", "b")
+    bc = e.selectExpr("a AS b2", "b AS c")
+    ac = e.selectExpr("a AS a3", "b AS c3")
+    paths = ab.join(bc, ab.b == bc.b2).selectExpr("a", "b", "c")
+    tri = paths.join(ac, (paths.a == ac.a3) & (paths.c == ac.c3))
+    nodes = (
+        e.selectExpr("a AS x")
+        .union(e.selectExpr("b AS x"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes_in_edges"))
+    )
+    return nodes.crossJoin(
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    ).crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))

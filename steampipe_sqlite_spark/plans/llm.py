@@ -3953,3 +3953,49 @@ def shard_by_bytes_q(spark, sf_dir):
         F.max("doc_id").cast("long").alias("last_doc"),
     )
     return presentation_sort(out, ["shard"])
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+raw AS (
+  SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % (SELECT n FROM nn) AS dst FROM nodes
+),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE src <> dst),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM e ab
+  JOIN e bc ON ab.b = bc.a
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+nodecnt AS (
+  SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes_in_edges
+  FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)),
+ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes_in_edges, n_edges, n_triangles
+FROM nodecnt, ecnt, tri
+""",
+)
+def graph_triangle_count_q(spark, sf_dir):
+    """Exact triangle count over the synthetic doc graph (same
+    two-out-edges construction as pagerank/BFS): canonicalize to ordered
+    undirected edges, then two equi-joins close each a<b<c wedge exactly
+    once (Suri-Vassilvitskii MR formulation — the orientation bounds
+    hub-node fan-out; never a node×node product).  The clustering
+    statistic of the dedup graph — how cliquish the near-dup structure
+    is."""
+    from steampipe_sqlite_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = docs.selectExpr(
+        "doc_id AS src", f"(doc_id * 31 + 7) % {n} AS dst"
+    ).unionByName(
+        docs.selectExpr("doc_id AS src", f"(doc_id * 17 + 3) % {n} AS dst")
+    )
+    return triangle_count(edges)

@@ -78,3 +78,24 @@ def test_bfs_distances_shortest_and_bounded(spark):
     assert got == {0: 0, 1: 1, 4: 1, 2: 2, 3: 2, 5: 3}
     # node 6 is 4 hops away — beyond max_depth, absent
     assert 6 not in got
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge and a duplicate/
+    reversed edge must change nothing (canonicalization + distinct)."""
+    from steampipe_sqlite_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4), (1, 0), (2, 1)]  # pendant + reversed duplicates
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).first()
+    assert (row.n_nodes_in_edges, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_triangle_count_no_triangles(spark):
+    """A path graph has zero triangles (and the count row still emits)."""
+    from steampipe_sqlite_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+    row = triangle_count(df).first()
+    assert row.n_triangles == 0 and row.n_edges == 10

@@ -721,3 +721,52 @@ def ts_interval_union(spark, sf_dir):
         F.sum("len_us").cast("long").alias("covered_us"),
     )
     return out.orderBy("user_id")
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+numbered AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS r
+  FROM days),
+islands AS (
+  SELECT user_id, d - CAST(r AS INT) AS grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM numbered GROUP BY user_id, d - CAST(r AS INT))
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def user_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands date trick (day minus row_number is constant within
+    a consecutive run), the retention-quality statistic next to
+    cohort_retention_daily.  Integer day arithmetic only.
+
+    Scale shape: DISTINCT (user, day) compacts the event stream map-side
+    first, so the per-user window runs over active DAYS (bounded by the
+    date range), not raw events; two keyed aggregates after."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.selectExpr("user_id", "CAST(ts AS DATE) AS d").distinct()
+    numbered = days.selectExpr(
+        "user_id", "d",
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS r",
+    )
+    islands = (
+        numbered.selectExpr("user_id", "date_sub(d, r) AS grp")
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    out = islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+    return out.orderBy("user_id")

@@ -12,7 +12,7 @@ from steampipe_sqlite_spark.operators.temporal import (
     interval_overlap_join,
     range_join_binned,
 )
-from steampipe_sqlite_spark.plans.registry import query, sql_query
+from steampipe_sqlite_spark.plans.registry import presentation_sort, query, sql_query
 from steampipe_sqlite_spark.tables import load_table
 
 
@@ -770,3 +770,107 @@ def user_activity_streaks(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
     )
     return out.orderBy("user_id")
+
+
+@query(
+    "funnel_latency_stats",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id),
+lat AS (
+  SELECT user_id,
+         CAST(epoch_us(first_purchase) - epoch_us(first_view) AS BIGINT) // 1000000
+           AS latency_s
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view),
+ranked AS (
+  SELECT latency_s, ROW_NUMBER() OVER (ORDER BY latency_s) AS r,
+         COUNT(*) OVER () AS n
+  FROM lat)
+SELECT CAST(MIN(n) AS BIGINT) AS n_converted,
+       CAST(MIN(latency_s) AS BIGINT) AS min_s,
+       CAST(MIN(CASE WHEN 2 * r >= n THEN latency_s END) AS BIGINT) AS median_s,
+       CAST(MIN(CASE WHEN 10 * r >= 9 * n THEN latency_s END) AS BIGINT) AS p90_s,
+       CAST(MAX(latency_s) AS BIGINT) AS max_s
+FROM ranked
+""",
+)
+def funnel_latency_stats(spark, sf_dir):
+    """Time-to-convert distribution: per user, first view → first
+    purchase latency (integer seconds), rolled up to count/min/median/
+    p90/max.  Percentiles via the explicit rank inequality (smallest
+    value whose rank reaches the quantile of n) — identical discrete
+    semantics in any engine, unlike PERCENTILE_CONT's interpolation.
+
+    Scale shape: the two firsts fold in ONE map-side-partial aggregate
+    per user; the rank window runs over CONVERTED USERS (≤ one row per
+    user), not events."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.expr("MIN(CASE WHEN event_type = 'view' THEN ts END)").alias("first_view"),
+        F.expr("MIN(CASE WHEN event_type = 'purchase' THEN ts END)").alias(
+            "first_purchase"
+        ),
+    )
+    lat = firsts.where(
+        "first_view IS NOT NULL AND first_purchase IS NOT NULL"
+        " AND first_purchase >= first_view"
+    ).selectExpr(
+        "(unix_micros(cast(first_purchase AS TIMESTAMP))"
+        " - unix_micros(cast(first_view AS TIMESTAMP))) div 1000000 AS latency_s"
+    )
+    ranked = lat.selectExpr(
+        "latency_s",
+        "ROW_NUMBER() OVER (ORDER BY latency_s) AS r",
+        "COUNT(*) OVER () AS n",
+    )
+    return ranked.agg(
+        F.min("n").cast("long").alias("n_converted"),
+        F.min("latency_s").cast("long").alias("min_s"),
+        F.expr("MIN(CASE WHEN 2 * r >= n THEN latency_s END)")
+        .cast("long")
+        .alias("median_s"),
+        F.expr("MIN(CASE WHEN 10 * r >= 9 * n THEN latency_s END)")
+        .cast("long")
+        .alias("p90_s"),
+        F.max("latency_s").cast("long").alias("max_s"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT COALESCE(prev_type, '(none)') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY touch_type
+""",
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the user's
+    immediately-preceding event type ('(none)' for session-opening
+    purchases) — one keyed LAG window + a 6-row rollup.  The window
+    total-orders on (ts, event_id) so ties are deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    seq = events.selectExpr(
+        "user_id", "event_type", "ts", "event_id",
+        "LAG(event_type) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS prev_type",
+    )
+    out = (
+        seq.where("event_type = 'purchase'")
+        .groupBy(F.expr("COALESCE(prev_type, '(none)')").alias("touch_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+    return presentation_sort(out, ["touch_type"])

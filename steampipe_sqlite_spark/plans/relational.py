@@ -879,3 +879,87 @@ def stats_equidepth_bins(spark, sf_dir):
         F.max("o_totalprice").alias("hi"),
     )
     return presentation_sort(out, ["bin"])
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+anchored AS (
+  SELECT o_custkey,
+         (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - last_order
+           AS recency_days,
+         freq, monetary_cents
+  FROM per_cust),
+scored AS (
+  SELECT o_custkey, recency_days, freq, monetary_cents,
+         ((ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) - 1) * 5)
+           // (COUNT(*) OVER ()) + 1 AS r_score,
+         ((ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1) * 5)
+           // (COUNT(*) OVER ()) + 1 AS f_score,
+         ((ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5)
+           // (COUNT(*) OVER ()) + 1 AS m_score
+  FROM anchored)
+SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY 1
+ORDER BY rfm
+""",
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency (days from the
+    corpus max order date), frequency, monetary (integer cents), each
+    quintiled with the explicit (rn−1)·5 div n formula ((o_custkey
+    tie-break ⇒ total order; NTILE's remainder placement is
+    engine-defined, the same reason stats_equidepth_bins avoids it),
+    rolled up to segment code → customer count + segment revenue.
+
+    Scale shape: the windows rank the per-customer AGGREGATE (one row
+    per customer, after a map-side-partial groupBy over orders), and at
+    true scale each global rank becomes distributed_row_number — the
+    query documents the swap point; the 1-row max-date anchor
+    broadcasts."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("MAX(CAST(o_orderdate AS DATE))").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "monetary_cents"
+        ),
+    )
+    anchor = orders.agg(F.expr("MAX(CAST(o_orderdate AS DATE))").alias("max_d"))
+    anchored = per_cust.crossJoin(F.broadcast(anchor)).selectExpr(
+        "o_custkey", "datediff(max_d, last_order) AS recency_days",
+        "freq", "monetary_cents",
+    )
+    scored = anchored.selectExpr(
+        "o_custkey", "recency_days", "freq", "monetary_cents",
+        "((ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) - 1) * 5)"
+        " div (COUNT(*) OVER ()) + 1 AS r_score",
+        "((ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1) * 5)"
+        " div (COUNT(*) OVER ()) + 1 AS f_score",
+        "((ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5)"
+        " div (COUNT(*) OVER ()) + 1 AS m_score",
+    )
+    out = (
+        scored.groupBy(
+            F.expr("CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)").alias("rfm")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        )
+    )
+    return presentation_sort(out, ["rfm"])

@@ -3999,3 +3999,89 @@ def graph_triangle_count_q(spark, sf_dir):
         docs.selectExpr("doc_id AS src", f"(doc_id * 17 + 3) % {n} AS dst")
     )
     return triangle_count(edges)
+
+
+@query(
+    "impute_by_group_median",
+    oracle="""
+WITH marked AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+  FROM events),
+per_val AS (
+  SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+  FROM marked WHERE cents IS NOT NULL
+  GROUP BY event_type, cents),
+cum AS (
+  SELECT event_type, cents, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+  FROM per_val),
+med AS (
+  SELECT event_type, CAST(MIN(cents) AS BIGINT) AS median_cents
+  FROM cum WHERE 2 * cc >= tot GROUP BY event_type)
+SELECT m.event_type,
+       CAST(SUM(CASE WHEN m.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imputed,
+       CAST(SUM(CASE WHEN m.cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_observed,
+       CAST(MIN(d.median_cents) AS BIGINT) AS median_cents,
+       CAST(SUM(COALESCE(m.cents, d.median_cents)) AS BIGINT)
+         AS total_cents_after
+FROM marked m JOIN med d ON m.event_type = d.event_type
+GROUP BY m.event_type
+ORDER BY m.event_type
+""",
+)
+def impute_by_group_median(spark, sf_dir):
+    """Group-median imputation (the data-repair step before any numeric
+    featurization): values deterministically masked (event_id % 7 = 0 —
+    the fixture has no real nulls) are filled with their event type's
+    EXACT median, and the audit rollup reports imputed/observed counts
+    and the post-fill total, all integer cents.
+
+    Scale shape: the median uses the agg_weighted_median compaction —
+    per-(type, cents) counts first (map-side partials; the window sees
+    distinct values, not events), the 2·cum ≥ total threshold picks the
+    median, and the fill is a broadcast join of the 6-row median table
+    back onto the stream."""
+    events = load_table(spark, sf_dir, "events")
+    marked = events.selectExpr(
+        "event_type",
+        "CASE WHEN event_id % 7 = 0 THEN NULL"
+        " ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents",
+    )
+    per_val = (
+        marked.where("cents IS NOT NULL")
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cum = per_val.selectExpr(
+        "event_type", "cents", "c",
+        "CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cents"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc",
+        "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot",
+    )
+    med = (
+        cum.where("2 * cc >= tot")
+        .groupBy("event_type")
+        .agg(F.min("cents").cast("long").alias("median_cents"))
+    )
+    out = (
+        marked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_imputed"),
+            F.expr(
+                "CAST(SUM(CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_observed"),
+            F.min("median_cents").cast("long").alias("median_cents"),
+            F.expr("CAST(SUM(COALESCE(cents, median_cents)) AS BIGINT)").alias(
+                "total_cents_after"
+            ),
+        )
+    )
+    return presentation_sort(out, ["event_type"])

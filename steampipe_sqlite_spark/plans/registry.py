@@ -222,6 +222,24 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # never re-verified since) so green status stays fresh across fixture
 # changes.  Queries added in round 5 register behind the window and roll
 # into the round-6 rotation.
+# ROUND-7 ROTATION (do after CORRECTNESS_r06 lands — rotating earlier
+# would evict the round-5 names the r6 window exists to certify): put
+# the 18 round-6 additions first (stats_equidepth_bins,
+# rfm_segmentation, join_asof_tolerance, ts_interval_union,
+# user_activity_streaks, funnel_latency_stats, attribution_last_touch,
+# bpe_merge_step, vocab_growth_curve, text_novelty_ordered,
+# emb_matryoshka_fidelity, sample_systematic_weighted,
+# agg_weighted_median, key_skew_profile, shard_by_bytes,
+# graph_triangle_count, impute_by_group_median,
+# streaming_stream_stream_left — all selfcheck-green at sf0.01 AND
+# sf0.1 in round 6) plus any r6 reds, then backfill the remaining
+# slots with the next-oldest driver-green names: the 19 r2 leftovers
+# (knn_cosine_lsh, curation_pipeline, tpch_q1/q3/q5/q6/q9/q18,
+# join_left/full/semi/anti, win_range_frame, setop_except, cte_multi,
+# group_rollup, subq_not_in, agg_filter_clause, pivot_status_by_flag),
+# then the r3 window (tpch_q2/q4/q7/q8/q10/q11/q13..q22,
+# join_right_outer, ...) in last-verified order.
+#
 # ROUND-6 WINDOW (VERDICT r5 #1/#4/#6): the 26 round-5 additions — the
 # only corpus names with no driver row ever (all selfcheck-green at
 # sf0.01 AND sf0.1, rounds 5 and 6) — then mm_image_phash_neardup, whose

@@ -626,8 +626,10 @@ def ppjoin_pairs(
     norm = _NORM_SQL.format(c=text_col)
     # split once into a named column FIRST: a `split(...)` referenced
     # inside a transform lambda is re-evaluated per element (no CSE into
-    # lambdas — measured 14 s instead of ~2 s for the sf0.1 token scan)
-    words = df.selectExpr(f"{id_col} AS id", f"split({norm}, ' ') AS w")
+    # lambdas — measured 14 s instead of ~2 s for the sf0.1 token scan);
+    # _spread like every dedup family here — a single-file input would
+    # otherwise serialize the parse+shingle scan onto one core
+    words = _spread(df).selectExpr(f"{id_col} AS id", f"split({norm}, ' ') AS w")
     if k == 1:
         elems = "array_distinct(w)"
     else:

@@ -262,3 +262,37 @@ def test_drift_tvd_bins_match_python_reference(spark, chars):
         pb = int(math.floor(1e6 * nb / tb + 0.5))
         expected[b] = (na, nb, pa, pb, abs(pa - pb))
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(TOKEN, min_size=1, max_size=25), min_size=2, max_size=10
+    ),
+    threshold=st.sampled_from([50, 70, 80, 90]),
+)
+def test_ppjoin_equals_bruteforce_jaccard(spark, docs, threshold):
+    """PPJoin's EXACTNESS property on random corpora: the prefix+length
+    filtered join must return precisely the pairs whose word-set Jaccard
+    meets the integer threshold — computed here by brute-force Python
+    over every pair (the generator aims at the edges the fixture can't
+    hit: tiny docs where the prefix is the whole set, identical docs,
+    stopword-only docs, single-token docs)."""
+    from steampipe_sqlite_spark.operators.dedup import ppjoin_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b)
+        for r in ppjoin_pairs(df, "text", "doc_id", threshold_pct=threshold).collect()
+    }
+
+    sets = [set(toks) for toks in docs]  # [abc01] tokens normalize to themselves
+    expected = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 100 * inter >= threshold * union:
+                expected[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert got == expected

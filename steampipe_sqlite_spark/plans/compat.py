@@ -143,3 +143,32 @@ FROM customer
 ORDER BY c_custkey
 """,
 )
+
+
+sql_query(
+    "str_edit_distance",
+    """
+SELECT c_custkey,
+       levenshtein(c_name, 'Customer#000000000') AS dist_ref,
+       CAST(levenshtein(substring(c_name, 10), substring(c_mktsegment, 1, 8)) AS INT)
+         AS dist_cross
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+    oracle="""
+SELECT c_custkey,
+       CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS dist_ref,
+       CAST(levenshtein(substring(c_name, 10), substring(c_mktsegment, 1, 8)) AS INT)
+         AS dist_cross
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""",
+    present_sort=["c_custkey"],
+)
+# ^ Edit-distance surface (record-linkage primitive): Spark's levenshtein
+# is JVM codegen (INT), DuckDB's returns BIGINT — cast to INT on the
+# oracle side.  Bounded to 200 rows: the per-pair DP cost is the point
+# of measuring, not scanning; at scale edit distance runs INSIDE a
+# blocking key (see ngram_jaccard_pairs), never across a corpus product.

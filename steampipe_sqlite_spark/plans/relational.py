@@ -441,6 +441,38 @@ ORDER BY o_orderkey
 """,
 )
 
+sql_query(
+    "win_exclude_ties",
+    """
+SELECT o_orderkey,
+       CAST(SUM(cents) OVER run - SUM(cents) OVER peers + cents AS BIGINT)
+         AS sum_excl_ties
+FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000) t
+WINDOW run AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       peers AS (PARTITION BY o_orderpriority, o_orderdate)
+ORDER BY o_orderkey
+""",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES)
+            AS BIGINT) AS sum_excl_ties
+FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey <= 2000) t
+ORDER BY o_orderkey
+""",
+)
+# ^ EXCLUDE TIES completes the frame-exclusion family (CURRENT ROW /
+# GROUP / TIES): keep the current row, drop its OTHER peers ≡
+# frame_sum − peer_group_sum + current — never NULL, because the
+# current row always survives its own exclusion.  DuckDB-native
+# EXCLUDE TIES oracle, same pattern as the two rewrites above.
+
+
 # --- Subqueries -----------------------------------------------------------
 
 sql_query(

@@ -4085,3 +4085,136 @@ def impute_by_group_median(spark, sf_dir):
         )
     )
     return presentation_sort(out, ["event_type"])
+
+
+@query(
+    "winsorized_length_stats",
+    oracle="""
+WITH per_len AS (
+  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, n_chars),
+cum AS (
+  SELECT lang, n_chars, c,
+         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tot
+  FROM per_len),
+bounds AS (
+  SELECT lang,
+         CAST(MIN(CASE WHEN 20 * cc >= tot THEN n_chars END) AS BIGINT) AS lo,
+         CAST(MIN(CASE WHEN 20 * cc >= 19 * tot THEN n_chars END) AS BIGINT) AS hi
+  FROM cum GROUP BY lang)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(SUM(CASE WHEN d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       CAST(MIN(b.lo) AS BIGINT) AS p05,
+       CAST(MIN(b.hi) AS BIGINT) AS p95,
+       CAST(SUM(GREATEST(LEAST(d.n_chars, b.hi), b.lo)) AS BIGINT)
+         AS winsorized_total
+FROM documents d JOIN bounds b ON d.lang = b.lang
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def winsorized_length_stats(spark, sf_dir):
+    """Winsorized (p05/p95-clamped) length statistics per language — the
+    outlier-robust preprocessing step before any length-based curation
+    rule; emits the exact discrete percentile bounds, clamp counts, and
+    the clamped total (all integers).
+
+    Scale shape: percentile bounds come from the (lang, n_chars)
+    COMPACTED cumsum (the agg_weighted_median pattern — the window sees
+    distinct lengths, not docs); the clamp pass is a broadcast join of
+    the per-lang bounds table onto the stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_len = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = per_len.selectExpr(
+        "lang", "n_chars", "c",
+        "CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc",
+        "CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tot",
+    )
+    bounds = cum.groupBy("lang").agg(
+        F.expr("CAST(MIN(CASE WHEN 20 * cc >= tot THEN n_chars END) AS BIGINT)")
+        .alias("lo"),
+        F.expr("CAST(MIN(CASE WHEN 20 * cc >= 19 * tot THEN n_chars END) AS BIGINT)")
+        .alias("hi"),
+    )
+    out = (
+        docs.join(F.broadcast(bounds), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(SUM(CASE WHEN n_chars < lo THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_clamped_lo"),
+            F.expr("CAST(SUM(CASE WHEN n_chars > hi THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_clamped_hi"),
+            F.min("lo").cast("long").alias("p05"),
+            F.min("hi").cast("long").alias("p95"),
+            F.expr("CAST(SUM(GREATEST(LEAST(n_chars, hi), lo)) AS BIGINT)")
+            .alias("winsorized_total"),
+        )
+    )
+    return presentation_sort(out, ["lang"])
+
+
+@query(
+    "dataset_split_temporal",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(ts) AS first_ts
+  FROM events GROUP BY user_id),
+assigned AS (
+  SELECT user_id,
+         CASE WHEN first_ts < TIMESTAMP '2024-01-01 04:00:00' THEN 'train'
+              WHEN first_ts < TIMESTAMP '2024-01-01 12:00:00' THEN 'val'
+              ELSE 'test' END AS split
+  FROM first_seen)
+SELECT a.split,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS min_ts_us,
+       CAST(MAX(epoch_us(e.ts)) AS BIGINT) AS max_ts_us
+FROM events e JOIN assigned a ON e.user_id = a.user_id
+GROUP BY a.split
+ORDER BY split
+""",
+)
+def dataset_split_temporal(spark, sf_dir):
+    """Temporal train/val/test split with USER-level leakage safety: a
+    user belongs wholly to the split of their FIRST event (cutoffs at
+    hours 4 / 12 of day one — the fixture's user arrivals concentrate
+    there), so no user's history straddles the
+    boundary — the时间 analog of dataset_split_leakage_safe's
+    component-level hash gate.  The rollup's min/max event epochs make
+    the (expected, documented) event-time overlap auditable: later
+    EVENTS of an early-starting user stay in train by design.
+
+    Scale shape: one map-side-partial MIN per user, broadcast-size
+    assignment table joined back, one rollup."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    assigned = first_seen.selectExpr(
+        "user_id",
+        "CASE WHEN first_ts < TIMESTAMP '2024-01-01 04:00:00' THEN 'train'"
+        " WHEN first_ts < TIMESTAMP '2024-01-01 12:00:00' THEN 'val'"
+        " ELSE 'test' END AS split",
+    )
+    out = (
+        events.join(assigned, "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.expr("CAST(MIN(unix_micros(cast(ts AS TIMESTAMP))) AS BIGINT)")
+            .alias("min_ts_us"),
+            F.expr("CAST(MAX(unix_micros(cast(ts AS TIMESTAMP))) AS BIGINT)")
+            .alias("max_ts_us"),
+        )
+    )
+    return presentation_sort(out, ["split"])

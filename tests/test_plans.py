@@ -241,3 +241,27 @@ def test_filtered_ann_broadcasts_queries_not_corpus(spark, queries):
             assert "vec_id" in subtree and "10" in subtree, (
                 "broadcast subtree scans the whole corpus:\n" + subtree[:400]
             )
+
+
+def test_ppjoin_scan_filter_stays_cheap(spark, queries):
+    """Regression guard for the InferFiltersFromGenerate trap (round 6):
+    explode() over a NAMED array column lets Spark push a `size(arr) > 0`
+    filter into the scan with the whole regex+split+shingle pipeline
+    inlined INSIDE the transform lambda — re-evaluated per element,
+    measured 26 s instead of 0.5 s.  The windowed ppjoin plan explodes
+    the EXPRESSION directly, so no scan DataFilter may contain a
+    transform lambda."""
+    plan = (
+        queries["dedup_ppjoin_exact"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for ln in plan.splitlines():
+        if "DataFilters" in ln:
+            assert "transform(" not in ln and "lambdafunction" not in ln, (
+                "shingle pipeline leaked into a scan filter:\n" + ln[:300]
+            )
+    # and the prefix-ranking side reads the corpus exactly twice overall:
+    # once for the token stream, twice for the two verify array sides
+    assert plan.count("FileScan parquet") <= 3, plan.count("FileScan parquet")

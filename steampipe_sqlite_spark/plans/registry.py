@@ -224,7 +224,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # into the round-6 rotation.
 # ROUND-7 ROTATION (do after CORRECTNESS_r06 lands — rotating earlier
 # would evict the round-5 names the r6 window exists to certify): put
-# the 22 round-6 additions first (stats_equidepth_bins,
+# the 23 round-6 additions first (stats_equidepth_bins,
 # rfm_segmentation, join_asof_tolerance, ts_interval_union,
 # user_activity_streaks, funnel_latency_stats, attribution_last_touch,
 # bpe_merge_step, vocab_growth_curve, text_novelty_ordered,
@@ -232,7 +232,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # agg_weighted_median, key_skew_profile, shard_by_bytes,
 # graph_triangle_count, impute_by_group_median,
 # streaming_stream_stream_left, str_edit_distance, win_exclude_ties,
-# winsorized_length_stats, dataset_split_temporal
+# winsorized_length_stats, dataset_split_temporal, market_basket_pairs
 # — all selfcheck-green at sf0.01 AND
 # sf0.1 in round 6) plus any r6 reds, then backfill the remaining
 # slots with the next-oldest driver-green names: the 19 r2 leftovers

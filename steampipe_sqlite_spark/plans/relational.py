@@ -995,3 +995,70 @@ def rfm_segmentation(spark, sf_dir):
         )
     )
     return presentation_sort(out, ["rfm"])
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+WITH lines AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+deg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM lines GROUP BY l_partkey)
+SELECT part_a, part_b, n_ab, da.n AS n_a, db.n AS n_b, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT part_a, part_b, n_ab,
+         ROW_NUMBER() OVER (ORDER BY n_ab DESC, part_a, part_b) AS rnk
+  FROM pair) p
+JOIN deg da ON da.l_partkey = p.part_a
+JOIN deg db ON db.l_partkey = p.part_b
+WHERE rnk <= 20
+ORDER BY rnk
+""",
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket pair mining: the 20 most co-ordered part pairs with
+    their joint and marginal basket counts (integer support counts —
+    callers derive lift/confidence; emitting the ratio would hit the
+    float-division rules).  The pair-level core of frequent-itemset
+    mining.
+
+    Scale shape: the pair space explodes WITHIN an order key only
+    (baskets are small — C(lines_per_order, 2), not corpus²); the join
+    is a self equi-join on l_orderkey with map-side distinct first;
+    marginals broadcast back onto the 20-row top list."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = lines.alias("a"), lines.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    top = pair.selectExpr(
+        "part_a", "part_b", "n_ab",
+        "CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, part_a, part_b) AS INT) AS rnk",
+    ).where("rnk <= 20")
+    deg = lines.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        top.join(deg.selectExpr("l_partkey AS part_a", "n AS n_a"), "part_a")
+        .join(deg.selectExpr("l_partkey AS part_b", "n AS n_b"), "part_b")
+        .select("part_a", "part_b", "n_ab", "n_a", "n_b", "rnk")
+    )
+    return presentation_sort(out, ["rnk"])

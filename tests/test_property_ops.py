@@ -296,3 +296,111 @@ def test_ppjoin_equals_bruteforce_jaccard(spark, docs, threshold):
             if 100 * inter >= threshold * union:
                 expected[(a, b)] = (inter, len(sets[a]), len(sets[b]))
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.floats(0, 9)),
+        min_size=0, max_size=15,
+    ),
+    tol=st.sampled_from([None, 5, 20]),
+)
+def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
+    """asof_join (backward, inclusive, optional tolerance) vs a brute
+    Python reference — generators hit the edges the events fixture
+    can't: equal timestamps left==right (inclusive match), empty right
+    side, all matches out of tolerance."""
+    from datetime import datetime, timedelta
+
+    from steampipe_sqlite_spark.operators.temporal import asof_join
+
+    base = datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)
+    ]
+    # dedupe right rows on (key, ts): equal-timestamp right rows with
+    # different payloads are tie-nondeterministic in BOTH the window
+    # implementation and the reference — not a property worth pinning
+    rdedup = {(k, s): float(v) for k, s, v in rights}
+    rrows = [
+        (k, base + timedelta(seconds=s), v) for (k, s), v in rdedup.items()
+    ]
+    ldf = spark.createDataFrame(lrows, "event_id long, k long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "k long, ts timestamp, val double")
+    got = {
+        r.event_id: (r.val, r.matched_ts)
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            payload_cols=["val"],
+            tolerance=f"{tol} SECONDS" if tol is not None else None,
+        ).collect()
+    }
+
+    expected = {}
+    for i, (k, s) in enumerate(lefts):
+        lts = base + timedelta(seconds=s)
+        cands = [
+            (ts, v) for (rk, ts, v) in rrows if rk == k and ts <= lts
+        ]
+        # most recent; ties on ts resolved by last-wins either way (same value set)
+        best = max(cands, key=lambda c: c[0], default=None)
+        if best is not None and tol is not None and best[0] < lts - timedelta(seconds=tol):
+            best = None
+        expected[i] = (best[1], best[0]) if best else (None, None)
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=25
+    ),
+    width=st.sampled_from([1, 10, 60]),
+)
+def test_interval_union_matches_python_reference(spark, rows, width):
+    """Interval-union coverage (the ts_interval_union shape) vs a brute
+    Python merge — touching/overlapping/duplicate intervals and
+    single-event users."""
+    from pyspark.sql import functions as F
+
+    w_us = width * 1_000_000
+    data = [(k, i, s * 1_000_000, s * 1_000_000 + w_us) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "user_id long, event_id long, s_us long, e_us long")
+    flagged = df.selectExpr(
+        "user_id", "s_us", "e_us",
+        "CASE WHEN s_us > COALESCE(MAX(e_us) OVER (PARTITION BY user_id"
+        " ORDER BY s_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+        " -9223372036854775808) THEN 1 ELSE 0 END AS ni",
+    )
+    grouped = flagged.selectExpr(
+        "user_id", "s_us", "e_us",
+        "SUM(ni) OVER (PARTITION BY user_id ORDER BY s_us, e_us"
+        " ROWS UNBOUNDED PRECEDING) AS island",
+    )
+    got = {
+        (r.user_id): (r.n, r.cov)
+        for r in grouped.groupBy("user_id", "island")
+        .agg(F.expr("MAX(e_us) - MIN(s_us)").alias("len"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("len").alias("cov"))
+        .collect()
+    }
+
+    expected = {}
+    by_user = {}
+    for k, _, s, e in data:
+        by_user.setdefault(k, []).append((s, e))
+    for k, ivs in by_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expected[k] = (len(merged), sum(e - s for s, e in merged))
+    assert got == expected

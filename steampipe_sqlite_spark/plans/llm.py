@@ -4218,3 +4218,140 @@ def dataset_split_temporal(spark, sf_dir):
         )
     )
     return presentation_sort(out, ["split"])
+
+
+# --- Round-6 continuation: co-occurrence mining, 2-hop reach ----------------
+
+
+_LIFT_DD = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split({_DD_NORM}, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+top AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk FROM cnt)
+  WHERE rnk <= 50),
+tt AS (SELECT t.doc_id, t.tok, p.c FROM toks t JOIN top p ON t.tok = p.tok),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab,
+         CAST(MIN(a.c) AS BIGINT) AS c_a, CAST(MIN(b.c) AS BIGINT) AS c_b
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok)
+SELECT tok_a, tok_b, n_ab, c_a, c_b,
+       CAST(1000000 * (SELECT n_docs FROM nd) * n_ab
+            // (c_a * c_b) AS BIGINT) AS lift_ppm,
+       rnk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, tok_a, tok_b) AS INT)
+              AS rnk
+  FROM pairs)
+WHERE rnk <= 30
+ORDER BY rnk
+"""
+
+@query("token_pair_lift", oracle=_LIFT_DD)
+def token_pair_lift(spark, sf_dir):
+    """Token co-occurrence LIFT (PMI's exact-rational sibling: lift =
+    P(ab)/(P(a)P(b)) = n_docs*n_ab/(c_a*c_b), emitted as exact floor-ppm —
+    logarithms would hit the 1-ulp JVM/libm rule).  Collocation mining is
+    the phrase-detection primitive of every corpus-prep pipeline
+    (word2vec phrase pass, n-gram vocab build).
+
+    Scale shape: the top-50 vocabulary comes from orderBy+limit —
+    TakeOrderedAndProject, a per-partition partial top-k with NO global
+    window over the vocabulary (the SQL-window spelling the oracle uses
+    would single-partition the distinct vocab; the DataFrame form keeps
+    the same deterministic (c DESC, tok) total order).  The pair
+    self-join is gated to that 50-token broadcast BEFORE exploding, so
+    candidates are C(50,2)-bounded per doc, never corpus²; the closing
+    rank window runs over <=1225 already-limited pair rows."""
+    from steampipe_sqlite_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .where("tok <> ''")
+        .distinct()
+    )
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = cnt.orderBy(F.col("c").desc(), F.col("tok")).limit(50)
+    tt = toks.join(F.broadcast(top), "tok").select("doc_id", "tok", "c")
+    a = tt.selectExpr("doc_id", "tok AS tok_a", "c AS c_a")
+    b = tt.selectExpr("doc_id", "tok AS tok_b", "c AS c_b")
+    pairs = (
+        a.join(b, ["doc_id"])
+        .where("tok_a < tok_b")
+        .groupBy("tok_a", "tok_b", "c_a", "c_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    top30 = pairs.orderBy(
+        F.col("n_ab").desc(), F.col("tok_a"), F.col("tok_b")
+    ).limit(30)
+    out = top30.crossJoin(F.broadcast(nd)).selectExpr(
+        "tok_a", "tok_b", "n_ab", "c_a", "c_b",
+        "CAST(1000000 * n_docs * n_ab div (c_a * c_b) AS BIGINT) AS lift_ppm",
+        "CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, tok_a, tok_b) AS INT)"
+        " AS rnk",
+    )
+    return presentation_sort(out, ["rnk"])
+
+
+@query(
+    "graph_two_hop_reach",
+    oracle="""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT doc_id AS node FROM documents),
+edges AS (
+  SELECT node AS src, (node * 31 + 7) % (SELECT n FROM nn) AS dst FROM nodes
+  UNION ALL
+  SELECT node AS src, (node * 17 + 3) % (SELECT n FROM nn) AS dst FROM nodes),
+two_hop AS (
+  SELECT DISTINCT e1.src AS src, e2.dst AS dst
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+reach AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reach FROM two_hop GROUP BY src)
+SELECT n_reach, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM reach
+GROUP BY n_reach
+ORDER BY n_reach
+""",
+)
+def graph_two_hop_reach(spark, sf_dir):
+    """2-hop reachability profile over the synthetic doc graph (same
+    two-out-edges construction as graph_pagerank / graph_bfs_distances,
+    llm.py:2496): distinct 2-hop endpoints per node, rolled up to a
+    reach-count histogram — the neighborhood-size statistic feeding
+    friend-of-friend features and sampling-fanout planning.
+
+    Scale shape: out-degree is a constant 2, so the hop join produces
+    exactly 4 candidates per node before dedup — linear in nodes, keyed
+    on the join column; the histogram is a two-level hash aggregate.
+    A power-law graph would need the high-degree-vertex split
+    (salted_join_skewed_left); the docstring marks the swap point."""
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    nodes = docs.selectExpr("doc_id AS node")
+    edges = nodes.selectExpr("node AS src", f"(node * 31 + 7) % {n} AS dst").unionAll(
+        nodes.selectExpr("node AS src", f"(node * 17 + 3) % {n} AS dst")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+        .distinct()
+    )
+    reach = two_hop.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach")
+    )
+    out = reach.groupBy("n_reach").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return presentation_sort(out, ["n_reach"])

@@ -1062,3 +1062,269 @@ def market_basket_pairs(spark, sf_dir):
         .select("part_a", "part_b", "n_ab", "n_a", "n_b", "rnk")
     )
     return presentation_sort(out, ["rnk"])
+
+
+# --- Evaluation / distribution statistics ----------------------------------
+# (round 6 continuation: rank-based metrics with exact integer emission —
+# every ratio goes through explicit long division so the hash compare never
+# meets a float.)
+
+
+def _ppm_div(num: str, den: str, op: str) -> str:
+    """Exact floor((num/den)*1e6) in three BIGINT-safe steps.
+
+    A single ``num*1000000 {op} den`` overflows BIGINT once num exceeds
+    ~9.2e12; splitting 1e6 into 1e3·1e3 keeps every intermediate below
+    ``den*1000``, so the expression is exact while den < 9.2e15 (covers
+    sf1000 on the monetary corpus in integer dollars).  ``op`` is the
+    dialect's integer-division spelling ('div' Spark, '//' DuckDB); both
+    floor for the non-negative operands used here.
+    """
+    r1 = f"(({num}) % ({den}))"
+    r2 = f"(({r1} * 1000) % ({den}))"
+    return (
+        f"CAST((({num}) {op} ({den})) * 1000000"
+        f" + (({r1} * 1000) {op} ({den})) * 1000"
+        f" + (({r2} * 1000) {op} ({den})) AS BIGINT)"
+    )
+
+
+@query(
+    "eval_auc_mann_whitney",
+    oracle="""
+WITH lab AS (
+  SELECT value AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+by_s AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(y) AS BIGINT) AS cpos
+  FROM lab GROUP BY s),
+cum AS (
+  SELECT cnt, cpos,
+         CAST(SUM(cnt) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+              AS BIGINT) AS c_before
+  FROM by_s),
+tot AS (
+  SELECT CAST(SUM(cpos * (2 * c_before + cnt + 1)) AS BIGINT) AS ranksum2,
+         CAST(SUM(cpos) AS BIGINT) AS npos,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM cum)
+SELECT ranksum2 - npos * (npos + 1) AS u2,
+       npos, n - npos AS nneg,
+       CAST((ranksum2 - npos * (npos + 1)) * 500000
+            // (npos * (n - npos)) AS BIGINT) AS auc_ppm
+FROM tot
+""",
+)
+def eval_auc_mann_whitney(spark, sf_dir):
+    """Binary-classifier AUC as the Mann-Whitney rank statistic: treating
+    `value` as the score and `event_type='purchase'` as the positive
+    label, AUC = U / (npos*nneg) with the tie-corrected U from average
+    ranks.  Emitted exactly: u2 = 2U is an integer even with ties (the
+    0.5 tie credit doubles away), auc_ppm by one exact integer division.
+
+    Scale shape: the rank prefix runs over the DISTINCT-score aggregate
+    via operators/scale.distributed_running_sum (range shuffle + local
+    cumsum + driver-prefix-summed offsets) — no single-partition window
+    over raw events; the final fold is a 1-row aggregate."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import distributed_running_sum
+
+    events = load_table(spark, sf_dir, "events")
+    lab = events.selectExpr(
+        "value AS s",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+    )
+    by_s = lab.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("cpos"),
+    )
+    cum = distributed_running_sum(by_s, "cnt", [F.col("s")], name="csum")
+    tot = cum.selectExpr(
+        "cpos", "cnt", "csum - cnt AS c_before"
+    ).agg(
+        F.expr("CAST(SUM(cpos * (2 * c_before + cnt + 1)) AS BIGINT)").alias(
+            "ranksum2"
+        ),
+        F.expr("CAST(SUM(cpos) AS BIGINT)").alias("npos"),
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
+    )
+    return tot.selectExpr(
+        "ranksum2 - npos * (npos + 1) AS u2",
+        "npos",
+        "n - npos AS nneg",
+        "CAST((ranksum2 - npos * (npos + 1)) * 500000"
+        " div (npos * (n - npos)) AS BIGINT) AS auc_ppm",
+    )
+
+
+@query(
+    "stats_gini_spend",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT dollars,
+         ROW_NUMBER() OVER (ORDER BY dollars, o_custkey) AS rn
+  FROM per_cust),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dollars) AS BIGINT) AS sumx,
+         CAST(SUM(rn * dollars) AS BIGINT) AS sumix
+  FROM ranked)
+SELECT 2 * sumix - (n + 1) * sumx AS gini_num,
+       n * sumx AS gini_den,
+       {_ppm_div('2 * sumix - (n + 1) * sumx', 'n * sumx', '//')} AS gini_ppm
+FROM tot
+""",
+)
+def stats_gini_spend(spark, sf_dir):
+    """Gini concentration of customer spend (integer dollars): the exact
+    rank formula G = (2*Σ i·x_i − (n+1)·Σx) / (n·Σx) over ascending
+    spend, custkey tie-break.  Emits the exact integer numerator /
+    denominator plus gini_ppm via 3-step BIGINT-safe long division
+    (see _ppm_div — den < 9.2e15 envelope).
+
+    Scale shape: the global rank is operators/scale.distributed_row_number
+    over the per-customer AGGREGATE (map-side-partial groupBy first);
+    the closing fold is a 1-row aggregate."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)").alias(
+            "dollars"
+        )
+    )
+    ranked = distributed_row_number(
+        per_cust, [F.col("dollars"), F.col("o_custkey")], name="rn"
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dollars").cast("long").alias("sumx"),
+        F.expr("CAST(SUM(rn * dollars) AS BIGINT)").alias("sumix"),
+    )
+    return tot.selectExpr(
+        "2 * sumix - (n + 1) * sumx AS gini_num",
+        "n * sumx AS gini_den",
+        _ppm_div("2 * sumix - (n + 1) * sumx", "n * sumx", "div") + " AS gini_ppm",
+    )
+
+
+_BENFORD_BODY_T = """
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0),
+digits AS (
+  SELECT CAST(substring(CAST(c AS {vtype}), 1, 1) AS BIGINT) AS digit
+  FROM cents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) * 10000 {op} (SELECT n FROM tot) AS BIGINT) AS share_bp
+FROM digits
+GROUP BY digit
+ORDER BY digit
+"""
+# First-significant-digit (Benford) profile of order totals — the
+# data-quality / fraud screen.  The digit comes from the INTEGER cents'
+# decimal rendering (int->string is identical across engines; a double's
+# rendering is not), share in exact basis points.  Pure two-level hash
+# aggregate: map-side partial on <=9 digit groups, 1-row total broadcast.
+sql_query(
+    "stats_benford_first_digit",
+    _BENFORD_BODY_T.format(vtype="STRING", op="div"),
+    oracle=_BENFORD_BODY_T.format(vtype="VARCHAR", op="//"),
+    present_sort=["digit"],
+)
+
+
+@query(
+    "stats_pareto_topdecile",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS dollars
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT dollars,
+         ROW_NUMBER() OVER (ORDER BY dollars DESC, o_custkey) AS rn
+  FROM per_cust),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dollars) AS BIGINT) AS total
+  FROM ranked),
+top AS (
+  SELECT CAST(SUM(dollars) AS BIGINT) AS top_dollars,
+         CAST(COUNT(*) AS BIGINT) AS n_top
+  FROM ranked WHERE rn <= (SELECT (n + 9) // 10 FROM tot))
+SELECT n_top, (SELECT n FROM tot) AS n_customers,
+       top_dollars, (SELECT total FROM tot) AS total_dollars,
+       {_ppm_div('top_dollars', '(SELECT total FROM tot)', '//')} AS share_ppm
+FROM top
+""",
+)
+def stats_pareto_topdecile(spark, sf_dir):
+    """Pareto concentration: revenue share of the top-decile customers
+    (ceil(n/10) by spend, custkey tie-break) in exact ppm — the 80/20
+    check every curation dashboard wants.
+
+    Scale shape: distributed_row_number ranks the per-customer aggregate;
+    the n / total anchors are 1-row aggregates broadcast into the
+    filter; no raw-order row crosses the rank shuffle."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT)").alias(
+            "dollars"
+        )
+    )
+    ranked = distributed_row_number(
+        per_cust, [F.col("dollars").desc(), F.col("o_custkey")], name="rn"
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dollars").cast("long").alias("total"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(tot))
+        .where("rn <= (n + 9) div 10")
+        .agg(
+            F.sum("dollars").cast("long").alias("top_dollars"),
+            F.count(F.lit(1)).cast("long").alias("n_top"),
+            F.first("n").cast("long").alias("n_customers"),
+            F.first("total").cast("long").alias("total_dollars"),
+        )
+    )
+    return top.selectExpr(
+        "n_top", "n_customers", "top_dollars", "total_dollars",
+        _ppm_div("top_dollars", "total_dollars", "div") + " AS share_ppm",
+    )
+
+
+_MODE_BODY = """
+WITH cnts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type),
+ranked AS (
+  SELECT user_id, event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type) AS rnk
+  FROM cnts)
+SELECT user_id, event_type AS mode_event, c AS mode_count
+FROM ranked WHERE rnk = 1
+ORDER BY user_id
+"""
+# Statistical MODE per group with a deterministic lexicographic tie-break
+# (engines disagree on mode() tie choice, so the corpus spells the argmax
+# out).  The rank window runs over the (user, type) AGGREGATE — bounded
+# fan-in per user — never over raw events.
+sql_query("agg_mode_per_group", _MODE_BODY, present_sort=["user_id"])

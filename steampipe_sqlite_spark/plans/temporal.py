@@ -874,3 +874,38 @@ def attribution_last_touch(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
     )
     return presentation_sort(out, ["touch_type"])
+
+
+_SEASONAL_NAIVE_BODY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+matched AS (
+  SELECT cur.event_type,
+         cur.cents AS actual, prev.cents AS forecast
+  FROM hourly cur
+  JOIN hourly prev
+    ON prev.event_type = cur.event_type
+   AND prev.h + INTERVAL 24 HOURS = cur.h)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS mae_num_cents,
+       CAST(SUM(ABS(actual - forecast)) // COUNT(*) AS BIGINT)
+         AS mae_cents_floor
+FROM matched
+GROUP BY event_type
+ORDER BY event_type
+"""
+# Seasonal-naive backtest (forecast each hour by the value 24h earlier,
+# the standard baseline every forecaster must beat), scored by MAE over
+# integer cents.  The 24h shift is an equi-join on the shifted bucket —
+# gap-safe where LAG(24 ROWS) silently misreads sparse series — and at
+# scale it's a per-event_type co-partitioned self-join of the HOURLY
+# aggregate (map-side partial first), never of raw events.
+sql_query(
+    "ts_seasonal_naive_mae",
+    _SEASONAL_NAIVE_BODY.replace(" // ", " div "),
+    oracle=_SEASONAL_NAIVE_BODY,
+    present_sort=["event_type"],
+)

@@ -1,0 +1,175 @@
+"""Plain-Python replays of the evaluation/statistics corpus queries
+(round-6 continuation) over the sf0.001 fixtures — oracle-independent
+value checks: pandas/pure-Python recomputes each statistic from the same
+parquet and must match the Spark result exactly (everything is emitted as
+exact integers, so equality is bitwise).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+
+def _round_half_up(x):
+    # SQL ROUND (Spark & DuckDB) is half-away-from-zero; pandas .round()
+    # is banker's.  All corpus monetary values are positive.
+    return np.floor(np.asarray(x) + 0.5).astype(int)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    q, _ = collect()
+    return q[name](spark, SF).collect()
+
+
+def test_auc_mann_whitney_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    y = (ev.event_type == "purchase").to_numpy().astype(int)
+    s = ev.value.to_numpy()
+    # tie-corrected U via average ranks (2x everything stays integral)
+    order = pd.Series(s).rank(method="average")  # float but .5-exact
+    npos, n = int(y.sum()), len(y)
+    ranksum2 = int(round((order[y == 1].sum()) * 2))
+    u2 = ranksum2 - npos * (npos + 1)
+    nneg = n - npos
+    [row] = _run(spark, "eval_auc_mann_whitney")
+    assert (row.u2, row.npos, row.nneg) == (u2, npos, nneg)
+    assert row.auc_ppm == (u2 * 500000) // (npos * nneg)
+    # sanity: the synthetic labels are ~independent of value, AUC near 0.5
+    assert 350000 < row.auc_ppm < 650000
+
+
+def test_gini_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    per = (
+        od.assign(d=_round_half_up(od.o_totalprice))
+        .groupby("o_custkey")["d"]
+        .sum()
+        .reset_index()
+        .sort_values(["d", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    x = per.d.to_numpy()
+    n, sumx = len(x), int(x.sum())
+    sumix = int(sum((i + 1) * int(v) for i, v in enumerate(x)))
+    num, den = 2 * sumix - (n + 1) * sumx, n * sumx
+    [row] = _run(spark, "stats_gini_spend")
+    assert (row.gini_num, row.gini_den) == (num, den)
+    assert row.gini_ppm == (num * 1000000) // den
+    assert 0 <= row.gini_ppm <= 1000000
+
+
+def test_benford_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = _round_half_up(od.o_totalprice[od.o_totalprice > 0] * 100)
+    digits = Counter(int(str(c)[0]) for c in cents)
+    total = sum(digits.values())
+    rows = {r.digit: r for r in _run(spark, "stats_benford_first_digit")}
+    assert set(rows) == set(digits)
+    for d, cnt in digits.items():
+        assert rows[d].n_rows == cnt
+        assert rows[d].share_bp == cnt * 10000 // total
+
+
+def test_pareto_topdecile_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    per = (
+        od.assign(d=_round_half_up(od.o_totalprice))
+        .groupby("o_custkey")["d"]
+        .sum()
+        .reset_index()
+        .sort_values(["d", "o_custkey"], ascending=[False, True])
+    )
+    n = len(per)
+    k = (n + 9) // 10
+    top = int(per.d.iloc[:k].sum())
+    total = int(per.d.sum())
+    [row] = _run(spark, "stats_pareto_topdecile")
+    assert (row.n_top, row.n_customers, row.top_dollars, row.total_dollars) == (
+        k, n, top, total,
+    )
+    assert row.share_ppm == top * 1000000 // total
+    # top decile must hold at least its proportional share
+    assert row.share_ppm >= 100000
+
+
+def test_mode_per_group_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        c = Counter(grp.event_type)
+        # max count, lexicographically-first tie-break
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[uid] = best
+    rows = {r.user_id: (r.mode_event, r.mode_count) for r in _run(spark, "agg_mode_per_group")}
+    assert rows == want
+
+
+def test_seasonal_naive_mae_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(
+        h=ev.ts.dt.floor("h"), cents=_round_half_up(ev.value * 100)
+    )
+    hourly = ev.groupby(["event_type", "h"])["cents"].sum()
+    want = {}
+    for (et, h), cur in hourly.items():
+        prev = hourly.get((et, h - pd.Timedelta(hours=24)))
+        if prev is not None:
+            n, mae = want.get(et, (0, 0))
+            want[et] = (n + 1, mae + abs(int(cur) - int(prev)))
+    rows = {r.event_type: r for r in _run(spark, "ts_seasonal_naive_mae")}
+    assert set(rows) == set(want)
+    for et, (n, num) in want.items():
+        assert rows[et].n_hours == n
+        assert rows[et].mae_num_cents == num
+        assert rows[et].mae_cents_floor == num // n
+
+
+def _tokens(text: str) -> list[str]:
+    t = re.sub(r"[^a-z0-9一-鿿 ]", " ", text.lower())
+    t = re.sub(r"\s+", " ", t).strip()
+    return [x for x in t.split(" ") if x]
+
+
+def test_token_pair_lift_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n_docs = len(docs)
+    doc_toks = {r.doc_id: set(_tokens(r.text)) for r in docs.itertuples()}
+    cnt = Counter(t for toks in doc_toks.values() for t in toks)
+    top50 = {
+        t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    }
+    pair = Counter()
+    for toks in doc_toks.values():
+        keep = sorted(toks & top50)
+        for i, a in enumerate(keep):
+            for b in keep[i + 1 :]:
+                pair[(a, b)] += 1
+    ranked = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    rows = _run(spark, "token_pair_lift")
+    assert len(rows) == len(ranked)
+    for row, ((a, b), n_ab) in zip(rows, ranked):
+        assert (row.tok_a, row.tok_b, row.n_ab) == (a, b, n_ab)
+        assert (row.c_a, row.c_b) == (cnt[a], cnt[b])
+        assert row.lift_ppm == 1000000 * n_docs * n_ab // (cnt[a] * cnt[b])
+
+
+def test_two_hop_reach_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = len(docs)
+    out = {d: {(d * 31 + 7) % n, (d * 17 + 3) % n} for d in docs.doc_id}
+    reach = Counter()
+    for src, mids in out.items():
+        two = set()
+        for m in mids:
+            two |= out[m]
+        reach[len(two)] += 1
+    rows = {r.n_reach: r.n_nodes for r in _run(spark, "graph_two_hop_reach")}
+    assert rows == dict(reach)

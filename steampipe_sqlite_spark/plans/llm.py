@@ -4355,3 +4355,184 @@ def graph_two_hop_reach(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
     return presentation_sort(out, ["n_reach"])
+
+
+_KFOLD_BODY = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS {vtype})), doc_id)
+           AS rn
+  FROM documents)
+SELECT lang, CAST((rn - 1) % 5 AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ranked
+GROUP BY lang, fold
+ORDER BY lang, fold
+"""
+# Stratified 5-fold assignment: within each language stratum, docs are
+# ordered by a content-free md5 of their id (deterministic, seedless
+# shuffle) and dealt round-robin, so every fold holds an equal share of
+# every stratum (+/-1) — the leakage-safe eval-split primitive
+# (dataset_split_temporal is the time-based sibling).  The rank window is
+# PARTITIONED by lang: parallel across strata; a skewed mega-stratum
+# would swap to distributed_row_number per stratum.
+sql_query(
+    "dataset_kfold_stratified",
+    _KFOLD_BODY.format(vtype="STRING"),
+    oracle=_KFOLD_BODY.format(vtype="VARCHAR"),
+    present_sort=["lang", "fold"],
+)
+
+
+_CHI2_BODY = """
+WITH obs AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+rt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS rtot FROM documents GROUP BY lang),
+ct AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ctot FROM documents GROUP BY source),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+grid AS (
+  SELECT rt.lang, ct.source, rt.rtot, ct.ctot,
+         COALESCE(obs.o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+cells AS (
+  SELECT CAST((o * (SELECT n FROM nn) - rtot * ctot)
+              * (o * (SELECT n FROM nn) - rtot * ctot)
+              {op} (rtot * ctot) AS BIGINT) AS cell
+  FROM grid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cell) AS BIGINT) AS chi2_scaled_sum,
+       CAST(1000 * SUM(cell) {op} (SELECT n FROM nn) AS BIGINT) AS chi2_milli
+FROM cells
+"""
+# Pearson chi-square independence statistic for the lang x source
+# contingency table — the drift/association screen (is language mix
+# independent of source?).  chi2 = (1/n)*SUM((O*n - rt*ct)^2/(rt*ct));
+# each cell is ONE exact integer floor-division (identical both engines),
+# so no float enters the hash; ZERO cells are materialized by the
+# rowtotal x coltotal grid (a chi-square that skips empty cells is
+# biased low).  Two tiny aggregates cross-joined — the grid is
+# |langs| x |sources|, never corpus-sized.
+sql_query(
+    "stats_chi2_lang_source",
+    _CHI2_BODY.format(op="div"),
+    oracle=_CHI2_BODY.format(op="//"),
+)
+
+
+_HAPAX_SP_TOKS = "SELECT source, explode(split({norm}, ' ')) AS tok FROM documents"
+_HAPAX_DD_TOKS = (
+    "SELECT source, unnest(string_split({norm}, ' ')) AS tok FROM documents"
+)
+_HAPAX_BODY = """
+WITH tok AS ({toks}),
+cnt AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE tok <> '' GROUP BY source, tok)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 {op} COUNT(*)
+            AS BIGINT) AS hapax_share_ppm
+FROM cnt
+GROUP BY source
+ORDER BY source
+"""
+# Hapax-legomena ratio per source: share of the vocabulary that occurs
+# exactly once — the vocabulary-richness / OCR-noise screen (clean prose
+# sits near ~40-60%, boilerplate collapses it, OCR garbage inflates it).
+# Two-level hash aggregate over (source, token); the hapax test folds
+# into the same pass as vocab/token totals.
+sql_query(
+    "text_hapax_ratio",
+    _HAPAX_BODY.format(toks=_HAPAX_SP_TOKS.format(norm=_SP_NORM), op="div"),
+    oracle=_HAPAX_BODY.format(toks=_HAPAX_DD_TOKS.format(norm=_DD_NORM), op="//"),
+    present_sort=["source"],
+)
+
+
+@query(
+    "emb_label_centroid_geometry",
+    oracle="""
+WITH q AS (
+  SELECT label, i - 1 AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM embeddings, range(1, 65) t(i)
+  WHERE i <= len(embedding)),
+s AS (
+  SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS sv
+  FROM q GROUP BY label, pos),
+n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY label),
+norms AS (
+  SELECT label, CAST(SUM(sv * sv) AS BIGINT) AS norm_sq
+  FROM s GROUP BY label),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(a.sv * b.sv) AS BIGINT) AS dot_mm
+  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label)
+SELECT p.label_a, p.label_b, p.dot_mm,
+       na.norm_sq AS norm_a_sq, nb.norm_sq AS norm_b_sq,
+       cna.n AS n_a, cnb.n AS n_b
+FROM pairs p
+JOIN norms na ON na.label = p.label_a
+JOIN norms nb ON nb.label = p.label_b
+JOIN n cna ON cna.label = p.label_a
+JOIN n cnb ON cnb.label = p.label_b
+ORDER BY label_a, label_b
+""",
+)
+def emb_label_centroid_geometry(spark, sf_dir):
+    """Inter-class centroid geometry: per label pair, the exact inner
+    product and squared norms of the UNNORMALIZED label centroid-sums
+    over milli-quantized embeddings — cos(a,b) = dot/sqrt(na*nb) falls
+    out caller-side.  Low inter-centroid cosine = separable classes; the
+    class-overlap screen before training a probe.  Everything is BIGINT:
+    quantize-to-integer FIRST, so the cross-row sums are fold-order-free
+    (a double centroid would ULP-drift with partitioning; same trick as
+    knn_cosine_int8).
+
+    Scale shape: one posexplode shuffle to (label, dim) partials
+    (map-side combine; 10 labels x 64 dims = 640 rows out), then all
+    joins are on the tiny centroid frame.  Rows never pair with rows —
+    classes do."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).selectExpr(
+        "label", "pos", "CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qv"
+    )
+    s = q.groupBy("label", "pos").agg(F.sum("qv").cast("long").alias("sv"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    norms = s.groupBy("label").agg(
+        F.expr("CAST(SUM(sv * sv) AS BIGINT)").alias("norm_sq")
+    )
+    a = s.selectExpr("label AS label_a", "pos", "sv AS sa")
+    b = s.selectExpr("label AS label_b", "pos", "sv AS sb")
+    pairs = (
+        a.join(b, ["pos"])
+        .where("label_a < label_b")
+        .groupBy("label_a", "label_b")
+        .agg(F.expr("CAST(SUM(sa * sb) AS BIGINT)").alias("dot_mm"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(norms.selectExpr("label AS label_a", "norm_sq AS norm_a_sq")),
+            "label_a",
+        )
+        .join(
+            F.broadcast(norms.selectExpr("label AS label_b", "norm_sq AS norm_b_sq")),
+            "label_b",
+        )
+        .join(F.broadcast(n.selectExpr("label AS label_a", "n AS n_a")), "label_a")
+        .join(F.broadcast(n.selectExpr("label AS label_b", "n AS n_b")), "label_b")
+        .select(
+            "label_a", "label_b", "dot_mm",
+            "norm_a_sq", "norm_b_sq", "n_a", "n_b",
+        )
+    )
+    return presentation_sort(out, ["label_a", "label_b"])

@@ -8,7 +8,7 @@ exact integers, so equality is bitwise).
 from __future__ import annotations
 
 import re
-from collections import Counter
+from collections import Counter, defaultdict
 
 import numpy as np
 import pandas as pd
@@ -173,3 +173,78 @@ def test_two_hop_reach_matches_python(spark):
         reach[len(two)] += 1
     rows = {r.n_reach: r.n_nodes for r in _run(spark, "graph_two_hop_reach")}
     assert rows == dict(reach)
+
+
+def test_kfold_stratified_matches_python(spark):
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = Counter()
+    chars = Counter()
+    for lang, grp in docs.groupby("lang"):
+        ordered = sorted(
+            grp.itertuples(),
+            key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id),
+        )
+        for i, r in enumerate(ordered):
+            want[(lang, i % 5)] += 1
+            chars[(lang, i % 5)] += int(r.n_chars)
+    rows = {(r.lang, r.fold): r for r in _run(spark, "dataset_kfold_stratified")}
+    assert set(rows) == set(want)
+    for k, n in want.items():
+        assert rows[k].n_docs == n
+        assert rows[k].sum_chars == chars[k]
+    # stratification property: fold sizes within a stratum differ by <=1
+    for lang in docs.lang.unique():
+        sizes = [want[(lang, f)] for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_chi2_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    o = docs.groupby(["lang", "source"]).size()
+    rt = docs.groupby("lang").size()
+    ct = docs.groupby("source").size()
+    n = len(docs)
+    s = 0
+    for lang in rt.index:
+        for src in ct.index:
+            obs = int(o.get((lang, src), 0))
+            num = obs * n - int(rt[lang]) * int(ct[src])
+            s += (num * num) // (int(rt[lang]) * int(ct[src]))
+    [row] = _run(spark, "stats_chi2_lang_source")
+    assert row.n_cells == len(rt) * len(ct)
+    assert row.chi2_scaled_sum == s
+    assert row.chi2_milli == 1000 * s // n
+
+
+def test_hapax_ratio_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    per_src = defaultdict(Counter)
+    for r in docs.itertuples():
+        per_src[r.source].update(_tokens(r.text))
+    rows = {r.source: r for r in _run(spark, "text_hapax_ratio")}
+    assert set(rows) == set(per_src)
+    for src, cnt in per_src.items():
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        assert rows[src].vocab == len(cnt)
+        assert rows[src].hapax == hapax
+        assert rows[src].n_tokens == sum(cnt.values())
+        assert rows[src].hapax_share_ppm == hapax * 1000000 // len(cnt)
+
+
+def test_centroid_geometry_matches_python(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    sums, counts = {}, Counter()
+    for r in emb.itertuples():
+        q = _round_half_up(np.asarray(r.embedding, dtype=np.float64) * 1000)
+        sums[r.label] = sums.get(r.label, 0) + q.astype(object)
+        counts[r.label] += 1
+    rows = {(r.label_a, r.label_b): r for r in _run(spark, "emb_label_centroid_geometry")}
+    labels = sorted(sums)
+    assert set(rows) == {(a, b) for a in labels for b in labels if a < b}
+    for (a, b), r in rows.items():
+        assert r.dot_mm == int(np.dot(sums[a], sums[b]))
+        assert r.norm_a_sq == int(np.dot(sums[a], sums[a]))
+        assert r.norm_b_sq == int(np.dot(sums[b], sums[b]))
+        assert (r.n_a, r.n_b) == (counts[a], counts[b])

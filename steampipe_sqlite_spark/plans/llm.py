@@ -4536,3 +4536,104 @@ def emb_label_centroid_geometry(spark, sf_dir):
         )
     )
     return presentation_sort(out, ["label_a", "label_b"])
+
+
+# log2-discount weights for nDCG@10, pre-rounded to integer ppm and shared
+# by BOTH engines as literals — logarithms never run at query time (the
+# 1-ulp JVM/libm rule), so DCG sums are exact integer arithmetic.
+_NDCG_W = [
+    (1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853),
+    (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065),
+]
+_NDCG_W_VALUES = ", ".join(f"({r}, {w})" for r, w in _NDCG_W)
+
+
+@query(
+    "eval_ndcg_at10",
+    oracle=f"""
+WITH w(rank, wt) AS (VALUES {_NDCG_W_VALUES}),
+top AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_DD_COS} DESC, b.vec_id) AS rank
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 10
+  ) t WHERE rank <= 10),
+rel AS (
+  SELECT t.query_id, t.rank,
+         CASE WHEN qa.label = nb.label THEN 1 ELSE 0 END AS rel
+  FROM top t
+  JOIN embeddings qa ON qa.vec_id = t.query_id
+  JOIN embeddings nb ON nb.vec_id = t.neighbor_id),
+ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, rank) AS irk
+  FROM rel),
+d AS (
+  SELECT r.query_id,
+         CAST(SUM(r.rel) AS BIGINT) AS n_rel,
+         CAST(SUM(r.rel * w.wt) AS BIGINT) AS dcg_scaled
+  FROM rel r JOIN w ON w.rank = r.rank GROUP BY r.query_id),
+i AS (
+  SELECT query_id, CAST(SUM(rel * w.wt) AS BIGINT) AS idcg_scaled
+  FROM ideal JOIN w ON w.rank = ideal.irk GROUP BY query_id)
+SELECT d.query_id, d.n_rel, d.dcg_scaled, i.idcg_scaled,
+       CAST(CASE WHEN i.idcg_scaled = 0 THEN 0
+            ELSE d.dcg_scaled * 1000000 // i.idcg_scaled END AS BIGINT)
+         AS ndcg_ppm
+FROM d JOIN i ON i.query_id = d.query_id
+ORDER BY d.query_id
+""",
+)
+def eval_ndcg_at10(spark, sf_dir):
+    """Retrieval-quality nDCG@10 of the exact cosine top-10 (first 10
+    vectors as queries), relevance = neighbor shares the query's label.
+    The log2 rank discounts are PRE-ROUNDED integer-ppm literals shared
+    by both engines (_NDCG_W) so DCG / ideal-DCG are exact integer sums;
+    ideal ranking re-sorts the retrieved list's relevances (rel DESC,
+    rank tie-break).  The offline eval loop for every ANN variant here:
+    swap the retrieval CTE, keep the metric.
+
+    Scale shape: rides brute_force_topk (broadcast queries, streamed
+    corpus); everything after the top-k is 100 rows."""
+    from steampipe_sqlite_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=10
+    ).select("query_id", "neighbor_id", "rank")
+    lab = emb.select("vec_id", "label")
+    rel = (
+        top.join(
+            F.broadcast(lab.selectExpr("vec_id AS query_id", "label AS ql")),
+            "query_id",
+        )
+        .join(lab.selectExpr("vec_id AS neighbor_id", "label AS nl"), "neighbor_id")
+        .selectExpr(
+            "query_id", "rank", "CASE WHEN ql = nl THEN 1 ELSE 0 END AS rel"
+        )
+    )
+    warr = "array({})".format(
+        ", ".join(str(w) for _, w in _NDCG_W)
+    )
+    scored = rel.selectExpr(
+        "query_id", "rel",
+        f"rel * element_at({warr}, rank) AS dterm",
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, rank)"
+        " AS irk",
+    ).selectExpr(
+        "query_id", "rel", "dterm",
+        f"rel * element_at({warr}, irk) AS iterm",
+    )
+    out = scored.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum("dterm").cast("long").alias("dcg_scaled"),
+        F.sum("iterm").cast("long").alias("idcg_scaled"),
+    ).selectExpr(
+        "query_id", "n_rel", "dcg_scaled", "idcg_scaled",
+        "CAST(CASE WHEN idcg_scaled = 0 THEN 0"
+        " ELSE dcg_scaled * 1000000 div idcg_scaled END AS BIGINT) AS ndcg_ppm",
+    )
+    return presentation_sort(out, ["query_id"])

@@ -909,3 +909,131 @@ sql_query(
     oracle=_SEASONAL_NAIVE_BODY,
     present_sort=["event_type"],
 )
+
+
+_TRANSITION_BODY = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+pairs AS (
+  SELECT prev AS src_event, event_type AS dst_event,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, event_type),
+tot AS (
+  SELECT src_event, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM pairs GROUP BY src_event)
+SELECT p.src_event, p.dst_event, p.n, t.row_total,
+       CAST(p.n * 1000000 {op} t.row_total AS BIGINT) AS share_ppm
+FROM pairs p JOIN tot t ON t.src_event = p.src_event
+ORDER BY p.src_event, p.dst_event
+"""
+# First-order Markov transition matrix of user event streams: per
+# (from, to) event-type pair, the count and exact row-normalized ppm —
+# the behavioral-model / anomaly-baseline primitive.  The LAG window is
+# PARTITIONED by user (parallel, bounded per-key state); the matrix
+# itself is |types|^2 = 25 rows, and its row totals join broadcast-sized.
+sql_query(
+    "events_transition_matrix",
+    _TRANSITION_BODY.format(op="div"),
+    oracle=_TRANSITION_BODY.format(op="//"),
+    present_sort=["src_event", "dst_event"],
+)
+
+
+def _interarrival_body(eus, op):
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         ({eus('ts')} - LAG({eus('ts')}) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+           {op} 1000000 AS gap_s
+  FROM events),
+gaps AS (SELECT gap_s FROM seq WHERE gap_s IS NOT NULL),
+bucketed AS (
+  SELECT gap_s,
+         CASE WHEN gap_s <= 0 THEN 0
+              ELSE length(CAST(gap_s AS VARCHAR)) END AS bucket
+  FROM gaps)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# Inter-arrival-time histogram in decimal-decade buckets (bucket = digit
+# count of the gap in whole seconds — an exact integer log10 both engines
+# compute identically from the int's decimal rendering, where FLOOR(LOG10)
+# would 1-ulp-flip on exact powers of ten).  Session-timeout calibration:
+# the gap distribution's knee IS the right sessionize threshold.
+# LAG partitions by user; the histogram is <=12 buckets.
+sql_query(
+    "events_interarrival_hist",
+    _interarrival_body(lambda x: f"unix_micros(cast({x} AS TIMESTAMP))", "div")
+    .replace("AS VARCHAR", "AS STRING"),
+    oracle=_interarrival_body(lambda x: f"epoch_us({x})", "//"),
+    present_sort=["bucket"],
+)
+
+
+_GROWTH_BODY = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM events GROUP BY 1),
+first_seen AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS day
+  FROM events GROUP BY user_id),
+new_by_day AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY day)
+SELECT CAST(d.day AS TIMESTAMP) AS day, d.n_events, d.n_active,
+       COALESCE(n.n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily d LEFT JOIN new_by_day n ON n.day = d.day
+ORDER BY d.day
+"""
+# Daily growth curve: events, DAU, new users (first-seen day), and the
+# cumulative registered-user count — the activation dashboard.  The
+# running sum's window is over the DAY-level aggregate (bounded: one row
+# per day — 36.5k rows even for a century), which is the documented
+# exception to the no-global-window rule; the per-user first-seen min is
+# an ordinary map-side-partial aggregate.
+sql_query("events_growth_daily", _GROWTH_BODY, present_sort=["day"])
+
+
+_CROSSINGS_BODY = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         LAG(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <= 25000
+                      AND cents > 25000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_up_crossings,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev > 25000
+                      AND cents <= 25000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_down_crossings,
+       CAST(SUM(CASE WHEN cents > 25000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM seq
+GROUP BY event_type
+ORDER BY event_type
+"""
+# Threshold-crossing counter (value crossing 250.00 in integer cents,
+# both directions) per event-type stream — the alert-dedup primitive: an
+# alert fires on CROSSINGS, not on every above-threshold sample.  One
+# keyed LAG window folded straight into a 5-row aggregate.
+sql_query("ts_threshold_crossings", _CROSSINGS_BODY, present_sort=["event_type"])

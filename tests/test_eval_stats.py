@@ -248,3 +248,103 @@ def test_centroid_geometry_matches_python(spark):
         assert r.norm_a_sq == int(np.dot(sums[a], sums[a]))
         assert r.norm_b_sq == int(np.dot(sums[b], sums[b]))
         assert (r.n_a, r.n_b) == (counts[a], counts[b])
+
+
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465,
+           301030, 289065]
+
+
+def test_ndcg_at10_matches_python(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    labels = {r.vec_id: r.label for r in emb.itertuples()}
+    rows = {r.query_id: r for r in _run(spark, "eval_ndcg_at10")}
+    for qid in range(10):
+        qv = vecs[qid]
+        scored = sorted(
+            (
+                (-round(float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))), 4), nid)
+                for nid, v in vecs.items() if nid != qid
+            ),
+        )[:10]
+        rel = [1 if labels[nid] == labels[qid] else 0 for _, nid in scored]
+        dcg = sum(r * w for r, w in zip(rel, _NDCG_W))
+        idcg = sum(r * w for r, w in zip(sorted(rel, reverse=True), _NDCG_W))
+        row = rows[qid]
+        assert (row.n_rel, row.dcg_scaled, row.idcg_scaled) == (sum(rel), dcg, idcg)
+        assert row.ndcg_ppm == (0 if idcg == 0 else dcg * 1000000 // idcg)
+
+
+def test_transition_matrix_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    pair = Counter()
+    for _, grp in ev.groupby("user_id"):
+        et = list(grp.event_type)
+        for a, b in zip(et, et[1:]):
+            pair[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pair.items():
+        row_tot[a] += n
+    rows = {(r.src_event, r.dst_event): r for r in _run(spark, "events_transition_matrix")}
+    assert set(rows) == set(pair)
+    for (a, b), r in rows.items():
+        assert r.n == pair[(a, b)]
+        assert r.row_total == row_tot[a]
+        assert r.share_ppm == pair[(a, b)] * 1000000 // row_tot[a]
+
+
+def test_interarrival_hist_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    buckets = Counter()
+    lo, hi = {}, {}
+    for _, grp in ev.groupby("user_id"):
+        us = ((grp.ts - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).to_numpy()
+        for a, b in zip(us, us[1:]):
+            gap_s = (b - a) // 1_000_000
+            bkt = 0 if gap_s <= 0 else len(str(gap_s))
+            buckets[bkt] += 1
+            lo[bkt] = min(lo.get(bkt, gap_s), gap_s)
+            hi[bkt] = max(hi.get(bkt, gap_s), gap_s)
+    rows = {r.bucket: r for r in _run(spark, "events_interarrival_hist")}
+    assert set(rows) == set(buckets)
+    for bkt, n in buckets.items():
+        assert rows[bkt].n_gaps == n
+        assert (rows[bkt].min_gap_s, rows[bkt].max_gap_s) == (lo[bkt], hi[bkt])
+
+
+def test_growth_daily_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(day=ev.ts.dt.floor("d"))
+    daily_ev = ev.groupby("day").size()
+    daily_active = ev.groupby("day")["user_id"].nunique()
+    first_seen = ev.groupby("user_id")["day"].min()
+    new_by_day = first_seen.value_counts()
+    rows = sorted(_run(spark, "events_growth_daily"), key=lambda r: r.day)
+    assert len(rows) == len(daily_ev)
+    cum = 0
+    for r in rows:
+        d = pd.Timestamp(r.day)
+        n_new = int(new_by_day.get(d, 0))
+        cum += n_new
+        assert r.n_events == int(daily_ev[d])
+        assert r.n_active == int(daily_active[d])
+        assert r.n_new == n_new
+        assert r.cum_users == cum
+    assert cum == ev.user_id.nunique()
+
+
+def test_threshold_crossings_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    want = {}
+    for et, grp in ev.groupby("event_type"):
+        cents = _round_half_up(grp.value * 100)
+        up = sum(1 for a, b in zip(cents, cents[1:]) if a <= 25000 < b)
+        down = sum(1 for a, b in zip(cents, cents[1:]) if b <= 25000 < a)
+        want[et] = (up, down, int((cents > 25000).sum()), len(cents))
+    rows = {r.event_type: r for r in _run(spark, "ts_threshold_crossings")}
+    assert set(rows) == set(want)
+    for et, (up, down, above, total) in want.items():
+        r = rows[et]
+        assert (r.n_up_crossings, r.n_down_crossings, r.n_above, r.n_total) == (
+            up, down, above, total,
+        )

@@ -172,3 +172,31 @@ ORDER BY c_custkey
 # oracle side.  Bounded to 200 rows: the per-pair DP cost is the point
 # of measuring, not scanning; at scale edit distance runs INSIDE a
 # blocking key (see ngram_jaccard_pairs), never across a corpus product.
+
+
+_PRINTF_ARGS = (
+    "o_orderkey, o_orderstatus,"
+    " CAST(ROUND(o_totalprice * 100) AS BIGINT), o_custkey % 997"
+)
+# C-style formatting parity, INTEGER conversions only: %d / zero-padded
+# %05d / %s / hex %x render identically in Java's Formatter (Spark
+# format_string) and C's printf (DuckDB).  FLOAT conversions (%.2f) are
+# deliberately absent: the engines disagree on half-even vs half-up at
+# the rounding boundary — the same class as the ROUND(x, n) rule in the
+# registry header.
+sql_query(
+    "compat_printf_integer",
+    f"""
+SELECT o_orderkey,
+       format_string('%05d|%s|cents=%d|hex=%x', {_PRINTF_ARGS}) AS line
+FROM orders
+ORDER BY o_orderkey
+""",
+    oracle=f"""
+SELECT o_orderkey,
+       printf('%05d|%s|cents=%d|hex=%x', {_PRINTF_ARGS}) AS line
+FROM orders
+ORDER BY o_orderkey
+""",
+    present_sort=["o_orderkey"],
+)

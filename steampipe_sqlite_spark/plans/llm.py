@@ -4637,3 +4637,35 @@ def eval_ndcg_at10(spark, sf_dir):
         " ELSE dcg_scaled * 1000000 div idcg_scaled END AS BIGINT) AS ndcg_ppm",
     )
     return presentation_sort(out, ["query_id"])
+
+
+_FUZZY_BODY = """
+WITH p AS (
+  SELECT doc_id, substring({norm}, 1, 24) AS pre FROM documents),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pre AS pre_a, b.pre AS pre_b
+  FROM p a JOIN p b
+    ON substring(a.pre, 1, 6) = substring(b.pre, 1, 6)
+   AND a.doc_id < b.doc_id
+   AND abs(length(a.pre) - length(b.pre)) <= 3)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(pre_a, pre_b) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(pre_a, pre_b) <= 3
+ORDER BY doc_a, doc_b
+"""
+# Blocked fuzzy self-join (record linkage): candidates meet only inside a
+# 6-char-prefix block with a +/-3 length gate (the length filter is the
+# same pigeonhole bound PPJoin uses: |len(a)-len(b)| > k implies
+# edit_dist > k), then exact Levenshtein <= 3 verifies the 24-char
+# normalized prefixes.  Prefix blocking is the classic deterministic
+# blocking strategy; candidate cost is sum of block^2, never corpus^2 —
+# a skewed mega-block (all docs opening identically) would salt the key
+# with a length bucket or swap to dedup_ppjoin_exact's token-prefix
+# filter, which is skew-free by construction.
+sql_query(
+    "join_fuzzy_blocked_prefix",
+    _FUZZY_BODY.format(norm=_SP_NORM),
+    oracle=_FUZZY_BODY.format(norm=_DD_NORM),
+    present_sort=["doc_a", "doc_b"],
+)

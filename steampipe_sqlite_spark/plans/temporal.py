@@ -1037,3 +1037,62 @@ ORDER BY event_type
 # alert fires on CROSSINGS, not on every above-threshold sample.  One
 # keyed LAG window folded straight into a 5-row aggregate.
 sql_query("ts_threshold_crossings", _CROSSINGS_BODY, present_sort=["event_type"])
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+WITH views AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+purch AS (
+  SELECT user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.user_id, v.event_id,
+         (SELECT p.purchase_cents FROM purch p
+          WHERE p.user_id = v.user_id AND p.ts <= v.ts
+          ORDER BY p.ts DESC LIMIT 1) AS active_cents
+  FROM views v)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(active_cents) AS BIGINT) AS n_covered,
+       CAST(SUM(COALESCE(active_cents, 0)) AS BIGINT) AS sum_active_cents
+FROM matched
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time (SCD2 AS-OF) lookup: each 'view' event is joined to
+    the purchase record ACTIVE at its timestamp (the most recent
+    purchase at-or-before — exactly the dimension row whose
+    [valid_from, valid_to) interval covers the fact ts, without ever
+    materializing valid_to).  The warehouse pattern for joining facts to
+    slowly-changing dimensions; rides operators/temporal.asof_join
+    (union + one keyed window — one shuffle on user_id, cost independent
+    of interval lengths; a naive BETWEEN range join explodes on long
+    validity windows).  The oracle spells the same semantics as a
+    correlated top-1 subquery."""
+    from steampipe_sqlite_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where("event_type = 'view'").selectExpr(
+        "user_id", "ts", "event_id"
+    )
+    purch = events.where("event_type = 'purchase'").selectExpr(
+        "user_id", "ts",
+        "CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents",
+    )
+    matched = asof_join(
+        views, purch, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["purchase_cents"],
+    )
+    out = matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views"),
+        F.count("purchase_cents").cast("long").alias("n_covered"),
+        F.expr("CAST(SUM(COALESCE(purchase_cents, 0)) AS BIGINT)").alias(
+            "sum_active_cents"
+        ),
+    )
+    return presentation_sort(out, ["user_id"])

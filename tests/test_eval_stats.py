@@ -394,3 +394,56 @@ def test_printf_integer_matches_python(spark):
             r.o_orderkey, r.o_orderstatus, cents, r.o_custkey % 997,
         )
         assert rows[r.o_orderkey] == want
+
+
+def test_scd2_point_in_time_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    purch = ev[ev.event_type == "purchase"]
+    views = ev[ev.event_type == "view"]
+    want = {}
+    for r in views.itertuples():
+        mine = purch[(purch.user_id == r.user_id) & (purch.ts <= r.ts)]
+        cents = (
+            int(np.floor(mine.sort_values("ts").value.iloc[-1] * 100 + 0.5))
+            if len(mine) else None
+        )
+        n, cov, tot = want.get(r.user_id, (0, 0, 0))
+        want[r.user_id] = (n + 1, cov + (cents is not None), tot + (cents or 0))
+    rows = {r.user_id: r for r in _run(spark, "join_scd2_point_in_time")}
+    assert set(rows) == set(want)
+    for uid, (n, cov, tot) in want.items():
+        r = rows[uid]
+        assert (r.n_views, r.n_covered, r.sum_active_cents) == (n, cov, tot)
+
+
+def test_bitwise_agg_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    rows = {r.event_type: r for r in _run(spark, "agg_bitwise")}
+    for et, grp in ev.groupby("event_type"):
+        band = bor = None
+        bxor = 0
+        for v in grp.event_id:
+            v = int(v)
+            band = v if band is None else band & v
+            bor = v if bor is None else bor | v
+            bxor ^= v
+        r = rows[et]
+        assert (r.band, r.bor, r.bxor, r.n) == (band, bor, bxor, len(grp))
+
+
+def test_width_bucket_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    buckets = Counter()
+    lo, hi = {}, {}
+    for p in od.o_totalprice:
+        b = 0 if p < 0 else 13 if p >= 600000 else int(p / 50000.0) + 1
+        c = int(np.floor(p * 100 + 0.5))
+        buckets[b] += 1
+        lo[b] = min(lo.get(b, c), c)
+        hi[b] = max(hi.get(b, c), c)
+    rows = {r.bucket: r for r in _run(spark, "agg_width_bucket_hist")}
+    assert set(rows) == set(buckets)
+    for b, n in buckets.items():
+        assert (rows[b].n_orders, rows[b].min_cents, rows[b].max_cents) == (
+            n, lo[b], hi[b],
+        )

@@ -242,7 +242,8 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # eval_ndcg_at10, events_transition_matrix, events_interarrival_hist,
 # events_growth_daily, ts_threshold_crossings,
 # join_fuzzy_blocked_prefix, compat_printf_integer,
-# join_scd2_point_in_time, agg_bitwise, agg_width_bucket_hist —
+# join_scd2_point_in_time, agg_bitwise, agg_width_bucket_hist,
+# win_running_distinct, stats_join_size_profile —
 # selfcheck-green at
 # sf0.01 incl. the 253/253 full sweep, and at sf0.1 vanilla) plus any
 # r6 reds — 42 never-driver-checked names total, so the r7 window is

@@ -1328,3 +1328,86 @@ ORDER BY user_id
 # out).  The rank window runs over the (user, type) AGGREGATE — bounded
 # fan-in per user — never over raw events.
 sql_query("agg_mode_per_group", _MODE_BODY, present_sort=["user_id"])
+
+
+_RUNNING_DISTINCT_BODY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_types
+FROM flagged
+ORDER BY user_id, event_id
+"""
+# Running COUNT(DISTINCT) over an ordered stream — not directly expressible
+# as a window aggregate in any engine — via the first-occurrence-flag
+# decomposition: a distinct count's running value is the running SUM of
+# "is this the first time the key appears".  Both windows are PARTITIONED
+# (by (user, type) then by user) — bounded per-key state, no global
+# funnel; the unbounded output keeps the parallel range sort.
+sql_query("win_running_distinct", _RUNNING_DISTINCT_BODY)
+
+
+@query(
+    "stats_join_size_profile",
+    oracle="""
+WITH ca AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY o_orderkey),
+cb AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+       FROM lineitem GROUP BY l_orderkey),
+prod AS (
+  SELECT ca.k, ca.c * cb.c AS rows_for_key
+  FROM ca JOIN cb ON ca.k = cb.k)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS n_keys_left,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS n_keys_right,
+       CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+       CAST(SUM(rows_for_key) AS BIGINT) AS join_rows,
+       CAST(MAX(rows_for_key) AS BIGINT) AS max_key_rows
+FROM prod
+""",
+)
+def stats_join_size_profile(spark, sf_dir):
+    """Exact join-cardinality profile for orders x lineitem on orderkey:
+    |A join B| = sum over common keys of cA(k)*cB(k), plus the max
+    single-key contribution — the statistic a cost-based planner (and a
+    skew-mitigation decision) needs BEFORE running the join, computed
+    from per-key count aggregates that are orders of magnitude smaller
+    than the join output itself.
+
+    Scale shape: two map-side-partial count aggregates, one equi-join of
+    the (key, count) frames, one 1-row fold.  The raw join never runs."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_a")
+    )
+    cb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_b")
+    )
+    na = ca.agg(F.count(F.lit(1)).cast("long").alias("n_keys_left"))
+    nb = cb.agg(F.count(F.lit(1)).cast("long").alias("n_keys_right"))
+    prod = ca.join(cb, "k").selectExpr("c_a * c_b AS rows_for_key")
+    out = (
+        prod.agg(
+            F.count(F.lit(1)).cast("long").alias("n_common_keys"),
+            F.sum("rows_for_key").cast("long").alias("join_rows"),
+            F.max("rows_for_key").cast("long").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_keys_left", "n_keys_right", "n_common_keys",
+            "join_rows", "max_key_rows",
+        )
+    )
+    return out

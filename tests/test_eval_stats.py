@@ -447,3 +447,68 @@ def test_width_bucket_matches_python(spark):
         assert (rows[b].n_orders, rows[b].min_cents, rows[b].max_cents) == (
             n, lo[b], hi[b],
         )
+
+
+def test_running_distinct_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        seen = set()
+        for r in grp.itertuples():
+            seen.add(r.event_type)
+            want[(uid, r.event_id)] = len(seen)
+    rows = {
+        (r.user_id, r.event_id): r.cum_distinct_types
+        for r in _run(spark, "win_running_distinct")
+    }
+    assert rows == want
+
+
+def test_join_size_profile_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    ca = od.groupby("o_orderkey").size()
+    cb = li.groupby("l_orderkey").size()
+    common = ca.index.intersection(cb.index)
+    prods = [int(ca[k]) * int(cb[k]) for k in common]
+    [row] = _run(spark, "stats_join_size_profile")
+    assert (row.n_keys_left, row.n_keys_right, row.n_common_keys) == (
+        len(ca), len(cb), len(common),
+    )
+    assert row.join_rows == sum(prods)
+    assert row.max_key_rows == max(prods)
+    # the identity the profile predicts: actual join cardinality
+    actual = od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    assert row.join_rows == len(actual)
+
+
+def test_ppm_div_exactness_and_overflow_envelope(spark):
+    """_ppm_div must equal floor(num*1e6/den) for any 0 <= num <= den
+    < 9.2e15 — including magnitudes where the naive single-step
+    num*1000000 would overflow BIGINT."""
+    import duckdb
+
+    from steampipe_sqlite_spark.plans.relational import _ppm_div
+
+    cases = [
+        (0, 1), (1, 1), (1, 3), (2, 3), (999999, 1000000),
+        (10**15, 9 * 10**15), (9 * 10**15 - 1, 9 * 10**15),
+        (4611686018427387, 9211686018427387),  # naive overflow regime
+        (123456789012345, 987654321098765),
+        (7, 9_199_999_999_999_999),
+    ]
+    rows = ", ".join(f"({n}, {d})" for n, d in cases)
+    spark_sql = (
+        f"SELECT num, den, {_ppm_div('num', 'den', 'div')} AS ppm"
+        f" FROM VALUES {rows} AS t(num, den)"
+    )
+    got_spark = {(r.num, r.den): r.ppm for r in spark.sql(spark_sql).collect()}
+    duck_sql = (
+        f"SELECT num, den, {_ppm_div('num', 'den', '//')} AS ppm"
+        f" FROM (VALUES {rows}) t(num, den)"
+    )
+    got_duck = {(n, d): p for n, d, p in duckdb.sql(duck_sql).fetchall()}
+    for n, d in cases:
+        want = n * 1000000 // d
+        assert got_spark[(n, d)] == want, (n, d)
+        assert got_duck[(n, d)] == want, (n, d)

@@ -379,3 +379,102 @@ def mm_audio_silence_runs(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_video_neardup_shingles",
+    oracle="""
+WITH vid AS (
+  SELECT doc_id, 30 + (doc_id * 17) % 271 AS n_frames
+  FROM documents WHERE doc_id % 3 = 1),
+frames AS (
+  SELECT doc_id, UNNEST(generate_series(0, n_frames - 1, 5)) AS f FROM vid),
+sig AS (
+  SELECT doc_id, f,
+         (doc_id * 7 + (f // 30) * 13 + (f % 3)) % 256 AS s
+  FROM frames),
+sh AS (
+  SELECT doc_id,
+         s * 65536 + LEAD(s, 1) OVER w * 256 + LEAD(s, 2) OVER w AS shingle
+  FROM sig WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT p.video_a, p.video_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(p.n_shared * 1000000 // LEAST(sa.n, sb.n) AS BIGINT)
+         AS containment_ppm
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.video_a
+JOIN sizes sb ON sb.doc_id = p.video_b
+WHERE p.n_shared >= 5
+ORDER BY p.video_a, p.video_b
+""",
+)
+def mm_video_neardup_shingles(spark, sf_dir):
+    """Video near-duplicate detection by TEMPORAL fingerprint: each
+    sampled frame contributes an 8-bit signature of the deterministic
+    fake luma plane (a real pipeline swaps only this projection for a
+    per-frame pHash), consecutive signature TRIPLES form order-aware
+    shingles, and videos pair on shared distinct shingles with >= 5
+    matches, scored by min-side containment ppm — re-encoded /
+    trimmed copies keep long runs of identical frame signatures even
+    when global metadata differs.  The video sibling of
+    dedup_containment_ngram.
+
+    Scale shape: signatures and shingles are keyed windows per video
+    (linear); the pair stage is a distinct-shingle equi-join — videos
+    meet ONLY on shared shingles, never all-pairs; at production scale
+    the 24-bit fake shingle becomes a 3x64-bit pHash tuple, making hot
+    shingles vanishingly rare (here the 256-value fake luma keeps them
+    common enough to exercise the join)."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.multimodal import (
+        decode_video_meta,
+        sample_frames,
+    )
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+
+    vids = decode_video_meta(_media(spark, sf_dir))
+    frames = sample_frames(vids, every=5).select(
+        "doc_id", F.col("frame_idx").alias("f")
+    )
+    sig = frames.selectExpr(
+        "doc_id", "f",
+        "(doc_id * 7 + (f div 30) * 13 + (f % 3)) % 256 AS s",
+    )
+    sh = sig.selectExpr(
+        "doc_id",
+        "s * 65536"
+        " + LEAD(s, 1) OVER (PARTITION BY doc_id ORDER BY f) * 256"
+        " + LEAD(s, 2) OVER (PARTITION BY doc_id ORDER BY f) AS shingle",
+    )
+    shd = sh.where("shingle IS NOT NULL").distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = shd.selectExpr("doc_id AS video_a", "shingle")
+    b = shd.selectExpr("doc_id AS video_b", "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .where("video_a < video_b")
+        .groupBy("video_a", "video_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where("n_shared >= 5")
+    )
+    out = (
+        # sizes is one row PER VIDEO — unbounded at corpus scale, so no
+        # broadcast hint: AQE picks broadcast while it fits, shuffle join
+        # beyond (the pair frame is keyed on the same ids either way).
+        pairs.join(sizes.selectExpr("doc_id AS video_a", "n AS n_a"), "video_a")
+        .join(sizes.selectExpr("doc_id AS video_b", "n AS n_b"), "video_b")
+        .selectExpr(
+            "video_a", "video_b", "n_shared", "n_a", "n_b",
+            "CAST(n_shared * 1000000 div LEAST(n_a, n_b) AS BIGINT)"
+            " AS containment_ppm",
+        )
+    )
+    return presentation_sort(out, ["video_a", "video_b"])

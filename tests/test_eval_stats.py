@@ -512,3 +512,32 @@ def test_ppm_div_exactness_and_overflow_envelope(spark):
         want = n * 1000000 // d
         assert got_spark[(n, d)] == want, (n, d)
         assert got_duck[(n, d)] == want, (n, d)
+
+
+def test_video_neardup_shingles_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vids = [d for d in docs.doc_id if d % 3 == 1]
+    shingles = {}
+    for d in vids:
+        n_frames = 30 + (d * 17) % 271
+        fs = list(range(0, n_frames, 5))
+        sigs = [(d * 7 + (f // 30) * 13 + (f % 3)) % 256 for f in fs]
+        sh = {
+            sigs[i] * 65536 + sigs[i + 1] * 256 + sigs[i + 2]
+            for i in range(len(sigs) - 2)
+        }
+        shingles[d] = sh
+    want = {}
+    for i, a in enumerate(vids):
+        for b in vids[i + 1 :]:
+            shared = len(shingles[a] & shingles[b])
+            if shared >= 5:
+                want[(a, b)] = shared
+    rows = {(r.video_a, r.video_b): r for r in _run(spark, "mm_video_neardup_shingles")}
+    assert set(rows) == set(want)
+    for (a, b), r in rows.items():
+        assert r.n_shared == want[(a, b)]
+        assert (r.n_a, r.n_b) == (len(shingles[a]), len(shingles[b]))
+        assert r.containment_ppm == want[(a, b)] * 1000000 // min(
+            len(shingles[a]), len(shingles[b])
+        )

@@ -4669,3 +4669,42 @@ sql_query(
     oracle=_FUZZY_BODY.format(norm=_DD_NORM),
     present_sort=["doc_a", "doc_b"],
 )
+
+
+_VOCAB_JAC_SP_TOKS = (
+    "SELECT DISTINCT lang, tok FROM "
+    "(SELECT lang, explode(split({norm}, ' ')) AS tok FROM documents) "
+    "WHERE tok <> ''"
+)
+_VOCAB_JAC_DD_TOKS = (
+    "SELECT DISTINCT lang, tok FROM "
+    "(SELECT lang, unnest(string_split({norm}, ' ')) AS tok FROM documents) t "
+    "WHERE tok <> ''"
+)
+_VOCAB_JAC_BODY = """
+WITH vt AS ({toks}),
+sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM vt GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM vt a JOIN vt b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang)
+SELECT i.lang_a, i.lang_b, i.n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(i.n_shared * 1000000
+            {op} (sa.n + sb.n - i.n_shared) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+ORDER BY i.lang_a, i.lang_b
+"""
+# Inter-language vocabulary overlap (exact Jaccard over distinct-token
+# sets): high en/de overlap flags code-switching or mislabeled language
+# IDs; near-zero zh/en is the sanity anchor.  Languages meet only on
+# SHARED tokens (equi-join on the distinct vocab — sub-linear by Heaps'
+# law), the |langs|-row size table joins onto a |pairs|-row result.
+sql_query(
+    "text_vocab_jaccard_langs",
+    _VOCAB_JAC_BODY.format(toks=_VOCAB_JAC_SP_TOKS.format(norm=_SP_NORM), op="div"),
+    oracle=_VOCAB_JAC_BODY.format(toks=_VOCAB_JAC_DD_TOKS.format(norm=_DD_NORM), op="//"),
+    present_sort=["lang_a", "lang_b"],
+)

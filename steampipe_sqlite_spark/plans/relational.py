@@ -1411,3 +1411,71 @@ def stats_join_size_profile(spark, sf_dir):
         )
     )
     return out
+
+
+_KS_BODY = """
+WITH s1 AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+s2 AS (SELECT n_chars AS v FROM documents WHERE lang = 'de'),
+n1t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM s1),
+n2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM s2),
+c1 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s1 GROUP BY v),
+c2 AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s2 GROUP BY v),
+sup AS (SELECT v FROM c1 UNION SELECT v FROM c2),
+merged AS (
+  SELECT sup.v, COALESCE(c1.c, 0) AS a, COALESCE(c2.c, 0) AS b
+  FROM sup LEFT JOIN c1 ON c1.v = sup.v LEFT JOIN c2 ON c2.v = sup.v),
+cum AS (
+  SELECT v,
+         CAST(SUM(a) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum1,
+         CAST(SUM(b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum2
+  FROM merged)
+SELECT (SELECT n1 FROM n1t) AS n1, (SELECT n2 FROM n2t) AS n2,
+       CAST(MAX(ABS(cum1 * (SELECT n2 FROM n2t)
+                    - cum2 * (SELECT n1 FROM n1t))) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(cum1 * (SELECT n2 FROM n2t)
+                    - cum2 * (SELECT n1 FROM n1t))) * 1000000
+            {op} ((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)) AS BIGINT)
+         AS d_ppm
+FROM cum
+"""
+# Two-sample Kolmogorov-Smirnov statistic (en vs de document lengths):
+# D = max |F1 - F2| over the merged support, emitted as the exact
+# integer numerator max|cum1*n2 - cum2*n1| plus exact floor-ppm — the
+# continuous-distribution drift test TVD binning can't give.  The cumsum
+# window runs over the COMPACTED per-length counts (support is bounded
+# by the value domain, not the corpus — the documented bounded-aggregate
+# exception; an unbounded-domain column would swap to
+# distributed_running_sum like eval_auc_mann_whitney).
+sql_query(
+    "stats_ks_lengths",
+    _KS_BODY.format(op="div"),
+    oracle=_KS_BODY.format(op="//"),
+)
+
+
+_HHI_BODY = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+  FROM per_user)
+SELECT n_users, n_events, sum_sq,
+       CAST(sum_sq * 1000000 {op} (n_events * n_events) AS BIGINT) AS hhi_ppm
+FROM tot
+"""
+# Herfindahl-Hirschman concentration of event volume across users:
+# HHI = sum of squared shares = sum(c^2)/n^2, exact floor-ppm (1e6/n_users
+# ppm = perfectly even; 1e6 = single-user monopoly) — the "is one tenant
+# eating the pipeline" screen.  One partial-count aggregate + a 1-row
+# fold; the squares live in BIGINT (c <= 3e9 before sum_sq risks 2^63).
+sql_query(
+    "events_user_hhi",
+    _HHI_BODY.format(op="div"),
+    oracle=_HHI_BODY.format(op="//"),
+)

@@ -1096,3 +1096,44 @@ def join_scd2_point_in_time(spark, sf_dir):
         ),
     )
     return presentation_sort(out, ["user_id"])
+
+
+_AUTOCORR_BODY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+pairs AS (
+  SELECT cur.event_type, cur.x AS x, nxt.x AS y
+  FROM hourly cur
+  JOIN hourly nxt
+    ON nxt.event_type = cur.event_type
+   AND nxt.h = cur.h + INTERVAL 1 HOURS),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY event_type)
+SELECT event_type, n, sx, sy, sxy,
+       CASE WHEN n > 1
+                 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0e0
+                 AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0e0
+       THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+       END AS autocorr_lag1
+FROM m
+ORDER BY event_type
+"""
+# Lag-1 autocorrelation of hourly event counts per stream — the
+# seasonality / burstiness diagnostic deciding whether seasonal-naive
+# (ts_seasonal_naive_mae) is even the right baseline.  The 1h shift is a
+# gap-safe equi-join on the shifted HOURLY aggregate (same reasoning as
+# the seasonal query); moments are exact BIGINTs and the closing Pearson
+# form uses only correctly-rounded IEEE ops (+,-,*,/,sqrt) on them —
+# bit-identical across engines per the registry numeric rules.
+sql_query("ts_autocorr_lag1", _AUTOCORR_BODY, present_sort=["event_type"])

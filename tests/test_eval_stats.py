@@ -541,3 +541,77 @@ def test_video_neardup_shingles_matches_python(spark):
         assert r.containment_ppm == want[(a, b)] * 1000000 // min(
             len(shingles[a]), len(shingles[b])
         )
+
+
+def test_ks_lengths_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    s1 = sorted(docs[docs.lang == "en"].n_chars)
+    s2 = sorted(docs[docs.lang == "de"].n_chars)
+    n1, n2 = len(s1), len(s2)
+    support = sorted(set(s1) | set(s2))
+    d_num = 0
+    for v in support:
+        cum1 = sum(1 for x in s1 if x <= v)
+        cum2 = sum(1 for x in s2 if x <= v)
+        d_num = max(d_num, abs(cum1 * n2 - cum2 * n1))
+    [row] = _run(spark, "stats_ks_lengths")
+    assert (row.n1, row.n2, row.d_num) == (n1, n2, d_num)
+    assert row.d_ppm == d_num * 1000000 // (n1 * n2)
+
+
+def test_user_hhi_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    c = ev.groupby("user_id").size()
+    sum_sq = int((c.astype(object) ** 2).sum())
+    n = int(c.sum())
+    [row] = _run(spark, "events_user_hhi")
+    assert (row.n_users, row.n_events, row.sum_sq) == (len(c), n, sum_sq)
+    assert row.hhi_ppm == sum_sq * 1000000 // (n * n)
+    # HHI is bounded below by the perfectly-even allocation
+    assert row.hhi_ppm >= 1000000 // len(c)
+
+
+def test_autocorr_lag1_matches_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    hourly = ev.groupby([ev.event_type, ev.ts.dt.floor("h")]).size()
+    rows = {r.event_type: r for r in _run(spark, "ts_autocorr_lag1")}
+    for et in ev.event_type.unique():
+        series = hourly[et]
+        xs, ys = [], []
+        for h, x in series.items():
+            nxt = series.get(h + pd.Timedelta(hours=1))
+            if nxt is not None:
+                xs.append(int(x))
+                ys.append(int(nxt))
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        r = rows[et]
+        assert (r.n, r.sx, r.sy, r.sxy) == (n, sx, sy, sxy)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if n > 1 and dx > 0 and dy > 0:
+            want = (n * sxy - sx * sy) / (dx ** 0.5 * dy ** 0.5)
+            assert abs(r.autocorr_lag1 - want) < 1e-12
+        else:
+            assert r.autocorr_lag1 is None
+
+
+def test_vocab_jaccard_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab = defaultdict(set)
+    for r in docs.itertuples():
+        vocab[r.lang].update(_tokens(r.text))
+    langs = sorted(vocab)
+    rows = {(r.lang_a, r.lang_b): r for r in _run(spark, "text_vocab_jaccard_langs")}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in rows
+                continue
+            r = rows[(a, b)]
+            union = len(vocab[a]) + len(vocab[b]) - inter
+            assert (r.n_shared, r.n_a, r.n_b) == (inter, len(vocab[a]), len(vocab[b]))
+            assert r.jaccard_ppm == inter * 1000000 // union

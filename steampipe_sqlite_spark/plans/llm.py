@@ -4708,3 +4708,34 @@ sql_query(
     oracle=_VOCAB_JAC_BODY.format(toks=_VOCAB_JAC_DD_TOKS.format(norm=_DD_NORM), op="//"),
     present_sort=["lang_a", "lang_b"],
 )
+
+
+_KANON_BODY = """
+WITH classes AS (
+  SELECT lang, source, CAST(n_chars {op} 500 AS BIGINT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents
+  GROUP BY lang, source, CAST(n_chars {op} 500 AS BIGINT))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         AS rows_at_risk_k5,
+       CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_at_risk_k5,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS singleton_classes
+FROM classes
+"""
+# k-anonymity audit over the quasi-identifier (lang, source, 500-char
+# length bucket): a row whose QI class has k < 5 peers is
+# re-identifiable by joining on those attributes alone — the release
+# gate privacy reviews run before publishing a corpus.  min_k IS the
+# dataset's k-anonymity level; singletons are the worst offenders.
+# One hash aggregate to classes (map-side partial), one 1-row fold.
+sql_query(
+    "privacy_k_anonymity",
+    _KANON_BODY.format(op="div"),
+    oracle=_KANON_BODY.format(op="//"),
+)

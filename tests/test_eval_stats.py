@@ -615,3 +615,17 @@ def test_vocab_jaccard_matches_python(spark):
             union = len(vocab[a]) + len(vocab[b]) - inter
             assert (r.n_shared, r.n_a, r.n_b) == (inter, len(vocab[a]), len(vocab[b]))
             assert r.jaccard_ppm == inter * 1000000 // union
+
+
+def test_k_anonymity_matches_python(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    classes = docs.groupby(
+        [docs.lang, docs.source, docs.n_chars // 500]
+    ).size()
+    [row] = _run(spark, "privacy_k_anonymity")
+    assert row.n_classes == len(classes)
+    assert row.n_rows == len(docs)
+    assert (row.min_k, row.max_k) == (int(classes.min()), int(classes.max()))
+    assert row.rows_at_risk_k5 == int(classes[classes < 5].sum())
+    assert row.classes_at_risk_k5 == int((classes < 5).sum())
+    assert row.singleton_classes == int((classes == 1).sum())

@@ -4334,8 +4334,6 @@ def graph_two_hop_reach(spark, sf_dir):
     on the join column; the histogram is a two-level hash aggregate.
     A power-law graph would need the high-degree-vertex split
     (salted_join_skewed_left); the docstring marks the swap point."""
-    from steampipe_sqlite_spark.plans.registry import presentation_sort
-
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     nodes = docs.selectExpr("doc_id AS node")
@@ -4398,11 +4396,12 @@ grid AS (
          COALESCE(obs.o, 0) AS o
   FROM rt CROSS JOIN ct
   LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+deltas AS (
+  SELECT CAST(o * (SELECT n FROM nn) - rtot * ctot AS {wide}) AS delta,
+         CAST(rtot * ctot AS {wide}) AS rc
+  FROM grid),
 cells AS (
-  SELECT CAST((o * (SELECT n FROM nn) - rtot * ctot)
-              * (o * (SELECT n FROM nn) - rtot * ctot)
-              {op} (rtot * ctot) AS BIGINT) AS cell
-  FROM grid)
+  SELECT CAST((delta * delta) {op} rc AS BIGINT) AS cell FROM deltas)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(SUM(cell) AS BIGINT) AS chi2_scaled_sum,
        CAST(1000 * SUM(cell) {op} (SELECT n FROM nn) AS BIGINT) AS chi2_milli
@@ -4411,15 +4410,18 @@ FROM cells
 # Pearson chi-square independence statistic for the lang x source
 # contingency table — the drift/association screen (is language mix
 # independent of source?).  chi2 = (1/n)*SUM((O*n - rt*ct)^2/(rt*ct));
-# each cell is ONE exact integer floor-division (identical both engines),
+# each cell is ONE exact integer floor-division (identical both engines;
+# delta^2 grows as n^4, so the cell arithmetic runs in 38-digit integers
+# — DECIMAL(38,0) on Spark, HUGEINT on DuckDB — exact to ~1e9 documents
+# where BIGINT would wrap at ~5e4),
 # so no float enters the hash; ZERO cells are materialized by the
 # rowtotal x coltotal grid (a chi-square that skips empty cells is
 # biased low).  Two tiny aggregates cross-joined — the grid is
 # |langs| x |sources|, never corpus-sized.
 sql_query(
     "stats_chi2_lang_source",
-    _CHI2_BODY.format(op="div"),
-    oracle=_CHI2_BODY.format(op="//"),
+    _CHI2_BODY.format(op="div", wide="DECIMAL(38, 0)"),
+    oracle=_CHI2_BODY.format(op="//", wide="HUGEINT"),
 )
 
 
@@ -4642,31 +4644,42 @@ def eval_ndcg_at10(spark, sf_dir):
 _FUZZY_BODY = """
 WITH p AS (
   SELECT doc_id, substring({norm}, 1, 24) AS pre FROM documents),
+pa AS (
+  SELECT doc_id, pre FROM p WHERE {bytelen}(pre) = length(pre)),
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pre AS pre_a, b.pre AS pre_b
-  FROM p a JOIN p b
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+  FROM pa a JOIN pa b
     ON substring(a.pre, 1, 6) = substring(b.pre, 1, 6)
    AND a.doc_id < b.doc_id
    AND abs(length(a.pre) - length(b.pre)) <= 3)
-SELECT doc_a, doc_b,
-       CAST(levenshtein(pre_a, pre_b) AS BIGINT) AS edit_dist
+SELECT doc_a, doc_b, edit_dist
 FROM cand
-WHERE levenshtein(pre_a, pre_b) <= 3
+WHERE edit_dist <= 3
 ORDER BY doc_a, doc_b
 """
 # Blocked fuzzy self-join (record linkage): candidates meet only inside a
 # 6-char-prefix block with a +/-3 length gate (the length filter is the
 # same pigeonhole bound PPJoin uses: |len(a)-len(b)| > k implies
 # edit_dist > k), then exact Levenshtein <= 3 verifies the 24-char
-# normalized prefixes.  Prefix blocking is the classic deterministic
+# normalized prefixes — computed ONCE in the candidate projection (Spark
+# does not share subexpressions across Filter and Project, so the
+# SELECT+WHERE spelling would run the O(24x24) DP twice per pair).
+# The octet_length(pre) = length(pre) gate restricts pairs to pure-ASCII
+# prefixes: Spark's levenshtein counts CODEPOINT edits while DuckDB's
+# counts BYTE edits, so any CJK character (which the corpus
+# normalization deliberately preserves) would make the engines disagree
+# on the distance; on ASCII the two metrics coincide.  Byte length is
+# octet_length on Spark, strlen on DuckDB (its octet_length is BLOB-only).  Prefix blocking is the classic
+# deterministic
 # blocking strategy; candidate cost is sum of block^2, never corpus^2 —
 # a skewed mega-block (all docs opening identically) would salt the key
 # with a length bucket or swap to dedup_ppjoin_exact's token-prefix
 # filter, which is skew-free by construction.
 sql_query(
     "join_fuzzy_blocked_prefix",
-    _FUZZY_BODY.format(norm=_SP_NORM),
-    oracle=_FUZZY_BODY.format(norm=_DD_NORM),
+    _FUZZY_BODY.format(norm=_SP_NORM, bytelen="octet_length"),
+    oracle=_FUZZY_BODY.format(norm=_DD_NORM, bytelen="strlen"),
     present_sort=["doc_a", "doc_b"],
 )
 

@@ -432,12 +432,6 @@ def mm_video_neardup_shingles(spark, sf_dir):
     the 24-bit fake shingle becomes a 3x64-bit pHash tuple, making hot
     shingles vanishingly rare (here the 256-value fake luma keeps them
     common enough to exercise the join)."""
-    from pyspark.sql import functions as F
-
-    from steampipe_sqlite_spark.operators.multimodal import (
-        decode_video_meta,
-        sample_frames,
-    )
     from steampipe_sqlite_spark.plans.registry import presentation_sort
 
     vids = decode_video_meta(_media(spark, sf_dir))

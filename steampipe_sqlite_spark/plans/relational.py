@@ -1089,9 +1089,13 @@ def _ppm_div(num: str, den: str, op: str) -> str:
     )
 
 
+_AUC_U2 = "ranksum2 - npos * (npos + 1)"
+_AUC_DEN = "(2 * npos * (n - npos))"
+
+
 @query(
     "eval_auc_mann_whitney",
-    oracle="""
+    oracle=f"""
 WITH lab AS (
   SELECT value AS s,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
@@ -1110,10 +1114,9 @@ tot AS (
          CAST(SUM(cpos) AS BIGINT) AS npos,
          CAST(SUM(cnt) AS BIGINT) AS n
   FROM cum)
-SELECT ranksum2 - npos * (npos + 1) AS u2,
+SELECT {_AUC_U2} AS u2,
        npos, n - npos AS nneg,
-       CAST((ranksum2 - npos * (npos + 1)) * 500000
-            // (npos * (n - npos)) AS BIGINT) AS auc_ppm
+       {_ppm_div(_AUC_U2, _AUC_DEN, "//")} AS auc_ppm
 FROM tot
 """,
 )
@@ -1122,7 +1125,9 @@ def eval_auc_mann_whitney(spark, sf_dir):
     `value` as the score and `event_type='purchase'` as the positive
     label, AUC = U / (npos*nneg) with the tie-corrected U from average
     ranks.  Emitted exactly: u2 = 2U is an integer even with ties (the
-    0.5 tie credit doubles away), auc_ppm by one exact integer division.
+    0.5 tie credit doubles away), auc_ppm via the 3-step BIGINT-safe
+    long division (_ppm_div: exact while 2*npos*nneg < 9.2e15 — ~1e8
+    balanced events; the naive u2*500000 form would wrap 1000x earlier).
 
     Scale shape: the rank prefix runs over the DISTINCT-score aggregate
     via operators/scale.distributed_running_sum (range shuffle + local
@@ -1152,11 +1157,10 @@ def eval_auc_mann_whitney(spark, sf_dir):
         F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
     )
     return tot.selectExpr(
-        "ranksum2 - npos * (npos + 1) AS u2",
+        f"{_AUC_U2} AS u2",
         "npos",
         "n - npos AS nneg",
-        "CAST((ranksum2 - npos * (npos + 1)) * 500000"
-        " div (npos * (n - npos)) AS BIGINT) AS auc_ppm",
+        _ppm_div(_AUC_U2, _AUC_DEN, "div") + " AS auc_ppm",
     )
 
 
@@ -1384,8 +1388,6 @@ def stats_join_size_profile(spark, sf_dir):
     the (key, count) frames, one 1-row fold.  The raw join never runs."""
     from pyspark.sql import functions as F
 
-    from steampipe_sqlite_spark.tables import load_table
-
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     ca = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
@@ -1436,15 +1438,14 @@ cum AS (
 SELECT (SELECT n1 FROM n1t) AS n1, (SELECT n2 FROM n2t) AS n2,
        CAST(MAX(ABS(cum1 * (SELECT n2 FROM n2t)
                     - cum2 * (SELECT n1 FROM n1t))) AS BIGINT) AS d_num,
-       CAST(MAX(ABS(cum1 * (SELECT n2 FROM n2t)
-                    - cum2 * (SELECT n1 FROM n1t))) * 1000000
-            {op} ((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)) AS BIGINT)
+       CAST(((MAX(ABS(cum1 * (SELECT n2 FROM n2t) - cum2 * (SELECT n1 FROM n1t)))) {op} (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000000 + ((((MAX(ABS(cum1 * (SELECT n2 FROM n2t) - cum2 * (SELECT n1 FROM n1t)))) % (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000) {op} (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000 + ((((((MAX(ABS(cum1 * (SELECT n2 FROM n2t) - cum2 * (SELECT n1 FROM n1t)))) % (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000) % (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000) {op} (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) AS BIGINT)
          AS d_ppm
 FROM cum
 """
 # Two-sample Kolmogorov-Smirnov statistic (en vs de document lengths):
 # D = max |F1 - F2| over the merged support, emitted as the exact
-# integer numerator max|cum1*n2 - cum2*n1| plus exact floor-ppm — the
+# integer numerator max|cum1*n2 - cum2*n1| plus floor-ppm via the
+# 3-step BIGINT-safe division (exact while n1*n2 < 9.2e15) — the
 # continuous-distribution drift test TVD binning can't give.  The cumsum
 # window runs over the COMPACTED per-length counts (support is bounded
 # by the value domain, not the corpus — the documented bounded-aggregate
@@ -1466,14 +1467,16 @@ tot AS (
          CAST(SUM(c * c) AS BIGINT) AS sum_sq
   FROM per_user)
 SELECT n_users, n_events, sum_sq,
-       CAST(sum_sq * 1000000 {op} (n_events * n_events) AS BIGINT) AS hhi_ppm
+       CAST(((sum_sq) {op} ((n_events * n_events))) * 1000000 + ((((sum_sq) % ((n_events * n_events))) * 1000) {op} ((n_events * n_events))) * 1000 + ((((((sum_sq) % ((n_events * n_events))) * 1000) % ((n_events * n_events))) * 1000) {op} ((n_events * n_events))) AS BIGINT) AS hhi_ppm
 FROM tot
 """
 # Herfindahl-Hirschman concentration of event volume across users:
 # HHI = sum of squared shares = sum(c^2)/n^2, exact floor-ppm (1e6/n_users
 # ppm = perfectly even; 1e6 = single-user monopoly) — the "is one tenant
 # eating the pipeline" screen.  One partial-count aggregate + a 1-row
-# fold; the squares live in BIGINT (c <= 3e9 before sum_sq risks 2^63).
+# fold.  sum_sq wraps BIGINT only past ~3e9 events on a single user; the
+# ppm goes through the 3-step BIGINT-safe division (exact while
+# n_events^2 < 9.2e15 — beyond that, emit components and divide outside).
 sql_query(
     "events_user_hhi",
     _HHI_BODY.format(op="div"),

@@ -1044,10 +1044,14 @@ sql_query("ts_threshold_crossings", _CROSSINGS_BODY, present_sort=["event_type"]
     oracle="""
 WITH views AS (
   SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
-purch AS (
-  SELECT user_id, ts,
-         CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents
+purch_raw AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
   FROM events WHERE event_type = 'purchase'),
+purch AS (
+  SELECT user_id, ts, purchase_cents FROM purch_raw WHERE rn = 1),
 matched AS (
   SELECT v.user_id, v.event_id,
          (SELECT p.purchase_cents FROM purch p
@@ -1073,16 +1077,30 @@ def join_scd2_point_in_time(spark, sf_dir):
     (union + one keyed window — one shuffle on user_id, cost independent
     of interval lengths; a naive BETWEEN range join explodes on long
     validity windows).  The oracle spells the same semantics as a
-    correlated top-1 subquery."""
+    correlated top-1 subquery.  The right side is first deduped to ONE
+    row per (user, ts) keeping the highest event_id — same-instant
+    purchases otherwise leave both the window's last() and the oracle's
+    LIMIT 1 free to pick either row (the corpus determinism convention:
+    every order must be total)."""
     from steampipe_sqlite_spark.operators.temporal import asof_join
 
     events = load_table(spark, sf_dir, "events")
     views = events.where("event_type = 'view'").selectExpr(
         "user_id", "ts", "event_id"
     )
-    purch = events.where("event_type = 'purchase'").selectExpr(
-        "user_id", "ts",
-        "CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents",
+    purch = (
+        events.where("event_type = 'purchase'")
+        .selectExpr(
+            "user_id", "ts", "event_id",
+            "CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents",
+        )
+        .selectExpr(
+            "user_id", "ts", "purchase_cents",
+            "ROW_NUMBER() OVER (PARTITION BY user_id, ts"
+            " ORDER BY event_id DESC) AS rn",
+        )
+        .where("rn = 1")
+        .drop("rn")
     )
     matched = asof_join(
         views, purch, key="user_id", left_ts="ts", right_ts="ts",

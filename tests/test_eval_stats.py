@@ -237,7 +237,10 @@ def test_centroid_geometry_matches_python(spark):
     emb = pd.read_parquet(f"{SF}/embeddings.parquet")
     sums, counts = {}, Counter()
     for r in emb.itertuples():
-        q = _round_half_up(np.asarray(r.embedding, dtype=np.float64) * 1000)
+        x = np.asarray(r.embedding, dtype=np.float64) * 1000
+        # signed half-AWAY-from-zero (engines' ROUND); _round_half_up is
+        # the positive-only monetary helper
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(int)
         sums[r.label] = sums.get(r.label, 0) + q.astype(object)
         counts[r.label] += 1
     rows = {(r.label_a, r.label_b): r for r in _run(spark, "emb_label_centroid_geometry")}
@@ -369,7 +372,9 @@ def test_fuzzy_blocked_prefix_matches_python(spark):
         t = re.sub(r"[^a-z0-9一-鿿 ]", " ", r.text.lower())
         t = re.sub(r"\s+", " ", t).strip()
         pre[r.doc_id] = t[:24]
-    ids = sorted(pre)
+    # the query gates candidates to pure-ASCII prefixes (codepoint-vs-byte
+    # Levenshtein parity); mirror it
+    ids = sorted(d for d, t in pre.items() if t.isascii())
     want = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
@@ -380,8 +385,9 @@ def test_fuzzy_blocked_prefix_matches_python(spark):
                     want[(a, b)] = d
     rows = {(r.doc_a, r.doc_b): r.edit_dist for r in _run(spark, "join_fuzzy_blocked_prefix")}
     assert rows == want
-    # the blocked join must have found at least the exact-prefix dups
-    assert any(d == 0 for d in want.values()) or len(want) >= 0
+    # the fixture must actually exercise the join (a regression emptying
+    # the candidate set should fail here, not silently pass)
+    assert len(want) > 0
 
 
 def test_printf_integer_matches_python(spark):

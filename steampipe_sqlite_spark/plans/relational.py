@@ -1116,7 +1116,8 @@ tot AS (
   FROM cum)
 SELECT {_AUC_U2} AS u2,
        npos, n - npos AS nneg,
-       {_ppm_div(_AUC_U2, _AUC_DEN, "//")} AS auc_ppm
+       CASE WHEN npos = 0 OR npos = n THEN CAST(NULL AS BIGINT)
+            ELSE {_ppm_div(_AUC_U2, _AUC_DEN, "//")} END AS auc_ppm
 FROM tot
 """,
 )
@@ -1160,7 +1161,9 @@ def eval_auc_mann_whitney(spark, sf_dir):
         f"{_AUC_U2} AS u2",
         "npos",
         "n - npos AS nneg",
-        _ppm_div(_AUC_U2, _AUC_DEN, "div") + " AS auc_ppm",
+        "CASE WHEN npos = 0 OR npos = n THEN CAST(NULL AS BIGINT) ELSE "
+        + _ppm_div(_AUC_U2, _AUC_DEN, "div")
+        + " END AS auc_ppm",
     )
 
 
@@ -1438,8 +1441,10 @@ cum AS (
 SELECT (SELECT n1 FROM n1t) AS n1, (SELECT n2 FROM n2t) AS n2,
        CAST(MAX(ABS(cum1 * (SELECT n2 FROM n2t)
                     - cum2 * (SELECT n1 FROM n1t))) AS BIGINT) AS d_num,
+       CASE WHEN (SELECT n1 FROM n1t) = 0 OR (SELECT n2 FROM n2t) = 0
+            THEN CAST(NULL AS BIGINT) ELSE
        CAST(((MAX(ABS(cum1 * (SELECT n2 FROM n2t) - cum2 * (SELECT n1 FROM n1t)))) {op} (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000000 + ((((MAX(ABS(cum1 * (SELECT n2 FROM n2t) - cum2 * (SELECT n1 FROM n1t)))) % (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000) {op} (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000 + ((((((MAX(ABS(cum1 * (SELECT n2 FROM n2t) - cum2 * (SELECT n1 FROM n1t)))) % (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000) % (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) * 1000) {op} (((SELECT n1 FROM n1t) * (SELECT n2 FROM n2t)))) AS BIGINT)
-         AS d_ppm
+         END AS d_ppm
 FROM cum
 """
 # Two-sample Kolmogorov-Smirnov statistic (en vs de document lengths):

@@ -635,3 +635,25 @@ def test_k_anonymity_matches_python(spark):
     assert row.rows_at_risk_k5 == int(classes[classes < 5].sum())
     assert row.classes_at_risk_k5 == int((classes < 5).sum())
     assert row.singleton_classes == int((classes == 1).sum())
+
+
+def test_degenerate_inputs_yield_null_not_crash(spark, tmp_path):
+    """A corpus with no positive labels / a missing stratum must yield
+    NULL ratio columns, not a divide-by-zero (the guards exist because
+    DuckDB's // 0 errors while Spark's div returns NULL — the guard
+    makes both engines emit the same NULL)."""
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    d = tmp_path / "degenerate"
+    d.mkdir()
+    # strip every purchase -> npos = 0; keep only en docs -> no 'de' sample
+    ev[ev.event_type != "purchase"].to_parquet(d / "events.parquet")
+    docs[docs.lang == "en"].to_parquet(d / "documents.parquet")
+
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    q, _ = collect()
+    [auc] = q["eval_auc_mann_whitney"].__wrapped__(spark, str(d)).collect()
+    assert auc.npos == 0 and auc.auc_ppm is None
+    [ks] = q["stats_ks_lengths"].__wrapped__(spark, str(d)).collect()
+    assert ks.n2 == 0 and ks.d_ppm is None and ks.d_num == 0

@@ -404,3 +404,97 @@ def test_interval_union_matches_python_reference(spark, rows, width):
                 merged.append([s, e])
         expected[k] = (len(merged), sum(e - s for s, e in merged))
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=5),   # ts offset (COLLIDES often)
+            st.sampled_from(["a", "b", "c"]),        # event type
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_transition_matrix_deterministic_under_ts_ties(spark, tmp_path_factory, data):
+    """events_transition_matrix's LAG orders by (ts, event_id); colliding
+    timestamps must still produce the one total order the python
+    reference sees — the corpus determinism convention under fire."""
+    import pandas as pd
+
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    d = tmp_path_factory.mktemp("tm")
+    rows = [
+        {
+            "event_id": i,
+            "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=o),
+            "user_id": u,
+            "event_type": et,
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, (u, o, et) in enumerate(data)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf.to_parquet(d / "events.parquet")
+
+    from collections import Counter
+
+    pair = Counter()
+    for _, grp in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        et = list(grp.event_type)
+        for a, b in zip(et, et[1:]):
+            pair[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pair.items():
+        row_tot[a] += n
+
+    q, _ = collect()
+    got = {
+        (r.src_event, r.dst_event): (r.n, r.row_total, r.share_ppm)
+        for r in q["events_transition_matrix"].__wrapped__(spark, str(d)).collect()
+    }
+    want = {
+        (a, b): (n, row_tot[a], n * 1000000 // row_tot[a])
+        for (a, b), n in pair.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    s1=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=25),
+    s2=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=25),
+)
+def test_ks_statistic_property(spark, tmp_path_factory, s1, s2):
+    """KS over arbitrary overlapping/disjoint/identical samples: the exact
+    integer D must match the brute-force python sup over the support, and
+    identical samples must give D = 0."""
+    import pandas as pd
+
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    d = tmp_path_factory.mktemp("ks")
+    rows = [
+        {"doc_id": i, "text": "x", "lang": "en", "source": "s", "n_chars": v}
+        for i, v in enumerate(s1)
+    ] + [
+        {"doc_id": 10_000 + i, "text": "x", "lang": "de", "source": "s", "n_chars": v}
+        for i, v in enumerate(s2)
+    ]
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+
+    n1, n2 = len(s1), len(s2)
+    d_num = max(
+        abs(sum(1 for x in s1 if x <= v) * n2 - sum(1 for x in s2 if x <= v) * n1)
+        for v in set(s1) | set(s2)
+    )
+    q, _ = collect()
+    [row] = q["stats_ks_lengths"].__wrapped__(spark, str(d)).collect()
+    assert (row.n1, row.n2, row.d_num) == (n1, n2, d_num)
+    assert row.d_ppm == d_num * 1000000 // (n1 * n2)
+    if sorted(s1) == sorted(s2):
+        assert row.d_num == 0

@@ -1125,7 +1125,8 @@ def eval_auc_mann_whitney(spark, sf_dir):
     """Binary-classifier AUC as the Mann-Whitney rank statistic: treating
     `value` as the score and `event_type='purchase'` as the positive
     label, AUC = U / (npos*nneg) with the tie-corrected U from average
-    ranks.  Emitted exactly: u2 = 2U is an integer even with ties (the
+    ranks (Mann & Whitney 1947; the AUC equivalence is Hanley & McNeil
+    1982 — public constructions).  Emitted exactly: u2 = 2U is an integer even with ties (the
     0.5 tie credit doubles away), auc_ppm via the 3-step BIGINT-safe
     long division (_ppm_div: exact while 2*npos*nneg < 9.2e15 — ~1e8
     balanced events; the naive u2*500000 form would wrap 1000x earlier).
@@ -1191,7 +1192,7 @@ FROM tot
 )
 def stats_gini_spend(spark, sf_dir):
     """Gini concentration of customer spend (integer dollars): the exact
-    rank formula G = (2*Σ i·x_i − (n+1)·Σx) / (n·Σx) over ascending
+    rank (Sen 1973) formula G = (2*Σ i·x_i − (n+1)·Σx) / (n·Σx) over ascending
     spend, custkey tie-break.  Emits the exact integer numerator /
     denominator plus gini_ppm via 3-step BIGINT-safe long division
     (see _ppm_div — den < 9.2e15 envelope).

@@ -4258,7 +4258,9 @@ ORDER BY rnk
 def token_pair_lift(spark, sf_dir):
     """Token co-occurrence LIFT (PMI's exact-rational sibling: lift =
     P(ab)/(P(a)P(b)) = n_docs*n_ab/(c_a*c_b), emitted as exact floor-ppm —
-    logarithms would hit the 1-ulp JVM/libm rule).  Collocation mining is
+    logarithms would hit the 1-ulp JVM/libm rule; lift is the
+    exact-rational member of the Church & Hanks 1990 association-measure
+    family).  Collocation mining is
     the phrase-detection primitive of every corpus-prep pipeline
     (word2vec phrase pass, n-gram vocab build).
 
@@ -4591,7 +4593,8 @@ ORDER BY d.query_id
 )
 def eval_ndcg_at10(spark, sf_dir):
     """Retrieval-quality nDCG@10 of the exact cosine top-10 (first 10
-    vectors as queries), relevance = neighbor shares the query's label.
+    vectors as queries), relevance = neighbor shares the query's label
+    (nDCG: Järvelin & Kekäläinen 2002, public construction).
     The log2 rank discounts are PRE-ROUNDED integer-ppm literals shared
     by both engines (_NDCG_W) so DCG / ideal-DCG are exact integer sums;
     ideal ranking re-sorts the retrieved list's relevances (rel DESC,

@@ -344,3 +344,39 @@ def test_upsert_sink_idempotent_and_latest_wins(spark, tmp_path):
     assert as_set(again) == as_set(want)
     # and the log row count is unchanged (no duplicate batch rows)
     assert spark.read.parquet(f"{sink}/log").count() == log_count
+
+
+def test_rocksdb_state_store_matches_batch(spark, tmp_path):
+    """The production state-store config: the same watermarked tumbling
+    aggregation run with RocksDBStateStoreProvider (state spills to disk
+    — the 100 TB answer to unbounded key cardinality, where the default
+    HDFS-backed in-memory provider OOMs executors) must produce exactly
+    the batch result.  Pins that the provider is present in this Spark
+    build and semantics are provider-independent."""
+    from steampipe_sqlite_spark.streaming.jobs import run_stream_to_memory
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        path, events = _slice_events(spark, tmp_path)
+        agg = watermarked_tumbling_agg(_stream_slices(spark, path))
+        got = run_stream_to_memory(spark, agg, "rocksdb_tumbling")
+        want = tumbling_agg(events)
+        g = {
+            (r["win_start"], r["event_type"]): r["n"] for r in got.collect()
+        }
+        w = {
+            (r["win_start"], r["event_type"]): r["n"] for r in want.collect()
+        }
+        assert g == w
+        assert len(g) > 10
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -380,3 +380,43 @@ def test_rocksdb_state_store_matches_batch(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_observe_quality_batch_counts_without_extra_pass(spark):
+    """observe() metrics must match a hand aggregation while the observed
+    frame's rows are untouched — quality counters for free on the same
+    job."""
+    from steampipe_sqlite_spark.operators.observability import observe_quality
+
+    events = load_table(spark, SF_DIR, "events")
+    observed, obs = observe_quality(events, ["user_id", "props"])
+    n = observed.count()  # the ONLY action — metrics ride this job
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["n_null_user_id"] == events.where("user_id IS NULL").count()
+    assert m["n_null_props"] == events.where("props IS NULL").count()
+
+
+def test_observe_metrics_surface_per_microbatch(spark, tmp_path):
+    """The same observe() call on a STREAMING frame lands its counters on
+    StreamingQueryProgress.observedMetrics — per-micro-batch quality
+    telemetry with no side queries."""
+    from steampipe_sqlite_spark.operators.observability import quality_metrics
+
+    path, events = _slice_events(spark, tmp_path)
+    stream = _stream_slices(spark, path).observe(
+        "quality", *quality_metrics(["user_id"])
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows_seen = 0
+    for p in q.recentProgress:
+        om = p.observedMetrics.get("quality")
+        if om is not None:
+            rows_seen += om["n_rows"]
+            assert om["n_null_user_id"] == 0
+    assert rows_seen == events.count()

@@ -1488,3 +1488,45 @@ sql_query(
     _HHI_BODY.format(op="div"),
     oracle=_HHI_BODY.format(op="//"),
 )
+
+
+_GROUPING_FLAGS_BODY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+# GROUPING() flag parity over CUBE: the per-column 0/1 indicator that
+# disambiguates a "grouped NULL" from a data NULL (the SQL-standard way;
+# GROUPING_ID's BIT ORDER is engine-lore, so the corpus emits the
+# per-column flags instead).  Same text both engines.
+sql_query(
+    "group_cube_grouping_flags",
+    _GROUPING_FLAGS_BODY,
+    present_sort=["g_flag", "g_status", "l_returnflag", "l_linestatus"],
+)
+
+_ANY_VALUE_BODY = """
+SELECT o_custkey,
+       ANY_VALUE(c_name) AS cust_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+# ANY_VALUE in its one DETERMINISTIC use: carrying a functionally-
+# dependent attribute (custkey -> name is 1:1) through a GROUP BY
+# without paying a MAX comparator or widening the grouping key — the
+# standard idiom for "group by key, keep the label".  Deterministic
+# precisely because each group holds a single distinct value; the corpus
+# would never hash-compare ANY_VALUE over a multi-valued column.
+sql_query(
+    "agg_any_value_functional",
+    _ANY_VALUE_BODY,
+    present_sort=["o_custkey"],
+)

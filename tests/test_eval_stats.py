@@ -657,3 +657,34 @@ def test_degenerate_inputs_yield_null_not_crash(spark, tmp_path):
     assert auc.npos == 0 and auc.auc_ppm is None
     [ks] = q["stats_ks_lengths"].__wrapped__(spark, str(d)).collect()
     assert ks.n2 == 0 and ks.d_ppm is None and ks.d_num == 0
+
+
+def test_grouping_flags_matches_python(spark):
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rows = _run(spark, "group_cube_grouping_flags")
+    # total row: both flags set, n = all rows
+    tot = [r for r in rows if r.g_flag == 1 and r.g_status == 1]
+    assert len(tot) == 1 and tot[0].n == len(li)
+    # fully-grouped cells equal the plain groupby
+    want = li.groupby(["l_returnflag", "l_linestatus"]).size()
+    got = {
+        (r.l_returnflag, r.l_linestatus): r.n
+        for r in rows
+        if r.g_flag == 0 and r.g_status == 0
+    }
+    assert got == {k: int(v) for k, v in want.items()}
+    # 4 grouping combinations must all be present
+    assert {(r.g_flag, r.g_status) for r in rows} == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_any_value_functional_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    names = dict(zip(cust.c_custkey, cust.c_name))
+    grp = od.groupby("o_custkey")
+    rows = {r.o_custkey: r for r in _run(spark, "agg_any_value_functional")}
+    assert set(rows) == set(grp.groups)
+    for k, r in rows.items():
+        assert r.cust_name == names[k]
+        assert r.n_orders == len(grp.get_group(k))
+        assert r.total_cents == int(_round_half_up(grp.get_group(k).o_totalprice * 100).sum())

@@ -246,7 +246,8 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # win_running_distinct, stats_join_size_profile,
 # mm_video_neardup_shingles, stats_ks_lengths, events_user_hhi,
 # ts_autocorr_lag1, text_vocab_jaccard_langs, privacy_k_anonymity,
-# group_cube_grouping_flags, agg_any_value_functional —
+# group_cube_grouping_flags, agg_any_value_functional,
+# ts_cusum_changepoint —
 # selfcheck-green at
 # sf0.01 incl. the 253/253 full sweep, and at sf0.1 vanilla) plus any
 # r6 reds — 42 never-driver-checked names total, so the r7 window is

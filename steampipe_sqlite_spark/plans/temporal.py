@@ -1155,3 +1155,53 @@ ORDER BY event_type
 # form uses only correctly-rounded IEEE ops (+,-,*,/,sqrt) on them —
 # bit-identical across engines per the registry numeric rules.
 sql_query("ts_autocorr_lag1", _AUTOCORR_BODY, present_sort=["event_type"])
+
+
+_CUSUM_BODY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+base AS (
+  SELECT event_type,
+         CAST(SUM(cents) {op} COUNT(*) AS BIGINT) AS target
+  FROM hourly GROUP BY event_type),
+dev AS (
+  SELECT h.event_type, h.h, h.cents - b.target AS d
+  FROM hourly h JOIN base b ON b.event_type = h.event_type),
+cum0 AS (
+  SELECT event_type, h,
+         CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c
+  FROM dev),
+cum AS (
+  SELECT event_type, h, c,
+         CAST(MIN(c) OVER (PARTITION BY event_type ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_min
+  FROM cum0),
+scored AS (
+  SELECT event_type, h, c - LEAST(run_min, 0) AS cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c - LEAST(run_min, 0) DESC, h) AS rnk
+  FROM cum)
+SELECT event_type, cusum AS max_cusum_cents, h AS peak_hour
+FROM scored WHERE rnk = 1
+ORDER BY event_type
+"""
+# One-sided CUSUM change detection per stream, in its prefix closed form:
+# the recursive S_t = max(0, S_{t-1} + dev_t) equals
+# C_t - min(0, min_{k<=t}(C_k)) for C = running sum of deviations (the
+# 0 is C_0 — dropping it overstates early minima and truncates peaks) — which turns
+# an inherently sequential recurrence into two stacked keyed windows
+# (cumsum, then running min of the cumsum) Spark can run partitioned and
+# in one pass.  Emits each stream's peak accumulated upward drift and
+# when it peaked — the changepoint alarm.  All integer cents; target =
+# floor-mean per stream.
+sql_query(
+    "ts_cusum_changepoint",
+    _CUSUM_BODY.format(op="div"),
+    oracle=_CUSUM_BODY.format(op="//"),
+    present_sort=["event_type"],
+)

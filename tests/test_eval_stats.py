@@ -688,3 +688,24 @@ def test_any_value_functional_matches_python(spark):
         assert r.cust_name == names[k]
         assert r.n_orders == len(grp.get_group(k))
         assert r.total_cents == int(_round_half_up(grp.get_group(k).o_totalprice * 100).sum())
+
+
+def test_cusum_changepoint_matches_python(spark):
+    """The closed form C_t - min(C_k) must equal the literal recursive
+    CUSUM S_t = max(0, S_{t-1} + dev_t) — the identity the query's plan
+    depends on — checked per stream against the recursion itself."""
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(h=ev.ts.dt.floor("h"), cents=_round_half_up(ev.value * 100))
+    hourly = ev.groupby(["event_type", "h"])["cents"].sum()
+    rows = {r.event_type: r for r in _run(spark, "ts_cusum_changepoint")}
+    for et in ev.event_type.unique():
+        series = hourly[et].sort_index()
+        target = int(series.sum()) // len(series)
+        s_val, best, best_h = 0, -1, None
+        for h, x in series.items():
+            s_val = max(0, s_val + int(x) - target)
+            if s_val > best:
+                best, best_h = s_val, h
+        r = rows[et]
+        assert r.max_cusum_cents == best
+        assert pd.Timestamp(r.peak_hour) == best_h

@@ -234,7 +234,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # streaming_stream_stream_left, str_edit_distance, win_exclude_ties,
 # winsorized_length_stats, dataset_split_temporal, market_basket_pairs
 # — all selfcheck-green at sf0.01 AND
-# sf0.1 in round 6), then the 33 continuation-session additions
+# sf0.1 in round 6), then the 34 continuation-session additions
 # (eval_auc_mann_whitney, stats_gini_spend, stats_benford_first_digit,
 # stats_pareto_topdecile, agg_mode_per_group, ts_seasonal_naive_mae,
 # token_pair_lift, graph_two_hop_reach, dataset_kfold_stratified,
@@ -247,15 +247,16 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # mm_video_neardup_shingles, stats_ks_lengths, events_user_hhi,
 # ts_autocorr_lag1, text_vocab_jaccard_langs, privacy_k_anonymity,
 # group_cube_grouping_flags, agg_any_value_functional,
-# ts_cusum_changepoint —
+# ts_cusum_changepoint, stats_benford_deviation —
 # selfcheck-green at sf0.01 (268/268 full sweep post review-fixes) AND
 # the FULL corpus green at sf0.1 in a VANILLA-config session — the
 # driver's environment at 10x the gate scale) plus any r6 reds —
-# 56 never-driver-checked names total, so the r7 window (50 slots) is
-# OVER-FULL: the 6 lowest-risk names (the pure-SQL shared-text ones:
+# 57 never-driver-checked names total, so the r7 window (50 slots) is
+# OVER-FULL: the 7 lowest-risk names (the pure-SQL shared-text ones:
 # agg_bitwise, agg_mode_per_group, compat_printf_integer,
-# stats_benford_first_digit, group_cube_grouping_flags,
-# agg_any_value_functional) defer to r8; overflow and backfill take
+# stats_benford_first_digit, stats_benford_deviation,
+# group_cube_grouping_flags, agg_any_value_functional) defer to r8;
+# overflow and backfill take
 # the next-oldest driver-green names: the 19 r2 leftovers
 # (knn_cosine_lsh, curation_pipeline, tpch_q1/q3/q5/q6/q9/q18,
 # join_left/full/semi/anti, win_range_frame, setop_except, cte_multi,

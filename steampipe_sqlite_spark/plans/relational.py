@@ -1530,3 +1530,43 @@ sql_query(
     _ANY_VALUE_BODY,
     present_sort=["o_custkey"],
 )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), pre-rounded to ppm
+# literals shared by both engines — same no-runtime-logarithm rule as the
+# nDCG discounts.
+_BENFORD_EXP = "(VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910)," \
+    " (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))"
+
+_BENFORD_DEV_BODY = """
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0),
+digits AS (
+  SELECT CAST(substring(CAST(c AS {vtype}), 1, 1) AS BIGINT) AS digit
+  FROM cents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) * 1000000 {op} (SELECT n FROM tot) AS BIGINT)
+           AS obs_ppm
+  FROM digits GROUP BY digit),
+exp_t AS (SELECT * FROM {exp_values} AS t(digit, exp_ppm))
+SELECT e.digit, COALESCE(o.n_rows, 0) AS n_rows,
+       COALESCE(o.obs_ppm, 0) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       ABS(COALESCE(o.obs_ppm, 0) - e.exp_ppm) AS abs_dev_ppm
+FROM exp_t e LEFT JOIN obs o ON o.digit = e.digit
+ORDER BY e.digit
+"""
+# Benford CONFORMANCE screen: observed vs expected first-digit shares
+# with the per-digit absolute deviation — the number a fraud/synthetic-
+# data review actually reads (stats_benford_first_digit gives the raw
+# profile; this scores it).  Expected shares are literals, absent digits
+# materialize as 0-observation rows via the 9-row expectation spine.
+sql_query(
+    "stats_benford_deviation",
+    _BENFORD_DEV_BODY.format(vtype="STRING", op="div", exp_values=_BENFORD_EXP),
+    oracle=_BENFORD_DEV_BODY.format(vtype="VARCHAR", op="//", exp_values=_BENFORD_EXP),
+    present_sort=["digit"],
+)

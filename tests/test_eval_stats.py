@@ -709,3 +709,23 @@ def test_cusum_changepoint_matches_python(spark):
         r = rows[et]
         assert r.max_cusum_cents == best
         assert pd.Timestamp(r.peak_hour) == best_h
+
+
+_BENFORD_EXP_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                    6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def test_benford_deviation_matches_python(spark):
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = _round_half_up(od.o_totalprice[od.o_totalprice > 0] * 100)
+    digits = Counter(int(str(c)[0]) for c in cents)
+    total = sum(digits.values())
+    rows = {r.digit: r for r in _run(spark, "stats_benford_deviation")}
+    assert set(rows) == set(range(1, 10))  # expectation spine: all 9 digits
+    for d in range(1, 10):
+        obs_ppm = digits.get(d, 0) * 1000000 // total
+        r = rows[d]
+        assert r.n_rows == digits.get(d, 0)
+        assert r.obs_ppm == obs_ppm
+        assert r.exp_ppm == _BENFORD_EXP_PPM[d]
+        assert r.abs_dev_ppm == abs(obs_ppm - _BENFORD_EXP_PPM[d])

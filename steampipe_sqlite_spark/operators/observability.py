@@ -27,8 +27,10 @@ def quality_metrics(columns: list[str]) -> list[Column]:
     map-side inside whatever job the caller already runs."""
     cols = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
+        # count(when(...)) not sum(case...): SUM over zero rows is NULL,
+        # and an empty micro-batch must report 0, not NULL (ADVICE r6).
         cols.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"n_null_{c}")
         )
     return cols
 

@@ -189,6 +189,9 @@ def distributed_row_number(
         .drop("_pid")
     )
     out._sgs_persisted = ranged  # owner handle — see Lifetime note above
+    # total row count — already computed for the offsets; callers needing
+    # COUNT(*) OVER () alongside the rank read this instead of re-scanning
+    out._sgs_total_rows = acc
     return out
 
 
@@ -244,6 +247,7 @@ def distributed_running_sum(
         ).drop("_pid")
     )
     out._sgs_persisted = ranged  # owner handle — see distributed_row_number
+    out._sgs_total = acc  # grand total of value_col, free from the offsets
     return out
 
 

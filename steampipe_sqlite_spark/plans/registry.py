@@ -222,7 +222,9 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # never re-verified since) so green status stays fresh across fixture
 # changes.  Queries added in round 5 register behind the window and roll
 # into the round-6 rotation.
-# ROUND-7 ROTATION (do after CORRECTNESS_r06 lands — rotating earlier
+# ROUND-7 ROTATION [EXECUTED — CORRECTNESS_r06 landed 50/50 green; the
+# list below is now live in _WINDOW_PRIORITY] (plan was: do after
+# CORRECTNESS_r06 lands — rotating earlier
 # would evict the round-5 names the r6 window exists to certify): put
 # the 23 round-6 additions first (stats_equidepth_bins,
 # rfm_segmentation, join_asof_tolerance, ts_interval_union,
@@ -275,30 +277,90 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # load path changed twice since; VERDICT r5 #6).  Queries added in
 # round 6 register behind the window and roll into the round-7 rotation.
 _WINDOW_PRIORITY = [
-    # round-5 additions, never driver-verified (selfcheck-green r5+r6)
-    "join_lateral_topn", "win_range_interval", "group_by_all",
-    "text_keyword_tag", "dedup_containment_ngram",
-    "contamination_source_matrix", "dataset_epochs_schedule",
-    "search_hybrid_rrf", "knn_cosine_pq", "quality_constraints_audit",
-    "dataset_drift_tvd", "search_mmr_diversified", "text_oov_rate",
-    "emb_random_projection", "dedup_ppjoin_exact", "graph_bfs_distances",
-    "sketch_topk_tokens_by_lang", "sketch_cms_token_counts",
-    "dataset_snapshot_diff", "sketch_kmv_source_jaccard",
-    "mm_video_scene_cuts", "mm_audio_silence_runs",
-    "streaming_static_enrich", "streaming_session_5m",
-    "compat_quote_char", "agg_corr_covar_moments",
-    # rows-only r5 row upgraded to a full value oracle this round
-    "mm_image_phash_neardup",
-    # r1 leftovers, last verified round 1
-    "dataset_mixing_weights", "text_bigram_surprisal", "mm_image_decode",
-    "mm_image_resize", "mm_video_frame_sample", "mm_audio_stats",
-    # oldest r2 greens, last verified round 2
-    "str_basics", "str_search", "str_concat_format", "str_regexp",
-    "date_arithmetic", "math_basics", "math_transcendental",
-    "cond_case_coalesce", "cast_try_cast", "tvf_sequence_explode",
-    "str_hex_char_translate", "scalar_greatest_least",
-    "json_group_object", "agg_percentiles_median", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash",
+    # ---- ROUND-7 WINDOW (50 slots, all never-driver-checked; VERDICT r6
+    # #2 executes the rotation plan above) ----
+    # the 23 round-6 additions (selfcheck-green at sf0.01 and sf0.1):
+    "stats_equidepth_bins",
+    "rfm_segmentation",
+    "join_asof_tolerance",
+    "ts_interval_union",
+    "user_activity_streaks",
+    "funnel_latency_stats",
+    "attribution_last_touch",
+    "bpe_merge_step",
+    "vocab_growth_curve",
+    "text_novelty_ordered",
+    "emb_matryoshka_fidelity",
+    "sample_systematic_weighted",
+    "agg_weighted_median",
+    "key_skew_profile",
+    "shard_by_bytes",
+    "graph_triangle_count",
+    "impute_by_group_median",
+    "streaming_stream_stream_left",
+    "str_edit_distance",
+    "win_exclude_ties",
+    "winsorized_length_stats",
+    "dataset_split_temporal",
+    "market_basket_pairs",
+    # the 27 kept continuation-session additions (7 lowest-risk pure-SQL
+    # names deferred to round 8 per the over-full-window plan):
+    "eval_auc_mann_whitney",
+    "stats_gini_spend",
+    "stats_pareto_topdecile",
+    "ts_seasonal_naive_mae",
+    "token_pair_lift",
+    "graph_two_hop_reach",
+    "dataset_kfold_stratified",
+    "stats_chi2_lang_source",
+    "text_hapax_ratio",
+    "emb_label_centroid_geometry",
+    "eval_ndcg_at10",
+    "events_transition_matrix",
+    "events_interarrival_hist",
+    "events_growth_daily",
+    "ts_threshold_crossings",
+    "join_fuzzy_blocked_prefix",
+    "join_scd2_point_in_time",
+    "agg_width_bucket_hist",
+    "win_running_distinct",
+    "stats_join_size_profile",
+    "mm_video_neardup_shingles",
+    "stats_ks_lengths",
+    "events_user_hhi",
+    "ts_autocorr_lag1",
+    "text_vocab_jaccard_langs",
+    "privacy_k_anonymity",
+    "ts_cusum_changepoint",
+    # ---- tail (behind the 50-slot window; next rounds) ----
+    # round-8 deferrals (pure-SQL shared-text, pytest-covered):
+    "agg_bitwise",
+    "agg_mode_per_group",
+    "compat_printf_integer",
+    "stats_benford_first_digit",
+    "stats_benford_deviation",
+    "group_cube_grouping_flags",
+    "agg_any_value_functional",
+    # backfill: oldest driver-green names (r2 leftovers, last verified r2):
+    "knn_cosine_lsh",
+    "curation_pipeline",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q18",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "win_range_frame",
+    "setop_except",
+    "cte_multi",
+    "group_rollup",
+    "subq_not_in",
+    "agg_filter_clause",
+    "pivot_status_by_flag",
 ]
 
 

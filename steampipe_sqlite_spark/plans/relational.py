@@ -954,13 +954,16 @@ def rfm_segmentation(spark, sf_dir):
     engine-defined, the same reason stats_equidepth_bins avoids it),
     rolled up to segment code → customer count + segment revenue.
 
-    Scale shape: the windows rank the per-customer AGGREGATE (one row
-    per customer, after a map-side-partial groupBy over orders), and at
-    true scale each global rank becomes distributed_row_number — the
-    query documents the swap point; the 1-row max-date anchor
-    broadcasts."""
+    Scale shape: each of the three global ranks runs through
+    operators/scale.distributed_row_number over the per-customer
+    AGGREGATE (map-side-partial groupBy over orders first) — the earlier
+    three empty-OVER ROW_NUMBER windows each single-partitioned the
+    customer set (VERDICT r6); n for the quintile formula is the
+    rank helper's own partition-count total (no COUNT(*) OVER ()).
+    The 1-row max-date anchor broadcasts."""
     from pyspark.sql import functions as F
 
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
     from steampipe_sqlite_spark.plans.registry import presentation_sort
 
     orders = load_table(spark, sf_dir, "orders")
@@ -976,14 +979,21 @@ def rfm_segmentation(spark, sf_dir):
         "o_custkey", "datediff(max_d, last_order) AS recency_days",
         "freq", "monetary_cents",
     )
-    scored = anchored.selectExpr(
+    d1 = distributed_row_number(
+        anchored, [F.col("recency_days"), F.col("o_custkey")], name="_rn_r"
+    )
+    n = d1._sgs_total_rows
+    d2 = distributed_row_number(
+        d1, [F.col("freq"), F.col("o_custkey")], name="_rn_f"
+    )
+    d3 = distributed_row_number(
+        d2, [F.col("monetary_cents"), F.col("o_custkey")], name="_rn_m"
+    )
+    scored = d3.selectExpr(
         "o_custkey", "recency_days", "freq", "monetary_cents",
-        "((ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) - 1) * 5)"
-        " div (COUNT(*) OVER ()) + 1 AS r_score",
-        "((ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1) * 5)"
-        " div (COUNT(*) OVER ()) + 1 AS f_score",
-        "((ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5)"
-        " div (COUNT(*) OVER ()) + 1 AS m_score",
+        f"((_rn_r - 1) * 5) div {max(n, 1)} + 1 AS r_score",
+        f"((_rn_f - 1) * 5) div {max(n, 1)} + 1 AS f_score",
+        f"((_rn_m - 1) * 5) div {max(n, 1)} + 1 AS m_score",
     )
     out = (
         scored.groupBy(

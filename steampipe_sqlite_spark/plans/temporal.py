@@ -807,8 +807,13 @@ def funnel_latency_stats(spark, sf_dir):
     semantics in any engine, unlike PERCENTILE_CONT's interpolation.
 
     Scale shape: the two firsts fold in ONE map-side-partial aggregate
-    per user; the rank window runs over CONVERTED USERS (≤ one row per
-    user), not events."""
+    per user; the rank runs over CONVERTED USERS (≤ one row per user)
+    through operators/scale.distributed_row_number — the earlier
+    empty-OVER ROW_NUMBER/COUNT window single-partitioned the converted
+    set (VERDICT r6); n comes from the rank helper's partition-count
+    total.  Ties in latency_s rank arbitrarily in BOTH forms, and the
+    rank-inequality percentiles are tie-invariant, so results are
+    unchanged."""
     events = load_table(spark, sf_dir, "events")
     firsts = events.groupBy("user_id").agg(
         F.expr("MIN(CASE WHEN event_type = 'view' THEN ts END)").alias("first_view"),
@@ -823,18 +828,19 @@ def funnel_latency_stats(spark, sf_dir):
         "(unix_micros(cast(first_purchase AS TIMESTAMP))"
         " - unix_micros(cast(first_view AS TIMESTAMP))) div 1000000 AS latency_s"
     )
-    ranked = lat.selectExpr(
-        "latency_s",
-        "ROW_NUMBER() OVER (ORDER BY latency_s) AS r",
-        "COUNT(*) OVER () AS n",
-    )
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+    ranked = distributed_row_number(lat, [F.col("latency_s")], name="r")
+    n = ranked._sgs_total_rows
+    # MIN(lit(n)) not lit(n): over an empty converted set the oracle's
+    # MIN(n) is NULL, and a bare literal would emit 0 instead.
     return ranked.agg(
-        F.min("n").cast("long").alias("n_converted"),
+        F.min(F.lit(n)).cast("long").alias("n_converted"),
         F.min("latency_s").cast("long").alias("min_s"),
-        F.expr("MIN(CASE WHEN 2 * r >= n THEN latency_s END)")
+        F.expr(f"MIN(CASE WHEN 2 * r >= {n} THEN latency_s END)")
         .cast("long")
         .alias("median_s"),
-        F.expr("MIN(CASE WHEN 10 * r >= 9 * n THEN latency_s END)")
+        F.expr(f"MIN(CASE WHEN 10 * r >= 9 * {n} THEN latency_s END)")
         .cast("long")
         .alias("p90_s"),
         F.max("latency_s").cast("long").alias("max_s"),
@@ -1136,14 +1142,7 @@ m AS (
          CAST(SUM(y * y) AS BIGINT) AS syy,
          CAST(SUM(x * y) AS BIGINT) AS sxy
   FROM pairs GROUP BY event_type)
-SELECT event_type, n, sx, sy, sxy,
-       CASE WHEN n > 1
-                 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0e0
-                 AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0e0
-       THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-            / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-               * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-       END AS autocorr_lag1
+SELECT event_type, n, sx, sy, sxx, syy, sxy
 FROM m
 ORDER BY event_type
 """
@@ -1151,9 +1150,13 @@ ORDER BY event_type
 # seasonality / burstiness diagnostic deciding whether seasonal-naive
 # (ts_seasonal_naive_mae) is even the right baseline.  The 1h shift is a
 # gap-safe equi-join on the shifted HOURLY aggregate (same reasoning as
-# the seasonal query); moments are exact BIGINTs and the closing Pearson
-# form uses only correctly-rounded IEEE ops (+,-,*,/,sqrt) on them —
-# bit-identical across engines per the registry numeric rules.
+# the seasonal query).  Emits the six EXACT integer moments only — the
+# caller computes Pearson r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) *
+# sqrt(n*syy - sy^2)) from them (same caller-side-ratio convention as
+# emb_label_centroid_geometry).  The earlier in-query DOUBLE emission
+# deviated from the corpus' exact-integer rule and silently lost
+# exactness past 2^53 (ADVICE r6); moments themselves are exact BIGINTs
+# at any realistic scale (hourly counts ~1e6 -> sxx ~1e12 per pair row).
 sql_query("ts_autocorr_lag1", _AUTOCORR_BODY, present_sort=["event_type"])
 
 

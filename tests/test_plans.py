@@ -265,3 +265,52 @@ def test_ppjoin_scan_filter_stays_cheap(spark, queries):
     # and the prefix-ranking side reads the corpus exactly twice overall:
     # once for the token stream, twice for the two verify array sides
     assert plan.count("FileScan parquet") <= 3, plan.count("FileScan parquet")
+
+
+# Queries whose optimized plan carries an unpartitioned (empty-OVER)
+# window over input that does NOT scale with the corpus — each with the
+# reason the single-partition WindowExec is safe there.  Everything else
+# must either partition its windows, route global order statistics
+# through operators/scale.distributed_row_number / distributed_running_sum
+# (VERDICT r6 #3), or sit above a Limit (detected automatically).
+GLOBAL_WINDOW_BOUNDED_OK = {
+    # window input is a per-DAY aggregate: one row per day (36.5k rows
+    # per century) regardless of corpus size
+    "events_growth_daily",
+    # window input is the fixed-size quantile-histogram bucket list
+    "sketch_quantile_hist",
+    # window input is per-LENGTH compacted counts: support bounded by the
+    # value domain (max doc length), not the corpus (see query comment)
+    "stats_ks_lengths",
+    # SQLite window-surface parity witnesses: the empty-OVER form IS the
+    # operator under test (SURVEY §2.3 window family); the scale path for
+    # global sequence/rank is pinned separately by win_global_rownum_scale
+    # and the distributed_* helpers
+    "win_agg_over_unbounded",
+    "win_ntile",
+    "win_range_frame",
+    "win_rank_family",
+}
+
+
+def test_no_unbounded_global_windows_in_corpus(spark, queries):
+    """Corpus-wide: any Window node with an empty partitionSpec must sit
+    over a Limit-bounded subtree or be on the justified allowlist above.
+    Catches the 100 TB single-reducer anti-pattern at plan-build time
+    (the five VERDICT-r6 offenders are now routed through the
+    distributed_* helpers and must stay that way)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.window_audit import unpartitioned_windows
+
+    offenders = {}
+    for name, fn in queries.items():
+        try:
+            hits = unpartitioned_windows(fn(spark, SF_DIR))
+        except Exception:  # noqa: BLE001 — build errors are other tests' job
+            continue
+        unbounded = [h for h in hits if not h["bounded"]]
+        if unbounded and name not in GLOBAL_WINDOW_BOUNDED_OK:
+            offenders[name] = [h["node"][:120] for h in unbounded]
+    assert not offenders, f"unbounded global windows: {offenders}"

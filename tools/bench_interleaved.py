@@ -1,0 +1,120 @@
+"""Interleaved Spark/DuckDB bench: median + MAD per engine per query.
+
+VERDICT r6 #5: the committed bench artifact has twice read >2x while
+quiet-window readings sat under it, because a single contended DuckDB
+run (the minhash leg alone swings +-0.6 s) can move the best-of-5
+rollup.  This harness removes that failure mode by ALTERNATING engines
+within each round — Spark(q) then DuckDB(q), query by query, N rounds —
+so a contention burst lands on both engines' samples symmetrically, and
+by reporting per-query MEDIAN (burst-robust) with MAD (so a reader can
+see the spread) rather than best-of.
+
+Usage: python tools/bench_interleaved.py [sf_dir] [N]
+Prints one JSON line:
+  {"metric": "headline_median_interleaved", "value": <spark total>,
+   "duckdb_total": ..., "ratio_vs_duckdb": ...,
+   "queries": {q: {"spark": med, "spark_mad": ..., "duckdb": med,
+                   "duckdb_mad": ...}}, "rounds": N, "sf": ...}
+
+bench.py (best-of-5 hybrid) remains the driver contract; this is the
+noise-robust companion measurement committed alongside it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE
+from steampipe_sqlite_spark.plans.registry import collect
+from steampipe_sqlite_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import duckdb
+
+    spark = get_spark("bench-interleaved")
+    queries, oracles = collect()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    def spark_run(name: str) -> float:
+        fn = getattr(queries[name], "__wrapped__", queries[name])
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()
+        return time.perf_counter() - t0
+
+    def duck_run(name: str) -> float:
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).df()
+        return time.perf_counter() - t0
+
+    names = [n for n in HEADLINE if n in oracles]
+    # one untimed warm-up pass per engine (codegen/JIT on the Spark side,
+    # page cache on both)
+    for n in names:
+        spark_run(n)
+        duck_run(n)
+
+    samples: dict[str, dict[str, list[float]]] = {
+        n: {"spark": [], "duckdb": []} for n in names
+    }
+    for _ in range(rounds):
+        for n in names:
+            samples[n]["spark"].append(spark_run(n))
+            samples[n]["duckdb"].append(duck_run(n))
+
+    def med_mad(xs: list[float]) -> tuple[float, float]:
+        m = statistics.median(xs)
+        return m, statistics.median(abs(x - m) for x in xs)
+
+    per_query: dict[str, dict[str, float]] = {}
+    s_total = d_total = 0.0
+    for n in names:
+        sm, smad = med_mad(samples[n]["spark"])
+        dm, dmad = med_mad(samples[n]["duckdb"])
+        per_query[n] = {
+            "spark": round(sm, 3),
+            "spark_mad": round(smad, 3),
+            "duckdb": round(dm, 3),
+            "duckdb_mad": round(dmad, 3),
+        }
+        s_total += sm
+        d_total += dm
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_median_interleaved",
+                "value": round(s_total, 3),
+                "unit": "sec",
+                "duckdb_total": round(d_total, 3),
+                "ratio_vs_duckdb": round(s_total / d_total, 3) if d_total else None,
+                "queries": per_query,
+                "rounds": rounds,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

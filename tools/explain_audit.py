@@ -157,22 +157,34 @@ def facts(plan: str) -> list[str]:
 
 
 def main() -> None:
+    # FULL-corpus audit (VERDICT r6 #4): every registered query gets a plan
+    # entry — HEADLINE + EXTRA first (reviewed order), then the remainder
+    # of the corpus in registration order.
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain_audit")
     queries, _ = collect()
+    curated = list(dict.fromkeys(HEADLINE + EXTRA))
+    names = curated + [n for n in queries if n not in set(curated)]
     lines = [
-        "# PLANS — executed physical plans of the headline queries",
+        "# PLANS — executed physical plans of the full query corpus",
         "",
         f"Generated by `tools/explain_audit.py` at `{sf_dir}`. Regenerate after",
         "plan-affecting changes; tests/test_plans.py enforces the critical",
-        "properties, this file shows all of them.",
+        "properties, this file shows all of them.  Headline + curated",
+        "queries first, then the rest of the corpus in registration order.",
         "",
     ]
-    for name in HEADLINE + EXTRA:
+    errors = []
+    for name in names:
         fn = queries[name]
-        df = fn(spark, sf_dir)
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — record, keep auditing
+            errors.append(name)
+            lines += [f"## {name}", "", f"- ERROR: {str(exc)[:200]}", ""]
+            continue
         final = plan.split("== Initial Plan ==")[0].rstrip()
         lines.append(f"## {name}")
         lines.append("")
@@ -185,7 +197,7 @@ def main() -> None:
         lines.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
-    print(f"PLANS.md written ({len(HEADLINE + EXTRA)} queries)")
+    print(f"PLANS.md written ({len(names)} queries; {len(errors)} errors: {errors})")
 
 
 if __name__ == "__main__":

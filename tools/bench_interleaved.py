@@ -4,10 +4,19 @@ VERDICT r6 #5: the committed bench artifact has twice read >2x while
 quiet-window readings sat under it, because a single contended DuckDB
 run (the minhash leg alone swings +-0.6 s) can move the best-of-5
 rollup.  This harness removes that failure mode by ALTERNATING engines
-within each round — Spark(q) then DuckDB(q), query by query, N rounds —
-so a contention burst lands on both engines' samples symmetrically, and
-by reporting per-query MEDIAN (burst-robust) with MAD (so a reader can
-see the spread) rather than best-of.
+WITHIN each query's sample block — Spark(q), DuckDB(q), Spark(q), ...
+N pairs, then the next query — so a contention burst lands on both
+engines' samples of the SAME query symmetrically (it cancels out of
+that query's ratio), and by reporting per-query MEDIAN (burst-robust)
+with MAD (so a reader can see the spread) rather than best-of.
+
+Schedule note: a full round-robin over all queries per round was
+measured first and rejected — it reads ~40% worse for Spark across the
+board because each run re-faults the page cache and JIT locality the
+16 other queries just evicted (the same effect bench.py documents for
+its hybrid schedule), i.e. it measures locality loss, not engine speed.
+Per-query engine pairing keeps locality warm while preserving the
+burst symmetry that motivated the harness.
 
 Usage: python tools/bench_interleaved.py [sf_dir] [N]
 Prints one JSON line:
@@ -68,17 +77,15 @@ def main() -> None:
         return time.perf_counter() - t0
 
     names = [n for n in HEADLINE if n in oracles]
-    # one untimed warm-up pass per engine (codegen/JIT on the Spark side,
-    # page cache on both)
-    for n in names:
-        spark_run(n)
-        duck_run(n)
-
     samples: dict[str, dict[str, list[float]]] = {
         n: {"spark": [], "duckdb": []} for n in names
     }
-    for _ in range(rounds):
-        for n in names:
+    for n in names:
+        # one untimed warm-up pair (codegen/JIT on the Spark side, page
+        # cache on both), then N timed engine-alternating pairs
+        spark_run(n)
+        duck_run(n)
+        for _ in range(rounds):
             samples[n]["spark"].append(spark_run(n))
             samples[n]["duckdb"].append(duck_run(n))
 

@@ -595,13 +595,16 @@ def test_autocorr_lag1_matches_python(spark):
         syy = sum(y * y for y in ys)
         sxy = sum(x * y for x, y in zip(xs, ys))
         r = rows[et]
-        assert (r.n, r.sx, r.sy, r.sxy) == (n, sx, sy, sxy)
-        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
-        if n > 1 and dx > 0 and dy > 0:
-            want = (n * sxy - sx * sy) / (dx ** 0.5 * dy ** 0.5)
-            assert abs(r.autocorr_lag1 - want) < 1e-12
-        else:
-            assert r.autocorr_lag1 is None
+        # the query emits EXACT integer moments only (ADVICE r6: a raw
+        # DOUBLE in the hash-compare relies on bit-identical expression
+        # trees and loses exactness past 2^53); the Pearson ratio is the
+        # caller's one float op, replayed here
+        assert (r.n, r.sx, r.sy, r.sxx, r.syy, r.sxy) == (n, sx, sy, sxx, syy, sxy)
+        dx, dy = r.n * r.sxx - r.sx * r.sx, r.n * r.syy - r.sy * r.sy
+        if r.n > 1 and dx > 0 and dy > 0:
+            got = (r.n * r.sxy - r.sx * r.sy) / (dx ** 0.5 * dy ** 0.5)
+            want = (n * sxy - sx * sy) / ((n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5)
+            assert abs(got - want) < 1e-12
 
 
 def test_vocab_jaccard_matches_python(spark):

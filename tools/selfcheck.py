@@ -248,8 +248,39 @@ def run(sf_dir: str, only: list[str]) -> int:
     return 1 if failures else 0
 
 
+def run_chunked(sf_dir: str) -> int:
+    """Full-corpus sweep as SESSION_BUDGET-sized SUBPROCESS chunks.
+
+    Session recycling (spark.stop() + new session) is NOT enough for a
+    full 270-query sweep: codegen classes, metaspace, and other
+    per-context residue survive a context restart inside one JVM, and the
+    vanilla 1 GiB heap dies ~218 queries into the PROCESS regardless of
+    recycling (observed round 7 — the same tail passes standalone).  The
+    driver never sees this (its 50-query window runs in a fresh process);
+    chunked subprocesses make the replica process-faithful as well.
+    """
+    import subprocess
+
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    names = sorted(collect()[0])
+    failures = 0
+    for i in range(0, len(names), SESSION_BUDGET):
+        chunk = names[i : i + SESSION_BUDGET]
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, *chunk]
+        ).returncode
+        failures += 1 if rc else 0
+    print(f"\nchunked sweep: {len(names)} queries in "
+          f"{-(-len(names) // SESSION_BUDGET)} processes; "
+          f"{'ALL GREEN' if not failures else f'{failures} chunk(s) had failures'}")
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
     args = sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = args[1:] if args and os.path.isdir(args[0]) else args
+    if not only:
+        raise SystemExit(run_chunked(sf_dir))
     raise SystemExit(run(sf_dir, only))

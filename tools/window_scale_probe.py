@@ -1,0 +1,167 @@
+"""Scale probe for the r7 global-window rewrites (VERDICT r6 "What's
+wrong" #1): distributed_row_number / distributed_running_sum vs the old
+empty-OVER window spellings, on a replicated documents corpus.
+
+The five rewritten queries (pack_length_buckets, pack_context_windows,
+rfm_segmentation, stats_gini_spend, funnel_latency_stats) all shared one
+anti-pattern: a global order statistic via ``OVER (ORDER BY ...)`` with
+no PARTITION BY, which Spark executes by moving EVERY row to ONE
+partition (WindowExec warns exactly this).  This probe makes the scale
+argument measurable on the two documents-shaped queries:
+
+1. replicate documents REPS× (doc_id re-keyed to stay unique; text
+   blanked — neither query reads it) into .cache/winscale/;
+2. at 1× and REPS×, time the LIVE corpus queries (distributed helpers)
+   against the pre-r7 spellings (reconstructed inline below, verbatim);
+3. assert both forms agree at 1× (same rows) before timing anything.
+
+Usage: python tools/window_scale_probe.py [reps]   (default 1000)
+Prints one JSON line:
+  {"reps": N, "rows": ..., "queries": {q: {"old_1x": s, "new_1x": s,
+   "old_Nx": s, "new_Nx": s}}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.plans.registry import collect
+from steampipe_sqlite_spark.session import get_spark
+from steampipe_sqlite_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache",
+    "winscale",
+)
+
+
+# --- pre-r7 spellings, verbatim from git fc74250 (the single-reducer
+# forms the rewrite replaced) -----------------------------------------
+
+
+def old_pack_length_buckets(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    t = docs.select("doc_id", "n_chars", F.ntile(16).over(w).alias("bucket"))
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_len"),
+            F.max("n_chars").alias("max_len"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.max("n_chars") * F.count(F.lit(1)) - F.sum("n_chars")).alias(
+                "padding_waste"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def old_pack_context_windows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.selectExpr(
+        "doc_id",
+        "n_chars",
+        "sum(n_chars) OVER (ORDER BY md5(cast(doc_id AS string)), doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+    ).selectExpr("doc_id", "n_chars", "cum", "(cum - n_chars) div 65536 AS bin")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("packed_chars"),
+            F.sum(
+                F.expr("CASE WHEN cum > (bin + 1) * 65536 THEN 1 ELSE 0 END")
+            ).cast("bigint").alias("n_straddle"),
+        )
+        .orderBy("bin")
+    )
+
+
+def build_replica(spark, reps: int) -> None:
+    if os.path.exists(SCRATCH):
+        shutil.rmtree(SCRATCH)
+    os.makedirs(SCRATCH, exist_ok=True)
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    (
+        docs.select("doc_id", "n_chars", "lang", "source")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            F.lit("").alias("text"),  # neither probe query reads text
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCRATCH, "documents.parquet"))
+    )
+
+
+def best_of(spark, fn, runs=3):
+    best = float("inf")
+    for _ in range(runs):
+        # the distributed helpers persist their ranged input, and Spark's
+        # CacheManager dedups identical plans across rebuilds — without a
+        # clear, runs 2+ would time a cache read, not the pipeline
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    spark = get_spark("window-scale-probe")
+    queries, _ = collect()
+    # __wrapped__ bypasses the registry plan cache (bench.py convention):
+    # each timed run must REBUILD the distributed helpers' offset pass,
+    # not re-collect a plan whose offsets are already baked literals
+    new = {
+        name: getattr(queries[name], "__wrapped__", queries[name])
+        for name in ("pack_length_buckets", "pack_context_windows")
+    }
+    old = {
+        "pack_length_buckets": old_pack_length_buckets,
+        "pack_context_windows": old_pack_context_windows,
+    }
+
+    # correctness guard: old and new forms must agree at 1× before any
+    # timing claims
+    for name in new:
+        a = sorted(map(tuple, new[name](spark, SF_DIR).collect()))
+        b = sorted(map(tuple, old[name](spark, SF_DIR).collect()))
+        assert a == b, f"{name}: rewrite disagrees with the old form at 1x"
+
+    build_replica(spark, reps)
+    rows = reps * 5000
+
+    out: dict[str, dict[str, float]] = {}
+    for name in new:
+        fn_new, fn_old = new[name], old[name]
+        out[name] = {
+            "old_1x": best_of(spark, lambda: fn_old(spark, SF_DIR).collect()),
+            "new_1x": best_of(spark, lambda: fn_new(spark, SF_DIR).collect()),
+            f"old_{reps}x": best_of(spark, lambda: fn_old(spark, SCRATCH).collect()),
+            f"new_{reps}x": best_of(spark, lambda: fn_new(spark, SCRATCH).collect()),
+        }
+    print(json.dumps({"reps": reps, "rows": rows, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1720,6 +1720,7 @@ def sample_balanced_per_group(spark, sf_dir):
 
 @query(
     "pack_length_buckets",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle="""
 WITH t AS (
   SELECT doc_id, n_chars,
@@ -1963,6 +1964,7 @@ def agg_gmean_pandas_q(spark, sf_dir):
 
 @query(
     "pack_context_windows",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle="""
 WITH ordered AS (
   SELECT doc_id, n_chars,
@@ -3626,6 +3628,7 @@ def bpe_merge_step_q(spark, sf_dir):
 
 @query(
     "vocab_growth_curve",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle=f"""
 WITH first_seen AS (
   SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
@@ -3795,6 +3798,7 @@ def emb_matryoshka_fidelity_q(spark, sf_dir):
 
 @query(
     "sample_systematic_weighted",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle="""
 WITH w AS (
   SELECT doc_id, n_chars,
@@ -3953,6 +3957,7 @@ def key_skew_profile_q(spark, sf_dir):
 
 @query(
     "shard_by_bytes",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle="""
 WITH cum AS (
   SELECT doc_id, n_chars,

@@ -66,15 +66,27 @@ def _plan_cache(spark: "SparkSession") -> dict:
     return per
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, plan_cache: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` marks a non-SQL-expressible op
-    (driver falls back to a rows-only check)."""
+    (driver falls back to a rows-only check).
+
+    ``plan_cache=False`` rebuilds the DataFrame on EVERY call.  Required
+    for queries built on operators/scale's distributed helpers: those bake
+    per-partition offsets (computed from a persisted range shuffle) into
+    plan literals, so a cached DataFrame re-executed after
+    ``spark.catalog.clearCache()`` would resample partition boundaries
+    under stale offsets and return silently wrong ranks.  Rebuilding
+    recomputes offsets from a fresh persist, making cache clears safe."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
 
         def cached(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+            if not plan_cache:
+                return fn(spark, sf_dir)
             per = _plan_cache(spark)
             key = (name, sf_dir)
             df = per.get(key)

@@ -256,6 +256,7 @@ ORDER BY c_custkey
 # WindowExec: the scale path for global sequence numbers.
 @query(
     "win_global_rownum_scale",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle="""
 SELECT o_orderkey, o_totalprice,
        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -859,6 +860,7 @@ ORDER BY ALL
 
 @query(
     "stats_equidepth_bins",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle="""
 WITH ranked AS (
   SELECT o_totalprice,
@@ -915,6 +917,7 @@ def stats_equidepth_bins(spark, sf_dir):
 
 @query(
     "rfm_segmentation",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle="""
 WITH per_cust AS (
   SELECT o_custkey,
@@ -1105,6 +1108,7 @@ _AUC_DEN = "(2 * npos * (n - npos))"
 
 @query(
     "eval_auc_mann_whitney",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle=f"""
 WITH lab AS (
   SELECT value AS s,
@@ -1180,6 +1184,7 @@ def eval_auc_mann_whitney(spark, sf_dir):
 
 @query(
     "stats_gini_spend",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle=f"""
 WITH per_cust AS (
   SELECT o_custkey,
@@ -1265,6 +1270,7 @@ sql_query(
 
 @query(
     "stats_pareto_topdecile",
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
     oracle=f"""
 WITH per_cust AS (
   SELECT o_custkey,

@@ -581,6 +581,7 @@ def test_autocorr_lag1_matches_python(spark):
     ev = pd.read_parquet(f"{SF}/events.parquet")
     hourly = ev.groupby([ev.event_type, ev.ts.dt.floor("h")]).size()
     rows = {r.event_type: r for r in _run(spark, "ts_autocorr_lag1")}
+    nondegenerate = []
     for et in ev.event_type.unique():
         series = hourly[et]
         xs, ys = [], []
@@ -597,14 +598,16 @@ def test_autocorr_lag1_matches_python(spark):
         r = rows[et]
         # the query emits EXACT integer moments only (ADVICE r6: a raw
         # DOUBLE in the hash-compare relies on bit-identical expression
-        # trees and loses exactness past 2^53); the Pearson ratio is the
-        # caller's one float op, replayed here
+        # trees and loses exactness past 2^53) — the six-moment equality
+        # IS the full query contract now; the Pearson ratio became the
+        # consumer's one float op outside the engine
         assert (r.n, r.sx, r.sy, r.sxx, r.syy, r.sxy) == (n, sx, sy, sxx, syy, sxy)
-        dx, dy = r.n * r.sxx - r.sx * r.sx, r.n * r.syy - r.sy * r.sy
-        if r.n > 1 and dx > 0 and dy > 0:
-            got = (r.n * r.sxy - r.sx * r.sy) / (dx ** 0.5 * dy ** 0.5)
-            want = (n * sxy - sx * sy) / ((n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5)
-            assert abs(got - want) < 1e-12
+        # and the fixture must actually exercise the non-degenerate
+        # branch somewhere, or the moments prove nothing about a usable
+        # autocorrelation
+        if n > 1 and n * sxx > sx * sx and n * syy > sy * sy:
+            nondegenerate.append(et)
+    assert nondegenerate, "fixture exercises only degenerate series"
 
 
 def test_vocab_jaccard_matches_python(spark):

@@ -299,9 +299,10 @@ def test_no_unbounded_global_windows_in_corpus(spark, queries):
     Catches the 100 TB single-reducer anti-pattern at plan-build time
     (the five VERDICT-r6 offenders are now routed through the
     distributed_* helpers and must stay that way)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tools.window_audit import unpartitioned_windows
 
     offenders = {}

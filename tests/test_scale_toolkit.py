@@ -225,6 +225,30 @@ class TestDistributedRowNumber:
         assert not handle.storageLevel.useMemory
 
 
+class TestHelperQueriesBypassPlanCache:
+    """Queries built on the distributed helpers bake partition offsets
+    (computed from a persisted range shuffle) into plan literals, so a
+    registry-CACHED DataFrame re-executed after clearCache would resample
+    boundaries under stale offsets — silently wrong ranks.  Those queries
+    register with plan_cache=False: every call rebuilds, which recomputes
+    offsets from a fresh persist and makes cache clears safe."""
+
+    def test_helper_query_rebuilds_and_survives_clear(self, spark):
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        queries, _ = collect()
+        sf = "/root/testdata/sf0.001"
+        a = queries["stats_gini_spend"](spark, sf)
+        first = a.collect()
+        spark.catalog.clearCache()
+        b = queries["stats_gini_spend"](spark, sf)
+        assert a is not b, "helper-based query must not return a cached plan"
+        assert b.collect() == first
+        # a plain query stays plan-cached (the perf contract is unchanged)
+        c = queries["tpch_q6"](spark, sf)
+        assert queries["tpch_q6"](spark, sf) is c
+
+
 class TestDistributedRunningSum:
     """distributed_running_sum: global prefix-sum parity WITHOUT the
     single-partition WindowExec (same two-phase shape as row_number)."""

@@ -185,6 +185,14 @@ def main() -> None:
             errors.append(name)
             lines += [f"## {name}", "", f"- ERROR: {str(exc)[:200]}", ""]
             continue
+        finally:
+            # drop persisted intermediates (dedup pair sets, distributed-
+            # helper range shuffles) — 270 queries' worth accumulating in
+            # one session is the heap-exhaustion mode selfcheck's chunked
+            # sweep exists to avoid; each query is fully collected before
+            # its cache is cleared, so stale-offset re-execution can't
+            # occur
+            spark.catalog.clearCache()
         final = plan.split("== Initial Plan ==")[0].rstrip()
         lines.append(f"## {name}")
         lines.append("")

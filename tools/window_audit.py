@@ -4,8 +4,12 @@ Spark compiles ``fn() OVER (ORDER BY ...)`` — no PARTITION BY — to a
 WindowExec that moves EVERY input row to a single partition ("No
 Partition Defined for Window operation" at runtime): correct, and fatal
 once the window input scales with the corpus (VERDICT r6).  This audit
-walks every corpus query's OPTIMIZED logical plan (static — no
-execution) and reports each Window node whose partitionSpec is empty,
+walks every corpus query's OPTIMIZED logical plan and reports each
+Window node whose partitionSpec is empty — no query RESULT is collected,
+but note that BUILDING a plan is not free for every query: the
+distributed_* helper queries run their per-partition count/total jobs
+(and persist their range shuffle) at construction time, so pointing the
+audit at a large sf_dir does real scan work for those names,
 plus whether a Limit node bounds its input subtree (a global window over
 an already-top-k'd pool is fine at any scale).
 

@@ -90,7 +90,7 @@ def old_pack_context_windows(spark, sf_dir):
     )
 
 
-def build_replica(spark, reps: int) -> None:
+def build_replica(spark, reps: int) -> int:
     if os.path.exists(SCRATCH):
         shutil.rmtree(SCRATCH)
     os.makedirs(SCRATCH, exist_ok=True)
@@ -110,6 +110,7 @@ def build_replica(spark, reps: int) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(SCRATCH, "documents.parquet"))
     )
+    return n * reps
 
 
 def best_of(spark, fn, runs=3):
@@ -148,8 +149,7 @@ def main() -> None:
         b = sorted(map(tuple, old[name](spark, SF_DIR).collect()))
         assert a == b, f"{name}: rewrite disagrees with the old form at 1x"
 
-    build_replica(spark, reps)
-    rows = reps * 5000
+    rows = build_replica(spark, reps)
 
     out: dict[str, dict[str, float]] = {}
     for name in new:

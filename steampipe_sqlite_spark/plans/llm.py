@@ -4815,3 +4815,163 @@ sql_query(
     _KANON_BODY.format(op="div"),
     oracle=_KANON_BODY.format(op="//"),
 )
+
+
+# --- Round-7 additions (register behind the driver window; r8 rotation) ---
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5({_DD_NORM}) AS fp FROM documents
+),
+sized AS (
+  SELECT doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size
+  FROM fp
+)
+SELECT doc_id, cluster_size,
+       CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+FROM sized
+ORDER BY doc_id
+""",
+)
+def dedup_soft_weights_q(spark, sf_dir):
+    """Soft deduplication: every document KEPT, weighted 1/cluster_size.
+
+    Hard dedup (keep one row per fingerprint) throws away the duplicate
+    count, but a pretraining sampler often wants the inverse-frequency
+    weight instead — each duplicate cluster contributes one document's
+    worth of expected mass wherever it appears, without choosing a
+    canonical copy (Lee et al. 2022 discuss duplication-induced
+    memorization; downweighting is the non-destructive mitigation).
+
+    Scale shape: ONE hash shuffle (window partitioned by the md5
+    fingerprint — equal keys co-locate, every partition independent), no
+    join back, no global window.  weight_ppm is exact integer division so
+    the hash-compare never sees engine float formatting."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _NORM_SQL.format(c="text")
+    sized = docs.selectExpr("doc_id", f"md5({norm}) AS fp").selectExpr(
+        "doc_id",
+        "CAST(count(1) OVER (PARTITION BY fp) AS BIGINT) AS cluster_size",
+    )
+    # orderBy: one row per document (unbounded) — parallel range sort
+    return sized.selectExpr(
+        "doc_id",
+        "cluster_size",
+        "CAST(1000000 div cluster_size AS BIGINT) AS weight_ppm",
+    ).orderBy("doc_id")
+
+
+_BITEXT_K = 4  # neighbors per side in the margin denominator
+
+
+@query(
+    "bitext_margin_pairs",
+    oracle=f"""
+WITH base AS (
+  SELECT e.vec_id AS id, d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS tid,
+         CAST(ROUND({_DD_COS} * 10000) AS BIGINT) AS cu
+  FROM (SELECT id, embedding FROM base WHERE lang = 'en' AND id < 20) a(id, embedding),
+       (SELECT id, embedding FROM base WHERE lang = 'de') b(id, embedding)
+),
+ranked AS (
+  SELECT qid, tid, cu,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cu DESC, tid) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cu DESC, qid) AS ry
+  FROM pairs
+),
+summed AS (
+  SELECT qid, tid, cu, rx,
+         SUM(CASE WHEN rx <= {_BITEXT_K} THEN cu END) OVER (PARTITION BY qid) AS sx,
+         SUM(CASE WHEN ry <= {_BITEXT_K} THEN cu END) OVER (PARTITION BY tid) AS sy
+  FROM ranked
+)
+SELECT qid AS query_id, tid AS match_id, cu AS cos_u,
+       CAST(CASE WHEN cu >= 0 AND sx + sy > 0
+                 THEN (2 * {_BITEXT_K} * cu * 1000000) // (sx + sy) END
+            AS BIGINT) AS margin_ppm
+FROM summed
+WHERE rx = 1
+ORDER BY query_id
+""",
+)
+def bitext_margin_pairs_q(spark, sf_dir):
+    """Margin-scored bitext mining (Artetxe & Schwenk 2019): for each
+    source-language document, its best target-language match scored by
+    the RATIO margin — cosine divided by the mean of both sides' k-NN
+    cosines — which suppresses hub vectors that are "close to
+    everything" and is the standard mined-parallel-corpus filter
+    (CCMatrix/LASER pipelines).
+
+    margin(x,y) = cos(x,y) / (mean_k cos(x,NN_tgt(x))/2
+                              + mean_k cos(y,NN_src(y))/2)
+
+    Scale shape: the source side is a BOUNDED query batch (broadcast —
+    the corpus' established ANN-query convention), the target corpus
+    streams through one BroadcastNestedLoopJoin, and BOTH k-NN means come
+    from the same bounded pair table via two partitioned windows: no
+    second pass over either corpus, no global window.  A production
+    symmetric run replaces the brute-force leg with the IVF index on each
+    side; the margin algebra is unchanged.  cos is 4-dp scaled to BIGINT
+    (the knn convention) and the margin is exact integer division guarded
+    to non-negative operands, so Spark's truncating div and DuckDB's
+    flooring // cannot diverge."""
+    from steampipe_sqlite_spark.operators.similarity import _cos_sql
+    from steampipe_sqlite_spark.functions.vectors import norm_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang"
+    )
+    base = emb.join(docs, emb.vec_id == docs.doc_id).selectExpr(
+        "vec_id AS id",
+        "lang",
+        "embedding AS v",
+        f"{norm_sql('embedding')} AS nrm",
+    )
+    src = base.where("lang = 'en' AND id < 20").selectExpr(
+        "id AS qid", "v AS qv", "nrm AS qn"
+    )
+    tgt = base.where("lang = 'de'").selectExpr(
+        "id AS tid", "v AS tv", "nrm AS tn"
+    )
+    pairs = tgt.crossJoin(F.broadcast(src)).selectExpr(
+        "qid",
+        "tid",
+        f"CAST(ROUND({_cos_sql('qv', 'tv', 'qn', 'tn')} * 10000) AS BIGINT) AS cu",
+    )
+    ranked = pairs.selectExpr(
+        "qid",
+        "tid",
+        "cu",
+        "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cu DESC, tid) AS rx",
+        "ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cu DESC, qid) AS ry",
+    )
+    summed = ranked.selectExpr(
+        "qid",
+        "tid",
+        "cu",
+        "rx",
+        f"SUM(CASE WHEN rx <= {_BITEXT_K} THEN cu END)"
+        " OVER (PARTITION BY qid) AS sx",
+        f"SUM(CASE WHEN ry <= {_BITEXT_K} THEN cu END)"
+        " OVER (PARTITION BY tid) AS sy",
+    )
+    out = summed.where("rx = 1").selectExpr(
+        "qid AS query_id",
+        "tid AS match_id",
+        "cu AS cos_u",
+        "CAST(CASE WHEN cu >= 0 AND sx + sy > 0"
+        f" THEN (2 * {_BITEXT_K} * cu * 1000000) div (sx + sy) END"
+        " AS BIGINT) AS margin_ppm",
+    )
+    return presentation_sort(out, ["query_id"])

@@ -1051,3 +1051,82 @@ class TestMinhashIndexPersistence:
         before = spark.read.parquet(f"{path}/signatures").count()
         minhash_index_append(second, "text", "doc_id", path, if_exists="skip")
         assert spark.read.parquet(f"{path}/signatures").count() == before
+
+
+class TestSoftDedupWeights:
+    def test_weights_match_python(self, spark):
+        import re
+
+        import pandas as pd
+
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+        def norm(text: str) -> str:
+            t = re.sub(r"[^a-z0-9一-鿿 ]", " ", text.lower())
+            return re.sub(r"\s+", " ", t).strip()
+
+        sizes = docs.text.map(norm).value_counts()
+        want = {
+            r.doc_id: sizes[norm(r.text)] for r in docs.itertuples()
+        }
+        q, _ = collect()
+        rows = q["dedup_soft_weights"](spark, SF_DIR).collect()
+        assert len(rows) == len(docs)
+        for r in rows:
+            assert r.cluster_size == want[r.doc_id]
+            assert r.weight_ppm == 1_000_000 // r.cluster_size
+        # every cluster contributes ~1 doc of expected mass (ppm floor)
+        assert all(r.weight_ppm * r.cluster_size <= 1_000_000 for r in rows)
+
+
+class TestBitextMarginPairs:
+    def test_margin_matches_python(self, spark):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        lang = dict(zip(docs.doc_id, docs.lang))
+
+        def seq_dot(a, b):  # sequential fold — the SQL aggregate's order
+            s = 0.0
+            for x, y in zip(a, b):
+                s += float(x) * float(y)
+            return s
+
+        vecs = {r.vec_id: list(r.embedding) for r in emb.itertuples()}
+
+        def cu(a, b):  # ROUND(cos, 4) then ×10000 — both HALF_UP doubles
+            c = seq_dot(a, b) / (seq_dot(a, a) ** 0.5 * seq_dot(b, b) ** 0.5)
+            c4 = float(Decimal(repr(c)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+            return int(Decimal(repr(c4 * 10000)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+        src = sorted(i for i in vecs if lang.get(i) == "en" and i < 20)
+        tgt = sorted(i for i in vecs if lang.get(i) == "de")
+        pairs = {(q_, t): cu(vecs[q_], vecs[t]) for q_ in src for t in tgt}
+        K = 4
+        want = {}
+        for q_ in src:
+            by_t = sorted(tgt, key=lambda t: (-pairs[(q_, t)], t))
+            best = by_t[0]
+            sx = sum(pairs[(q_, t)] for t in by_t[:K])
+            by_q = sorted(src, key=lambda s: (-pairs[(s, best)], s))
+            sy = sum(pairs[(s, best)] for s in by_q[:K])
+            c = pairs[(q_, best)]
+            margin = (
+                (2 * K * c * 1_000_000) // (sx + sy)
+                if c >= 0 and sx + sy > 0
+                else None
+            )
+            want[q_] = (best, c, margin)
+        q, _ = collect()
+        rows = q["bitext_margin_pairs"](spark, SF_DIR).collect()
+        assert {r.query_id for r in rows} == set(src)
+        for r in rows:
+            best, c, margin = want[r.query_id]
+            assert (r.match_id, r.cos_u, r.margin_ppm) == (best, c, margin)

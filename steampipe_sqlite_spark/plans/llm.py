@@ -5060,3 +5060,101 @@ def text_repetition_topgram_q(spark, sf_dir):
     )
     # orderBy: one row per document (unbounded) — parallel range sort
     return out.orderBy("doc_id")
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
+           FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
+  FROM (SELECT doc_id, lang, source, {_DD_TOKS} AS toks FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+              greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1),
+              4) >= 0.3
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+),
+comps AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node),
+ranked AS (
+  SELECT c.component_id, c.doc_id, d.n_chars,
+         CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT)
+           AS component_size,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comps c JOIN documents d USING (doc_id)
+)
+SELECT component_id, doc_id AS kept_doc_id,
+       CAST(n_chars AS BIGINT) AS kept_n_chars,
+       component_size,
+       CAST(component_size - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY component_id
+""",
+)
+def dedup_keep_best_q(spark, sf_dir):
+    """The step after clustering that pair lists and component labels
+    alone don't deliver: ONE canonical document per near-duplicate
+    cluster, chosen by keep-the-longest (n_chars DESC, doc_id tiebreak) —
+    the standard production rule when near-dups are truncations/excerpts
+    of each other.  Same 3-gram-Jaccard edge set and distributed hash-min
+    connected components as dedup_components; the canonical choice is one
+    component-keyed window over the labeled nodes.
+
+    Scale shape: blocked exact pair join (lang, source) → CC (frontier
+    iterations with localCheckpoint) → one hash-partitioned window; no
+    global operator, output one row per cluster."""
+    from pyspark.sql import Window
+
+    from steampipe_sqlite_spark.operators.dedup import ngram_jaccard_pairs
+    from steampipe_sqlite_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3
+    )
+    comps = connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("component_id"))
+    ranked = comps.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "component_id",
+        "doc_id",
+        "n_chars",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component_id"))
+        .cast("bigint")
+        .alias("component_size"),
+        F.row_number()
+        .over(
+            Window.partitionBy("component_id").orderBy(
+                F.desc("n_chars"), F.col("doc_id")
+            )
+        )
+        .alias("rn"),
+    )
+    out = ranked.where("rn = 1").selectExpr(
+        "component_id",
+        "doc_id AS kept_doc_id",
+        "CAST(n_chars AS BIGINT) AS kept_n_chars",
+        "component_size",
+        "CAST(component_size - 1 AS BIGINT) AS n_dropped",
+    )
+    # orderBy: one row per cluster (scales with the corpus) — range sort
+    return out.orderBy("component_id")

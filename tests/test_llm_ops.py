@@ -1167,3 +1167,34 @@ class TestRepetitionTopgram:
             assert r.top2g_token_frac_ppm == 2 * top * 1_000_000 // len(ts)
             assert r.dup_bigram_frac_ppm == (n_bg - len(grams)) * 1_000_000 // n_bg
         assert len(rows) == n_with_bigrams
+
+
+class TestDedupKeepBest:
+    def test_canonical_is_longest_per_component(self, spark):
+        import pandas as pd
+
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        q, _ = collect()
+        comps = {
+            r.doc_id: r.component_id
+            for r in q["dedup_components"](spark, SF_DIR).collect()
+        }
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        chars = dict(zip(docs.doc_id, docs.n_chars))
+        want = {}
+        for doc, comp in comps.items():
+            cur = want.get(comp)
+            key = (-chars[doc], doc)
+            if cur is None or key < (-chars[cur[0]], cur[0]):
+                want[comp] = (doc, 0)
+        sizes = {}
+        for comp in comps.values():
+            sizes[comp] = sizes.get(comp, 0) + 1
+        rows = q["dedup_keep_best"](spark, SF_DIR).collect()
+        assert len(rows) == len(want)
+        for r in rows:
+            assert r.kept_doc_id == want[r.component_id][0]
+            assert r.component_size == sizes[r.component_id]
+            assert r.n_dropped == r.component_size - 1
+            assert r.kept_n_chars == chars[r.kept_doc_id]

@@ -4978,91 +4978,6 @@ def bitext_margin_pairs_q(spark, sf_dir):
 
 
 @query(
-    "text_repetition_topgram",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, {_DD_TOKS} AS toks FROM documents
-),
-bg AS (
-  SELECT doc_id, len(toks) AS n_tokens,
-         toks[i] || ' ' || toks[i + 1] AS gram
-  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
-),
-counted AS (
-  SELECT doc_id, n_tokens, gram, CAST(COUNT(*) AS BIGINT) AS n
-  FROM bg GROUP BY doc_id, n_tokens, gram
-)
-SELECT doc_id,
-       CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(SUM(n) AS BIGINT) AS n_bigrams,
-       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
-       CAST(MAX(n) AS BIGINT) AS top_bigram_n,
-       CAST(2 * MAX(n) * 1000000 // n_tokens AS BIGINT) AS top2g_token_frac_ppm,
-       CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT) AS dup_bigram_frac_ppm
-FROM counted
-GROUP BY doc_id, n_tokens
-ORDER BY doc_id
-""",
-)
-def text_repetition_topgram_q(spark, sf_dir):
-    """Gopher's repetition rules, the half text_gopher_flags doesn't
-    cover (Rae et al. 2021 §A1.1: "fraction of characters in the most
-    common n-gram" and duplicate-fraction cuts): per document, the token
-    share of the single most-repeated word bigram and the fraction of
-    bigram instances that are repeats — the two signals that catch
-    looping/boilerplate text which length and symbol ratios miss.
-
-    Scale shape: one explode of adjacent-bigram strings (linear in corpus
-    tokens), a (doc_id, gram) hash count with map-side partials, then a
-    per-doc fold — both aggregations keyed by doc_id, no global operator.
-    All emissions are exact integer ppm (floor division on non-negative
-    operands, so Spark div == DuckDB //)."""
-    from steampipe_sqlite_spark.functions.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    # zip_with over the two 1-shifted slices, NOT transform(sequence(0,
-    # size-2)): Spark's sequence auto-steps BACKWARD when start > stop, so
-    # a 1-token doc would yield [0, -1] → null grams, where DuckDB's
-    # generate_series(1, 0) is empty — the slices are empty for size < 2
-    # on both engines
-    bg = docs.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    ).selectExpr(
-        "doc_id",
-        "size(toks) AS n_tokens",
-        "explode(zip_with(slice(toks, 1, size(toks) - 1),"
-        " slice(toks, 2, size(toks) - 1),"
-        " (a, b) -> concat(a, ' ', b))) AS gram",
-    )
-    counted = bg.groupBy("doc_id", "n_tokens", "gram").agg(
-        F.expr("CAST(count(1) AS BIGINT) AS n")
-    )
-    out = counted.groupBy("doc_id", "n_tokens").agg(
-        F.expr("CAST(sum(n) AS BIGINT) AS n_bigrams"),
-        F.expr("CAST(count(1) AS BIGINT) AS distinct_bigrams"),
-        F.expr("CAST(max(n) AS BIGINT) AS top_bigram_n"),
-        F.expr(
-            "CAST(2 * max(n) * 1000000 div n_tokens AS BIGINT)"
-            " AS top2g_token_frac_ppm"
-        ),
-        F.expr(
-            "CAST((sum(n) - count(1)) * 1000000 div sum(n) AS BIGINT)"
-            " AS dup_bigram_frac_ppm"
-        ),
-    ).selectExpr(
-        "doc_id",
-        "CAST(n_tokens AS BIGINT) AS n_tokens",
-        "n_bigrams",
-        "distinct_bigrams",
-        "top_bigram_n",
-        "top2g_token_frac_ppm",
-        "dup_bigram_frac_ppm",
-    )
-    # orderBy: one row per document (unbounded) — parallel range sort
-    return out.orderBy("doc_id")
-
-
-@query(
     "dedup_keep_best",
     oracle=f"""
 WITH RECURSIVE t AS (

@@ -1132,43 +1132,6 @@ class TestBitextMarginPairs:
             assert (r.match_id, r.cos_u, r.margin_ppm) == (best, c, margin)
 
 
-class TestRepetitionTopgram:
-    def test_matches_python(self, spark):
-        import re
-        from collections import Counter
-
-        import pandas as pd
-
-        from steampipe_sqlite_spark.plans.registry import collect
-
-        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
-
-        def toks(text: str) -> list[str]:
-            t = re.sub(r"[^a-z0-9一-鿿 ]", " ", text.lower())
-            t = re.sub(r"\s+", " ", t).strip()
-            return t.split(" ")  # split keeps [''] for empty, like SQL
-
-        q, _ = collect()
-        rows = {r.doc_id: r for r in q["text_repetition_topgram"](spark, SF_DIR).collect()}
-        n_with_bigrams = 0
-        for d in docs.itertuples():
-            ts = toks(d.text)
-            grams = Counter(f"{a} {b}" for a, b in zip(ts, ts[1:]))
-            if not grams:
-                assert d.doc_id not in rows
-                continue
-            n_with_bigrams += 1
-            r = rows[d.doc_id]
-            n_bg = sum(grams.values())
-            top = max(grams.values())
-            assert (r.n_tokens, r.n_bigrams, r.distinct_bigrams, r.top_bigram_n) == (
-                len(ts), n_bg, len(grams), top
-            )
-            assert r.top2g_token_frac_ppm == 2 * top * 1_000_000 // len(ts)
-            assert r.dup_bigram_frac_ppm == (n_bg - len(grams)) * 1_000_000 // n_bg
-        assert len(rows) == n_with_bigrams
-
-
 class TestDedupKeepBest:
     def test_canonical_is_longest_per_component(self, spark):
         import pandas as pd

@@ -5073,3 +5073,102 @@ def dedup_keep_best_q(spark, sf_dir):
     )
     # orderBy: one row per cluster (scales with the corpus) — range sort
     return out.orderBy("component_id")
+
+
+@query(
+    "eval_calibration_bins",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qx
+  FROM embeddings),
+s AS (
+  SELECT label AS clabel, i AS pos, CAST(SUM(qx[i]) AS BIGINT) AS sv
+  FROM q, range(1, 65) t(i)
+  WHERE i <= len(qx)
+  GROUP BY label, i),
+cent AS (
+  SELECT clabel, list(sv ORDER BY pos) AS cv,
+         CAST(SUM(sv * sv) AS BIGINT) AS cnorm_sq
+  FROM s GROUP BY clabel),
+scored AS (
+  SELECT q.vec_id, q.label, c.clabel,
+         ROUND(list_inner_product(CAST(q.qx AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               / (SQRT(list_inner_product(CAST(q.qx AS DOUBLE[]), CAST(q.qx AS DOUBLE[])))
+                  * SQRT(CAST(c.cnorm_sq AS DOUBLE))), 4) AS cos4
+  FROM q CROSS JOIN cent c),
+pred AS (
+  SELECT vec_id, label, clabel AS predicted, cos4,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos4 DESC, clabel) AS rn
+  FROM scored)
+SELECT CAST(FLOOR(cos4 * 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CAST(ROUND(cos4 * 10000) AS BIGINT)) AS BIGINT) AS sum_conf_u
+FROM pred WHERE rn = 1
+GROUP BY CAST(FLOOR(cos4 * 10) AS BIGINT)
+ORDER BY bin
+""",
+)
+def eval_calibration_bins_q(spark, sf_dir):
+    """Reliability-diagram data for a 1-NN-centroid classifier over the
+    embedding corpus: every vector is scored against each label's
+    centroid-sum, the argmax cosine is its prediction and confidence,
+    and the output is per-confidence-bin (width 0.1) counts, hit counts,
+    and the exact confidence mass — ECE = Σ n_b/N·|acc_b − conf_b| falls
+    out caller-side (Guo et al. 2017's binned estimator; the emissions
+    stay exact integers per the corpus convention).
+
+    Numeric discipline: embeddings are milli-quantized to BIGINT FIRST
+    (fold-order-free centroid sums — the emb_label_centroid_geometry /
+    knn_cosine_int8 trick), the integer dot is exact, and only the final
+    cosine is a 4-dp-rounded double (the knn convention).  Binning uses
+    CAST(FLOOR(..)) — DuckDB's double→BIGINT cast rounds while Spark's
+    truncates.
+
+    Scale shape: one (label, dim) partial-agg shuffle builds the
+    centroids (10×64 rows), which broadcast onto the corpus scan; the
+    argmax is a vec_id-keyed window over a corpus×10 frame and the bins
+    are one hash aggregate — nothing global, nothing corpus²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id",
+        "label",
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qx",
+    )
+    s = q.select(
+        F.col("label").alias("clabel"), F.posexplode("qx").alias("pos", "v")
+    ).groupBy("clabel", "pos").agg(F.sum("v").cast("long").alias("sv"))
+    cent = s.groupBy("clabel").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, sv))), e -> e.sv) AS cv"),
+        F.expr("CAST(SUM(sv * sv) AS BIGINT) AS cnorm_sq"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).selectExpr(
+        "vec_id",
+        "label",
+        "clabel",
+        "ROUND(aggregate(zip_with(qx, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+        " 0.0e0, (acc, x) -> acc + x)"
+        " / (SQRT(aggregate(transform(qx, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
+        " 0.0e0, (acc, x) -> acc + x)) * SQRT(CAST(cnorm_sq AS DOUBLE))), 4) AS cos4",
+    )
+    pred = scored.selectExpr(
+        "vec_id",
+        "label",
+        "clabel AS predicted",
+        "cos4",
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos4 DESC, clabel) AS rn",
+    ).where("rn = 1")
+    out = pred.groupBy(
+        F.expr("CAST(FLOOR(cos4 * 10) AS BIGINT)").alias("bin")
+    ).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_correct"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(cos4 * 10000) AS BIGINT)) AS BIGINT) AS sum_conf_u"
+        ),
+    )
+    return presentation_sort(out, ["bin"])

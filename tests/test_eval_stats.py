@@ -735,3 +735,55 @@ def test_benford_deviation_matches_python(spark):
         assert r.obs_ppm == obs_ppm
         assert r.exp_ppm == _BENFORD_EXP_PPM[d]
         assert r.abs_dev_ppm == abs(obs_ppm - _BENFORD_EXP_PPM[d])
+
+
+def test_calibration_bins_matches_python(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    qx = {
+        r.vec_id: [
+            int(Decimal(repr(float(x) * 1000)).quantize(Decimal("1"), ROUND_HALF_UP))
+            for x in r.embedding
+        ]
+        for r in emb.itertuples()
+    }
+    label = dict(zip(emb.vec_id, emb.label))
+    cents, norms = {}, {}
+    for lb in sorted(set(label.values())):
+        members = [qx[v] for v in qx if label[v] == lb]
+        cv = [sum(col) for col in zip(*members)]
+        cents[lb] = cv
+        norms[lb] = sum(v * v for v in cv)
+
+    def cos4(x, cv, cn):
+        dot = 0.0
+        for a, b in zip(x, cv):
+            dot += float(a) * float(b)
+        xx = 0.0
+        for a in x:
+            xx += float(a) * float(a)
+        c = dot / (math.sqrt(xx) * math.sqrt(float(cn)))
+        return float(Decimal(repr(c)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    bins = {}
+    for v, x in qx.items():
+        scored = sorted(
+            ((-cos4(x, cents[lb], norms[lb]), lb) for lb in cents),
+        )
+        conf, pred = -scored[0][0], scored[0][1]
+        b = math.floor(conf * 10)
+        n, nc, su = bins.get(b, (0, 0, 0))
+        bins[b] = (
+            n + 1,
+            nc + (1 if pred == label[v] else 0),
+            su + int(Decimal(repr(conf * 10000)).quantize(Decimal("1"), ROUND_HALF_UP)),
+        )
+    rows = _run(spark, "eval_calibration_bins")
+    assert {r.bin: (r.n, r.n_correct, r.sum_conf_u) for r in rows} == bins
+    # the classifier must beat chance overall or the calibration data is
+    # meaningless for the fixture
+    total = sum(n for n, _, _ in bins.values())
+    correct = sum(nc for _, nc, _ in bins.values())
+    assert correct * len(cents) > total

@@ -5172,3 +5172,86 @@ def eval_calibration_bins_q(spark, sf_dir):
         ),
     )
     return presentation_sort(out, ["bin"])
+
+
+@query(
+    "mining_hard_negatives",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS tid, a.label AS qlabel,
+         (a.label = b.label) AS same,
+         CAST(ROUND({_DD_COS} * 10000) AS BIGINT) AS cu
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 15
+),
+ranked AS (
+  SELECT qid, tid, qlabel, same, cu,
+         ROW_NUMBER() OVER (PARTITION BY qid, same ORDER BY cu DESC, tid) AS rn
+  FROM pairs
+)
+SELECT p.qid AS anchor_id, p.qlabel AS label,
+       p.tid AS positive_id, p.cu AS pos_cos_u,
+       n.tid AS negative_id, n.cu AS neg_cos_u,
+       CAST(p.cu - n.cu AS BIGINT) AS margin_u
+FROM ranked p JOIN ranked n ON p.qid = n.qid
+WHERE p.same AND p.rn = 1 AND NOT n.same AND n.rn = 1
+ORDER BY anchor_id
+""",
+)
+def mining_hard_negatives_q(spark, sf_dir):
+    """Triplet mining for contrastive training: per anchor (bounded query
+    batch), the most-similar SAME-label vector (the positive) and the
+    most-similar DIFFERENT-label vector (the hard negative — the example
+    that actually moves a contrastive loss; Schroff et al. 2015 /
+    Robinson et al. 2021), plus the anchor's margin between them.
+    margin_u ≤ 0 flags anchors whose nearest neighbor crosses the class
+    boundary — the triplets a curriculum feeds first.
+
+    Scale shape: the anchor batch broadcasts onto the streaming corpus
+    (one pair table, linear in the corpus), ONE window ranks positives
+    and negatives together (partitioned by anchor AND the same-label
+    flag), and the positive/negative rows meet again on the anchor key —
+    bounded both sides.  Cosines are 4-dp scaled BIGINTs; the margin is
+    an exact integer difference."""
+    from steampipe_sqlite_spark.operators.similarity import _cos_sql, _prep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _prep(emb, "embedding", "vec_id").join(
+        emb.selectExpr("vec_id AS id", "label"), "id"
+    )
+    anchors = base.where("id < 15").selectExpr(
+        "id AS qid", "v AS qv", "nrm AS qn", "label AS qlabel"
+    )
+    pairs = base.selectExpr("id AS tid", "v AS tv", "nrm AS tn", "label AS tlabel").join(
+        F.broadcast(anchors), F.expr("qid <> tid")
+    ).selectExpr(
+        "qid",
+        "tid",
+        "qlabel",
+        "(qlabel = tlabel) AS same",
+        f"CAST(ROUND({_cos_sql('qv', 'tv', 'qn', 'tn')} * 10000) AS BIGINT) AS cu",
+    )
+    ranked = pairs.selectExpr(
+        "qid",
+        "tid",
+        "qlabel",
+        "same",
+        "cu",
+        "ROW_NUMBER() OVER (PARTITION BY qid, same ORDER BY cu DESC, tid) AS rn",
+    ).where("rn = 1")
+    pos = ranked.where("same").selectExpr(
+        "qid AS anchor_id", "qlabel AS label", "tid AS positive_id", "cu AS pos_cos_u"
+    )
+    neg = ranked.where("NOT same").selectExpr(
+        "qid AS anchor_id", "tid AS negative_id", "cu AS neg_cos_u"
+    )
+    out = pos.join(neg, "anchor_id").selectExpr(
+        "anchor_id",
+        "label",
+        "positive_id",
+        "pos_cos_u",
+        "negative_id",
+        "neg_cos_u",
+        "CAST(pos_cos_u - neg_cos_u AS BIGINT) AS margin_u",
+    )
+    return presentation_sort(out, ["anchor_id"])

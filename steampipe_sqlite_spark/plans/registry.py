@@ -289,10 +289,10 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # load path changed twice since; VERDICT r5 #6).  Queries added in
 # round 6 register behind the window and roll into the round-7 rotation.
 # ROUND-8 ROTATION PLAN: the window should take the 7 round-8 deferrals
-# listed in the tail below plus the 4 round-7 additions
+# listed in the tail below plus the 5 round-7 additions
 # (dedup_soft_weights, bitext_margin_pairs, dedup_keep_best,
-# eval_calibration_bins — all selfcheck-green at sf0.01 AND sf0.1 when
-# added), leaving 39 slots for backfilling the oldest driver-green names (the
+# eval_calibration_bins, mining_hard_negatives — all selfcheck-green at
+# sf0.01 AND sf0.1 when added), leaving 38 slots for backfilling the oldest driver-green names (the
 # backfill list below is the start; continue with the r3 greens).
 _WINDOW_PRIORITY = [
     # ---- ROUND-7 WINDOW (50 slots, all never-driver-checked; VERDICT r6

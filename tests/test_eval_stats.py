@@ -787,3 +787,38 @@ def test_calibration_bins_matches_python(spark):
     total = sum(n for n, _, _ in bins.values())
     correct = sum(nc for _, nc, _ in bins.values())
     assert correct * len(cents) > total
+
+
+def test_hard_negatives_matches_python(spark):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.itertuples()}
+    label = dict(zip(emb.vec_id, emb.label))
+
+    def cu(a, b):
+        dot = xx = yy = 0.0
+        for p, q in zip(a, b):
+            dot += p * q
+            xx += p * p
+            yy += q * q
+        c = dot / (math.sqrt(xx) * math.sqrt(yy))
+        c4 = float(Decimal(repr(c)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        return int(Decimal(repr(c4 * 10000)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    anchors = sorted(v for v in vecs if v < 15)
+    want = {}
+    for a in anchors:
+        same = [(-cu(vecs[a], vecs[t]), t) for t in vecs if t != a and label[t] == label[a]]
+        diff = [(-cu(vecs[a], vecs[t]), t) for t in vecs if t != a and label[t] != label[a]]
+        if not same or not diff:
+            continue
+        (pc, pt), (nc, nt) = min(same), min(diff)
+        want[a] = (label[a], pt, -pc, nt, -nc, -pc + nc)
+    rows = _run(spark, "mining_hard_negatives")
+    assert {r.anchor_id for r in rows} == set(want)
+    for r in rows:
+        assert (
+            r.label, r.positive_id, r.pos_cos_u, r.negative_id, r.neg_cos_u, r.margin_u
+        ) == want[r.anchor_id]

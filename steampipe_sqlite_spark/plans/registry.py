@@ -78,7 +78,11 @@ def query(
     plan literals, so a cached DataFrame re-executed after
     ``spark.catalog.clearCache()`` would resample partition boundaries
     under stale offsets and return silently wrong ranks.  Rebuilding
-    recomputes offsets from a fresh persist, making cache clears safe."""
+    recomputes offsets from a fresh persist, making cache clears safe.
+    Tradeoff: every call persists a NEW ranged copy — a caller invoking
+    a helper-based query repeatedly in one session should reclaim the
+    previous result's ``_sgs_persisted`` handle (the owner-handle
+    contract in operators/scale) or clearCache between calls."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:

@@ -5231,6 +5231,11 @@ def mining_hard_negatives_q(spark, sf_dir):
         "(qlabel = tlabel) AS same",
         f"CAST(ROUND({_cos_sql('qv', 'tv', 'qn', 'tn')} * 10000) AS BIGINT) AS cu",
     )
+    # persist the bounded (≤ 2×|batch| rows) winners: pos and neg both
+    # derive from this frame, and without the persist each branch would
+    # re-execute the full corpus pair scan (the plan showed the scan
+    # twice); with it the corpus is read once and the tiny pos⋈neg join
+    # broadcasts
     ranked = pairs.selectExpr(
         "qid",
         "tid",
@@ -5238,14 +5243,14 @@ def mining_hard_negatives_q(spark, sf_dir):
         "same",
         "cu",
         "ROW_NUMBER() OVER (PARTITION BY qid, same ORDER BY cu DESC, tid) AS rn",
-    ).where("rn = 1")
+    ).where("rn = 1").persist()
     pos = ranked.where("same").selectExpr(
         "qid AS anchor_id", "qlabel AS label", "tid AS positive_id", "cu AS pos_cos_u"
     )
     neg = ranked.where("NOT same").selectExpr(
         "qid AS anchor_id", "tid AS negative_id", "cu AS neg_cos_u"
     )
-    out = pos.join(neg, "anchor_id").selectExpr(
+    out = pos.join(F.broadcast(neg), "anchor_id").selectExpr(
         "anchor_id",
         "label",
         "positive_id",

@@ -90,6 +90,69 @@ def old_pack_context_windows(spark, sf_dir):
     )
 
 
+def old_rfm_segmentation(spark, sf_dir):
+    """Pre-r7 spelling (git fc74250): three empty-OVER global windows over
+    the per-customer aggregate frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("MAX(CAST(o_orderdate AS DATE))").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias(
+            "monetary_cents"
+        ),
+    )
+    anchor = orders.agg(F.expr("MAX(CAST(o_orderdate AS DATE))").alias("max_d"))
+    anchored = per_cust.crossJoin(F.broadcast(anchor)).selectExpr(
+        "o_custkey", "datediff(max_d, last_order) AS recency_days",
+        "freq", "monetary_cents",
+    )
+    scored = anchored.selectExpr(
+        "o_custkey", "recency_days", "freq", "monetary_cents",
+        "((ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) - 1) * 5)"
+        " div (COUNT(*) OVER ()) + 1 AS r_score",
+        "((ROW_NUMBER() OVER (ORDER BY freq, o_custkey) - 1) * 5)"
+        " div (COUNT(*) OVER ()) + 1 AS f_score",
+        "((ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5)"
+        " div (COUNT(*) OVER ()) + 1 AS m_score",
+    )
+    out = (
+        scored.groupBy(
+            F.expr("CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)").alias("rfm")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        )
+    )
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+
+    return presentation_sort(out, ["rfm"])
+
+
+def build_orders_replica(spark, reps: int) -> int:
+    """Replicate orders REPS x with o_custkey re-keyed, so the
+    per-customer aggregate frame (the windows' input) scales by REPS."""
+    orders = load_table(spark, SF_DIR, "orders")
+    n_cust = 15000  # sf0.1 key space; re-key by offset to stay unique
+    n_ord = 150000
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * n_ord).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep") * n_cust).alias("o_custkey"),
+            F.lit("O").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            F.lit("1-URGENT").alias("o_orderpriority"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(SCRATCH, "orders.parquet"))
+    )
+    return orders.count() * reps
+
+
 def build_replica(spark, reps: int) -> int:
     if os.path.exists(SCRATCH):
         shutil.rmtree(SCRATCH)
@@ -149,18 +212,37 @@ def main() -> None:
         b = sorted(map(tuple, old[name](spark, SF_DIR).collect()))
         assert a == b, f"{name}: rewrite disagrees with the old form at 1x"
 
+    # rfm arm: orders are 30× documents, so its replica runs at reps/10
+    # (the windows' INPUT is the per-customer aggregate — re-keyed
+    # customers scale it by the same factor)
+    rfm_reps = max(reps // 10, 2)
+    new["rfm_segmentation"] = getattr(
+        queries["rfm_segmentation"], "__wrapped__", queries["rfm_segmentation"]
+    )
+    old["rfm_segmentation"] = old_rfm_segmentation
+
+    # correctness guard for the rfm arm too
+    a = sorted(map(tuple, new["rfm_segmentation"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, old_rfm_segmentation(spark, SF_DIR).collect()))
+    assert a == b, "rfm_segmentation: rewrite disagrees with the old form at 1x"
+
     rows = build_replica(spark, reps)
+    orows = build_orders_replica(spark, rfm_reps)
 
     out: dict[str, dict[str, float]] = {}
     for name in new:
         fn_new, fn_old = new[name], old[name]
+        nreps = rfm_reps if name == "rfm_segmentation" else reps
         out[name] = {
             "old_1x": best_of(spark, lambda: fn_old(spark, SF_DIR).collect()),
             "new_1x": best_of(spark, lambda: fn_new(spark, SF_DIR).collect()),
-            f"old_{reps}x": best_of(spark, lambda: fn_old(spark, SCRATCH).collect()),
-            f"new_{reps}x": best_of(spark, lambda: fn_new(spark, SCRATCH).collect()),
+            f"old_{nreps}x": best_of(spark, lambda: fn_old(spark, SCRATCH).collect()),
+            f"new_{nreps}x": best_of(spark, lambda: fn_new(spark, SCRATCH).collect()),
         }
-    print(json.dumps({"reps": reps, "rows": rows, "queries": out}))
+    print(json.dumps(
+        {"reps": reps, "rows": rows, "rfm_reps": rfm_reps, "orders_rows": orows,
+         "queries": out}
+    ))
 
 
 if __name__ == "__main__":

@@ -73,7 +73,7 @@ def _sentinel(sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
+def duckdb_connect(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
@@ -84,21 +84,7 @@ def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    out: dict[str, float] = {}
-    for name in HEADLINE:
-        sql = oracles.get(name)
-        if sql is None:
-            continue
-        con.execute(sql).df()  # untimed warm-up, symmetric with the Spark
-        # side's per-query warm-up run (ADVICE r4: the treatments must match
-        # for the headline ratio to be methodologically symmetric)
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            con.execute(sql).df()  # Arrow→pandas materialization
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 3)
-    return out
+    return con
 
 
 def main() -> None:
@@ -111,18 +97,21 @@ def main() -> None:
     queries["tpch_q6"](spark, sf_dir).toPandas()
     sentinel_before = _sentinel(sf_dir)
 
-    # Hybrid run schedule: (RUNS-2) CONSECUTIVE runs per query, then 2
-    # full INTERLEAVED (round-robin) passes; per-query best over all.
-    # Rationale: this box's noise is BURSTY (co-tenant load spikes lasting
-    # seconds — BASELINE.md; observed inflating one query's 5 consecutive
-    # runs 0.3 s → 2+ s while the single-thread sentinel stayed at 6 ms),
-    # and back-to-back runs put ALL of a query's samples inside one burst —
-    # so the round-robin passes spread any burst across one sample of many
-    # queries.  But purely interleaved sampling was measured ~2× slower on
-    # the small queries (each run re-faults the page cache and JIT locality
-    # the 15 other queries just evicted), so the consecutive block supplies
-    # the locality-warm minimum and the interleaved passes supply the
-    # burst-immune fallback.
+    # Run schedule: per query, one untimed warm-up PAIR then RUNS
+    # engine-ALTERNATING pairs — Spark(q), DuckDB(q), ×RUNS — best per
+    # engine.  Two failure modes shaped this:
+    #   1. BURSTY co-tenant noise (BASELINE.md: spikes inflate runs 2-5×
+    #      while a 1-thread sentinel stays at 6 ms).  The r5/r6 committed
+    #      artifacts both read >2× because the old schedule ran the WHOLE
+    #      Spark phase before the WHOLE DuckDB phase: a burst landing in
+    #      one phase but not the other moves the ratio even though best-of
+    #      protects each engine individually.  Pairing the engines run-by-
+    #      run on the SAME query makes any burst symmetric in the ratio.
+    #   2. Locality: full round-robin over all 17 queries re-faults the
+    #      page cache / JIT profile the other queries evicted (~40% worse,
+    #      measured — tools/bench_interleaved.py docstring).  Alternating
+    #      engines WITHIN one query keeps its data hot (both engines read
+    #      the same parquet pages).
     def timed_run(name: str) -> float:
         # bypass the registry plan cache: a re-executed identical DataFrame
         # object skips its completed shuffle stages (DAG-scheduler stage
@@ -140,21 +129,31 @@ def main() -> None:
         fn(spark, sf_dir).toPandas()
         return time.perf_counter() - t0
 
-    # one untimed warm-up run per query first: codegen compilation and the
-    # JIT's profiling tiers need executions before a query reaches steady
-    # state (q1 was measured 2× slower on its first post-construction runs
-    # than after the JVM warmed), and DuckDB's side gets the same treatment
-    # implicitly from best-of-RUNS over its sub-100 ms runs.
-    for name in HEADLINE:
-        timed_run(name)
+    con = duckdb_connect(sf_dir)
+
+    def duck_run(name: str) -> float:
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).df()  # Arrow→pandas materialization
+        return time.perf_counter() - t0
 
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    duck: dict[str, float] = {}
     for name in HEADLINE:
-        for _ in range(RUNS - 2):
+        has_oracle = name in oracles
+        # untimed warm-up pair: codegen compilation and the JIT's
+        # profiling tiers need executions before a query reaches steady
+        # state (q1 was measured 2× slower on its first post-construction
+        # runs); DuckDB gets the symmetric treatment (ADVICE r4)
+        timed_run(name)
+        if has_oracle:
+            duck_run(name)
+        dbest = float("inf")
+        for _ in range(RUNS):
             best[name] = min(best[name], timed_run(name))
-    for _ in range(2):
-        for name in HEADLINE:
-            best[name] = min(best[name], timed_run(name))
+            if has_oracle:
+                dbest = min(dbest, duck_run(name))
+        if has_oracle:
+            duck[name] = round(dbest, 3)
     per_query = {name: round(v, 3) for name, v in best.items()}
 
     # Framework floor: the cheapest possible scan→shuffle→toPandas query
@@ -174,7 +173,6 @@ def main() -> None:
         ).count().toPandas()
         floor = min(floor, time.perf_counter() - t0)
 
-    duck = bench_duckdb(sf_dir, oracles)
     noise = {"sentinel_before": sentinel_before, "sentinel_after": _sentinel(sf_dir)}
     total = round(sum(per_query.values()), 3)
     comparable = [n for n in HEADLINE if n in duck]

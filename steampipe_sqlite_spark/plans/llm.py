@@ -612,14 +612,16 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@query(
-    "dedup_components",
-    oracle=f"""
+# Shared near-dup cluster closure: 3-gram-Jaccard blocked pairs ->
+# symmetric edges -> recursive hash-min walk -> component labels.
+# ONE definition so dedup_components and dedup_keep_best can never
+# silently diverge on the cluster semantics (review r7).
+_DD_NEARDUP_CLOSURE = """
 WITH RECURSIVE t AS (
   SELECT doc_id, lang, source,
          list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
            FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
-  FROM (SELECT doc_id, lang, source, {{toks}} AS toks FROM documents)
+  FROM (SELECT doc_id, lang, source, {toks} AS toks FROM documents)
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -639,11 +641,16 @@ walk(node, comp) AS (
   UNION
   SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
 ),
-comps AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)
+comps AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node)""".format(toks=_DD_TOKS)
+
+
+@query(
+    "dedup_components",
+    oracle=_DD_NEARDUP_CLOSURE + """
 SELECT doc_id, component_id,
        COUNT(*) OVER (PARTITION BY component_id) AS component_size
 FROM comps ORDER BY doc_id
-""".format(toks=_DD_TOKS),
+""",
 )
 def dedup_components_q(spark, sf_dir):
     """Near-duplicate CLUSTERS: word-3-gram Jaccard pairs (same edge set
@@ -4979,32 +4986,7 @@ def bitext_margin_pairs_q(spark, sf_dir):
 
 @query(
     "dedup_keep_best",
-    oracle=f"""
-WITH RECURSIVE t AS (
-  SELECT doc_id, lang, source,
-         list_distinct([array_to_string(list_slice(toks, i, i+2), ' ')
-           FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS grams
-  FROM (SELECT doc_id, lang, source, {_DD_TOKS} AS toks FROM documents)
-),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM t a JOIN t b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
-              greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1),
-              4) >= 0.3
-),
-edges AS (
-  SELECT id_a AS u, id_b AS v FROM pairs
-  UNION
-  SELECT id_b AS u, id_a AS v FROM pairs
-),
-walk(node, comp) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
-),
-comps AS (SELECT node AS doc_id, MIN(comp) AS component_id FROM walk GROUP BY node),
+    oracle=_DD_NEARDUP_CLOSURE + """,
 ranked AS (
   SELECT c.component_id, c.doc_id, d.n_chars,
          CAST(COUNT(*) OVER (PARTITION BY c.component_id) AS BIGINT)

@@ -102,6 +102,8 @@ def query(
         cached.__name__ = getattr(fn, "__name__", name)
         cached.__doc__ = fn.__doc__
         cached.__wrapped__ = fn
+        cached.__plan_cache__ = plan_cache  # introspectable: tests enforce
+        # that distributed-helper queries registered plan_cache=False
         QUERIES[name] = cached
         if oracle is not None:
             ORACLES[name] = oracle

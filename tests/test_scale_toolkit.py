@@ -342,3 +342,28 @@ class TestZorder:
         for c, spreads in stats.items():
             mean_spread = sum(spreads) / len(spreads)
             assert mean_spread < 0.6, f"{c}: files cover {mean_spread:.0%} of the domain on average"
+
+
+def test_every_distributed_helper_query_bypasses_plan_cache():
+    """Enforcement for the silent-wrong-ranks class: ANY corpus query whose
+    implementation uses the distributed helpers (baked range-shuffle
+    offsets) must register plan_cache=False — a cached plan re-executed
+    after clearCache resamples boundaries under stale offsets.  Static
+    source scan so a future adopter can't forget the flag."""
+    import inspect
+
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    queries, _ = collect()
+    offenders = []
+    for name, fn in queries.items():
+        src = inspect.getsource(getattr(fn, "__wrapped__", fn))
+        uses_helper = "distributed_row_number" in src or "distributed_running_sum" in src
+        if uses_helper and getattr(fn, "__plan_cache__", True):
+            offenders.append(name)
+    assert not offenders, f"helper queries missing plan_cache=False: {offenders}"
+    # and the flag is actually in use somewhere (guards against the scan
+    # silently matching nothing after a refactor)
+    assert sum(
+        1 for fn in queries.values() if not getattr(fn, "__plan_cache__", True)
+    ) >= 12

@@ -190,7 +190,9 @@ def best_of(spark, fn, runs=3):
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    # clamp to >= 2: at reps == 1 the f"old_{reps}x" keys would collide
+    # with the literal "old_1x" baselines and silently overwrite them
+    reps = max(int(sys.argv[1]) if len(sys.argv) > 1 else 1000, 2)
     spark = get_spark("window-scale-probe")
     queries, _ = collect()
     # __wrapped__ bypasses the registry plan cache (bench.py convention):
@@ -205,26 +207,22 @@ def main() -> None:
         "pack_context_windows": old_pack_context_windows,
     }
 
-    # correctness guard: old and new forms must agree at 1× before any
-    # timing claims
-    for name in new:
-        a = sorted(map(tuple, new[name](spark, SF_DIR).collect()))
-        b = sorted(map(tuple, old[name](spark, SF_DIR).collect()))
-        assert a == b, f"{name}: rewrite disagrees with the old form at 1x"
-
     # rfm arm: orders are 30× documents, so its replica runs at reps/10
     # (the windows' INPUT is the per-customer aggregate — re-keyed
-    # customers scale it by the same factor)
+    # customers scale it by the same factor).  Registered BEFORE the
+    # guard loop so every arm gets the same 1×-agreement check.
     rfm_reps = max(reps // 10, 2)
     new["rfm_segmentation"] = getattr(
         queries["rfm_segmentation"], "__wrapped__", queries["rfm_segmentation"]
     )
     old["rfm_segmentation"] = old_rfm_segmentation
 
-    # correctness guard for the rfm arm too
-    a = sorted(map(tuple, new["rfm_segmentation"](spark, SF_DIR).collect()))
-    b = sorted(map(tuple, old_rfm_segmentation(spark, SF_DIR).collect()))
-    assert a == b, "rfm_segmentation: rewrite disagrees with the old form at 1x"
+    # correctness guard: old and new forms must agree at 1× before any
+    # timing claims
+    for name in new:
+        a = sorted(map(tuple, new[name](spark, SF_DIR).collect()))
+        b = sorted(map(tuple, old[name](spark, SF_DIR).collect()))
+        assert a == b, f"{name}: rewrite disagrees with the old form at 1x"
 
     rows = build_replica(spark, reps)
     orows = build_orders_replica(spark, rfm_reps)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from steampipe_sqlite_spark.functions.text import fingerprint, word_ngrams
+from steampipe_sqlite_spark.operators.scale import persist_tracked
 
 
 def _hash64(c: Column, family: str) -> tuple[Column, int]:
@@ -235,9 +236,9 @@ def minhash_lsh_pairs(
     4. two hash joins back to the signature table score the surviving
        pairs (candidate count ≪ corpus, so these joins are tiny).
     """
-    sigs = minhash_signatures_oph(
+    sigs = persist_tracked(minhash_signatures_oph(
         df, text_col, id_col, num_hashes, shingle_k, hash_family
-    ).persist()
+    ))
 
     # one JVM-side parse for the whole banded projection (py4j chattiness
     # of the per-band struct builders measured as real per-query latency);
@@ -360,7 +361,9 @@ def simhash_pairs(
     persisted first so the self-join doesn't recompute the vote pipeline
     twice.
     """
-    fp = simhash_fingerprints(df, text_col, id_col, hash_family=hash_family).persist()
+    fp = persist_tracked(
+        simhash_fingerprints(df, text_col, id_col, hash_family=hash_family)
+    )
     # 4 bands over the full fp width: 16 bits each for the 64-bit family,
     # 15 bits each for the 60-bit md5 family
     bw = 16 if hash_family == "xxhash64" else 15
@@ -787,9 +790,9 @@ def minhash_index_query(
     in-memory pair join; scoring joins touch candidates only; parameters
     come from the index's meta."""
     num_hashes, bands, shingle_k, hash_family = _minhash_index_meta(spark, path)
-    qsigs = minhash_signatures_oph(
+    qsigs = persist_tracked(minhash_signatures_oph(
         new_docs, text_col, id_col, num_hashes, shingle_k, hash_family
-    ).persist()
+    ))
     qbands = qsigs.selectExpr(
         "id", f"explode(array({_band_projection(num_hashes, bands, hash_family)})) AS bk"
     ).selectExpr("id AS query_id", "bk.band AS band", "bk.band_sig AS band_sig")

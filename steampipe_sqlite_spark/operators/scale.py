@@ -8,8 +8,42 @@ live in tests/test_scale_toolkit.py.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Persist ledger: every .persist() an operator takes on a caller's behalf is
+# registered here (session-scoped, weakly keyed so a stopped session's list
+# dies with it).  The plans registry claims slices of this list per query
+# build and unpersists a query's previous slice when a plan_cache=False
+# query is rebuilt — closing the accumulate-until-GC-pressure leak class
+# (ADVICE r7: chained distributed_row_number calls dropped intermediate
+# handles).  Direct callers can also use :func:`persisted_ledger` to sweep.
+_PERSIST_LEDGER: "weakref.WeakKeyDictionary[SparkSession, list]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def persisted_ledger(spark: SparkSession) -> list:
+    """The session's list of operator-persisted DataFrames, oldest first.
+    Owners (the plans registry, or a direct caller) remove entries they
+    take responsibility for; anything left is released by session stop or
+    ``spark.catalog.clearCache()``."""
+    led = _PERSIST_LEDGER.get(spark)
+    if led is None:
+        led = []
+        _PERSIST_LEDGER[spark] = led
+    return led
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + ledger registration — use for every persist taken
+    inside an operator so lifetime ownership is transferable (see
+    :func:`persisted_ledger`)."""
+    out = df.persist()
+    persisted_ledger(out.sparkSession).append(out)
+    return out
 
 
 def write_bucketed(
@@ -166,10 +200,8 @@ def distributed_row_number(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
-    ranged = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = persist_tracked(
+        df.repartitionByRange(n, *cols).withColumn("_pid", F.spark_partition_id())
     )
     # one long per partition — metadata, not data (same class as a
     # parquet footer read); ordering by _pid preserves the range order
@@ -189,6 +221,11 @@ def distributed_row_number(
         .drop("_pid")
     )
     out._sgs_persisted = ranged  # owner handle — see Lifetime note above
+    # chained-call ownership: a helper built ON another helper's result
+    # carries EVERY upstream ranged handle, so releasing the final frame's
+    # _sgs_persisted_all reclaims the whole chain (ADVICE r7: rfm's d1/d2
+    # intermediates leaked when only d3's single handle survived)
+    out._sgs_persisted_all = [*getattr(df, "_sgs_persisted_all", []), ranged]
     # total row count — already computed for the offsets; callers needing
     # COUNT(*) OVER () alongside the rank read this instead of re-scanning
     out._sgs_total_rows = acc
@@ -220,10 +257,8 @@ def distributed_running_sum(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
-    ranged = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    ranged = persist_tracked(
+        df.repartitionByRange(n, *cols).withColumn("_pid", F.spark_partition_id())
     )
     totals = sorted(
         (r["_pid"], r["tot"])
@@ -247,6 +282,7 @@ def distributed_running_sum(
         ).drop("_pid")
     )
     out._sgs_persisted = ranged  # owner handle — see distributed_row_number
+    out._sgs_persisted_all = [*getattr(df, "_sgs_persisted_all", []), ranged]
     out._sgs_total = acc  # grand total of value_col, free from the offsets
     return out
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from steampipe_sqlite_spark.operators.scale import persist_tracked
 from steampipe_sqlite_spark.plans.registry import presentation_sort, query, sql_query
 from steampipe_sqlite_spark.plans.relational import _ppm_div
 from steampipe_sqlite_spark.tables import load_table, register_views
@@ -799,10 +800,10 @@ def dedup_minhash_lsh_q(spark, sf_dir):
     # broadcast joins put no shuffle boundary between dedup and sort);
     # caching the output-sized pair set makes the sampling pass a cache
     # read (measured 2.00 s → 1.62 s at sf0.1).
-    pairs = minhash_lsh_pairs(
+    pairs = persist_tracked(minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5,
         hash_family="md5",
-    ).persist()
+    ))
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -840,9 +841,9 @@ def dedup_simhash_q(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     # orderBy + output-sized persist: see dedup_minhash_lsh (range-sort
     # sampling re-executes the post-shuffle tail otherwise).
-    pairs = simhash_pairs(
+    pairs = persist_tracked(simhash_pairs(
         docs, "text", "doc_id", max_hamming=8, hash_family="md5"
-    ).persist()
+    ))
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -3298,9 +3299,9 @@ def dedup_ppjoin_exact_q(spark, sf_dir):
     # orderBy + output-sized persist: see dedup_minhash_lsh (range-sort
     # sampling re-executes the verification tail otherwise; measured
     # 1.56 s → 1.23 s at sf0.1).
-    pairs = ppjoin_pairs(
+    pairs = persist_tracked(ppjoin_pairs(
         docs, "text", "doc_id", threshold_pct=80, shingle=3
-    ).persist()
+    ))
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -4530,10 +4531,11 @@ sql_query(
     "emb_label_centroid_geometry",
     oracle="""
 WITH q AS (
-  SELECT label, i - 1 AS pos,
-         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qv
-  FROM embeddings, range(1, 65) t(i)
-  WHERE i <= len(embedding)),
+  -- dim derived from the array (parallel unnest/subscripts), never a
+  -- hard-coded bound (ADVICE r7, eval_calibration_bins sibling fix)
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM embeddings),
 s AS (
   SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS sv
   FROM q GROUP BY label, pos),
@@ -5064,11 +5066,13 @@ WITH q AS (
   SELECT vec_id, label,
          [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qx
   FROM embeddings),
+u AS (
+  -- bound derived from the array itself (parallel unnest/subscripts), so a
+  -- fixture dim change can never silently truncate the centroid (ADVICE r7)
+  SELECT label, generate_subscripts(qx, 1) AS i, unnest(qx) AS v FROM q),
 s AS (
-  SELECT label AS clabel, i AS pos, CAST(SUM(qx[i]) AS BIGINT) AS sv
-  FROM q, range(1, 65) t(i)
-  WHERE i <= len(qx)
-  GROUP BY label, i),
+  SELECT label AS clabel, i AS pos, CAST(SUM(v) AS BIGINT) AS sv
+  FROM u GROUP BY label, i),
 cent AS (
   SELECT clabel, list(sv ORDER BY pos) AS cv,
          CAST(SUM(sv * sv) AS BIGINT) AS cnorm_sq
@@ -5225,7 +5229,8 @@ def mining_hard_negatives_q(spark, sf_dir):
         "same",
         "cu",
         "ROW_NUMBER() OVER (PARTITION BY qid, same ORDER BY cu DESC, tid) AS rn",
-    ).where("rn = 1").persist()
+    ).where("rn = 1")
+    ranked = persist_tracked(ranked)
     pos = ranked.where("same").selectExpr(
         "qid AS anchor_id", "qlabel AS label", "tid AS positive_id", "cu AS pos_cos_u"
     )

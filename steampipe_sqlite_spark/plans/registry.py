@@ -66,6 +66,50 @@ def _plan_cache(spark: "SparkSession") -> dict:
     return per
 
 
+# Persisted-handle ownership (ADVICE r7): a plan_cache=False query's build
+# may take operator-level persists (the scale helpers' ranged copies, dedup
+# candidate frames).  Those register in operators.scale's session ledger;
+# the wrapper below claims each build's slice under (query, sf_dir) and
+# unpersists the PREVIOUS build's slice when the query is rebuilt, so
+# repeated invocation holds at most one build's worth of cached data per
+# query instead of accumulating until clearCache / GC pressure.
+_OWNED_PERSISTS: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
+def _owned_persists(spark: "SparkSession") -> dict:
+    global _OWNED_PERSISTS
+    if _OWNED_PERSISTS is None:
+        import weakref
+
+        _OWNED_PERSISTS = weakref.WeakKeyDictionary()
+    per = _OWNED_PERSISTS.get(spark)
+    if per is None or getattr(spark.sparkContext, "_jsc", None) is None:
+        per = {}
+        _OWNED_PERSISTS[spark] = per
+    return per
+
+
+def _rebuild_with_persist_ownership(
+    fn: QueryFn, name: str, spark: "SparkSession", sf_dir: str
+) -> "DataFrame":
+    from steampipe_sqlite_spark.operators.scale import persisted_ledger
+
+    owned = _owned_persists(spark)
+    key = (name, sf_dir)
+    for h in owned.pop(key, ()):
+        try:
+            h.unpersist()
+        except Exception:  # noqa: BLE001 — a stopped session's handles are moot
+            pass
+    ledger = persisted_ledger(spark)
+    before = len(ledger)
+    df = fn(spark, sf_dir)
+    # transfer ownership of everything this build persisted
+    owned[key] = ledger[before:]
+    del ledger[before:]
+    return df
+
+
 def query(
     name: str, oracle: str | None = None, plan_cache: bool = True
 ) -> Callable[[QueryFn], QueryFn]:
@@ -79,10 +123,13 @@ def query(
     ``spark.catalog.clearCache()`` would resample partition boundaries
     under stale offsets and return silently wrong ranks.  Rebuilding
     recomputes offsets from a fresh persist, making cache clears safe.
-    Tradeoff: every call persists a NEW ranged copy — a caller invoking
-    a helper-based query repeatedly in one session should reclaim the
-    previous result's ``_sgs_persisted`` handle (the owner-handle
-    contract in operators/scale) or clearCache between calls."""
+    Each rebuild's operator-level persists are claimed from the
+    operators.scale ledger and the PREVIOUS build's are unpersisted
+    (``_rebuild_with_persist_ownership``), so repeated invocation holds
+    at most one build's worth of cached data per query — the r7
+    accumulate-until-GC-pressure class is closed; the previous plan
+    object is dead after a rebuild (its baked offsets refer to
+    released data)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -90,7 +137,7 @@ def query(
 
         def cached(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             if not plan_cache:
-                return fn(spark, sf_dir)
+                return _rebuild_with_persist_ownership(fn, name, spark, sf_dir)
             per = _plan_cache(spark)
             key = (name, sf_dir)
             df = per.get(key)

@@ -44,10 +44,12 @@ def join_asof_events(spark, sf_dir):
     # window inside asof_join must not be funneled into a coalesced task.
     # persist() first: the range sort's boundary-sampling pass would
     # otherwise re-execute the window tail stage (see dedup_minhash_lsh).
-    matched = asof_join(
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    matched = persist_tracked(asof_join(
         purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
         payload_cols=["click_value"],
-    ).persist()
+    ))
     return matched.orderBy("event_id")
 
 

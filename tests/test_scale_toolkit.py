@@ -248,6 +248,53 @@ class TestHelperQueriesBypassPlanCache:
         c = queries["tpch_q6"](spark, sf)
         assert queries["tpch_q6"](spark, sf) is c
 
+    def test_rebuild_releases_previous_persists(self, spark):
+        """ADVICE r7 / VERDICT r7 #3: re-invoking a plan_cache=False query
+        must NOT accumulate persisted RDDs — the registry claims each
+        build's operator persists (operators.scale ledger) and unpersists
+        the previous build's when rebuilding.  rfm_segmentation is the
+        worst case: three CHAINED distributed_row_number calls = 3 ranged
+        persists per build."""
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        queries, _ = collect()
+        sf = "/root/testdata/sf0.001"
+        q = queries["rfm_segmentation"]
+        assert not getattr(q, "__plan_cache__", True)
+        jsc = spark.sparkContext._jsc
+
+        q(spark, sf).collect()
+        after_first = jsc.getPersistentRDDs().size()
+        for _ in range(3):
+            q(spark, sf).collect()
+        after_repeats = jsc.getPersistentRDDs().size()
+        assert after_repeats <= after_first, (
+            f"persisted RDDs grew across rebuilds: {after_first} -> "
+            f"{after_repeats} (previous build's handles not released)"
+        )
+
+    def test_chained_helpers_carry_all_owner_handles(self, spark):
+        """A helper built on another helper's result must expose EVERY
+        upstream persisted handle (_sgs_persisted_all), so releasing the
+        final frame reclaims the whole chain (ADVICE r7: rfm's d1/d2
+        intermediates leaked when only the last handle survived)."""
+        from pyspark.sql import functions as F
+
+        from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+        df = spark.range(0, 2000).selectExpr("id", "id % 13 AS v")
+        d1 = distributed_row_number(df, [F.col("v"), F.col("id")], name="r1",
+                                    num_partitions=4)
+        d2 = distributed_row_number(d1, [F.col("id")], name="r2",
+                                    num_partitions=4)
+        d2.collect()
+        handles = d2._sgs_persisted_all
+        assert len(handles) == 2
+        assert all(h.storageLevel.useMemory for h in handles)
+        for h in handles:
+            h.unpersist(blocking=True)
+        assert all(not h.storageLevel.useMemory for h in handles)
+
 
 class TestDistributedRunningSum:
     """distributed_running_sum: global prefix-sum parity WITHOUT the
@@ -351,15 +398,44 @@ def test_every_distributed_helper_query_bypasses_plan_cache():
     after clearCache resamples boundaries under stale offsets.  Static
     source scan so a future adopter can't forget the flag."""
     import inspect
+    import sys
 
     from steampipe_sqlite_spark.plans.registry import collect
 
     queries, _ = collect()
+
+    # Transitive taint (ADVICE r7): a query reaching the helpers THROUGH a
+    # wrapper in operators/ or plans/ must be flagged too, or a future
+    # indirection would evade the guard and reintroduce the stale-offset
+    # class.  Fixed-point over every package-module function: any function
+    # whose source mentions a tainted name becomes tainted itself.
+    tainted = {"distributed_row_number", "distributed_running_sum"}
+    pkg_fns = {}
+    for mod_name, mod in list(sys.modules.items()):
+        if not mod_name.startswith("steampipe_sqlite_spark"):
+            continue
+        for attr_name, attr in vars(mod).items():
+            if (
+                inspect.isfunction(attr)
+                and getattr(attr, "__module__", "").startswith("steampipe_sqlite_spark")
+                and attr_name not in tainted
+            ):
+                try:
+                    pkg_fns[attr_name] = inspect.getsource(attr)
+                except (OSError, TypeError):
+                    pass
+    changed = True
+    while changed:
+        changed = False
+        for fname, src in pkg_fns.items():
+            if fname not in tainted and any(t in src for t in tainted):
+                tainted.add(fname)
+                changed = True
+
     offenders = []
     for name, fn in queries.items():
         src = inspect.getsource(getattr(fn, "__wrapped__", fn))
-        uses_helper = "distributed_row_number" in src or "distributed_running_sum" in src
-        if uses_helper and getattr(fn, "__plan_cache__", True):
+        if any(t in src for t in tainted) and getattr(fn, "__plan_cache__", True):
             offenders.append(name)
     assert not offenders, f"helper queries missing plan_cache=False: {offenders}"
     # and the flag is actually in use somewhere (guards against the scan

@@ -97,6 +97,11 @@ def main() -> None:
     queries["tpch_q6"](spark, sf_dir).toPandas()
     sentinel_before = _sentinel(sf_dir)
 
+    def _n_jobs() -> int:
+        # DAGScheduler's job counter: cheap, exact, and local-mode only —
+        # used to attribute the per-job scheduling floor to each query
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
     # Run schedule: per query, one untimed warm-up PAIR then RUNS
     # engine-ALTERNATING pairs — Spark(q), DuckDB(q), ×RUNS — best per
     # engine.  Two failure modes shaped this:
@@ -136,6 +141,36 @@ def main() -> None:
         con.execute(oracles[name]).df()  # Arrow→pandas materialization
         return time.perf_counter() - t0
 
+    # DISCARDED global warm pass (VERDICT r7 #1): one untimed Spark+DuckDB
+    # run of EVERY headline query before any measurement.  The paired
+    # schedule alone left a head-of-schedule penalty — tpch_q1 measured
+    # 0.285 s best-of-5 at position 0 but 0.166 s when re-sampled at the
+    # tail of the SAME process (committed probe, round 8): the first
+    # queries pay JIT tiering + page-cache population the rest inherit.
+    # Warming the whole schedule first puts every query at "tail"
+    # conditions.  The pass doubles as the job-anatomy measurement: job
+    # count and Python-stage detection per query (floor_anatomy below).
+    anatomy: dict[str, dict] = {}
+    for name in HEADLINE:
+        fn = getattr(queries[name], "__wrapped__", queries[name])
+        spark.catalog.clearCache()
+        j0 = _n_jobs()
+        df = fn(spark, sf_dir)
+        df.toPandas()
+        jobs = _n_jobs() - j0  # includes any helper offset-collect jobs —
+        # they run on every invocation, so they belong to the query's cost
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        anatomy[name] = {
+            "jobs": jobs,
+            "python_stage": any(
+                m in plan
+                for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                          "BatchEvalPython", "MapInArrow")
+            ),
+        }
+        if name in oracles:
+            duck_run(name)
+
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
     duck: dict[str, float] = {}
     for name in HEADLINE:
@@ -173,6 +208,44 @@ def main() -> None:
         ).count().toPandas()
         floor = min(floor, time.perf_counter() - t0)
 
+    # Floor anatomy (VERDICT r7 #5): predict each query's irreducible
+    # overhead from its measured job count and execution path, so a
+    # floor-bound ex-floor ratio is a PREDICTED number, not an excuse.
+    #   floor_python: the same minimal shape but through a mapInPandas
+    #     stage — Python worker handshake + two Arrow hops, the honest
+    #     1-job floor for any query with a Python stage;
+    #   floor_marginal_job: cost of ONE extra job in the same action
+    #     (a broadcast-collect alongside the main job), the increment for
+    #     each job beyond the first.
+    def _py_identity(it):
+        yield from it
+
+    floor_py = float("inf")
+    py_shape = spark.range(100_000, numPartitions=4).select(
+        (F.col("id") % 8).alias("k")
+    )
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        py_shape.mapInPandas(_py_identity, "k long").groupBy("k").count().toPandas()
+        floor_py = min(floor_py, time.perf_counter() - t0)
+    floor_2job = float("inf")
+    small = spark.range(8, numPartitions=1).select(F.col("id").alias("k"))
+    base = spark.range(1_000_000, numPartitions=32).select(
+        (F.col("id") % 8).alias("k")
+    )
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        base.join(F.broadcast(small), "k").groupBy("k").count().toPandas()
+        floor_2job = min(floor_2job, time.perf_counter() - t0)
+    marginal_job = max(floor_2job - floor, 0.0)
+    floor_anatomy = {}
+    for name, a in anatomy.items():
+        base_floor = floor_py if a["python_stage"] else floor
+        a["predicted_floor_s"] = round(
+            base_floor + max(a["jobs"] - 1, 0) * marginal_job, 3
+        )
+        floor_anatomy[name] = a
+
     noise = {"sentinel_before": sentinel_before, "sentinel_after": _sentinel(sf_dir)}
     total = round(sum(per_query.values()), 3)
     comparable = [n for n in HEADLINE if n in duck]
@@ -200,6 +273,9 @@ def main() -> None:
                 "duckdb": duck,
                 "duckdb_total": round(duck_comp, 3),
                 "spark_stage_floor": round(floor, 3),
+                "spark_python_floor": round(floor_py, 3),
+                "spark_marginal_job": round(marginal_job, 3),
+                "floor_anatomy": floor_anatomy,
                 "noise": noise,
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "ratio_ex_floor_per_query": ratio_ex_floor,

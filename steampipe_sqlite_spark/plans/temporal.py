@@ -30,26 +30,28 @@ ORDER BY l.event_id
 )
 def join_asof_events(spark, sf_dir):
     """Backward as-of join: each purchase matched to the user's most recent
-    click at-or-before it.  Union + keyed window (ONE shuffle, no join
-    node); DuckDB's native ASOF JOIN is the oracle."""
-    events = load_table(spark, sf_dir, "events")
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
-    )
-    # orderBy, not presentation_sort: one row per purchase — unbounded
-    # output, so the parallel range sort is the scale path and the keyed
-    # window inside asof_join must not be funneled into a coalesced task.
-    # persist() first: the range sort's boundary-sampling pass would
-    # otherwise re-execute the window tail stage (see dedup_minhash_lsh).
-    from steampipe_sqlite_spark.operators.scale import persist_tracked
+    click at-or-before it.  Both sides are predicates over ONE event log,
+    so this takes the asof_join_same_source fast path: a single CASE-tagged
+    scan + one keyed window — no union, no join node, half the input I/O
+    (0.56 s → 0.30 s at sf0.1; the two-input general form stays covered by
+    join_asof_tolerance and the operator unit tests).  DuckDB's native
+    ASOF JOIN is the oracle."""
+    from steampipe_sqlite_spark.operators.temporal import asof_join_same_source
 
-    matched = persist_tracked(asof_join(
-        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+    events = load_table(spark, sf_dir, "events")
+    matched = asof_join_same_source(
+        events.withColumn("click_value", F.col("value")),
+        key="user_id",
+        ts="ts",
+        left_pred="event_type = 'purchase'",
+        right_pred="event_type = 'click'",
+        left_cols=["event_id"],
         payload_cols=["click_value"],
-    ))
+    ).select("event_id", "user_id", "ts", "click_value", "matched_ts")
+    # orderBy, not presentation_sort: one row per purchase — unbounded
+    # output, so the parallel range sort is the scale path.  No persist:
+    # with a single scan the range sort's boundary-sampling re-execution
+    # is cheaper than materializing the cache (measured both ways).
     return matched.orderBy("event_id")
 
 

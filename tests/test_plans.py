@@ -125,11 +125,15 @@ def test_minhash_signature_shuffle_carries_only_doc_rows(spark):
 
 
 def test_asof_join_has_no_join_node(spark, queries):
-    """The union-window as-of form must plan as ONE keyed shuffle + sort —
-    no join operator, certainly no nested loop."""
+    """The as-of form must plan as ONE keyed shuffle + sort — no join
+    operator, certainly no nested loop.  Since r8 the same-source fast
+    path also means ONE scan: no Union node and a single parquet read
+    (the purchase and click sides are CASE-tagged from one events pass)."""
     p = plan_text(queries["join_asof_events"](spark, SF_DIR))
     assert "Join" not in p, p[:1500]
     assert p.count("Exchange hashpartitioning") == 1
+    assert "Union" not in p, "same-source as-of must not union two scans"
+    assert p.count("Scan parquet") == 1, "same-source as-of must scan once"
 
 
 def test_range_join_is_hash_not_nested_loop(spark, queries):

@@ -354,6 +354,69 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
     assert got == expected
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.booleans(),  # True = left (purchase-like) row
+            st.integers(0, 3),  # key
+            st.integers(0, 120),  # ts offset seconds
+            st.integers(0, 99),  # payload
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_asof_same_source_matches_general_form(spark, rows):
+    """asof_join_same_source (single CASE-tagged scan) must return exactly
+    what the general two-input asof_join returns when both inputs are
+    predicates over one tagged source — the fast path is an I/O
+    optimization, never a semantics change.  Generators cover equal
+    timestamps across sides (inclusive match), keys with no right rows,
+    and left-only / right-only sources."""
+    from datetime import datetime, timedelta
+
+    from steampipe_sqlite_spark.operators.temporal import (
+        asof_join,
+        asof_join_same_source,
+    )
+
+    base = datetime(2024, 1, 1)
+    # dedupe (side, key, ts): equal-ts same-side rows with different
+    # payloads are tie-nondeterministic in both forms (same reason as the
+    # general-form property test above)
+    uniq = {(s, k, t): float(v) for s, k, t, v in rows}
+    data = [
+        (i, "L" if s else "R", k, base + timedelta(seconds=t), v)
+        for i, ((s, k, t), v) in enumerate(sorted(uniq.items()))
+    ]
+    src = spark.createDataFrame(
+        data, "event_id long, side string, k long, ts timestamp, val double"
+    )
+    lefts = src.where("side = 'L'").select("event_id", "k", "ts")
+    rights = src.where("side = 'R'").select("k", "ts", "val")
+    general = {
+        r.event_id: (r.val, r.matched_ts)
+        for r in asof_join(
+            lefts, rights, key="k", left_ts="ts", right_ts="ts",
+            payload_cols=["val"],
+        ).collect()
+    }
+    fast = {
+        r.event_id: (r.val, r.matched_ts)
+        for r in asof_join_same_source(
+            src,
+            key="k",
+            ts="ts",
+            left_pred="side = 'L'",
+            right_pred="side = 'R'",
+            left_cols=["event_id"],
+            payload_cols=["val"],
+        ).collect()
+    }
+    assert fast == general
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     rows=st.lists(

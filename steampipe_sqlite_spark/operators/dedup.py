@@ -218,6 +218,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     hash_family: str = "xxhash64",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded minhash LSH, scored by the
     signature-estimated Jaccard (fraction of agreeing minhashes).
@@ -265,6 +266,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if stats is not None:
+        # instrumentation hook (scale probes): the candidate frame BEFORE
+        # signature scoring — counting it proves the band gate's
+        # candidate-linearity claim without duplicating the pipeline
+        stats["candidates"] = cand
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
@@ -594,6 +600,7 @@ def duplicated_span_stats(
 def ppjoin_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold_pct: int = 70,
     shingle: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """EXACT word-set similarity join via prefix filtering (the PPJoin
     family, Xiao et al. 2008 — public construction): pairs with Jaccard
@@ -690,6 +697,10 @@ def ppjoin_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if stats is not None:
+        # instrumentation hook (scale probes): prefix-filtered candidates
+        # BEFORE verification — see minhash_lsh_pairs
+        stats["candidates"] = cand
     # verification: per-pair array_intersect over the two docs' token
     # ARRAYS (two map joins, one row per side) — NEVER a candidate×token
     # explode, which was measured 20x slower at sf0.1 (each candidate

@@ -5059,16 +5059,16 @@ def dedup_keep_best_q(spark, sf_dir):
     return out.orderBy("component_id")
 
 
-@query(
-    "eval_calibration_bins",
-    oracle="""
+# Shared centroid-classifier CTE chain (DuckDB side): milli-quantized
+# vectors, per-label integer centroid sums (dim derived from the array —
+# ADVICE r7), cosine scoring against every centroid, argmax prediction.
+# eval_calibration_bins and eval_confusion_matrix both consume `pred`.
+_CENTROID_PRED_DD = """
 WITH q AS (
   SELECT vec_id, label,
          [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qx
   FROM embeddings),
 u AS (
-  -- bound derived from the array itself (parallel unnest/subscripts), so a
-  -- fixture dim change can never silently truncate the centroid (ADVICE r7)
   SELECT label, generate_subscripts(qx, 1) AS i, unnest(qx) AS v FROM q),
 s AS (
   SELECT label AS clabel, i AS pos, CAST(SUM(v) AS BIGINT) AS sv
@@ -5087,6 +5087,50 @@ pred AS (
   SELECT vec_id, label, clabel AS predicted, cos4,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos4 DESC, clabel) AS rn
   FROM scored)
+"""
+
+
+def _centroid_predictions(spark, sf_dir):
+    """Spark side of the shared centroid-classifier chain: one (label,
+    dim) partial-agg shuffle builds the 10×64 integer centroids, which
+    broadcast onto the corpus scan; the argmax is a vec_id-keyed window
+    over a corpus×10 frame — nothing global, nothing corpus².  Returns
+    (vec_id, label, predicted, cos4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id",
+        "label",
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qx",
+    )
+    s = q.select(
+        F.col("label").alias("clabel"), F.posexplode("qx").alias("pos", "v")
+    ).groupBy("clabel", "pos").agg(F.sum("v").cast("long").alias("sv"))
+    cent = s.groupBy("clabel").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, sv))), e -> e.sv) AS cv"),
+        F.expr("CAST(SUM(sv * sv) AS BIGINT) AS cnorm_sq"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).selectExpr(
+        "vec_id",
+        "label",
+        "clabel",
+        "ROUND(aggregate(zip_with(qx, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+        " 0.0e0, (acc, x) -> acc + x)"
+        " / (SQRT(aggregate(transform(qx, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
+        " 0.0e0, (acc, x) -> acc + x)) * SQRT(CAST(cnorm_sq AS DOUBLE))), 4) AS cos4",
+    )
+    return scored.selectExpr(
+        "vec_id",
+        "label",
+        "clabel AS predicted",
+        "cos4",
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos4 DESC, clabel) AS rn",
+    ).where("rn = 1")
+
+
+@query(
+    "eval_calibration_bins",
+    oracle=_CENTROID_PRED_DD
+    + """
 SELECT CAST(FLOOR(cos4 * 10) AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
@@ -5115,36 +5159,9 @@ def eval_calibration_bins_q(spark, sf_dir):
     Scale shape: one (label, dim) partial-agg shuffle builds the
     centroids (10×64 rows), which broadcast onto the corpus scan; the
     argmax is a vec_id-keyed window over a corpus×10 frame and the bins
-    are one hash aggregate — nothing global, nothing corpus²."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.selectExpr(
-        "vec_id",
-        "label",
-        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qx",
-    )
-    s = q.select(
-        F.col("label").alias("clabel"), F.posexplode("qx").alias("pos", "v")
-    ).groupBy("clabel", "pos").agg(F.sum("v").cast("long").alias("sv"))
-    cent = s.groupBy("clabel").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, sv))), e -> e.sv) AS cv"),
-        F.expr("CAST(SUM(sv * sv) AS BIGINT) AS cnorm_sq"),
-    )
-    scored = q.crossJoin(F.broadcast(cent)).selectExpr(
-        "vec_id",
-        "label",
-        "clabel",
-        "ROUND(aggregate(zip_with(qx, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
-        " 0.0e0, (acc, x) -> acc + x)"
-        " / (SQRT(aggregate(transform(qx, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
-        " 0.0e0, (acc, x) -> acc + x)) * SQRT(CAST(cnorm_sq AS DOUBLE))), 4) AS cos4",
-    )
-    pred = scored.selectExpr(
-        "vec_id",
-        "label",
-        "clabel AS predicted",
-        "cos4",
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos4 DESC, clabel) AS rn",
-    ).where("rn = 1")
+    are one hash aggregate — nothing global, nothing corpus² (the chain
+    is shared with eval_confusion_matrix via _centroid_predictions)."""
+    pred = _centroid_predictions(spark, sf_dir)
     out = pred.groupBy(
         F.expr("CAST(FLOOR(cos4 * 10) AS BIGINT)").alias("bin")
     ).agg(
@@ -5247,3 +5264,211 @@ def mining_hard_negatives_q(spark, sf_dir):
         "CAST(pos_cos_u - neg_cos_u AS BIGINT) AS margin_u",
     )
     return presentation_sort(out, ["anchor_id"])
+
+
+# --- round-8 additions ------------------------------------------------------
+
+
+@query(
+    "eval_confusion_matrix",
+    oracle=_CENTROID_PRED_DD
+    + """
+SELECT label, predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(ROUND(cos4 * 10000) AS BIGINT)) AS BIGINT) AS sum_conf_u
+FROM pred WHERE rn = 1
+GROUP BY label, predicted
+ORDER BY label, predicted
+""",
+)
+def eval_confusion_matrix_q(spark, sf_dir):
+    """Confusion matrix of the 1-NN-centroid classifier (the
+    eval_calibration_bins model, shared via _centroid_predictions):
+    per (true label, predicted label) vector counts plus the exact
+    integer confidence mass — precision/recall/F1 per class fall out
+    caller-side.  The standard eval companion to the calibration bins.
+
+    Scale shape: identical to the calibration query — (label, dim)
+    partial-agg centroids broadcast, vec_id-keyed argmax window, one
+    ≤|labels|² hash aggregate at the end."""
+    pred = _centroid_predictions(spark, sf_dir)
+    out = pred.groupBy("label", "predicted").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_vecs"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(cos4 * 10000) AS BIGINT)) AS BIGINT) AS sum_conf_u"
+        ),
+    )
+    return presentation_sort(out, ["label", "predicted"])
+
+
+# l-diversity audit: the companion to privacy_k_anonymity — a
+# quasi-identifier group can be large (k-anonymous) yet still leak if
+# every member shares one sensitive value.  Sensitive attribute here:
+# the 200-char length bucket, spelled n_chars - (n_chars % 200) so both
+# engines bin identically on integers (no FLOOR-vs-round cast trap).
+# One hash aggregate over the quasi columns — trivially scale-safe.
+sql_query(
+    "privacy_l_diversity",
+    """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT n_chars - (n_chars % 200)) AS BIGINT) AS l_diversity,
+       CAST(MIN(n_chars - (n_chars % 200)) AS BIGINT) AS min_bucket
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    present_sort=["lang", "source"],
+)
+
+
+_ZIPF_BODY = """
+WITH tok AS ({toks}),
+cnt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok WHERE tok <> '' GROUP BY tok)
+"""
+
+
+@query(
+    "text_zipf_band_counts",
+    oracle=_ZIPF_BODY.format(
+        toks="SELECT unnest(string_split({norm}, ' ')) AS tok FROM documents".format(
+            norm=_DD_NORM
+        )
+    )
+    + """
+SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       CAST(MIN(freq) AS BIGINT) AS min_freq,
+       CAST(MAX(freq) AS BIGINT) AS max_freq
+FROM (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk FROM cnt)
+GROUP BY 1 ORDER BY band
+""",
+    plan_cache=False,
+)
+def text_zipf_band_counts(spark, sf_dir):
+    """Zipf rank-frequency profile of the corpus vocabulary: tokens
+    ranked by global frequency, grouped into octave bands
+    (band = floor(log2(rank)) via length(bin(rank))-1 — exact integer
+    arithmetic in both engines, no float log at power-of-two
+    boundaries), emitting per band the type count and frequency mass.
+    A Zipfian corpus shows sum_freq roughly flat across bands; OCR noise
+    and boilerplate bend the tail — the standard corpus-health fit input
+    (Zipf 1949).
+
+    Scale shape: the vocabulary grows with the corpus (Heaps' law), so
+    the global rank runs through operators/scale.distributed_row_number
+    over the per-token AGGREGATE — never an empty-OVER window over an
+    unbounded input; the band rollup is one ≤64-group hash aggregate."""
+    from steampipe_sqlite_spark.functions.text import tokens
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where("tok <> ''")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = distributed_row_number(
+        cnt, [F.desc("freq"), F.col("tok")], name="rnk"
+    )
+    out = ranked.groupBy(
+        F.expr("CAST(length(bin(rnk)) - 1 AS BIGINT)").alias("band")
+    ).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_types"),
+        F.expr("CAST(SUM(freq) AS BIGINT) AS sum_freq"),
+        F.expr("CAST(MIN(freq) AS BIGINT) AS min_freq"),
+        F.expr("CAST(MAX(freq) AS BIGINT) AS max_freq"),
+    )
+    return presentation_sort(out, ["band"])
+
+
+# One synchronous label-propagation step over the synthetic doc graph
+# (same two-out-edges construction as pagerank/BFS/triangles): seed label
+# = doc_id % 5; each node adopts the smallest label among its neighbors'
+# most-frequent labels (min-of-argmax = the deterministic tie-break that
+# makes LP oracle-checkable).  Community detection's cheapest primitive
+# (Raghavan et al. 2007) — one step is a pure relational program, so the
+# WHOLE text is shared verbatim by both engines: edges → both directions →
+# neighbor-label counts → per-node argmax → adoption census.
+# Scale shape: two hash aggregates keyed on node and one window keyed on
+# node — frontier-incident work, no node×node product anywhere.
+sql_query(
+    "graph_label_prop_step",
+    """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT n_docs FROM n) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 17 + 3) % (SELECT n_docs FROM n) AS dst
+  FROM documents),
+und AS (
+  SELECT src, dst FROM e0 WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst),
+votes AS (
+  SELECT src AS node, dst % 5 AS nlabel, CAST(COUNT(*) AS BIGINT) AS c
+  FROM und GROUP BY src, dst % 5),
+adopted AS (
+  SELECT node, nlabel AS new_label
+  FROM (SELECT node, nlabel,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, nlabel) AS rn
+        FROM votes)
+  WHERE rn = 1)
+SELECT new_label,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN new_label <> node % 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM adopted
+GROUP BY new_label
+ORDER BY new_label
+""",
+    present_sort=["new_label"],
+)
+
+
+@query(
+    "emb_power_iteration_step",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qx
+  FROM embeddings),
+u AS (
+  SELECT vec_id, generate_subscripts(qx, 1) - 1 AS pos, unnest(qx) AS v FROM q),
+rs AS (
+  SELECT vec_id, pos, v, SUM(v) OVER (PARTITION BY vec_id) AS rowsum FROM u)
+SELECT CAST(pos AS BIGINT) AS pos, CAST(SUM(v * rowsum) AS BIGINT) AS gram_v
+FROM rs GROUP BY pos ORDER BY pos
+""",
+)
+def emb_power_iteration_step(spark, sf_dir):
+    """One power-iteration matvec over the embedding Gram matrix with the
+    all-ones start vector: out = (Σ_docs x xᵀ)·1 = Σ_docs x·sum(x) —
+    computed WITHOUT materializing the 64×64 Gram matrix, as a single
+    pass that weights each milli-quantized vector by its own coordinate
+    sum.  The first step of dominant-eigenvector extraction (power
+    method; von Mises & Pollaczek-Geiringer 1929) — the building block
+    behind PCA-whitening checks on embedding spaces.  All-integer, so
+    the cross-engine hash is exact at any fold order.
+
+    Scale shape: one posexplode + one (pos) hash aggregate — map-side
+    partials reduce 64 longs per partition; no shuffle carries vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qx",
+    )
+    rs = q.selectExpr(
+        "vec_id",
+        "aggregate(qx, 0L, (acc, x) -> acc + x) AS rowsum",
+        "qx",
+    ).select(F.col("rowsum"), F.posexplode("qx").alias("pos", "v"))
+    out = rs.groupBy(F.col("pos").cast("long").alias("pos")).agg(
+        F.expr("CAST(SUM(v * rowsum) AS BIGINT) AS gram_v")
+    )
+    return presentation_sort(out, ["pos"])

@@ -348,63 +348,9 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # sf0.01 AND sf0.1 when added), leaving 38 slots for backfilling the oldest driver-green names (the
 # backfill list below is the start; continue with the r3 greens).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-7 WINDOW (50 slots, all never-driver-checked; VERDICT r6
-    # #2 executes the rotation plan above) ----
-    # the 23 round-6 additions (selfcheck-green at sf0.01 and sf0.1):
-    "stats_equidepth_bins",
-    "rfm_segmentation",
-    "join_asof_tolerance",
-    "ts_interval_union",
-    "user_activity_streaks",
-    "funnel_latency_stats",
-    "attribution_last_touch",
-    "bpe_merge_step",
-    "vocab_growth_curve",
-    "text_novelty_ordered",
-    "emb_matryoshka_fidelity",
-    "sample_systematic_weighted",
-    "agg_weighted_median",
-    "key_skew_profile",
-    "shard_by_bytes",
-    "graph_triangle_count",
-    "impute_by_group_median",
-    "streaming_stream_stream_left",
-    "str_edit_distance",
-    "win_exclude_ties",
-    "winsorized_length_stats",
-    "dataset_split_temporal",
-    "market_basket_pairs",
-    # the 27 kept continuation-session additions (7 lowest-risk pure-SQL
-    # names deferred to round 8 per the over-full-window plan):
-    "eval_auc_mann_whitney",
-    "stats_gini_spend",
-    "stats_pareto_topdecile",
-    "ts_seasonal_naive_mae",
-    "token_pair_lift",
-    "graph_two_hop_reach",
-    "dataset_kfold_stratified",
-    "stats_chi2_lang_source",
-    "text_hapax_ratio",
-    "emb_label_centroid_geometry",
-    "eval_ndcg_at10",
-    "events_transition_matrix",
-    "events_interarrival_hist",
-    "events_growth_daily",
-    "ts_threshold_crossings",
-    "join_fuzzy_blocked_prefix",
-    "join_scd2_point_in_time",
-    "agg_width_bucket_hist",
-    "win_running_distinct",
-    "stats_join_size_profile",
-    "mm_video_neardup_shingles",
-    "stats_ks_lengths",
-    "events_user_hhi",
-    "ts_autocorr_lag1",
-    "text_vocab_jaccard_langs",
-    "privacy_k_anonymity",
-    "ts_cusum_changepoint",
-    # ---- tail (behind the 50-slot window; next rounds) ----
-    # round-8 deferrals (pure-SQL shared-text, pytest-covered):
+    # ---- ROUND-8 WINDOW (50 slots; executes the r7 rotation plan:
+    # VERDICT r7 #2 — close the last never-driver-checked names) ----
+    # the 7 round-7 deferrals (pure-SQL shared-text, pytest-covered):
     "agg_bitwise",
     "agg_mode_per_group",
     "compat_printf_integer",
@@ -412,7 +358,25 @@ _WINDOW_PRIORITY = [
     "stats_benford_deviation",
     "group_cube_grouping_flags",
     "agg_any_value_functional",
-    # backfill: oldest driver-green names (r2 leftovers, last verified r2):
+    # the 5 round-7 additions (selfcheck-green at sf0.01 AND sf0.1 when
+    # added; re-selfchecked after the r8 oracle-dim fix where touched):
+    "dedup_soft_weights",
+    "bitext_margin_pairs",
+    "dedup_keep_best",
+    "eval_calibration_bins",
+    "mining_hard_negatives",
+    # the 7 round-8 additions (all selfcheck-green at sf0.01 on creation;
+    # sf0.1 sweep before the round closes):
+    "eval_confusion_matrix",
+    "privacy_l_diversity",
+    "text_zipf_band_counts",
+    "graph_label_prop_step",
+    "emb_power_iteration_step",
+    "ts_mann_kendall_daily",
+    "win_percent_rank_cume_dist",
+    # 31 backfill slots re-verifying the OLDEST driver-green names:
+    # the 19 r2 leftovers (last verified round 2; the engine load path
+    # and the bench/presentation conventions changed since)…
     "knn_cosine_lsh",
     "curation_pipeline",
     "tpch_q1",
@@ -432,6 +396,22 @@ _WINDOW_PRIORITY = [
     "subq_not_in",
     "agg_filter_clause",
     "pivot_status_by_flag",
+    # …then the first 12 of the r3 window in last-verified order:
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    # ---- tail (behind the 50-slot window; round-9 rotation continues
+    # the r3 backfill: tpch_q19..q22, join_right_outer, then the r4
+    # window names) ----
 ]
 
 

@@ -1586,3 +1586,26 @@ sql_query(
     oracle=_BENFORD_DEV_BODY.format(vtype="VARCHAR", op="//", exp_values=_BENFORD_EXP),
     present_sort=["digit"],
 )
+
+
+# percent_rank / cume_dist surface witnesses (SURVEY §2.3 window family —
+# neither was previously exercised by name).  The window input is the
+# per-nation customer AGGREGATE (≤25 rows at any corpus size), so the
+# unpartitioned window is bounded-by-construction — allowlisted in
+# test_plans.GLOBAL_WINDOW_BOUNDED_OK with this justification.  Both
+# fractions are a single correctly-rounded IEEE division of small
+# integers, bit-identical across engines.
+sql_query(
+    "win_percent_rank_cume_dist",
+    """
+WITH per_nation AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey, n_cust,
+       percent_rank() OVER (ORDER BY n_cust, c_nationkey) AS pr,
+       cume_dist() OVER (ORDER BY n_cust, c_nationkey) AS cd
+FROM per_nation
+ORDER BY c_nationkey
+""",
+    present_sort=["c_nationkey"],
+)

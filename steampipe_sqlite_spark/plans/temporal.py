@@ -1216,3 +1216,38 @@ sql_query(
     oracle=_CUSUM_BODY.format(op="//"),
     present_sort=["event_type"],
 )
+
+
+# Mann-Kendall trend test inputs per event stream (Mann 1945, Kendall's
+# S): all C(n,2) day-pair sign comparisons of the daily value totals —
+# S > 0 is an upward trend, |S| near n(n-1)/2 is monotone.  Exact
+# integer S plus the tie-corrected pair counts callers need for the
+# variance term.  The pair join LOOKS quadratic but its input is the
+# per-(stream, day) AGGREGATE — bounded by the calendar (≤366 rows per
+# stream-year), not the corpus — so the self-join is a few-thousand-row
+# broadcast at any data scale; the unbounded event stream is reduced
+# first by one map-side-partial hash aggregate.  Integer cents
+# throughout; the shared text runs verbatim on both engines.
+sql_query(
+    "ts_mann_kendall_daily",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(sgn) AS BIGINT) AS s_stat,
+       CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+FROM pairs
+GROUP BY event_type
+ORDER BY event_type
+""",
+    present_sort=["event_type"],
+)

@@ -257,9 +257,17 @@ def main() -> None:
     # GC all measured neutral-or-worse), so (query − floor)/duckdb is
     # the honest plan-quality number for an in-process-engine comparison
     # — it is what the 10×/100× scaling probes converge to as the floor
-    # amortizes.  Clamped at 0 for queries already at the floor.
+    # amortizes.  Since r8 the subtracted floor is PER QUERY: the
+    # measured floor_anatomy prediction (execution-path base + measured
+    # jobs × measured marginal-job cost), capped at the query's own time
+    # — a multi-job or Python-stage query pays a measured, not asserted,
+    # overhead budget.  Clamped at 0 for queries at their floor.
     ratio_ex_floor = {
-        n: round(max(per_query[n] - floor, 0.0) / duck[n], 2)
+        n: round(
+            max(per_query[n] - floor_anatomy[n]["predicted_floor_s"], 0.0)
+            / duck[n],
+            2,
+        )
         for n in comparable
         if duck[n] > 0
     }

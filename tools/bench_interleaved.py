@@ -80,6 +80,15 @@ def main() -> None:
     samples: dict[str, dict[str, list[float]]] = {
         n: {"spark": [], "duckdb": []} for n in names
     }
+    # DISCARDED global warm pass (round 8, same fix as bench.py): without
+    # it the first queries in the schedule pay JIT tiering + page-cache
+    # population for everyone — tpch_q1 measured 0.285 s at position 0 vs
+    # 0.166 s re-sampled at the schedule tail of the same process, and
+    # this harness's r7 artifact showed q1 with the largest MAD in the
+    # set for exactly this reason.
+    for n in names:
+        spark_run(n)
+        duck_run(n)
     for n in names:
         # one untimed warm-up pair (codegen/JIT on the Spark side, page
         # cache on both), then N timed engine-alternating pairs

@@ -29,11 +29,27 @@ def persisted_ledger(spark: SparkSession) -> list:
     """The session's list of operator-persisted DataFrames, oldest first.
     Owners (the plans registry, or a direct caller) remove entries they
     take responsibility for; anything left is released by session stop or
-    ``spark.catalog.clearCache()``."""
+    ``spark.catalog.clearCache()``.
+
+    The ``_jsc is None`` guard mirrors registry._plan_cache / tables.py:
+    CPython can reuse a stopped session object's identity, and the new
+    session must not inherit the dead one's handles.  Entries already
+    unpersisted out-of-band (``clearCache`` by bench/probe loops that call
+    ``__wrapped__`` directly) are pruned on access so un-owned ledgers
+    cannot grow without bound across a long session."""
     led = _PERSIST_LEDGER.get(spark)
-    if led is None:
+    if led is None or getattr(spark.sparkContext, "_jsc", None) is None:
         led = []
         _PERSIST_LEDGER[spark] = led
+    elif led:
+        def _live(df: DataFrame) -> bool:
+            try:
+                sl = df.storageLevel
+                return sl.useMemory or sl.useDisk
+            except Exception:  # noqa: BLE001 — dead JVM handle = not live
+                return False
+
+        led[:] = [df for df in led if _live(df)]
     return led
 
 

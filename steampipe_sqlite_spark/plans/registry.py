@@ -103,7 +103,20 @@ def _rebuild_with_persist_ownership(
             pass
     ledger = persisted_ledger(spark)
     before = len(ledger)
-    df = fn(spark, sf_dir)
+    try:
+        df = fn(spark, sf_dir)
+    except BaseException:
+        # a failed build's partial persists are useless — release them NOW
+        # instead of leaking them past every future `before` slice (review
+        # r8: without this, each failed rebuild in a heap-constrained
+        # session permanently accumulated cached RDDs)
+        for h in ledger[before:]:
+            try:
+                h.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        del ledger[before:]
+        raise
     # transfer ownership of everything this build persisted
     owned[key] = ledger[before:]
     del ledger[before:]

@@ -314,11 +314,13 @@ def test_no_unbounded_global_windows_in_corpus(spark, queries):
 
     offenders = {}
     justified_hits = set()
+    built_ok = set()
     for name, fn in queries.items():
         try:
             hits = unpartitioned_windows(fn(spark, SF_DIR))
         except Exception:  # noqa: BLE001 — build errors are other tests' job
             continue
+        built_ok.add(name)
         unbounded = [h for h in hits if not h["bounded"]]
         if unbounded:
             if name in GLOBAL_WINDOW_BOUNDED_OK:
@@ -327,6 +329,8 @@ def test_no_unbounded_global_windows_in_corpus(spark, queries):
                 offenders[name] = [h["node"][:120] for h in unbounded]
     assert not offenders, f"unbounded global windows: {offenders}"
     # anti-rot: every allowlisted name must still HAVE a global window —
-    # a stale entry is a free pass waiting for a regression to use it
-    stale = GLOBAL_WINDOW_BOUNDED_OK - justified_hits
+    # a stale entry is a free pass waiting for a regression to use it.
+    # Only names that BUILT are judged: a build failure must surface as a
+    # build failure elsewhere, not as a misleading "stale allowlist" here.
+    stale = (GLOBAL_WINDOW_BOUNDED_OK & built_ok) - justified_hits
     assert not stale, f"allowlist entries with no global window left: {stale}"

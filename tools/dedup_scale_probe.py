@@ -97,13 +97,17 @@ def build_corpus(spark, reps: int) -> str:
     if os.path.exists(out):
         return out
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    n_docs = docs.count()
+    # offset by max(doc_id)+1, NOT count: sparse or 1-based ids would make
+    # count-based replica ranges overlap and silently collide doc_ids
+    # (review r8; the current fixture is contiguous 0..n-1 so the numbers
+    # in the committed table are unaffected)
+    stride = docs.agg(F.max("doc_id")).first()[0] + 1
     for rep in range(reps):
         dst = _replica_mapping(rep)
         src_chars = ALPHABET + ALPHABET[:26].upper()
         dst_chars = dst + dst[:26].upper()
         docs.select(
-            (F.col("doc_id") + F.lit(rep * (n_docs + 1))).alias("doc_id"),
+            (F.col("doc_id") + F.lit(rep * stride)).alias("doc_id"),
             F.translate("text", src_chars, dst_chars).alias("text"),
         ).write.mode("append").parquet(out)
     return out

@@ -443,3 +443,40 @@ def test_every_distributed_helper_query_bypasses_plan_cache():
     assert sum(
         1 for fn in queries.values() if not getattr(fn, "__plan_cache__", True)
     ) >= 12
+
+
+def test_failed_rebuild_releases_partial_persists(spark):
+    """A plan_cache=False build that RAISES mid-way must release the
+    persists it already took (review r8: without this, each failed
+    rebuild in a heap-constrained session permanently accumulated cached
+    RDDs that every future ledger slice skipped past)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import (
+        distributed_row_number,
+        persisted_ledger,
+    )
+    from steampipe_sqlite_spark.plans.registry import (
+        _rebuild_with_persist_ownership,
+    )
+
+    def exploding_build(spark_, sf_dir_):
+        df = spark_.range(0, 500).selectExpr("id", "id % 7 AS v")
+        d1 = distributed_row_number(df, [F.col("v"), F.col("id")],
+                                    num_partitions=2)
+        d1.count()  # materialize the persist
+        raise RuntimeError("mid-build failure after one persist")
+
+    before_led = len(persisted_ledger(spark))
+    before_rdds = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="mid-build"):
+        _rebuild_with_persist_ownership(
+            exploding_build, "exploding_test_query", spark, "/tmp"
+        )
+    assert len(persisted_ledger(spark)) == before_led, (
+        "failed build left orphans in the ledger"
+    )
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before_rdds, (
+        "failed build left RDDs persisted"
+    )

@@ -102,6 +102,7 @@ def asof_join_same_source(
     right_pred: str,
     left_cols: list[str],
     payload_cols: list[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """:func:`asof_join` specialization for the common log-processing case
     where BOTH sides are predicates over ONE source (purchase vs click
@@ -115,6 +116,9 @@ def asof_join_same_source(
     itself — callers on a type/status column get this for free).
     Output: one row per left row — ``left_cols`` + most-recent-at-or-
     before ``payload_cols`` (NULL when no prior right row) + matched_ts.
+    ``tolerance`` matches :func:`asof_join`'s (e.g. ``'2 HOUR'``): stale
+    matches beyond it surface as NULL — the fast path is feature-par with
+    the general form.
     """
     scan = source.where(f"({left_pred}) OR ({right_pred})")
     u = scan.selectExpr(
@@ -132,7 +136,7 @@ def asof_join_same_source(
         "OVER (PARTITION BY _k ORDER BY _ts ASC, _side ASC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    return (
+    out = (
         u.selectExpr(
             *[f"`{c}`" for c in left_cols],
             f"_k AS `{key}`",
@@ -144,6 +148,18 @@ def asof_join_same_source(
         .where("_side = 1")
         .drop("_side")
     )
+    if tolerance is not None:
+        # same post-window CASE as asof_join: a match older than the
+        # tolerance surfaces as NULL payload/matched_ts
+        in_window = f"matched_ts >= `{ts}` - INTERVAL {tolerance}"
+        out = out.selectExpr(
+            *[f"`{c}`" for c in left_cols],
+            f"`{key}`",
+            f"`{ts}`",
+            *[f"CASE WHEN {in_window} THEN `{c}` END AS `{c}`" for c in payload_cols],
+            f"CASE WHEN {in_window} THEN matched_ts END AS matched_ts",
+        )
+    return out
 
 
 def range_join_binned(

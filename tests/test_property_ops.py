@@ -366,8 +366,9 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol):
         min_size=1,
         max_size=30,
     ),
+    tol=st.sampled_from([None, 0, 30, 200]),
 )
-def test_asof_same_source_matches_general_form(spark, rows):
+def test_asof_same_source_matches_general_form(spark, rows, tol):
     """asof_join_same_source (single CASE-tagged scan) must return exactly
     what the general two-input asof_join returns when both inputs are
     predicates over one tagged source — the fast path is an I/O
@@ -395,11 +396,12 @@ def test_asof_same_source_matches_general_form(spark, rows):
     )
     lefts = src.where("side = 'L'").select("event_id", "k", "ts")
     rights = src.where("side = 'R'").select("k", "ts", "val")
+    tol_str = f"{tol} SECONDS" if tol is not None else None
     general = {
         r.event_id: (r.val, r.matched_ts)
         for r in asof_join(
             lefts, rights, key="k", left_ts="ts", right_ts="ts",
-            payload_cols=["val"],
+            payload_cols=["val"], tolerance=tol_str,
         ).collect()
     }
     fast = {
@@ -412,6 +414,7 @@ def test_asof_same_source_matches_general_form(spark, rows):
             right_pred="side = 'R'",
             left_cols=["event_id"],
             payload_cols=["val"],
+            tolerance=tol_str,
         ).collect()
     }
     assert fast == general

@@ -103,6 +103,7 @@ def asof_join_same_source(
     left_cols: list[str],
     payload_cols: list[str],
     tolerance: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """:func:`asof_join` specialization for the common log-processing case
     where BOTH sides are predicates over ONE source (purchase vs click
@@ -119,7 +120,27 @@ def asof_join_same_source(
     ``tolerance`` matches :func:`asof_join`'s (e.g. ``'2 HOUR'``): stale
     matches beyond it surface as NULL — the fast path is feature-par with
     the general form.
+
+    ``validate=True`` spends one extra (early-exiting, LIMIT-1) job to
+    check the disjointness precondition and raises ``ValueError`` if any
+    row matches BOTH predicates — such a row would silently join to
+    itself at zero distance (ADVICE r8).  Off by default: callers
+    predicating on a single type/status column are disjoint by
+    construction; turn it on when the predicates are hand-written
+    boolean expressions.
     """
+    if validate:
+        overlap = (
+            source.where(f"({left_pred}) AND ({right_pred})").limit(1).count()
+        )
+        if overlap:
+            raise ValueError(
+                "asof_join_same_source: left_pred and right_pred are not "
+                f"disjoint — a row matches both ({left_pred!r} AND "
+                f"{right_pred!r}); such rows would match themselves at "
+                "zero distance. Fix the predicates or use asof_join with "
+                "two distinct frames."
+            )
     scan = source.where(f"({left_pred}) OR ({right_pred})")
     u = scan.selectExpr(
         f"`{key}` AS _k",

@@ -89,37 +89,75 @@ def _owned_persists(spark: "SparkSession") -> dict:
     return per
 
 
+class _SupersededPlan:
+    """Poison pill installed as the ``_jdf`` of a superseded build's
+    DataFrame: ANY further use (collect/count/show/schema — they all go
+    through ``_jdf``) raises instead of re-executing a plan whose baked
+    partition offsets refer to released data (ADVICE r8: before this, a
+    caller re-executing the old frame after a rebuild resampled
+    repartitionByRange boundaries under stale offsets and got silently
+    wrong ranks)."""
+
+    def __init__(self, qname: str):
+        object.__setattr__(self, "_qname", qname)
+
+    def __getattr__(self, attr: str):
+        raise RuntimeError(
+            f"stale plan: query {self._qname!r} was rebuilt "
+            "(plan_cache=False) and this DataFrame's baked partition "
+            "offsets refer to released data — re-invoke the query to get "
+            "the current build"
+        )
+
+
 def _rebuild_with_persist_ownership(
     fn: QueryFn, name: str, spark: "SparkSession", sf_dir: str
 ) -> "DataFrame":
+    import weakref
+
     from steampipe_sqlite_spark.operators.scale import persisted_ledger
 
     owned = _owned_persists(spark)
     key = (name, sf_dir)
-    for h in owned.pop(key, ()):
+    prev_ref, prev_handles = owned.pop(key, (None, ()))
+    for h in prev_handles:
         try:
             h.unpersist()
         except Exception:  # noqa: BLE001 — a stopped session's handles are moot
             pass
+    # Poison the superseded DataFrame (if a caller still holds it) so
+    # use-after-rebuild fails loudly instead of returning wrong data.
+    prev = prev_ref() if prev_ref is not None else None
+    if prev is not None:
+        prev._jdf = _SupersededPlan(name)
     ledger = persisted_ledger(spark)
-    before = len(ledger)
+    # Ownership is claimed by IDENTITY, not positional slice (ADVICE r8):
+    # persisted_ledger prunes dead entries on every access — including
+    # mid-build via persist_tracked — so a positional `before` index can
+    # shift under out-of-band unpersists and claim another owner's handle.
+    # Holding strong refs in `before` also pins ids against CPython reuse
+    # for the duration of the build.
+    before = list(ledger)
+    before_ids = {id(h) for h in before}
     try:
         df = fn(spark, sf_dir)
     except BaseException:
         # a failed build's partial persists are useless — release them NOW
-        # instead of leaking them past every future `before` slice (review
-        # r8: without this, each failed rebuild in a heap-constrained
-        # session permanently accumulated cached RDDs)
-        for h in ledger[before:]:
-            try:
-                h.unpersist()
-            except Exception:  # noqa: BLE001
-                pass
-        del ledger[before:]
+        # instead of leaking them past every future claim (review r8:
+        # without this, each failed rebuild in a heap-constrained session
+        # permanently accumulated cached RDDs)
+        for h in ledger:
+            if id(h) not in before_ids:
+                try:
+                    h.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+        ledger[:] = [h for h in ledger if id(h) in before_ids]
         raise
     # transfer ownership of everything this build persisted
-    owned[key] = ledger[before:]
-    del ledger[before:]
+    claimed = [h for h in ledger if id(h) not in before_ids]
+    owned[key] = (weakref.ref(df), claimed)
+    ledger[:] = [h for h in ledger if id(h) in before_ids]
     return df
 
 

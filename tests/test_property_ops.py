@@ -420,6 +420,38 @@ def test_asof_same_source_matches_general_form(spark, rows, tol):
     assert fast == general
 
 
+def test_asof_same_source_validate_rejects_overlapping_predicates(spark):
+    """validate=True must raise when a row matches BOTH predicates — such
+    a row would silently join to itself at zero distance (ADVICE r8).
+    Disjoint predicates with validate=True still run clean."""
+    import pytest
+
+    from steampipe_sqlite_spark.operators.temporal import asof_join_same_source
+
+    src = spark.createDataFrame(
+        [(1, "L", 5, "2024-01-01 00:00:00", 1.0),
+         (2, "R", 5, "2024-01-01 00:00:01", 2.0)],
+        "event_id long, side string, k long, ts string, val double",
+    ).selectExpr("event_id", "side", "k", "CAST(ts AS timestamp) AS ts", "val")
+
+    with pytest.raises(ValueError, match="not .*disjoint|disjoint"):
+        asof_join_same_source(
+            src, key="k", ts="ts",
+            left_pred="side = 'L'",
+            right_pred="val >= 1.0",  # overlaps: row 1 matches both
+            left_cols=["event_id"], payload_cols=["val"],
+            validate=True,
+        )
+    # disjoint predicates pass the guard and still produce the join
+    out = asof_join_same_source(
+        src, key="k", ts="ts",
+        left_pred="side = 'L'", right_pred="side = 'R'",
+        left_cols=["event_id"], payload_cols=["val"],
+        validate=True,
+    ).collect()
+    assert len(out) == 1 and out[0].val is None  # right row is later
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     rows=st.lists(

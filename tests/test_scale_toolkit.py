@@ -410,6 +410,14 @@ def test_every_distributed_helper_query_bypasses_plan_cache():
     # class.  Fixed-point over every package-module function: any function
     # whose source mentions a tainted name becomes tainted itself.
     tainted = {"distributed_row_number", "distributed_running_sum"}
+    # Source map keyed by (module, qualname), NOT bare attribute name
+    # (ADVICE r8): two same-named functions in different modules must not
+    # overwrite each other's source — a tainted wrapper shadowed by an
+    # identically named untainted function elsewhere would escape taint
+    # and let a helper-using query evade the plan_cache=False guard.
+    # Taint membership stays a set of BARE names because the propagation
+    # test is textual (call sites mention the bare name); a bare-name
+    # collision can only over-taint, which is safe for this guard.
     pkg_fns = {}
     for mod_name, mod in list(sys.modules.items()):
         if not mod_name.startswith("steampipe_sqlite_spark"):
@@ -421,15 +429,18 @@ def test_every_distributed_helper_query_bypasses_plan_cache():
                 and attr_name not in tainted
             ):
                 try:
-                    pkg_fns[attr_name] = inspect.getsource(attr)
+                    pkg_fns[(attr.__module__, attr.__qualname__)] = (
+                        inspect.getsource(attr)
+                    )
                 except (OSError, TypeError):
                     pass
     changed = True
     while changed:
         changed = False
-        for fname, src in pkg_fns.items():
-            if fname not in tainted and any(t in src for t in tainted):
-                tainted.add(fname)
+        for (_mod, qual), src in pkg_fns.items():
+            bare = qual.rsplit(".", 1)[-1]
+            if bare not in tainted and any(t in src for t in tainted):
+                tainted.add(bare)
                 changed = True
 
     offenders = []
@@ -480,3 +491,40 @@ def test_failed_rebuild_releases_partial_persists(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before_rdds, (
         "failed build left RDDs persisted"
     )
+
+
+def test_rebuild_poisons_superseded_dataframe(spark):
+    """After a plan_cache=False rebuild, the PREVIOUS build's DataFrame
+    must fail loudly on any use (ADVICE r8): its baked range-shuffle
+    offsets refer to released persisted data, so re-executing it would
+    resample partition boundaries under stale offsets and return silently
+    wrong ranks.  The registry installs a raising _jdf sentinel."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+    from steampipe_sqlite_spark.plans.registry import (
+        _rebuild_with_persist_ownership,
+    )
+
+    def build(spark_, sf_dir_):
+        df = spark_.range(0, 300).selectExpr("id", "id % 5 AS v")
+        return distributed_row_number(df, [F.col("v"), F.col("id")],
+                                      num_partitions=2)
+
+    first = _rebuild_with_persist_ownership(build, "poison_test_q", spark, "/tmp")
+    assert first.count() == 300  # live before the rebuild
+    second = _rebuild_with_persist_ownership(build, "poison_test_q", spark, "/tmp")
+    with pytest.raises(RuntimeError, match="stale plan"):
+        first.count()
+    assert second.count() == 300  # the current build is unaffected
+    # identity-claim sanity: the rebuild released the first build's persist
+    # (at most one build's worth of cached handles per query key)
+    from steampipe_sqlite_spark.plans.registry import _owned_persists
+
+    ref, handles = _owned_persists(spark)[("poison_test_q", "/tmp")]
+    assert ref() is second and len(handles) == 1
+    # cleanup for neighboring leak-sensitive tests
+    for h in handles:
+        h.unpersist()
+    del _owned_persists(spark)[("poison_test_q", "/tmp")]

@@ -96,6 +96,15 @@ def build_corpus(spark, reps: int) -> str:
     out = os.path.join(SCRATCH, f"x{reps}")
     if os.path.exists(out):
         return out
+    # Build in a temp dir and rename into place on completion (ADVICE r8):
+    # the per-replica append loop below is interruptible, and a bare
+    # exists() reuse check would silently treat a 3-of-8-replica partial
+    # build as the full corpus, corrupting the linearity measurement.
+    import shutil
+
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     # offset by max(doc_id)+1, NOT count: sparse or 1-based ids would make
     # count-based replica ranges overlap and silently collide doc_ids
@@ -109,7 +118,8 @@ def build_corpus(spark, reps: int) -> str:
         docs.select(
             (F.col("doc_id") + F.lit(rep * stride)).alias("doc_id"),
             F.translate("text", src_chars, dst_chars).alias("text"),
-        ).write.mode("append").parquet(out)
+        ).write.mode("append").parquet(tmp)
+    os.replace(tmp, out)
     return out
 
 

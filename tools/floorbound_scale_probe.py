@@ -67,7 +67,11 @@ def build(spark, reps: int) -> str:
     unchanged."""
     sf_dir = os.path.join(SCRATCH, f"x{reps}")
     out = os.path.join(sf_dir, "events.parquet")
-    if os.path.exists(out):
+    # Reuse only a COMPLETED write: the committer drops _SUCCESS at commit,
+    # so an interrupted build (dir present, no marker) is rebuilt instead
+    # of silently reused as the full replica corpus (ADVICE r8; the
+    # overwrite mode below makes the rebuild safe).
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
         return sf_dir
     ev = load_table(spark, SF_DIR, "events")
     # stride by max+1, not count (sparse ids must not collide replicas)

@@ -241,3 +241,25 @@ def julianday(ts: Column, *modifiers: str) -> Column:
 def unixepoch(ts: Column, *modifiers: str) -> Column:
     """SQLite ``unixepoch`` → integer unix seconds (truncating)."""
     return F.unix_timestamp(apply_modifiers(ts, *modifiers).cast("timestamp"))
+
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def nocase_key(col: Column) -> Column:
+    """SQLite ``COLLATE NOCASE`` fold key.
+
+    The reference inherits collation from SQLite core (the bridge declares
+    plain TEXT columns — /root/reference/mapping.go:22-35 — so NOCASE is
+    whatever SQLite's built-in does): fold ASCII ``A-Z`` ONLY.  That is
+    NOT ``lower()`` — Spark's lower() folds full Unicode ('Ä' → 'ä'),
+    while SQLite NOCASE leaves every non-ASCII codepoint distinct.  A
+    ``translate`` over the 26 ASCII letters reproduces the exact
+    semantics; comparisons/grouping under NOCASE compare this key, and an
+    ``ORDER BY x COLLATE NOCASE`` is ``orderBy(nocase_key(x), x)`` (the
+    raw-value tiebreak makes the otherwise unspecified equal-key order
+    deterministic).  Parity pinned against the real sqlite3 in
+    tests/test_sqlite_compat.py.
+    """
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)

@@ -14,7 +14,11 @@ from steampipe_sqlite_spark.functions.sqlite_compat import (
     strftime,
     unixepoch,
 )
-from steampipe_sqlite_spark.plans.registry import query, sql_query
+from steampipe_sqlite_spark.plans.registry import (
+    presentation_sort,
+    query,
+    sql_query,
+)
 from steampipe_sqlite_spark.tables import load_table
 
 
@@ -200,3 +204,49 @@ ORDER BY o_orderkey
 """,
     present_sort=["o_orderkey"],
 )
+
+
+_NOCASE_FOLD_DD = (
+    "translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
+
+
+@query(
+    "compat_collate_nocase",
+    oracle=f"""
+WITH mangled AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name
+  FROM part)
+SELECT {_NOCASE_FOLD_DD.format(c='name')} AS name_nocase,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS n_forms,
+       MIN(name) AS first_form
+FROM mangled
+GROUP BY 1
+ORDER BY name_nocase
+""",
+)
+def compat_collate_nocase(spark, sf_dir):
+    """COLLATE NOCASE witness (the last §2.3 dialect nit): part names are
+    case-mangled deterministically (every even partkey uppercased), then
+    grouped and ordered under SQLite NOCASE semantics via
+    :func:`nocase_key` — the ASCII-only fold, NOT lower() (which would
+    also fold non-ASCII and diverge from SQLite core).  Groups whose
+    members differ only by ASCII case collapse (n_forms counts the
+    surviving spellings); ordering is by the folded key, which interleaves
+    the upper- and lowercase spellings binary order would separate.
+    sqlite3-parity for the fold and the ordering is pinned in
+    tests/test_sqlite_compat.py."""
+    from steampipe_sqlite_spark.functions.sqlite_compat import nocase_key
+
+    part = load_table(spark, sf_dir, "part")
+    mangled = part.selectExpr(
+        "CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS name"
+    )
+    out = mangled.groupBy(nocase_key(F.col("name")).alias("name_nocase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("name").cast("long").alias("n_forms"),
+        F.min("name").alias("first_form"),
+    )
+    return presentation_sort(out, ["name_nocase"])

@@ -3663,6 +3663,109 @@ def bpe_merge_step_q(spark, sf_dir):
     return presentation_sort(ranked, ["rnk"])
 
 
+# Nested replace() chain applying merges 1..8 in rank order: replace scans
+# left-to-right over the CURRENT symbol sequence, which is exactly
+# sequential BPE application restricted to first-round (base-character)
+# merges.  Placeholders chr(65+i) = 'A'..'H' are outside the normalized
+# alphabet (lowercase+digits+CJK), so a placeholder can never be half of a
+# later literal pair.
+_BPE_APPLY = "state"
+for _i in range(1, 9):
+    _BPE_APPLY = f"replace({_BPE_APPLY}, p{_i}, chr({64 + _i}))"
+
+
+@query(
+    "text_bpe_apply_fidelity",
+    oracle=f"""
+WITH wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split({_DD_NORM}, ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 2
+  GROUP BY tok),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, cnt
+  FROM (SELECT word, cnt,
+               unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wc)),
+ranked AS (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM pairs GROUP BY pair)),
+m AS (
+  SELECT {", ".join(f"MAX(CASE WHEN rnk = {i} THEN pair END) AS p{i}" for i in range(1, 9))}
+  FROM ranked WHERE rnk <= 8),
+applied AS (
+  SELECT word, cnt, {_BPE_APPLY} AS state
+  FROM (SELECT word, cnt, word AS state FROM wc), m)
+SELECT CAST(length(word) AS INT) AS wlen,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS n_occ,
+       CAST(SUM(cnt * length(word)) AS BIGINT) AS chars_before,
+       CAST(SUM(cnt * length(state)) AS BIGINT) AS tokens_after,
+       CAST(SUM(cnt * (length(word) - length(state))) AS BIGINT) AS saved
+FROM applied
+GROUP BY 1
+ORDER BY wlen
+""",
+)
+def text_bpe_apply_fidelity(spark, sf_dir):
+    """Tokenizer-fidelity audit (VERDICT r8 #7): learn the top-8 BPE merges
+    from the corpus (same statistic as bpe_merge_step — Sennrich et al.
+    2016) and APPLY them to the weighted vocabulary, measuring the
+    resulting compression per word length: symbols before vs tokens after
+    and merges fired, occurrence-weighted.  The whole merge table ships as
+    ONE broadcast row (8 conditional-aggregate columns), so the apply pass
+    is a single map-side nested-replace projection over the vocabulary —
+    types, not tokens, get rewritten (Heaps'-law sublinear), and all
+    outputs are integers (bit-exact in any engine).
+
+    Precondition (documented, not guarded): the corpus yields ≥8 distinct
+    character pairs — true of every documents fixture ≥ sf0.001."""
+    from steampipe_sqlite_spark.functions.text import _NORM_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _NORM_SQL.format(c="text")
+    wc = (
+        docs.selectExpr(f"explode(split({norm}, ' ')) AS tok")
+        .where("length(tok) >= 2")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pairs = wc.selectExpr(
+        "explode(transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2))) AS pair",
+        "cnt",
+    )
+    ranked = (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .selectExpr("pair", "ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk")
+        .where("rnk <= 8")
+    )
+    merges = ranked.groupBy().agg(
+        *[
+            F.max(F.when(F.col("rnk") == i, F.col("pair"))).alias(f"p{i}")
+            for i in range(1, 9)
+        ]
+    )
+    applied = (
+        wc.withColumn("state", F.col("word"))
+        .crossJoin(F.broadcast(merges))
+        .selectExpr("word", "cnt", f"{_BPE_APPLY} AS state")
+    )
+    out = applied.groupBy(
+        F.length("word").cast("int").alias("wlen")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_occ"),
+        F.sum(F.col("cnt") * F.length("word")).cast("long").alias("chars_before"),
+        F.sum(F.col("cnt") * F.length("state")).cast("long").alias("tokens_after"),
+        F.sum(F.col("cnt") * (F.length("word") - F.length("state")))
+        .cast("long")
+        .alias("saved"),
+    )
+    return presentation_sort(out, ["wlen"])
+
+
 @query(
     "vocab_growth_curve",
     plan_cache=False,  # bakes distributed-helper offsets; see registry.query

@@ -399,70 +399,70 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # sf0.01 AND sf0.1 when added), leaving 38 slots for backfilling the oldest driver-green names (the
 # backfill list below is the start; continue with the r3 greens).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-8 WINDOW (50 slots; executes the r7 rotation plan:
-    # VERDICT r7 #2 — close the last never-driver-checked names) ----
-    # the 7 round-7 deferrals (pure-SQL shared-text, pytest-covered):
-    "agg_bitwise",
-    "agg_mode_per_group",
-    "compat_printf_integer",
-    "stats_benford_first_digit",
-    "stats_benford_deviation",
-    "group_cube_grouping_flags",
-    "agg_any_value_functional",
-    # the 5 round-7 additions (selfcheck-green at sf0.01 AND sf0.1 when
-    # added; re-selfchecked after the r8 oracle-dim fix where touched):
-    "dedup_soft_weights",
-    "bitext_margin_pairs",
-    "dedup_keep_best",
-    "eval_calibration_bins",
-    "mining_hard_negatives",
-    # the 7 round-8 additions (all selfcheck-green at sf0.01 on creation;
-    # sf0.1 sweep before the round closes):
-    "eval_confusion_matrix",
-    "privacy_l_diversity",
-    "text_zipf_band_counts",
-    "graph_label_prop_step",
-    "emb_power_iteration_step",
-    "ts_mann_kendall_daily",
-    "win_percent_rank_cume_dist",
-    # 31 backfill slots re-verifying the OLDEST driver-green names:
-    # the 19 r2 leftovers (last verified round 2; the engine load path
-    # and the bench/presentation conventions changed since)…
-    "knn_cosine_lsh",
-    "curation_pipeline",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q18",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "win_range_frame",
-    "setop_except",
-    "cte_multi",
-    "group_rollup",
-    "subq_not_in",
-    "agg_filter_clause",
-    "pivot_status_by_flag",
-    # …then the first 12 of the r3 window in last-verified order:
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    # ---- tail (behind the 50-slot window; round-9 rotation continues
-    # the r3 backfill: tpch_q19..q22, join_right_outer, then the r4
-    # window names) ----
+    # ---- ROUND-9 WINDOW (50 slots; VERDICT r8 #6 — with the
+    # never-checked backlog at 0, rotate strictly by least-recently-
+    # checked: per-name last-green rounds computed from the committed
+    # CORRECTNESS_r0{1..8}.json artifacts.  Every name below was last
+    # checked in round 3 or 4; nothing checked after r5 is in the
+    # window except the two new round-9 queries, which need their first
+    # driver row) ----
+    # the 2 round-9 additions (selfcheck-green at sf0.001 + sf0.01 on
+    # creation; sqlite3-parity tests for the NOCASE fold):
+    "text_bpe_apply_fidelity",
+    "compat_collate_nocase",
+    # the 37 names whose last driver row is the r3 window:
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "join_right_outer",
+    "join_cross",
+    "join_theta_range",
+    "join_using_natural",
+    "join_broadcast_hint",
+    "join_nullsafe_eq",
+    "orderby_limit_offset",
+    "orderby_nulls_last",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "group_cube",
+    "group_grouping_sets",
+    "win_row_number_topk",
+    "win_rank_family",
+    "win_ntile",
+    "win_lag_lead",
+    "win_first_last_nth",
+    "win_sliding_rows",
+    "win_agg_over_unbounded",
+    "subq_scalar_uncorrelated",
+    "subq_scalar_correlated",
+    "subq_in",
+    "subq_derived_table",
+    "values_inline",
+    "unpivot_stack",
+    "sessionize_events",
+    "dedup_components",
+    "knn_cosine_int8",
+    "text_decontaminate",
+    "text_gopher_flags",
+    "sample_balanced_per_group",
+    "streaming_tumbling_1h",
+    # …then the 11 oldest round-4-window names (artifact order):
+    "date_extract_parts",
+    "date_trunc_buckets",
+    "date_format_epoch",
+    "json_extract_scalar",
+    "json_group_array",
+    "tvf_json_each",
+    "json_variant_extract",
+    "agg_array_ops",
+    "sketch_hll_users",
+    "join_asof_events",
+    "win_running_sum",
+    # ---- tail (behind the 50-slot window; round-10 rotation continues
+    # the r4 backfill: cte_recursive, window_tumbling_1h,
+    # mm_media_inventory, the win_* frame variants, then the r5 names)
 ]
 
 

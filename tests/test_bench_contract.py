@@ -19,29 +19,34 @@ def test_headline_queries_registered_with_oracles():
     assert RUNS >= 3
 
 
-def test_round8_driver_window_leads_with_unverified_names():
+def test_round9_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-8 rotation plan (VERDICT r7 #2) puts the 12 never-driver-checked
-    backlog names and the 7 round-8 additions at the head.  Pin it so a
-    registration-order or priority-list refactor can't silently evict the
-    names the window exists to certify."""
+    round-9 rotation (VERDICT r8 #6) is strictly least-recently-checked —
+    the 2 new round-9 queries (first driver row) plus names whose last
+    green row is the r3/r4 window.  Pin both the new names and the
+    freshness property so a registration-order or priority-list refactor
+    can't silently evict them."""
+    import glob
+    import json
+
     sys.path.insert(0, "/root/repo")
     from steampipe_sqlite_spark.plans.registry import collect
 
     q, _ = collect()
     window = list(q)[:50]
-    must_lead = {
-        # round-7 deferrals + round-7 additions (the never-checked 12)
-        "agg_bitwise", "agg_mode_per_group", "compat_printf_integer",
-        "stats_benford_first_digit", "stats_benford_deviation",
-        "group_cube_grouping_flags", "agg_any_value_functional",
-        "dedup_soft_weights", "bitext_margin_pairs", "dedup_keep_best",
-        "eval_calibration_bins", "mining_hard_negatives",
-        # round-8 additions
-        "eval_confusion_matrix", "privacy_l_diversity",
-        "text_zipf_band_counts", "graph_label_prop_step",
-        "emb_power_iteration_step", "ts_mann_kendall_daily",
-        "win_percent_rank_cume_dist",
-    }
+    must_lead = {"text_bpe_apply_fidelity", "compat_collate_nocase"}
     missing = must_lead - set(window)
-    assert not missing, f"rotation window lost never-verified names: {missing}"
+    assert not missing, f"rotation window lost the new round-9 names: {missing}"
+    # freshness: no window member (other than new names) was last checked
+    # after round 5 — computed from the committed driver artifacts
+    last = {}
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+        rnd = int(f.rsplit("r0", 1)[1].split(".")[0])
+        for name in json.load(open(f)):
+            last[name] = max(last.get(name, 0), rnd)
+    stale_violations = [
+        n for n in window if n in last and last[n] > 5
+    ]
+    assert not stale_violations, (
+        f"window contains recently-checked names: {stale_violations}"
+    )

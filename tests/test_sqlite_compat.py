@@ -476,3 +476,53 @@ class TestScalarMisc:
             F.expr("ascii(name)"),
         ).collect()
         assert [tuple(r) for r in got] == rows
+
+
+class TestCollateNocase:
+    """nocase_key must reproduce SQLite's built-in NOCASE collation
+    exactly: ASCII A-Z folds, every non-ASCII codepoint stays distinct
+    (lower() would wrongly fold 'Ä' → 'ä')."""
+
+    SAMPLES = [
+        "apple", "APPLE", "Apple", "aPPle",
+        "Banana split", "banana SPLIT",
+        "Zebra", "zebra", "100% Sure", "100% sure",
+        "Äpfel", "äpfel",          # non-ASCII: NOCASE keeps these distinct
+        "naïve", "NAÏVE",          # folds N→n, leaves ï / Ï distinct
+        "a-b", "A-B", "", " lead", " LEAD",
+    ]
+
+    def test_fold_equality_matches_sqlite(self, spark, lite):
+        from steampipe_sqlite_spark.functions.sqlite_compat import nocase_key
+
+        df = spark.createDataFrame([(s,) for s in self.SAMPLES], ["s"])
+        keys = {r.s: r.k for r in df.select("s", nocase_key(F.col("s")).alias("k")).collect()}
+        for a in self.SAMPLES:
+            for b in self.SAMPLES:
+                expected = bool(
+                    lite.execute(
+                        "SELECT ? = ? COLLATE NOCASE", (a, b)
+                    ).fetchone()[0]
+                )
+                assert (keys[a] == keys[b]) == expected, (a, b)
+
+    def test_order_by_matches_sqlite(self, spark, lite):
+        from steampipe_sqlite_spark.functions.sqlite_compat import nocase_key
+
+        # deterministic total order: NOCASE primary, raw value tiebreak —
+        # the same spelling used by compat_collate_nocase and the shim doc
+        lite.execute("DROP TABLE IF EXISTS noc")
+        lite.execute("CREATE TABLE noc (s TEXT)")
+        lite.executemany("INSERT INTO noc VALUES (?)", [(s,) for s in self.SAMPLES])
+        expected = [
+            r[0]
+            for r in lite.execute(
+                "SELECT s FROM noc ORDER BY s COLLATE NOCASE, s"
+            ).fetchall()
+        ]
+        df = spark.createDataFrame([(s,) for s in self.SAMPLES], ["s"])
+        got = [
+            r.s
+            for r in df.orderBy(nocase_key(F.col("s")), F.col("s")).collect()
+        ]
+        assert got == expected

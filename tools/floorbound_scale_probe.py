@@ -58,56 +58,96 @@ SCRATCH = os.path.join(
     ".cache",
     "floorscale",
 )
-NAMES = ["join_asof_events", "window_tumbling_1h"]
+# query name -> table its work scales with (each table is replicated with
+# per-replica id re-keying so per-key density / query-set size is preserved:
+# events re-keys user_id so the asof window's per-user work unit is constant;
+# embeddings and documents re-key only the id, so the fixed query/filter
+# sets — vec_id < 10, doc_id % 3 — keep their meaning while the corpus
+# side grows).
+NAMES = {
+    "join_asof_events": ("events",),
+    "window_tumbling_1h": ("events",),
+    "knn_cosine_bruteforce": ("embeddings",),
+    "knn_cosine_blas": ("embeddings",),
+    "knn_cosine_ivf": ("embeddings",),
+    "mm_image_decode": ("documents",),
+    "tpch_q3": ("lineitem", "orders", "customer"),
+}
+
+# (table, column) pairs re-keyed per replica.  Foreign keys share the
+# referenced table's stride so join cardinality per key is preserved
+# (each replica is a self-contained TPC-H-ish universe).
+_REKEY = {
+    "events": [("event_id", "events", "event_id"), ("user_id", "events", "user_id")],
+    "embeddings": [("vec_id", "embeddings", "vec_id")],
+    "documents": [("doc_id", "documents", "doc_id")],
+    "customer": [("c_custkey", "customer", "c_custkey")],
+    "orders": [
+        ("o_orderkey", "orders", "o_orderkey"),
+        ("o_custkey", "customer", "c_custkey"),
+    ],
+    "lineitem": [("l_orderkey", "orders", "o_orderkey")],
+}
 
 
-def build(spark, reps: int) -> str:
-    """Write the replica as <dir>/events.parquet so the REAL corpus query
-    fns (load_table / register_views on an sf_dir) run against it
+def _replicate(spark, reps: int, table: str, out: str, strides: dict) -> None:
+    df = load_table(spark, SF_DIR, table)
+    rep = F.broadcast(spark.range(reps).select(F.col("id").alias("rep")))
+    rekeyed = {}
+    for col, src_table, src_col in _REKEY[table]:
+        key = (src_table, src_col)
+        if key not in strides:
+            # stride by max+1, not count (sparse ids must not collide)
+            strides[key] = (
+                load_table(spark, SF_DIR, src_table).agg(F.max(src_col)).first()[0] + 1
+            )
+        rekeyed[col] = (F.col(col) + F.col("rep") * strides[key]).alias(col)
+    rpl = df.crossJoin(rep).select(
+        *[rekeyed.get(c, F.col(c)) for c in df.columns]
+    )
+    rpl.repartition(max(32, reps // 2)).write.mode("overwrite").parquet(out)
+
+
+def build(spark, reps: int, tables: set) -> str:
+    """Write each replica as <dir>/<table>.parquet so the REAL corpus
+    query fns (load_table / register_views on an sf_dir) run against it
     unchanged."""
     sf_dir = os.path.join(SCRATCH, f"x{reps}")
-    out = os.path.join(sf_dir, "events.parquet")
-    # Reuse only a COMPLETED write: the committer drops _SUCCESS at commit,
-    # so an interrupted build (dir present, no marker) is rebuilt instead
-    # of silently reused as the full replica corpus (ADVICE r8; the
-    # overwrite mode below makes the rebuild safe).
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
-        return sf_dir
-    ev = load_table(spark, SF_DIR, "events")
-    # stride by max+1, not count (sparse ids must not collide replicas)
-    hi_user = ev.agg(F.max("user_id")).first()[0] + 1
-    hi_ev = ev.agg(F.max("event_id")).first()[0] + 1
-    (
-        ev.crossJoin(F.broadcast(spark.range(reps).select(F.col("id").alias("rep"))))
-        .select(
-            (F.col("event_id") + F.col("rep") * hi_ev).alias("event_id"),
-            F.col("ts"),
-            (F.col("user_id") + F.col("rep") * hi_user).alias("user_id"),
-            "event_type",
-            "value",
-            "props",
-        )
-        .repartition(max(32, reps // 2))
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+    strides: dict = {}
+    for table in sorted(tables):
+        out = os.path.join(sf_dir, f"{table}.parquet")
+        # Reuse only a COMPLETED write: the committer drops _SUCCESS at
+        # commit, so an interrupted build (dir present, no marker) is
+        # rebuilt instead of silently reused as the full replica corpus
+        # (ADVICE r8; the overwrite mode makes the rebuild safe).
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        _replicate(spark, reps, table, out, strides)
     return sf_dir
 
 
 def main() -> None:
-    reps_list = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    names = [
+        a for a in sys.argv[1:] if not a.isdigit() and not a.startswith("-")
+    ] or list(NAMES)
+    reps_list = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 10, 100]
     spark = get_spark("floorscale")
     queries, oracles = collect()
-    rows, results = {}, {n: {} for n in NAMES}
+    tables = {t for n in names for t in NAMES[n]}
+    rows, results = {}, {n: {} for n in names}
     for reps in reps_list:
-        sf_dir = build(spark, reps)
-        rows[reps] = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+        sf_dir = build(spark, reps, tables)
+        rows[reps] = {
+            t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+            for t in sorted(tables)
+        }
         con = duckdb.connect()
-        con.execute(
-            "CREATE VIEW events AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
-        )
-        for name in NAMES:
+        for t in sorted(tables):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+            )
+        for name in names:
             fn = getattr(queries[name], "__wrapped__", queries[name])
             spark.catalog.clearCache()
             fn(spark, sf_dir).toPandas()  # warm (codegen + page cache)
@@ -130,7 +170,10 @@ def main() -> None:
             print(f"# reps={reps} {name}: {rec}", file=sys.stderr)
         con.close()
     print(json.dumps({"rows": rows, **results}))
-    shutil.rmtree(SCRATCH, ignore_errors=True)
+    # replica corpora are kept for re-runs (a quiet re-measure shouldn't
+    # pay the 100× build again); pass --clean to reclaim the disk
+    if "--clean" in sys.argv:
+        shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -41,14 +41,30 @@ _AQE_MIN_INPUT_BYTES = 1 << 30
 
 def _input_bytes() -> int:
     """Total size of the parquet inputs the session will read (from
-    $SPARK_GRAFT_SF_DIR), or 0 if unknown."""
+    $SPARK_GRAFT_SF_DIR), or 0 if unknown.
+
+    A ``<table>.parquet`` entry may be a single file (the driver's
+    testdata) or a DIRECTORY of part files (anything Spark wrote —
+    replica corpora, compacted caches).  ``os.path.getsize`` on a
+    directory returns the dirent size (~4 KB), which under-counted a
+    1.5 GB replica as ~24 KB and left the session sized for sf0.1 —
+    8 reducers and no AQE against 60M rows (round 9, found via the
+    floor-bound probe: tpch_q3 read 5.9 s at 100× under the missized
+    session)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total = 0
     try:
-        return sum(
-            os.path.getsize(p) for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
-        )
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            else:
+                total += os.path.getsize(p)
     except OSError:
         return 0
+    return total
 
 
 def _shuffle_partitions(cpus: int) -> int:

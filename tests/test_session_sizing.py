@@ -42,3 +42,20 @@ def test_aqe_gate(monkeypatch, mode, nbytes, expected):
     monkeypatch.setenv("SPARK_GRAFT_AQE", mode)
     monkeypatch.setattr(S, "_input_bytes", lambda: nbytes)
     assert S._aqe_enabled() is expected
+
+
+def test_input_bytes_sizes_directory_datasets(monkeypatch, tmp_path):
+    """A <table>.parquet entry may be a DIRECTORY of part files (anything
+    Spark wrote); sizing must walk it — os.path.getsize on the directory
+    itself reads the dirent (~4 KB) and under-counted a 1.5 GB replica
+    corpus as ~24 KB, leaving the session at 8 reducers with AQE off
+    against 60M rows (round 9)."""
+    single = tmp_path / "plain.parquet"
+    single.write_bytes(b"x" * 1000)
+    as_dir = tmp_path / "written.parquet"
+    nested = as_dir / "part-0000"
+    nested.parent.mkdir(parents=True)
+    nested.write_bytes(b"y" * 2000)
+    (as_dir / "_SUCCESS").write_bytes(b"")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert S._input_bytes() == 3000

@@ -49,7 +49,7 @@ import duckdb
 from pyspark.sql import functions as F
 
 from steampipe_sqlite_spark.plans.registry import collect
-from steampipe_sqlite_spark.session import get_spark
+from steampipe_sqlite_spark.session import get_spark, stop_spark
 from steampipe_sqlite_spark.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -137,6 +137,15 @@ def main() -> None:
     rows, results = {}, {n: {} for n in names}
     for reps in reps_list:
         sf_dir = build(spark, reps, tables)
+        # Re-derive the session from THIS corpus: shuffle-partition count
+        # and AQE are input-sized at session build (session.py), so a
+        # session built against sf0.1 would run the 100× replica with 8
+        # reducers and no AQE — measuring a misconfigured session, not the
+        # engine's sizing policy (round 9: tpch_q3 at 100× read 5.9 s that
+        # way vs 2.2 s with the policy applied).
+        os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+        stop_spark()
+        spark = get_spark("floorscale")
         rows[reps] = {
             t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
             for t in sorted(tables)

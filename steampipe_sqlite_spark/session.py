@@ -98,11 +98,17 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         .config("spark.sql.shuffle.partitions", str(_shuffle_partitions(int(n))))
         .config("spark.sql.adaptive.enabled", str(_aqe_enabled()).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # when AQE runs (≥1 GiB input), coalesce reducers toward the
-        # advisory size instead of keeping max parallelism — fewer, fuller
-        # tasks; the initial data-scaled partition count already provides
-        # the parallelism headroom.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Keep Spark's default parallelismFirst=TRUE: coalescing toward
+        # the 64 MB advisory size was measured 2.5× slower on CPU-heavy
+        # post-shuffle stages at 100× sf0.1 (join_asof_events keyed-window
+        # sort 4.1 s → 10.4–13.2 s; tpch_q3 SMJ 4.2 s → 6.3–14.9 s) —
+        # size-first coalescing starves the sort/join of cores exactly
+        # when the work is largest.  Cost of parallelism-first: ~0.5 s of
+        # near-empty reducer scheduling on cheap hash aggregates
+        # (window_tumbling_1h 0.46 → 0.95 s at 100×) — the right side of
+        # the trade at every scale where AQE is on (round 9, measured via
+        # tools/floorbound_scale_probe.py).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")

@@ -334,3 +334,19 @@ def test_no_unbounded_global_windows_in_corpus(spark, queries):
     # build failure elsewhere, not as a misleading "stale allowlist" here.
     stale = (GLOBAL_WINDOW_BOUNDED_OK & built_ok) - justified_hits
     assert not stale, f"allowlist entries with no global window left: {stale}"
+
+
+def test_curation_pipeline_evaluates_scoring_chain_once(spark, queries):
+    """Round-9 fix pin: the curation scoring chain (2-regex normalizer)
+    must appear exactly ONCE in the physical plan.  Regressions to guard:
+    (a) a quality Filter below the scoring projection — Catalyst
+    substitutes the alias definition and re-evaluates the chain in the
+    Filter operator; (b) losing the WindowGroupLimit rewrite (the
+    conditional-SUM rank form did), which pre-prunes each map partition
+    to one row per fingerprint before the exchange."""
+    p = plan_text(queries["curation_pipeline"](spark, SF_DIR))
+    # one evaluation = the one 2-regex chain = 2 textual occurrences
+    assert p.count("regexp_replace") == 2, (
+        f"scoring chain evaluated {p.count('regexp_replace') // 2}×"
+    )
+    assert "WindowGroupLimit" in p, "fp dedup lost the group-limit prune"

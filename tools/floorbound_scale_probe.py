@@ -32,6 +32,37 @@ query forms via the registry):
   10M-row keyed window sort is real work) but the ratio falls
   monotonically 10.3 → 4.6 → 3.0; the Spark side partitions by user_id
   and scales OUT past one node, which the single-process engine cannot.
+
+Committed reading (round 9 — probe extended to the knn family,
+mm_image_decode, and tpch_q3 per VERDICT r8 #2/#4/#5; sessions are now
+re-sized per corpus, which surfaced and fixed two engine defects first:
+directory-parquet input sizing and AQE size-first coalescing — see
+session.py.  spark_s / duckdb_s (ratio), quiet window, best-of-3):
+
+  query                    1×                10×               100×
+  knn_cosine_bruteforce    0.43/0.07 (6.6)   0.38/0.28 (1.3)   1.02/1.76 (0.58)
+  knn_cosine_blas          0.57/0.07 (8.6)   0.79/0.26 (3.0)   0.44/1.67 (0.26)
+  knn_cosine_ivf           0.94/0.16 (5.8)   0.78/1.00 (0.78)  0.95/2.92 (0.32)
+  mm_image_decode          0.35/0.03 (10.4)  0.51/0.04 (12.7)  1.60/0.17 (9.2)
+  join_asof_events         0.54/0.05 (11.5)  0.82/0.19 (4.4)   3.28/0.64 (5.2)
+  window_tumbling_1h       0.53/0.02 (29.9)  0.42/0.03 (15.9)  0.69/0.06 (11.7)
+  tpch_q3                  0.49/0.07 (6.8)   0.68/0.16 (4.2)   3.24/0.54 (6.0)
+
+  knn family: the ratio CROSSES 1 — at 200k vectors the distributed
+  scoring paths (expression fold / per-partition GEMM / IVF cell
+  pruning) are outright FASTER than the single-process engine; the
+  sf0.1 ex-floor readings (2.3–3.1×) are pure fixed overhead over a
+  60–170 ms denominator.  mm_image_decode: Spark wall grows linearly
+  with full map-only parallelism (0.35 → 1.60 s at 100×) while the
+  ratio plateaus ~9–13 — the DuckDB "twin" computes a closed-form
+  arithmetic derivation and never touches the binary payloads, so the
+  plateau measures Python-decode tax vs a no-op, not a plan defect.
+  tpch_q3 / asof: ratios fall to ~5–6 and floor there — at 60M rows the
+  broadcast is no longer legal and the SMJ/keyed-window shuffle meets a
+  single-process in-memory hash join; the Spark plan is the scale-OUT
+  shape (and write_bucketed on l_orderkey/o_orderkey removes the q3
+  shuffle entirely at deployment), which the comparison engine cannot
+  extend past one node.
 """
 
 from __future__ import annotations

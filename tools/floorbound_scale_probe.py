@@ -46,6 +46,7 @@ session.py.  spark_s / duckdb_s (ratio), quiet window, best-of-3):
   mm_image_decode          0.35/0.03 (10.4)  0.51/0.04 (12.7)  1.60/0.17 (9.2)
   join_asof_events         0.54/0.05 (11.5)  0.82/0.19 (4.4)   3.28/0.64 (5.2)
   window_tumbling_1h       0.53/0.02 (29.9)  0.42/0.03 (15.9)  0.69/0.06 (11.7)
+  win_running_sum          0.43/0.05 (9.5)   0.79/0.15 (5.2)   6.90/1.78 (3.9)
   tpch_q3                  0.49/0.07 (6.8)   0.68/0.16 (4.2)   3.24/0.54 (6.0)
 
   knn family: the ratio CROSSES 1 — at 200k vectors the distributed
@@ -98,6 +99,7 @@ SCRATCH = os.path.join(
 NAMES = {
     "join_asof_events": ("events",),
     "window_tumbling_1h": ("events",),
+    "win_running_sum": ("events",),
     "knn_cosine_bruteforce": ("embeddings",),
     "knn_cosine_blas": ("embeddings",),
     "knn_cosine_ivf": ("embeddings",),
@@ -173,7 +175,7 @@ def main() -> None:
         # session built against sf0.1 would run the 100× replica with 8
         # reducers and no AQE — measuring a misconfigured session, not the
         # engine's sizing policy (round 9: tpch_q3 at 100× read 5.9 s that
-        # way vs 2.2 s with the policy applied).
+        # way vs 3.2 s with the policy applied).
         os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
         stop_spark()
         spark = get_spark("floorscale")

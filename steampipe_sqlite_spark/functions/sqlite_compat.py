@@ -263,3 +263,48 @@ def nocase_key(col: Column) -> Column:
     tests/test_sqlite_compat.py.
     """
     return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
+
+# --- blob constructors -------------------------------------------------------
+#
+# The last scalar-surface nit from the §2.3 audit: SQLite's two blob
+# constructors.  Semantics pinned against the real sqlite3 (see
+# tests/test_sqlite_compat.py):
+#   zeroblob(N)   -> max(N, 0) bytes of 0x00   (zeroblob(0) / negative -> b"")
+#   randomblob(N) -> max(N, 1) pseudo-random bytes (N < 1 -> ONE byte,
+#                    not empty — sqlite3 func.c contract)
+# Both stay inside whole-stage codegen: zeroblob is unhex(repeat('00', n));
+# randomblob derives bytes from md5 blocks over a per-row rand() seed —
+# the nondeterministic rand() sits at the Project level (where Catalyst
+# allows it) and the lambda inside transform() is deterministic given
+# that captured seed.
+
+
+def zeroblob(n) -> Column:
+    """SQLite ``zeroblob(N)`` → BinaryType of max(N, 0) zero bytes."""
+    n_col = F.lit(n) if isinstance(n, int) else n
+    n_clamped = F.greatest(n_col.cast("int"), F.lit(0))
+    return F.unhex(F.repeat(F.lit("00"), n_clamped))
+
+
+def randomblob(n, seed: int | None = None) -> Column:
+    """SQLite ``randomblob(N)`` → BinaryType of max(N, 1) pseudo-random
+    bytes.
+
+    Bytes come from md5(seed_row || ':' || block_index) blocks (16 bytes
+    each), where seed_row is one ``rand()`` draw per row — pass ``seed``
+    to make runs reproducible for tests.  Values cannot be oracle-matched
+    against another engine by construction; the testable contract is the
+    LENGTH rule and byte diversity, both pinned against sqlite3.
+    """
+    n_col = F.lit(n) if isinstance(n, int) else n
+    n_clamped = F.greatest(n_col.cast("int"), F.lit(1))
+    seed_row = (F.rand(seed) if seed is not None else F.rand()).cast("string")
+    n_blocks = F.ceil(n_clamped / F.lit(16)).cast("int")
+    hex_blocks = F.transform(
+        F.sequence(F.lit(1), n_blocks),
+        lambda i: F.md5(F.concat(seed_row, F.lit(":"), i.cast("string"))),
+    )
+    return F.unhex(
+        F.substr(F.array_join(hex_blocks, ""), F.lit(1), n_clamped * F.lit(2))
+    )

@@ -250,3 +250,41 @@ def compat_collate_nocase(spark, sf_dir):
         F.min("name").alias("first_form"),
     )
     return presentation_sort(out, ["name_nocase"])
+
+
+@query(
+    "compat_blob_constructors",
+    oracle="""
+SELECT p_partkey,
+       repeat('00', greatest(p_partkey % 7 - 2, 0)) AS zb_hex,
+       CAST(greatest(p_partkey % 7 - 2, 0) AS BIGINT) AS zb_len,
+       CAST(greatest(p_partkey % 7 - 2, 1) AS BIGINT) AS rb_len
+FROM part
+ORDER BY p_partkey
+""",
+)
+def compat_blob_constructors(spark, sf_dir):
+    """SQLite blob constructors (the last scalar-surface nit from the
+    §2.3 audit): ``zeroblob(N)`` byte-exact via its hex image and the
+    clamp-to-0 length rule; ``randomblob(N)`` witnessed through the part
+    of its contract that IS deterministic — the clamp-to-1 LENGTH rule
+    (sqlite3 func.c: N < 1 returns one byte, not zero) — with Spark
+    computing length(randomblob(k)) over real generated bytes while the
+    oracle computes the closed form.  N varies per row (k = partkey%7-2
+    spans negative/zero/positive) so both clamps are exercised.
+    Byte-level parity against stdlib sqlite3 is pinned in
+    tests/test_sqlite_compat.py::TestBlobConstructors."""
+    from steampipe_sqlite_spark.functions.sqlite_compat import (
+        randomblob,
+        zeroblob,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    k = (F.col("p_partkey") % 7 - F.lit(2)).cast("int")
+    out = part.select(
+        "p_partkey",
+        F.lower(F.hex(zeroblob(k))).alias("zb_hex"),
+        F.length(zeroblob(k)).cast("long").alias("zb_len"),
+        F.length(randomblob(k)).cast("long").alias("rb_len"),
+    )
+    return presentation_sort(out, ["p_partkey"])

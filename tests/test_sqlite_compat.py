@@ -526,3 +526,62 @@ class TestCollateNocase:
             for r in df.orderBy(nocase_key(F.col("s")), F.col("s")).collect()
         ]
         assert got == expected
+
+
+class TestBlobConstructors:
+    """zeroblob/randomblob vs stdlib sqlite3 (func.c semantics: zeroblob
+    clamps to >=0 bytes; randomblob returns ONE byte — not zero — for
+    N < 1).  Values of randomblob are unmatchable by construction, so the
+    pinned contract is lengths + byte diversity."""
+
+    def test_zeroblob_bytes_match_sqlite(self, spark, lite):
+        from steampipe_sqlite_spark.functions.sqlite_compat import zeroblob
+
+        for n in (-3, 0, 1, 4, 17):
+            expected = lite.execute(f"SELECT zeroblob({n})").fetchone()[0]
+            got = (
+                spark.range(1)
+                .select(zeroblob(n).alias("b"))
+                .collect()[0]
+                .b
+            )
+            assert bytes(got) == expected, n
+
+    def test_randomblob_length_rule_matches_sqlite(self, spark, lite):
+        from steampipe_sqlite_spark.functions.sqlite_compat import randomblob
+
+        for n in (-2, 0, 1, 7, 16, 33):
+            expected = lite.execute(
+                f"SELECT length(randomblob({n}))"
+            ).fetchone()[0]
+            got = (
+                spark.range(1)
+                .select(F.length(randomblob(n, seed=11)).alias("n"))
+                .collect()[0]
+                .n
+            )
+            assert got == expected, n
+
+    def test_randomblob_bytes_vary(self, spark):
+        from steampipe_sqlite_spark.functions.sqlite_compat import randomblob
+
+        rows = (
+            spark.range(8)
+            .select(F.hex(randomblob(32, seed=5)).alias("h"))
+            .collect()
+        )
+        hexes = [r.h for r in rows]
+        # per-row draws differ, and within a row the bytes are not constant
+        assert len(set(hexes)) == len(hexes)
+        assert all(len(set(h)) > 4 for h in hexes)
+        # column-N form: length follows the column value under the clamp
+        lens = (
+            spark.range(5)
+            .select(
+                F.length(
+                    randomblob(F.col("id").cast("int") - F.lit(2), seed=3)
+                ).alias("n")
+            )
+            .collect()
+        )
+        assert [r.n for r in lens] == [1, 1, 1, 1, 2]

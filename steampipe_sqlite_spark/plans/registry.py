@@ -406,10 +406,12 @@ _WINDOW_PRIORITY = [
     # checked in round 3 or 4; nothing checked after r5 is in the
     # window except the two new round-9 queries, which need their first
     # driver row) ----
-    # the 2 round-9 additions (selfcheck-green at sf0.001 + sf0.01 on
-    # creation; sqlite3-parity tests for the NOCASE fold):
+    # the 3 round-9 additions (selfcheck-green at sf0.01 — full 285/285
+    # chunked sweep — on creation; sqlite3-parity tests for the NOCASE
+    # fold and the blob-constructor clamps):
     "text_bpe_apply_fidelity",
     "compat_collate_nocase",
+    "compat_blob_constructors",
     # the 37 names whose last driver row is the r3 window:
     "tpch_q19",
     "tpch_q20",
@@ -459,10 +461,12 @@ _WINDOW_PRIORITY = [
     "agg_array_ops",
     "sketch_hll_users",
     "join_asof_events",
+    # ---- tail (behind the 50-slot window; win_running_sum rolled out
+    # when compat_blob_constructors took a first-row slot — round-10
+    # rotation starts there, then continues the r4 backfill:
+    # cte_recursive, window_tumbling_1h, mm_media_inventory, the win_*
+    # frame variants, then the r5 names)
     "win_running_sum",
-    # ---- tail (behind the 50-slot window; round-10 rotation continues
-    # the r4 backfill: cte_recursive, window_tumbling_1h,
-    # mm_media_inventory, the win_* frame variants, then the r5 names)
 ]
 
 

@@ -48,6 +48,7 @@ session.py.  spark_s / duckdb_s (ratio), quiet window, best-of-3):
   window_tumbling_1h       0.53/0.02 (29.9)  0.42/0.03 (15.9)  0.69/0.06 (11.7)
   win_running_sum          0.43/0.05 (9.5)   0.79/0.15 (5.2)   6.90/1.78 (3.9)
   tpch_q3                  0.49/0.07 (6.8)   0.68/0.16 (4.2)   3.24/0.54 (6.0)
+  tpch_q9                  0.53/0.06 (8.7)   1.01/0.12 (8.3)   3.49/0.60 (5.8)
 
   knn family: the ratio CROSSES 1 — at 200k vectors the distributed
   scoring paths (expression fold / per-partition GEMM / IVF cell
@@ -63,7 +64,11 @@ session.py.  spark_s / duckdb_s (ratio), quiet window, best-of-3):
   single-process in-memory hash join; the Spark plan is the scale-OUT
   shape (and write_bucketed on l_orderkey/o_orderkey removes the q3
   shuffle entirely at deployment), which the comparison engine cannot
-  extend past one node.
+  extend past one node.  tpch_q9 (row added round 9 when it grazed the
+  2× ex-floor bar at 2.17): same family — facts replicated 100×, the
+  part/supplier/nation catalog fixed (the DIMS model), so the
+  part/supplier joins stay broadcast at every scale and only the
+  lineitem⋈orders SMJ grows; ratio 8.7 → 8.3 → 5.8, converging like q3.
 """
 
 from __future__ import annotations
@@ -105,7 +110,15 @@ NAMES = {
     "knn_cosine_ivf": ("embeddings",),
     "mm_image_decode": ("documents",),
     "tpch_q3": ("lineitem", "orders", "customer"),
+    "tpch_q9": ("lineitem", "orders", "part", "supplier", "nation"),
 }
+
+# Dimension tables are NOT replicated (written once at 1×): the realistic
+# 100 TB growth model is more order volume over the same part/supplier
+# catalog, and it keeps the existing fact rekey recipe valid — lineitem's
+# l_partkey/l_suppkey still resolve against the fixed catalog while
+# l_orderkey strides with the replicated orders.
+DIMS = {"part", "supplier", "partsupp", "nation", "region"}
 
 # (table, column) pairs re-keyed per replica.  Foreign keys share the
 # referenced table's stride so join cardinality per key is preserved
@@ -127,7 +140,7 @@ def _replicate(spark, reps: int, table: str, out: str, strides: dict) -> None:
     df = load_table(spark, SF_DIR, table)
     rep = F.broadcast(spark.range(reps).select(F.col("id").alias("rep")))
     rekeyed = {}
-    for col, src_table, src_col in _REKEY[table]:
+    for col, src_table, src_col in _REKEY.get(table, []):
         key = (src_table, src_col)
         if key not in strides:
             # stride by max+1, not count (sparse ids must not collide)
@@ -155,7 +168,7 @@ def build(spark, reps: int, tables: set) -> str:
         # (ADVICE r8; the overwrite mode makes the rebuild safe).
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
-        _replicate(spark, reps, table, out, strides)
+        _replicate(spark, 1 if table in DIMS else reps, table, out, strides)
     return sf_dir
 
 

@@ -350,3 +350,44 @@ def test_curation_pipeline_evaluates_scoring_chain_once(spark, queries):
         f"scoring chain evaluated {p.count('regexp_replace') // 2}×"
     )
     assert "WindowGroupLimit" in p, "fp dedup lost the group-limit prune"
+
+
+# Row-at-a-time Python UDTFs witnessing SQLite's table-valued-function
+# surface — bounded by construction (region: 5 rows; the JSON trees they
+# walk are per-row documents).  Scalar row-at-a-time BatchEvalPython has
+# NO allowlist: the corpus must stay Arrow-batched (ArrowEvalPython /
+# MapInPandas / FlatMapGroupsInPandas) wherever Python is unavoidable.
+ROW_UDTF_WITNESS_OK = {"tvf_generate_series"}
+
+
+def test_corpus_has_no_cartesian_or_row_python_stages(spark, queries):
+    """Corpus-wide anti-pattern gate (one plan build per query, sf0.001):
+    no CartesianProduct anywhere — a shuffle-cross is never the right
+    shape at 100 TB — and no row-at-a-time scalar Python stage
+    (BatchEvalPython without the UDTF suffix); Python must enter plans
+    only as Arrow-batched stages.  PLANS.md records the same census for
+    the committed sf0.01 run; this test keeps it true at build time."""
+    cartesian, row_python = {}, {}
+    udtf_hits = set()
+    built_ok = set()
+    for name, fn in queries.items():
+        try:
+            p = plan_text(fn(spark, SF_DIR))
+        except Exception:  # noqa: BLE001 — build errors are other tests' job
+            continue
+        built_ok.add(name)
+        if "CartesianProduct" in p:
+            cartesian[name] = True
+        # match the scalar node, not BatchEvalPythonUDTF
+        for m in re.finditer(r"BatchEvalPython(UDTF)?", p):
+            if m.group(1):
+                udtf_hits.add(name)
+            else:
+                row_python[name] = True
+    assert not cartesian, f"CartesianProduct in: {sorted(cartesian)}"
+    assert not row_python, f"row-at-a-time Python UDF stages in: {sorted(row_python)}"
+    unexpected_udtf = udtf_hits - ROW_UDTF_WITNESS_OK
+    assert not unexpected_udtf, f"unallowlisted row UDTFs: {sorted(unexpected_udtf)}"
+    # anti-rot: the allowlisted witness must still be a UDTF plan
+    stale = (ROW_UDTF_WITNESS_OK & built_ok) - udtf_hits
+    assert not stale, f"UDTF allowlist entries with no UDTF node left: {stale}"

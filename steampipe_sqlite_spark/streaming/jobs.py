@@ -193,13 +193,17 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     the batch GROUP BY oracle valid.  State size is O(distinct users);
     Spark shuffles each micro-batch once on user_id.
     """
-    import pandas as pd  # local import: executes on workers
+    import numpy as np  # local imports: execute on workers
+    import pandas as pd
 
     def update(key, pdfs, state):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+            # np.rint is round-half-even like Series.round — same cents,
+            # ~20x less per-key overhead (the probe's 0.15 ms/key tax is
+            # dominated by pandas intermediates on 1-10 row frames)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
@@ -263,19 +267,27 @@ def cdc_latest_state_stream(events: DataFrame) -> DataFrame:
     shuffles once on user_id and state size is O(distinct keys), so the
     job runs forever on an unbounded changelog.
     """
-    import pandas as pd  # local import: executes on workers
+    import numpy as np  # local imports: execute on workers
+    import pandas as pd
 
     def update(key, pdfs, state):
         cur = state.get if state.exists else None
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            # argmax by (ts, event_id) via lexsort — a full sort_values +
+            # iloc row extraction costs ~0.6 ms per key on tiny frames
+            # (the applyInPandasWithState throughput probe's dominant
+            # tax); the datetime64[us] cast is also unit-robust where
+            # `.value // 1000` assumed nanos.
+            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            eid = pdf["event_id"].to_numpy()
+            i = int(np.lexsort((eid, ts_us))[-1])
             cand = (
-                int(top["ts"].value // 1_000),
-                int(top["event_id"]),
-                str(top["event_type"]),
-                float(top["value"]),
+                int(ts_us[i]),
+                int(eid[i]),
+                str(pdf["event_type"].iat[i]),
+                float(pdf["value"].iat[i]),
             )
             if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
                 cur = cand

@@ -226,6 +226,18 @@ def sqlite_datetime(ts: Column, *modifiers: str) -> Column:
     return F.date_format(apply_modifiers(ts, *modifiers), "yyyy-MM-dd HH:mm:ss")
 
 
+def sqlite_time(ts: Column, *modifiers: str) -> Column:
+    """SQLite ``time`` → 'HH:MM:SS' string, same modifier pipeline.
+
+    ``timediff`` (SQLite 3.43+) is NOT shimmed: this environment's
+    stdlib sqlite3 is 3.40 (no parity oracle can run), same rejection
+    class as the real media decoders — documented, not stubbed.
+    """
+    return F.date_format(
+        apply_modifiers(ts, *modifiers).cast("timestamp"), "HH:mm:ss"
+    )
+
+
 def julianday(ts: Column, *modifiers: str) -> Column:
     """SQLite ``julianday``: days since noon UTC, 4714-11-24 BCE.
 

@@ -11,6 +11,7 @@ from steampipe_sqlite_spark.functions.sqlite_compat import (
     glob_match,
     julianday,
     sqlite_date,
+    sqlite_time,
     strftime,
     unixepoch,
 )
@@ -73,15 +74,18 @@ def compat_strftime_month_rollup(spark, sf_dir):
 SELECT o_orderkey,
        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-       epoch(o_orderdate) / 86400.0 + 2440587.5 AS jd
+       epoch(o_orderdate) / 86400.0 + 2440587.5 AS jd,
+       strftime(o_orderdate + INTERVAL 90 MINUTE, '%H:%M:%S') AS t_plus90
 FROM orders
 WHERE o_orderkey < 100
 ORDER BY o_orderkey
 """,
 )
 def compat_date_functions(spark, sf_dir):
-    """date(ts, 'start of month'), unixepoch(ts), julianday(ts) — the
-    remaining SQLite date functions on one projection."""
+    """date(ts, 'start of month'), unixepoch(ts), julianday(ts),
+    time(ts, '+90 minutes') — the remaining SQLite date functions on one
+    projection (timediff needs SQLite 3.43+, above this environment's
+    stdlib 3.40 — documented rejection in sqlite_compat.sqlite_time)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_orderkey") < 100)
@@ -90,6 +94,7 @@ def compat_date_functions(spark, sf_dir):
             sqlite_date(F.col("o_orderdate"), "start of month").alias("month_start"),
             unixepoch(F.col("o_orderdate")).alias("epoch_s"),
             julianday(F.col("o_orderdate")).alias("jd"),
+            sqlite_time(F.col("o_orderdate"), "+90 minutes").alias("t_plus90"),
         )
         .orderBy("o_orderkey")
     )

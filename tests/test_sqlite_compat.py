@@ -13,6 +13,7 @@ from steampipe_sqlite_spark.functions.sqlite_compat import (
     julianday,
     sqlite_date,
     sqlite_datetime,
+    sqlite_time,
     strftime,
     unixepoch,
 )
@@ -87,6 +88,16 @@ def test_date_and_datetime_with_modifiers(spark, lite):
         ]
         got_dt = _spark_vals(spark, lambda c, m=mods: sqlite_datetime(c, *m))
         assert got_dt == exp_dt, f"datetime mods {mods}"
+
+
+def test_time_with_modifiers(spark, lite):
+    for mods in MODIFIER_SETS:
+        expected = [
+            lite.execute(f"SELECT time(?{',?' * len(mods)})", (t, *mods)).fetchone()[0]
+            for t in TS_SAMPLES
+        ]
+        got = _spark_vals(spark, lambda c, m=mods: sqlite_time(c, *m))
+        assert got == expected, f"time mods {mods}"
 
 
 def test_strftime_token_subset(spark, lite):

@@ -271,10 +271,12 @@ def main() -> None:
         for n in comparable
         if duck[n] > 0
     }
+    # Full diagnostic line (floor anatomy, noise sentinels, ex-floor
+    # ratios) — for humans and BENCH_INTERLEAVED-style analysis.
     print(
         json.dumps(
             {
-                "metric": "headline_total_best_of_5",
+                "metric": "headline_total_best_of_5_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
@@ -287,6 +289,24 @@ def main() -> None:
                 "noise": noise,
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "ratio_ex_floor_per_query": ratio_ex_floor,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    # Compact contract line LAST (VERDICT r9 #3): the driver's tail
+    # capture truncated the detail line in r8/r9 leaving "parsed": null,
+    # so the machine-readable summary — totals + per-query spark/duckdb
+    # seconds only — must be the final stdout line and stay small.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_best_of_5",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "duckdb": duck,
+                "duckdb_total": round(duck_comp, 3),
+                "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -286,10 +286,13 @@ def nocase_key(col: Column) -> Column:
 #   randomblob(N) -> max(N, 1) pseudo-random bytes (N < 1 -> ONE byte,
 #                    not empty — sqlite3 func.c contract)
 # Both stay inside whole-stage codegen: zeroblob is unhex(repeat('00', n));
-# randomblob derives bytes from md5 blocks over a per-row rand() seed —
-# the nondeterministic rand() sits at the Project level (where Catalyst
-# allows it) and the lambda inside transform() is deterministic given
-# that captured seed.
+# randomblob derives bytes from md5(rand() || ':' || block_index) blocks.
+# NOTE (ADVICE r9): the rand() node sits inside the transform() lambda
+# body and nondeterministic expressions are excluded from CSE, so it is
+# re-evaluated per array element — each 16-byte block gets an INDEPENDENT
+# draw rather than sharing one per-row seed.  That is fine for the pinned
+# contract (length clamp + byte diversity both hold either way; the
+# values are unreproducible across engines by construction regardless).
 
 
 def zeroblob(n) -> Column:
@@ -303,11 +306,15 @@ def randomblob(n, seed: int | None = None) -> Column:
     """SQLite ``randomblob(N)`` → BinaryType of max(N, 1) pseudo-random
     bytes.
 
-    Bytes come from md5(seed_row || ':' || block_index) blocks (16 bytes
-    each), where seed_row is one ``rand()`` draw per row — pass ``seed``
-    to make runs reproducible for tests.  Values cannot be oracle-matched
-    against another engine by construction; the testable contract is the
-    LENGTH rule and byte diversity, both pinned against sqlite3.
+    Bytes come from md5(rand() || ':' || block_index) blocks (16 bytes
+    each).  Because ``rand()`` is nondeterministic it is excluded from
+    common-subexpression elimination, so the draw inside the transform()
+    lambda is re-evaluated per block — each block derives from an
+    INDEPENDENT draw, not a shared per-row seed (ADVICE r9; pass ``seed``
+    to seed the generator for tests, which makes runs reproducible at
+    fixed partitioning).  Values cannot be oracle-matched against another
+    engine by construction; the testable contract is the LENGTH rule and
+    byte diversity, both pinned against sqlite3.
     """
     n_col = F.lit(n) if isinstance(n, int) else n
     n_clamped = F.greatest(n_col.cast("int"), F.lit(1))

@@ -91,12 +91,22 @@ def _owned_persists(spark: "SparkSession") -> dict:
 
 class _SupersededPlan:
     """Poison pill installed as the ``_jdf`` of a superseded build's
-    DataFrame: ANY further use (collect/count/show/schema — they all go
-    through ``_jdf``) raises instead of re-executing a plan whose baked
-    partition offsets refer to released data (ADVICE r8: before this, a
-    caller re-executing the old frame after a rebuild resampled
-    repartitionByRange boundaries under stale offsets and got silently
-    wrong ranks)."""
+    DataFrame: further use of THAT object (collect/count/show/schema —
+    they all go through ``_jdf``) raises instead of re-executing a plan
+    whose baked partition offsets refer to released data (ADVICE r8:
+    before this, a caller re-executing the old frame after a rebuild
+    resampled repartitionByRange boundaries under stale offsets and got
+    silently wrong ranks).
+
+    SCOPE (ADVICE r9): only the top-level DataFrame the registry
+    returned is poisoned.  A frame DERIVED from it before the rebuild
+    (``df.select(...)``, a child captured by a bench loop) carries its
+    own ``_jdf`` and will still re-execute under the stale baked
+    offsets.  This is accepted: the registry's contract is that callers
+    hold the returned frame and re-invoke the query after any
+    plan_cache=False rebuild; plan-level invalidation of every derived
+    child would require tracking Catalyst plan identity across py4j,
+    which Spark does not expose."""
 
     def __init__(self, qname: str):
         object.__setattr__(self, "_qname", qname)
@@ -399,74 +409,68 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # sf0.01 AND sf0.1 when added), leaving 38 slots for backfilling the oldest driver-green names (the
 # backfill list below is the start; continue with the r3 greens).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-9 WINDOW (50 slots; VERDICT r8 #6 — with the
-    # never-checked backlog at 0, rotate strictly by least-recently-
-    # checked: per-name last-green rounds computed from the committed
-    # CORRECTNESS_r0{1..8}.json artifacts.  Every name below was last
-    # checked in round 3 or 4; nothing checked after r5 is in the
-    # window except the two new round-9 queries, which need their first
-    # driver row) ----
-    # the 3 round-9 additions (selfcheck-green at sf0.01 — full 285/285
-    # chunked sweep — on creation; sqlite3-parity tests for the NOCASE
-    # fold and the blob-constructor clamps):
-    "text_bpe_apply_fidelity",
-    "compat_collate_nocase",
-    "compat_blob_constructors",
-    # the 37 names whose last driver row is the r3 window:
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "join_right_outer",
-    "join_cross",
-    "join_theta_range",
-    "join_using_natural",
-    "join_broadcast_hint",
-    "join_nullsafe_eq",
-    "orderby_limit_offset",
-    "orderby_nulls_last",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "group_cube",
-    "group_grouping_sets",
-    "win_row_number_topk",
-    "win_rank_family",
-    "win_ntile",
-    "win_lag_lead",
-    "win_first_last_nth",
-    "win_sliding_rows",
-    "win_agg_over_unbounded",
-    "subq_scalar_uncorrelated",
-    "subq_scalar_correlated",
-    "subq_in",
-    "subq_derived_table",
-    "values_inline",
-    "unpivot_stack",
-    "sessionize_events",
-    "dedup_components",
-    "knn_cosine_int8",
-    "text_decontaminate",
-    "text_gopher_flags",
-    "sample_balanced_per_group",
-    "streaming_tumbling_1h",
-    # …then the 11 oldest round-4-window names (artifact order):
-    "date_extract_parts",
-    "date_trunc_buckets",
-    "date_format_epoch",
-    "json_extract_scalar",
-    "json_group_array",
-    "tvf_json_each",
-    "json_variant_extract",
-    "agg_array_ops",
-    "sketch_hll_users",
-    "join_asof_events",
-    # ---- tail (behind the 50-slot window; win_running_sum rolled out
-    # when compat_blob_constructors took a first-row slot — round-10
-    # rotation starts there, then continues the r4 backfill:
-    # cte_recursive, window_tumbling_1h, mm_media_inventory, the win_*
-    # frame variants, then the r5 names)
+    # ---- ROUND-10 WINDOW (50 slots; VERDICT r9 #5 — continue strict
+    # least-recently-checked rotation: per-name last-green rounds
+    # computed from the committed CORRECTNESS_r0{1..9}.json artifacts,
+    # EXCLUDING the current round's own artifact (which records this
+    # very window and would otherwise mark every member fresh — the
+    # r9 time-bomb fixed per VERDICT r9 #1).  No round-10 query
+    # additions, so the window is pure backfill: every name below was
+    # last checked in round 4 or 5; nothing checked after r5 is in the
+    # window. ----
+    # the 36 names whose last driver row is the r4 window (artifact order):
+    "mm_media_inventory",
+    "win_global_rownum_scale",
     "win_running_sum",
+    "win_groups_frame",
+    "win_exclude_current_row",
+    "win_exclude_group",
+    "cte_recursive",
+    "agg_count_distinct",
+    "agg_minmax_stats",
+    "agg_string_concat",
+    "having_clause",
+    "join_range_binned",
+    "join_interval_overlap",
+    "window_rollup_hierarchy",
+    "text_repetition_flags",
+    "text_decontaminate_bloom",
+    "text_boilerplate_strip",
+    "text_pii_redact",
+    "cluster_kmeans",
+    "dedup_semantic",
+    "dedup_incremental",
+    "sketch_hll_users_by_type",
+    "sketch_quantile_hist",
+    "profile_documents",
+    "pack_length_buckets",
+    "dataset_shuffle_shards",
+    "group_zscore_pandas",
+    "agg_gmean_pandas",
+    "window_tumbling_1h",
+    "window_session_5m",
+    "streaming_stateful_user_totals",
+    "streaming_stream_stream_join",
+    "streaming_dedup_watermark",
+    "tvf_generate_series",
+    "json_sqlite_type_valid_quote",
+    "json_sqlite_mutators",
+    # …then the first 14 of the 49 r5-window names (artifact order) —
+    # the remaining 35 r5 names start the round-11 rotation:
+    "window_sliding_1h_30m",
+    "streaming_sliding_30m",
+    "json_build_and_length",
+    "tpch_q1_dataframe",
+    "distinct_pairs",
+    "compat_scalar_misc",
+    "sketch_topk_tokens",
+    "text_chunk_sliding",
+    "ts_gapfill_locf",
+    "sample_weighted_md5",
+    "dedup_cdc_chunks",
+    "knn_cosine_blas",
+    "cdc_latest_state",
+    "cdc_scd2_intervals",
 ]
 
 

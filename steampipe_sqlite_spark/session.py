@@ -52,18 +52,24 @@ def _input_bytes() -> int:
     floor-bound probe: tpch_q3 read 5.9 s at 100× under the missized
     session)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def _size(path: str) -> int:
+        # Per-file tolerance (ADVICE r9): a temp/part file deleted
+        # concurrently mid-walk must not discard the accumulated total —
+        # returning 0 sizes the session as "unknown input" (AQE off,
+        # minimum reducers), the exact missizing this walk exists to fix.
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+
     total = 0
-    try:
-        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-            if os.path.isdir(p):
-                for root, _dirs, files in os.walk(p):
-                    total += sum(
-                        os.path.getsize(os.path.join(root, f)) for f in files
-                    )
-            else:
-                total += os.path.getsize(p)
-    except OSError:
-        return 0
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(_size(os.path.join(root, f)) for f in files)
+        else:
+            total += _size(p)
     return total
 
 

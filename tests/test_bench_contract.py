@@ -19,34 +19,43 @@ def test_headline_queries_registered_with_oracles():
     assert RUNS >= 3
 
 
-def test_round9_driver_window_is_least_recently_checked():
+# The round this _WINDOW_PRIORITY was built for.  Freshness below is
+# computed ONLY from driver artifacts of rounds BEFORE this one: the
+# driver drops CORRECTNESS_r{WINDOW_ROUND}.json mid-round recording the
+# very window this test polices, so including it would mark every member
+# fresh and fail the assertion (the round-9 time bomb — VERDICT r9 #1).
+WINDOW_ROUND = 10
+
+
+def test_round10_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-9 rotation (VERDICT r8 #6) is strictly least-recently-checked —
-    the 2 new round-9 queries (first driver row) plus names whose last
-    green row is the r3/r4 window.  Pin both the new names and the
-    freshness property so a registration-order or priority-list refactor
-    can't silently evict them."""
+    round-10 rotation (VERDICT r9 #5) is strictly least-recently-checked —
+    pure backfill of the 36 r4-window names plus the 14 oldest r5-window
+    names (no new round-10 queries).  Pin the freshness property so a
+    registration-order or priority-list refactor can't silently evict
+    them, computing last-checked ONLY from pre-window-round artifacts."""
     import glob
     import json
+    import re
 
     sys.path.insert(0, "/root/repo")
     from steampipe_sqlite_spark.plans.registry import collect
 
     q, _ = collect()
     window = list(q)[:50]
-    must_lead = {"text_bpe_apply_fidelity", "compat_collate_nocase"}
-    missing = must_lead - set(window)
-    assert not missing, f"rotation window lost the new round-9 names: {missing}"
-    # freshness: no window member (other than new names) was last checked
-    # after round 5 — computed from the committed driver artifacts
     last = {}
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
-        rnd = int(f.rsplit("r0", 1)[1].split(".")[0])
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
+        if rnd >= WINDOW_ROUND:
+            continue  # the window's own (or a later) artifact — see above
         for name in json.load(open(f)):
             last[name] = max(last.get(name, 0), rnd)
-    stale_violations = [
-        n for n in window if n in last and last[n] > 5
-    ]
+    stale_violations = [n for n in window if last.get(n, 0) > 5]
     assert not stale_violations, (
         f"window contains recently-checked names: {stale_violations}"
+    )
+    never_checked = [n for n in window if n not in last]
+    assert not never_checked, (
+        f"window members missing any pre-r{WINDOW_ROUND} green row: "
+        f"{never_checked}"
     )

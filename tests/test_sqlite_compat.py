@@ -596,3 +596,84 @@ class TestBlobConstructors:
             .collect()
         )
         assert [r.n for r in lens] == [1, 1, 1, 1, 2]
+
+
+class TestTimeModifierWitness:
+    """Per-value sqlite3 parity for the exact modifier chains the
+    compat_time_modifiers corpus entry witnesses (VERDICT r9 #7) —
+    month-end samples force the overflow-normalization carry (SQLite
+    rolls Jan 31 +1 month into March; Spark's interval add clamps and
+    the shim re-adds the clamped days), leap-February included."""
+
+    HARD_TS = [
+        "2023-01-31 00:00:00",  # +13 months crosses leap Feb 2024
+        "2023-01-30 00:00:00",
+        "2024-01-31 00:00:00",  # +13 months into non-leap Feb 2025
+        "2023-03-31 00:00:00",
+        "2023-12-31 00:00:00",
+        "2024-02-29 00:00:00",  # leap day source
+        "1995-07-16 12:34:56",  # mid-month, non-midnight control
+        "1997-01-06 00:00:00",  # a Monday — weekday 1 must NOT move
+        "1997-01-08 00:00:00",  # a Wednesday — weekday 3 must NOT move
+    ]
+
+    def test_corpus_columns_match_sqlite(self, spark, lite):
+        cases = [
+            ("date", lambda c: sqlite_date(c, "weekday 1"), ("weekday 1",)),
+            ("date", lambda c: sqlite_date(c, "+13 months"), ("+13 months",)),
+            (
+                "datetime",
+                lambda c: sqlite_datetime(
+                    c, "weekday 3", "+36 hours", "-30 minutes"
+                ),
+                ("weekday 3", "+36 hours", "-30 minutes"),
+            ),
+            (
+                "time",
+                lambda c: sqlite_time(c, "start of day", "-90 seconds"),
+                ("start of day", "-90 seconds"),
+            ),
+        ]
+        df = spark.createDataFrame([(t,) for t in self.HARD_TS], ["s"])
+        for fn_name, col, mods in cases:
+            expected = [
+                lite.execute(
+                    f"SELECT {fn_name}(?{',?' * len(mods)})", (t, *mods)
+                ).fetchone()[0]
+                for t in self.HARD_TS
+            ]
+            got = [
+                r.v
+                for r in df.select(
+                    col(F.to_timestamp(F.col("s"))).alias("v")
+                ).collect()
+            ]
+            assert got == expected, f"{fn_name} mods {mods}"
+
+    def test_month_overflow_normalization_span(self, spark, lite):
+        # every month-end of 2023 + 1/13/25 months — the carry must match
+        # sqlite3's computeYMD_HMS normalization everywhere, not just at
+        # the corpus chain's 13
+        import calendar
+
+        ends = [
+            f"2023-{m:02d}-{calendar.monthrange(2023, m)[1]:02d} 10:30:00"
+            for m in range(1, 13)
+        ]
+        df = spark.createDataFrame([(t,) for t in ends], ["s"])
+        for n in (1, 13, 25):
+            expected = [
+                lite.execute(
+                    "SELECT datetime(?, ?)", (t, f"+{n} months")
+                ).fetchone()[0]
+                for t in ends
+            ]
+            got = [
+                r.v
+                for r in df.select(
+                    sqlite_datetime(
+                        F.to_timestamp(F.col("s")), f"+{n} months"
+                    ).alias("v")
+                ).collect()
+            ]
+            assert got == expected, f"+{n} months over 2023 month-ends"

@@ -59,3 +59,34 @@ def test_round10_driver_window_is_least_recently_checked():
         f"window members missing any pre-r{WINDOW_ROUND} green row: "
         f"{never_checked}"
     )
+
+
+def test_compact_summary_line_fits_driver_tail_capture():
+    """The driver records only the LAST ~2000 stdout chars and parses the
+    last JSON line out of them (BENCH_r07 parsed; r08/r09 did not once the
+    single detail line outgrew the window).  bench.py now prints a compact
+    summary as its final line — pin that a worst-case rendering of it
+    (every per-query float at full width) still fits with headroom, so
+    adding a headline query can't silently break ``parsed`` again."""
+    import json
+
+    sys.path.insert(0, "/root/repo")
+    from bench import HEADLINE
+
+    worst = {n: 123.456 for n in HEADLINE}
+    line = json.dumps(
+        {
+            "metric": "headline_total_best_of_5",
+            "value": 12345.678,
+            "unit": "sec",
+            "queries": worst,
+            "duckdb": worst,
+            "duckdb_total": 12345.678,
+            "ratio_vs_duckdb": 123.456,
+            "sf": 0.001,
+        }
+    )
+    assert len(line) < 1800, (
+        f"compact bench summary is {len(line)} chars — within 200 of the "
+        "driver's 2000-char tail capture; trim fields or shorten names"
+    )

@@ -582,6 +582,124 @@ def dedup_exact_q(spark, sf_dir):
     return dedup_exact(doubled, "text", "doc_id").orderBy("keep_id")
 
 
+# The oracle replays functions/urls.py's canonicalization step chain as
+# a CTE ladder.  Regexes are shared verbatim between Java regex and RE2;
+# the ONE cross-engine divergence is regexp_replace's default scope —
+# Spark replaces all occurrences, DuckDB only the first without the 'g'
+# flag — so the slash-collapse spells the flag explicitly.
+_URL_CANON_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+           CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+           'crawl.example.com',
+           CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+           '/Articles//', CAST(doc_id % 113 AS VARCHAR),
+           CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+           '?id=', CAST(doc_id % 113 AS VARCHAR),
+           CASE WHEN doc_id % 2 = 0 THEN '&utm_source=feed&utm_medium=rss' ELSE '' END,
+           CASE WHEN doc_id % 7 = 0 THEN '&ref=homepage' ELSE '' END,
+           '&z=26&a=1',
+           CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM raw
+), s2 AS (
+  SELECT *, lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme FROM s1
+), s3 AS (
+  SELECT *, substr(u, length(scheme) + 4) AS rest FROM s2
+), s4 AS (
+  SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport FROM s3
+), s5 AS (
+  SELECT *,
+         CASE WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+         substr(rest, length(hostport) + 1) AS tail
+  FROM s4
+), s6 AS (
+  SELECT *, regexp_extract(tail, '^([^?]*)', 1) AS path0 FROM s5
+), s7 AS (
+  SELECT *,
+         CASE WHEN length(tail) > length(path0)
+              THEN substr(tail, length(path0) + 2) ELSE '' END AS query
+  FROM s6
+), s8 AS (
+  SELECT *,
+         CASE WHEN regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '/$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '/$', '') END AS path,
+         array_to_string(list_sort(list_filter(str_split(query, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS qs
+  FROM s7
+)
+SELECT scheme || '://' || host || path
+         || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url,
+       COUNT(*) AS group_size,
+       COUNT(DISTINCT url) AS n_raw_forms,
+       MIN(doc_id) AS keep_id
+FROM s8
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+@query("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
+def dedup_url_canonical_q(spark, sf_dir):
+    """URL-keyed first-stage dedup (the cheapest collapse in a crawl
+    pipeline, run before any content dedup): canonicalize per
+    functions/urls.canonical_url — scheme/host case, www, default
+    ports, duplicate/trailing slashes, fragments, tracking params,
+    param order — then one hash-groupBy on the canonical key.
+
+    The fixture has no URL column, so raw URLs are synthesized
+    IDENTICALLY in both engines from doc_id residues: the canonical key
+    is doc_id % 113 (~4-5 docs/group over the 500-doc fixture) while
+    independent residues (%2 scheme case + utm, %3 www, %4 :443,
+    %5 trailing slash, %7 ref, %11 fragment) vary the RAW form within
+    each group — n_raw_forms > 1 proves the canonicalizer, not the
+    generator, does the collapsing.  Scale shape: map-only projection +
+    one groupBy shuffle on the canonical key; per-case expectations and
+    idempotence pinned in tests/test_urls.py."""
+    from steampipe_sqlite_spark.functions.urls import canonical_url
+
+    d = F.col("doc_id")
+    key = (d % 113).cast("string")
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("crawl.example.com"),
+            F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Articles//"),
+            key,
+            F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?id="),
+            key,
+            F.when(d % 2 == 0, F.lit("&utm_source=feed&utm_medium=rss")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 7 == 0, F.lit("&ref=homepage")).otherwise(F.lit("")),
+            F.lit("&z=26&a=1"),
+            F.when(d % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", "url", canonical_url(F.col("url")).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("keep_id")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""

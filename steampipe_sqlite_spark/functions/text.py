@@ -168,3 +168,40 @@ def chunk_sliding(
             " s -> s.token), ' ')"
         ).alias("chunk_text"),
     )
+
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalizer (pandas UDF).
+
+    NFC normalization before hashing is a standard crawl-pipeline step:
+    composed ``é`` (U+00E9) and decomposed ``e``+U+0301 hash differently
+    but are the same text, so every downstream exact/near dedup key
+    under-collapses without it.  Spark has no built-in normalizer, so
+    this is the documented Python path — Arrow batches, ``str.translate``
+    -free, one ``unicodedata.normalize`` call per string.
+
+    100 TB shape: do NOT run this over the whole corpus — ASCII strings
+    are NFC by definition, so gate JVM-side with
+    ``rlike '^[\\x00-\\x7F]*$'`` and route ONLY non-ASCII rows through
+    the UDF (see nfc_normalized_column in plans/llm.py's
+    text_nfc_dedup entry: a two-branch union keeps the Python stage off
+    the typically-ASCII-dominated bulk).  Oracle twin: DuckDB's native
+    ``nfc_normalize`` (same canonical composition tables).
+    """
+    # module-level pandas import: `from __future__ import annotations`
+    # stringifies the hints and pandas_udf resolves them from MODULE
+    # globals, so a function-local `import pandas as pd` leaves
+    # 'pd.Series' unresolvable (UNSUPPORTED_SIGNATURE)
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc

@@ -647,6 +647,75 @@ ORDER BY keep_id
 """
 
 
+# Unicode NFC dedup witness.  Raw strings are synthesized identically in
+# both engines: the canonical key is doc_id % 53; doc_id % 3 picks the
+# variant — composed 'café' (U+00E9), decomposed 'cafe'+U+0301 (must
+# NFC-collapse with the composed form), or pure-ASCII 'cafe' (a DISTINCT
+# canonical — ASCII is untouched by NFC).  n_raw_forms = 2 on the
+# non-ASCII groups proves the normalizer, not the generator, collapses.
+_NFC_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         concat('doc-', CAST(doc_id % 53 AS VARCHAR), '-',
+                CASE WHEN doc_id % 3 = 0 THEN 'caf' || chr(233)
+                     WHEN doc_id % 3 = 1 THEN 'cafe' || chr(769)
+                     ELSE 'cafe' END) AS s
+  FROM documents
+)
+SELECT nfc_normalize(s) AS nfc_form,
+       COUNT(*) AS group_size,
+       COUNT(DISTINCT s) AS n_raw_forms,
+       MIN(doc_id) AS keep_id
+FROM raw
+GROUP BY 1
+ORDER BY keep_id
+"""
+
+
+@query("text_nfc_dedup", oracle=_NFC_ORACLE)
+def text_nfc_dedup_q(spark, sf_dir):
+    """Unicode NFC normalization as a dedup key (crawl pipelines
+    normalize before hashing; composed vs decomposed accents otherwise
+    under-collapse every downstream dedup).  Spark has no built-in
+    normalizer, so the Python path is Arrow-batched
+    (functions/text.nfc_normalize_udf) and GATED: ASCII strings are NFC
+    by definition, so the plan routes only rows failing
+    ``rlike '^[\\x00-\\x7F]*$'`` through the pandas UDF and passes the
+    ASCII bulk through JVM-side untouched — on a real crawl corpus the
+    Python stage sees the small non-ASCII fraction, not 100 TB.  Oracle:
+    DuckDB's native nfc_normalize over the identical synthesis."""
+    from steampipe_sqlite_spark.functions.text import nfc_normalize_udf
+
+    d = F.col("doc_id")
+    raw = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("doc-"),
+            (d % 53).cast("string"),
+            F.lit("-"),
+            # composed U+00E9 vs decomposed e+U+0301, spelled as escapes so an
+            # editor or linter cannot silently re-compose the source bytes
+            F.when(d % 3 == 0, F.lit("caf\u00e9"))
+            .when(d % 3 == 1, F.lit("cafe\u0301"))
+            .otherwise(F.lit("cafe")),
+        ).alias("s"),
+    )
+    is_ascii = F.col("s").rlike("^[\\x00-\\x7F]*$")
+    ascii_rows = raw.filter(is_ascii).select("doc_id", "s", F.col("s").alias("nfc_form"))
+    nfc = nfc_normalize_udf()
+    other_rows = raw.filter(~is_ascii).select("doc_id", "s", nfc(F.col("s")).alias("nfc_form"))
+    return (
+        ascii_rows.unionByName(other_rows)
+        .groupBy("nfc_form")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("s").alias("n_raw_forms"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("keep_id")
+    )
+
+
 @query("dedup_url_canonical", oracle=_URL_CANON_ORACLE)
 def dedup_url_canonical_q(spark, sf_dir):
     """URL-keyed first-stage dedup (the cheapest collapse in a crawl

@@ -414,10 +414,14 @@ _WINDOW_PRIORITY = [
     # computed from the committed CORRECTNESS_r0{1..9}.json artifacts,
     # EXCLUDING the current round's own artifact (which records this
     # very window and would otherwise mark every member fresh — the
-    # r9 time-bomb fixed per VERDICT r9 #1).  No round-10 query
-    # additions, so the window is pure backfill: every name below was
-    # last checked in round 4 or 5; nothing checked after r5 is in the
-    # window. ----
+    # r9 time-bomb fixed per VERDICT r9 #1).  The window is pure
+    # backfill: every name below was last checked in round 4 or 5;
+    # nothing checked after r5 is in the window.  The 3 round-10
+    # additions (compat_time_modifiers, dedup_url_canonical,
+    # text_nfc_dedup — each selfcheck-green at sf0.001/sf0.01-vanilla/
+    # sf0.1 on creation) register BEHIND the window and take their
+    # first driver rows in the round-11 rotation, alongside the
+    # remaining 35 r5-window names. ----
     # the 36 names whose last driver row is the r4 window (artifact order):
     "mm_media_inventory",
     "win_global_rownum_scale",

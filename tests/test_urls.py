@@ -62,3 +62,59 @@ def test_idempotent(spark):
     )
     bad = two.filter(F.col("c1") != F.col("c2")).collect()
     assert not bad, f"not idempotent: {bad}"
+
+
+def test_grammar_exhaustive_invariants(spark):
+    """Exhaustive sweep over the modeled messiness grammar (~1.7k
+    combinations in ONE Spark job): idempotence plus the output
+    invariants the canonicalizer promises — no fragment, no default
+    port, no duplicate/trailing path slashes, no tracking params,
+    params sorted."""
+    import itertools
+
+    schemes = ["https://", "HTTPS://", "http://"]
+    wwws = ["", "www.", "WWW."]
+    hosts = ["Ex.com"]
+    ports = ["", ":443", ":8080"]
+    paths = ["", "/", "/A//b", "/A/b/"]
+    queries = [
+        "",
+        "?z=1&a=2",
+        "?utm_source=x",
+        "?a=2&utm_medium=y&z=1",
+        "?ref",
+    ]
+    frags = ["", "#f"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, wwws, hosts, ports, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    out = df.select(
+        "u",
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(canonical_url(F.col("u"))).alias("c2"),
+    ).collect()
+    assert len(out) == len(urls)
+    for r in out:
+        c = r.c1
+        assert r.c2 == c, f"not idempotent: {r.u!r} -> {c!r} -> {r.c2!r}"
+        assert "#" not in c, (r.u, c)
+        assert not c.startswith("https://www."), (r.u, c)
+        host_and_rest = c.split("://", 1)[1]
+        assert ":443" not in host_and_rest.split("/", 1)[0] or not c.startswith(
+            "https"
+        ), (r.u, c)
+        path = "/" + host_and_rest.split("/", 1)[1] if "/" in host_and_rest else ""
+        path = path.split("?", 1)[0]
+        assert "//" not in path, (r.u, c)
+        assert path == "/" or not path.endswith("/"), (r.u, c)
+        if "?" in c:
+            params = c.split("?", 1)[1].split("&")
+            assert params == sorted(params), (r.u, c)
+            assert all(
+                not p.startswith(("utm_", "gclid", "fbclid"))
+                and p != "ref"
+                and not p.startswith("ref=")
+                for p in params
+            ), (r.u, c)

@@ -31,8 +31,11 @@ Normalization steps (in order):
 
 Out of scope (documented, not silently wrong): percent-encoding case
 normalization (%2f vs %2F), IDN/punycode, scheme-relative ``//host``
-URLs, and relative references — inputs are assumed to be absolute
-``scheme://...`` URLs as found in crawl indexes.
+URLs, relative references, and userinfo (``user:pw@host`` — RFC 3986
+says userinfo is case-sensitive, but a URL carrying one is lowercased
+along with the host here; crawl indexes strip credentials upstream) —
+inputs are assumed to be absolute ``scheme://...`` URLs as found in
+crawl indexes.
 """
 
 from __future__ import annotations

@@ -1,0 +1,174 @@
+"""Bucketed-layout probe: measure the deployment claim behind tpch_q3.
+
+The floor-bound probe (tools/floorbound_scale_probe.py) shows tpch_q3's
+ratio flooring at ~6 at 100x data because the lineitem |><| orders join
+outgrows the broadcast threshold and becomes a sort-merge join with BOTH
+fact sides shuffling (60M + 15M row exchange writes).  Every round since
+r8 the docs have answered "bucketing removes that shuffle at deployment"
+-- this probe turns the sentence into a measurement by running the SAME
+corpus SQL (queries['tpch_q3'].__doc__, the registered text) against two
+physical layouts of the SAME 100x replica universe:
+
+  flat      -- plain parquet, the corpus read path (temp views)
+  bucketed  -- lineitem and orders written once via
+               operators/scale.write_bucketed: bucketBy(N, orderkey) +
+               sortBy(orderkey); customer stays a parquet view (its join
+               keys on o_custkey -- bucketing the order key cannot also
+               co-locate that join, which is exactly the real trade at a
+               warehouse: bucket for the dominant join)
+
+PASS = the bucketed plan has no Exchange under the lineitem|><|orders
+join (Catalyst treats the bucket layout as a satisfied hash
+distribution), results are row-identical, and wall-clock drops by about
+the cost of the removed shuffle writes.
+
+Usage: python tools/bucketed_layout_probe.py [reps] [buckets]
+       (defaults: 100 64; replica corpus cached/shared with
+       floorbound_scale_probe under .cache/floorscale)
+Prints one JSON line.
+
+Committed reading (round 10, local[32], 100x sf0.1 = 60M lineitem /
+15M orders / 1.5M customer, 64 buckets, best-of-3 warm):
+
+  layout    best_s   exchanges_total   order-key exchanges
+  flat       5.398          4                  4
+  bucketed   1.175          0                  0
+
+  The bucketed plan is COMPLETELY exchange-free: the bucket layout
+  satisfies not only the lineitem|><|orders SMJ but also the final
+  aggregate, whose leading group key IS l_orderkey (Catalyst recognizes
+  the bucket hash distribution through the join), and the customer side
+  broadcasts at every scale (1.5M rows < 64m threshold).  Wall-clock
+  4.6x (5.40 -> 1.18 s) for the SAME SQL text over the SAME rows,
+  results row-identical (exact-cents revenue) -- q3's 100x ratio floor
+  of ~6 (floorbound probe) drops to ~2 once the warehouse layout is
+  applied.  One-time ingest cost (repartition-by-key + in-bucket sort +
+  write): lineitem 38.4 s, orders 6.3 s -- paid ONCE at landing,
+  amortized over every subsequent orderkey equi-join/aggregate.  At
+  1000 executors the flat layout's exchanges are full network
+  transposes, so this single-node delta UNDERSTATES the deployment win;
+  conversely small corpora (sf0.1 at 1x) stay under the broadcast
+  threshold and never pay the shuffle this removes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tools.floorbound_scale_probe import SCRATCH, build  # noqa: E402
+from steampipe_sqlite_spark.operators.scale import write_bucketed  # noqa: E402
+from steampipe_sqlite_spark.plans.registry import collect  # noqa: E402
+from steampipe_sqlite_spark.session import get_spark, stop_spark  # noqa: E402
+
+TABLES = {"lineitem", "orders", "customer"}
+BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fact_join_exchanges(plan: str) -> int:
+    """Count Exchange nodes partitioning on the order key — the two fact
+    shuffles the bucketing exists to remove.  String-level but stable:
+    Spark prints `Exchange hashpartitioning(l_orderkey…/o_orderkey…)`."""
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("l_orderkey" in line or "o_orderkey" in line)
+    )
+
+
+def _best_of(fn, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    spark = get_spark("bucketprobe")
+    sf_dir = build(spark, reps, TABLES)
+    # session sizing must come from THIS corpus (see floorbound probe)
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    stop_spark()
+    spark = get_spark("bucketprobe")
+
+    queries, _ = collect()
+    q3 = queries["tpch_q3"]
+    fn = getattr(q3, "__wrapped__", q3)
+    sql_text = q3.__doc__
+
+    rows = {
+        t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+        for t in sorted(TABLES)
+    }
+
+    # ---- flat layout: the corpus read path (registers temp views) ----
+    flat_df = fn(spark, sf_dir)
+    flat_pd = flat_df.toPandas()  # warm: codegen + page cache
+    flat_s = _best_of(lambda: fn(spark, sf_dir).toPandas())
+    flat_plan = _executed_plan(flat_df)
+
+    # ---- bucketed layout: one-time ingest, then the same SQL text ----
+    write_s = {}
+    for t, key in BUCKET_KEYS.items():
+        src = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        # one output file per bucket: hash-repartition on the bucket key
+        # first, else every write task emits a sliver of every bucket
+        # (tasks x buckets small files)
+        t0 = time.perf_counter()
+        write_bucketed(
+            src.repartition(buckets, F.col(key)), t, key, buckets, sort_col=key
+        )
+        write_s[t] = round(time.perf_counter() - t0, 3)
+        # the temp view (registered by the flat run) shadows the catalog
+        # table — drop it so the SQL resolves to the bucketed table
+        spark.catalog.dropTempView(t)
+
+    buck_df = spark.sql(sql_text)
+    buck_pd = buck_df.toPandas()  # warm
+    buck_s = _best_of(lambda: spark.sql(sql_text).toPandas())
+    buck_plan = _executed_plan(buck_df)
+
+    equal = flat_pd.sort_values(list(flat_pd.columns)).reset_index(
+        drop=True
+    ).equals(buck_pd.sort_values(list(buck_pd.columns)).reset_index(drop=True))
+
+    out = {
+        "reps": reps,
+        "buckets": buckets,
+        "rows": rows,
+        "bucketed_write_s": write_s,
+        "flat": {
+            "best_s": round(flat_s, 3),
+            "exchanges_total": flat_plan.count("Exchange hashpartitioning"),
+            "fact_join_exchanges": _fact_join_exchanges(flat_plan),
+        },
+        "bucketed": {
+            "best_s": round(buck_s, 3),
+            "exchanges_total": buck_plan.count("Exchange hashpartitioning"),
+            "fact_join_exchanges": _fact_join_exchanges(buck_plan),
+        },
+        "results_equal": bool(equal),
+    }
+    print(json.dumps(out))
+    for t in BUCKET_KEYS:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+if __name__ == "__main__":
+    main()

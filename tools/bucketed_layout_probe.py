@@ -28,27 +28,35 @@ Usage: python tools/bucketed_layout_probe.py [reps] [buckets]
 Prints one JSON line.
 
 Committed reading (round 10, local[32], 100x sf0.1 = 60M lineitem /
-15M orders / 1.5M customer, 64 buckets, best-of-3 warm):
+15M orders / 1.5M customer, 64 buckets, best-of-3 warm; q3 = the
+join-dominated shape, q18 = the aggregate-dominated shape with its
+groupBy(l_orderkey) over the 60M-row fact):
 
-  layout    best_s   exchanges_total   order-key exchanges
-  flat       5.398          4                  4
-  bucketed   1.175          0                  0
+  query     layout    best_s   exchanges_total   order-key exchanges
+  tpch_q3   flat       9.756          4                  4
+  tpch_q3   bucketed   1.119          0                  0
+  tpch_q18  flat       5.485          2                  2
+  tpch_q18  bucketed   1.221          0                  0
 
-  The bucketed plan is COMPLETELY exchange-free: the bucket layout
-  satisfies not only the lineitem|><|orders SMJ but also the final
-  aggregate, whose leading group key IS l_orderkey (Catalyst recognizes
-  the bucket hash distribution through the join), and the customer side
-  broadcasts at every scale (1.5M rows < 64m threshold).  Wall-clock
-  4.6x (5.40 -> 1.18 s) for the SAME SQL text over the SAME rows,
-  results row-identical (exact-cents revenue) -- q3's 100x ratio floor
-  of ~6 (floorbound probe) drops to ~2 once the warehouse layout is
-  applied.  One-time ingest cost (repartition-by-key + in-bucket sort +
-  write): lineitem 38.4 s, orders 6.3 s -- paid ONCE at landing,
-  amortized over every subsequent orderkey equi-join/aggregate.  At
-  1000 executors the flat layout's exchanges are full network
-  transposes, so this single-node delta UNDERSTATES the deployment win;
-  conversely small corpora (sf0.1 at 1x) stay under the broadcast
-  threshold and never pay the shuffle this removes.
+  Both bucketed plans are COMPLETELY exchange-free: the bucket layout
+  satisfies the lineitem|><|orders SMJ, the q18 HAVING-aggregate, and
+  q3's final aggregate (whose leading group key IS l_orderkey --
+  Catalyst recognizes the bucket hash distribution through the join);
+  the customer side broadcasts at every scale (1.5M rows < 64m
+  threshold).  Wall-clock 4.5-8.7x for the SAME SQL text over the SAME
+  rows, results row-identical (exact-cents money).  Honest-noise note:
+  q3's FLAT side swings 5.40-9.76 s across adjacent runs (the 60M-row
+  SMJ exchange is memory-pressure- and page-cache-sensitive), while the
+  bucketed side read 1.12-1.18 s in every run -- removing the exchange
+  also removes the variance.  q3's 100x ratio floor of ~6 (floorbound
+  probe) drops to ~2 under the deployment layout.  One-time ingest cost
+  (repartition-by-key + in-bucket sort + write): lineitem 22.9-38.4 s,
+  orders 6.3-16.3 s -- paid ONCE at landing, amortized over every
+  subsequent orderkey equi-join/aggregate.  At 1000 executors the flat
+  layout's exchanges are full network transposes, so this single-node
+  delta UNDERSTATES the deployment win; conversely small corpora
+  (sf0.1 at 1x) stay under the broadcast threshold and never pay the
+  shuffle this removes.
 """
 
 from __future__ import annotations
@@ -69,6 +77,9 @@ from steampipe_sqlite_spark.session import get_spark, stop_spark  # noqa: E402
 
 TABLES = {"lineitem", "orders", "customer"}
 BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+# q3 = join-dominated, q18 = aggregate-dominated (groupBy(l_orderkey)
+# over the 60M-row fact is its big shuffle); both read only TABLES
+PROBE_QUERIES = ["tpch_q3", "tpch_q18"]
 
 
 def _executed_plan(df) -> str:
@@ -108,9 +119,6 @@ def main() -> None:
     spark = get_spark("bucketprobe")
 
     queries, _ = collect()
-    q3 = queries["tpch_q3"]
-    fn = getattr(q3, "__wrapped__", q3)
-    sql_text = q3.__doc__
 
     rows = {
         t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
@@ -118,10 +126,19 @@ def main() -> None:
     }
 
     # ---- flat layout: the corpus read path (registers temp views) ----
-    flat_df = fn(spark, sf_dir)
-    flat_pd = flat_df.toPandas()  # warm: codegen + page cache
-    flat_s = _best_of(lambda: fn(spark, sf_dir).toPandas())
-    flat_plan = _executed_plan(flat_df)
+    flat = {}
+    flat_pds = {}
+    for name in PROBE_QUERIES:
+        fn = getattr(queries[name], "__wrapped__", queries[name])
+        flat_df = fn(spark, sf_dir)
+        flat_pds[name] = flat_df.toPandas()  # warm: codegen + page cache
+        flat_s = _best_of(lambda: fn(spark, sf_dir).toPandas())
+        plan = _executed_plan(flat_df)
+        flat[name] = {
+            "best_s": round(flat_s, 3),
+            "exchanges_total": plan.count("Exchange hashpartitioning"),
+            "fact_key_exchanges": _fact_join_exchanges(plan),
+        }
 
     # ---- bucketed layout: one-time ingest, then the same SQL text ----
     write_s = {}
@@ -139,31 +156,34 @@ def main() -> None:
         # table — drop it so the SQL resolves to the bucketed table
         spark.catalog.dropTempView(t)
 
-    buck_df = spark.sql(sql_text)
-    buck_pd = buck_df.toPandas()  # warm
-    buck_s = _best_of(lambda: spark.sql(sql_text).toPandas())
-    buck_plan = _executed_plan(buck_df)
-
-    equal = flat_pd.sort_values(list(flat_pd.columns)).reset_index(
-        drop=True
-    ).equals(buck_pd.sort_values(list(buck_pd.columns)).reset_index(drop=True))
+    bucketed = {}
+    equal = {}
+    for name in PROBE_QUERIES:
+        sql_text = queries[name].__doc__
+        buck_df = spark.sql(sql_text)
+        buck_pd = buck_df.toPandas()  # warm
+        buck_s = _best_of(lambda: spark.sql(sql_text).toPandas())
+        plan = _executed_plan(buck_df)
+        bucketed[name] = {
+            "best_s": round(buck_s, 3),
+            "exchanges_total": plan.count("Exchange hashpartitioning"),
+            "fact_key_exchanges": _fact_join_exchanges(plan),
+        }
+        fp = flat_pds[name]
+        equal[name] = bool(
+            fp.sort_values(list(fp.columns)).reset_index(drop=True).equals(
+                buck_pd.sort_values(list(buck_pd.columns)).reset_index(drop=True)
+            )
+        )
 
     out = {
         "reps": reps,
         "buckets": buckets,
         "rows": rows,
         "bucketed_write_s": write_s,
-        "flat": {
-            "best_s": round(flat_s, 3),
-            "exchanges_total": flat_plan.count("Exchange hashpartitioning"),
-            "fact_join_exchanges": _fact_join_exchanges(flat_plan),
-        },
-        "bucketed": {
-            "best_s": round(buck_s, 3),
-            "exchanges_total": buck_plan.count("Exchange hashpartitioning"),
-            "fact_join_exchanges": _fact_join_exchanges(buck_plan),
-        },
-        "results_equal": bool(equal),
+        "flat": flat,
+        "bucketed": bucketed,
+        "results_equal": equal,
     }
     print(json.dumps(out))
     for t in BUCKET_KEYS:

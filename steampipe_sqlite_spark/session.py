@@ -39,6 +39,25 @@ _BYTES_PER_SHUFFLE_PARTITION = 32 << 20
 _AQE_MIN_INPUT_BYTES = 1 << 30
 
 
+def _driver_mem() -> str:
+    """Heap sized to the data, like shuffle partitions and AQE.
+
+    Measured (round 10, tools/core_elasticity_probe.py follow-up): a 16g
+    heap is stable for 32-thread sort-merge joins at sf0.1 but suffers
+    PROGRESSIVE GC storms on GB-scale inputs — repeated tpch_q3 runs on
+    the 100× replica (60M-row SMJ, local[32]) read 84 → 245 → 310 JVM
+    CPU-seconds (wall 4.4 → 17.1 s) as old-gen pressure accumulated,
+    while a 32g heap held 74–86 CPU-s / 3.8–4.6 s wall across every run.
+    At 16 threads the allocation rate halves and 16g suffices — the
+    pathology is cores × data, so the heap follows the same input-sizing
+    policy as the rest of the session.  Explicit SPARK_GRAFT_DRIVER_MEM
+    always wins (smaller boxes, CI containers)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    return "32g" if _input_bytes() >= _AQE_MIN_INPUT_BYTES else "16g"
+
+
 def _input_bytes() -> int:
     """Total size of the parquet inputs the session will read (from
     $SPARK_GRAFT_SF_DIR), or 0 if unknown.
@@ -120,7 +139,7 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", _driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # enable pushFilters on Python data sources (the connector bridge)

@@ -86,6 +86,19 @@ session.py.  spark_s / duckdb_s (ratio), quiet window, best-of-3):
   part/supplier/nation catalog fixed (the DIMS model), so the
   part/supplier joins stay broadcast at every scale and only the
   lineitem⋈orders SMJ grows; ratio 8.7 → 8.3 → 5.8, converging like q3.
+Round-10 re-reading of the heavy 100x arms AFTER the data-sized-heap
+fix (session._driver_mem — the GC-storm defect the core-elasticity
+probe surfaced; spark_s / duckdb_s (ratio), different box/window than
+the r9 rows so compare trends, not absolutes):
+
+  tpch_q3           4.23/0.58 (7.25)    tpch_q5   5.31/0.48 (11.2)
+  tpch_q9           3.03/0.60 (5.02)    asof      2.37/0.66 (3.62)
+  win_running_sum   7.91/3.73 (2.12)
+
+  q9/asof/running-sum improved vs the r9 rows; q3/q5 read higher on
+  this window (their flat-layout SMJ is the shape with the widest
+  window variance — see tools/bucketed_layout_probe.py, which removes
+  both the exchange and the variance: q3 ~1.1 s bucketed).
 """
 
 from __future__ import annotations

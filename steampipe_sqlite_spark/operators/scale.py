@@ -170,6 +170,48 @@ def salted_join_skewed_left(
     return out.drop("_salt")
 
 
+def salted_join_hot_keys(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: list,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join with TARGETED salting: only rows whose key is in the
+    known-hot set get a salt in [0, n_salts); everything else keeps salt
+    0, and the right side is replicated ONLY for the hot keys (one row
+    stays one row for the long tail).  The shuffle key is (key, salt), so
+    each hot key's rows land on ``n_salts`` reducers while the tail pays
+    nothing — unlike :func:`salted_join_skewed_left`, whose blanket
+    ×n_salts right-side explode costs n_salts× build even when 99.9% of
+    keys are cold.
+
+    This is the production pattern when the hot set is known ahead of the
+    join (a heavy-hitter sketch over yesterday's partition, a static
+    "null/default key" list).  When the hot set is NOT known, prefer AQE's
+    runtime skew split (on in session.py) for sort-merge joins; this
+    operator also covers shuffle-hash joins, which AQE's splitter does not.
+    Inner and left joins are safe; measured by tools/skew_join_probe.py.
+    """
+    hot = F.col(key).isin(*[F.lit(k) for k in hot_keys])
+    l_salted = left.withColumn(
+        "_salt",
+        F.when(
+            hot, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+    r_salted = right.withColumn(
+        "_salt",
+        F.when(hot, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+            F.array(F.lit(0))
+        ),
+    ).withColumn("_salt", F.explode("_salt"))
+    # sequence/array of int literals already yields int elements, matching
+    # the left side's cast — no cast around the generator (Catalyst rejects
+    # expressions nested over explode()).
+    return l_salted.join(r_salted, [key, "_salt"]).drop("_salt")
+
+
 def distributed_row_number(
     df: DataFrame,
     order_cols: list,

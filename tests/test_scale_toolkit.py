@@ -87,6 +87,36 @@ def test_salted_join_matches_plain(spark):
     assert sorted(salted.columns) == sorted(plain.columns)
 
 
+def test_salted_hot_keys_join_matches_plain(spark):
+    """Targeted salting must be value-exact, not just count-exact: hot
+    rows fan over n_salts, cold rows keep salt 0, and every (key, payload)
+    pairing survives — compare full aggregate fingerprints per key."""
+    from steampipe_sqlite_spark.operators.scale import salted_join_hot_keys
+
+    lineitem = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    right = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    hot = [r.l_orderkey for r in lineitem.groupBy("l_orderkey").count()
+           .orderBy(F.desc("count")).limit(3).collect()]
+
+    def fingerprint(df):
+        return {
+            (r.l_orderkey, r.n, r.q, r.p)
+            for r in df.groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity") * 100).cast("long").alias("q"),
+                F.sum(F.length("o_orderpriority")).alias("p"),
+            )
+            .collect()
+        }
+
+    plain = lineitem.join(right, "l_orderkey")
+    salted = salted_join_hot_keys(lineitem, right, "l_orderkey", hot, n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    assert fingerprint(salted) == fingerprint(plain)
+
+
 def test_prepartition_reuses_exchange(spark):
     events = load_table(spark, SF_DIR, "events")
     pre = prepartition_for_reuse(events, "user_id", 8)

@@ -140,7 +140,15 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", _driver_mem())
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test-bed hygiene: no port squatting, less
+        # startup); SPARK_GRAFT_UI=on exposes the REST status API the
+        # measurement probes read task/spill metrics from.
+        .config(
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").lower() in ("1", "on", "true")
+            else "false",
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # enable pushFilters on Python data sources (the connector bridge)
         .config("spark.sql.python.filterPushdown.enabled", "true")

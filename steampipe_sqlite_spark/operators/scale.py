@@ -193,6 +193,10 @@ def salted_join_hot_keys(
     operator also covers shuffle-hash joins, which AQE's splitter does not.
     Inner and left joins are safe; measured by tools/skew_join_probe.py.
     """
+    if not hot_keys:
+        # no declared hot set — the salt would be constant 0 everywhere,
+        # a plain join with bookkeeping overhead; do the plain join
+        return left.join(right, [key])
     hot = F.col(key).isin(*[F.lit(k) for k in hot_keys])
     l_salted = left.withColumn(
         "_salt",

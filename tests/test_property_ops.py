@@ -596,3 +596,42 @@ def test_ks_statistic_property(spark, tmp_path_factory, s1, s2):
     assert row.d_ppm == d_num * 1000000 // (n1 * n2)
     if sorted(s1) == sorted(s2):
         assert row.d_num == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # key (collision-heavy)
+            st.integers(min_value=-99, max_value=99),  # payload
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    dim_keys=st.sets(st.integers(min_value=0, max_value=5), max_size=6),
+    hot=st.lists(st.integers(min_value=0, max_value=7), max_size=4),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_hot_keys_join_is_plain_join(spark, rows, dim_keys, hot, n_salts):
+    """salted_join_hot_keys must be a drop-in inner join for ANY hot set —
+    including empty, containing keys absent from either side, duplicated
+    left keys, and n_salts=1 — with exact multiset semantics (a hot row
+    must match its dim exactly once despite the dim's hot-side fanout)."""
+    from steampipe_sqlite_spark.operators.scale import salted_join_hot_keys
+
+    left = spark.createDataFrame(
+        rows or [(None, None)], "key long, payload long"
+    ).where(F.col("key").isNotNull())
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in dim_keys] or [(None, None)],
+        "key long, dval long",
+    ).where(F.col("key").isNotNull())
+
+    plain = sorted(
+        tuple(r) for r in left.join(right, ["key"]).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join_hot_keys(left, right, "key", hot, n_salts).collect()
+    )
+    assert salted == plain

@@ -392,6 +392,15 @@ def ewma_by_key(
     """
     import pandas as pd
 
+    roles = [*key_cols, *order_cols, value_col]
+    if len(set(roles)) != len(roles):
+        # a column in two roles double-selects inside the pandas fn and
+        # pdf[value_col] comes back 2-D — fail at the API with the cause
+        # instead of an AttributeError deep in a worker
+        raise ValueError(
+            f"key_cols/order_cols/value_col must be disjoint, got {roles}"
+        )
+
     beta = 1.0 - alpha
     out_cols = [*key_cols, *order_cols, value_col, "ewma"]
     fields = df.select(*key_cols, *order_cols, value_col).schema.fields

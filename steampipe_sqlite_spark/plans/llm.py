@@ -2146,7 +2146,13 @@ LIMIT 2000
 def group_zscore_pandas_q(spark, sf_dir):
     """Per-group z-score via groupBy().applyInPandas (the §2.3
     applyInPandas surface), proven equal to the window-function SQL twin.
-    4-dp rounding absorbs pandas-vs-SQL summation-order ULP noise."""
+    4-dp rounding absorbs pandas-vs-SQL summation-order ULP noise.
+
+    Scale note (measured, tools/python_memory_probe.py): applyInPandas
+    materializes each GROUP as one pandas frame, and this op groups by
+    low-cardinality event_type — corpus-sized groups at 100 TB.  It is
+    kept as the API surface witness; the deployment path for this shape
+    is the oracle's window-function twin (one exchange, no Python)."""
     from pyspark.sql import functions as F
 
     from steampipe_sqlite_spark.operators.groupstats import zscore_per_group

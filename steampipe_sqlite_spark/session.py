@@ -92,6 +92,38 @@ def _input_bytes() -> int:
     return total
 
 
+def _max_partition_bytes(cpus: int) -> str:
+    """Scan split size derived from the input's FILE layout, like every
+    other session knob (shuffle partitions, AQE, heap: data-derived).
+
+    Two measured regimes (tools/file_granularity_probe.py, round 10):
+    single-file sub-GB fixtures MUST split small or the scan+partial-agg
+    stage runs on 3 of 32 cores (tpch_q1 0.72 -> 0.45 s at sf0.1 going
+    128m -> 16m) — but once a dataset is already many files, small
+    splits only add scheduling: on a 60M-row/~2 GB lineitem at 32/512/
+    4096 files the 16m override was ~8% SLOWER than Spark's 128m
+    default at every granularity (72/171/1024 partitions vs 32/32/137),
+    and at 100 TB a blanket 16m would mean ~6M scan tasks per query.
+    Rule: if any dataset has fewer part files than cores, it needs the
+    small split to fan out (16m); when every dataset is already at
+    least cores-wide, Spark's 128m default wins.  Explicit
+    SPARK_GRAFT_MAX_PARTITION_BYTES always wins."""
+    env = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if env:
+        return env
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    min_files = None
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        if os.path.isdir(p):
+            n = max(sum(1 for f in os.listdir(p) if f.endswith(".parquet")), 1)
+        else:
+            n = 1
+        min_files = n if min_files is None else min(min_files, n)
+    if min_files is None or min_files < cpus:
+        return "16m"
+    return "128m"
+
+
 def _shuffle_partitions(cpus: int) -> int:
     """Size the initial shuffle partition count to the DATA, not the core
     count: a fixed `cores` setting means 32 near-empty reducer tasks per
@@ -155,16 +187,12 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Split size tuned for the local[N] test bed: single-file
-        # sub-GB parquet inputs must split into ≥N tasks or the scan+
-        # partial-agg stage runs on 3 of 32 cores (measured: tpch_q1
-        # 0.72 s → 0.45 s at sf0.1 going 128m → 8–16m).  On a real
-        # cluster with many multi-GB files, override toward the 128m
-        # default — more splits than cores just adds scheduler load.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
-        )
+        # Split size derived from the input's file layout — see
+        # _max_partition_bytes: 16m fans out single-file fixtures,
+        # already-many-file datasets keep Spark's 128m default
+        # (measured ~8% faster there, and 16m would mean millions of
+        # scan tasks at 100 TB).
+        .config("spark.sql.files.maxPartitionBytes", _max_partition_bytes(int(n)))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -74,3 +74,36 @@ def test_driver_mem_scales_with_data(monkeypatch):
     # explicit override always wins, both directions
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "8g")
     assert S._driver_mem() == "8g"
+
+
+def test_max_partition_bytes_single_file_inputs_split_small(monkeypatch, tmp_path):
+    """Driver testdata (one file per table) needs 16m splits to fan a
+    sub-GB scan across the cores (measured: tpch_q1 0.72->0.45 s)."""
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
+    (tmp_path / "lineitem.parquet").write_bytes(b"x")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert S._max_partition_bytes(32) == "16m"
+
+
+def test_max_partition_bytes_many_file_datasets_keep_spark_default(
+    monkeypatch, tmp_path
+):
+    """Replica corpora / streaming sinks land as many part files; small
+    splits only add scheduling there (file_granularity_probe: ~8% slower
+    at every granularity) and would mean millions of tasks at 100 TB."""
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
+    d = tmp_path / "lineitem.parquet"
+    d.mkdir()
+    for i in range(40):
+        (d / f"part-{i:05d}.snappy.parquet").write_bytes(b"x")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert S._max_partition_bytes(32) == "128m"
+    # a single-file dataset alongside pulls the whole session back to 16m
+    (tmp_path / "orders.parquet").write_bytes(b"x")
+    assert S._max_partition_bytes(32) == "16m"
+
+
+def test_max_partition_bytes_env_override_wins(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert S._max_partition_bytes(32) == "64m"

@@ -172,6 +172,15 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", _driver_mem())
+        # Scheduler mode: FIFO default (single-workload batch bed).
+        # SPARK_GRAFT_SCHEDULER=fair enables FAIR job scheduling for
+        # mixed interactive workloads — measured by
+        # tools/concurrency_probe.py (FIFO head-of-line blocking vs
+        # FAIR tiny-query latency under a heavy concurrent scan).
+        .config(
+            "spark.scheduler.mode",
+            os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper(),
+        )
         # UI off by default (test-bed hygiene: no port squatting, less
         # startup); SPARK_GRAFT_UI=on exposes the REST status API the
         # measurement probes read task/spill metrics from.

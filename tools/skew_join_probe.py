@@ -25,8 +25,9 @@ each into a measurement on the same deterministic skewed universe:
                    joins, which AQE's splitter does not cover.
 
 Universe (deterministic, no rand()): facts(fact_rows) with key 0 owning
-20% of rows, key 1 10%, key 2 5%, the rest uniform over n_keys via
-xxhash64; a 48-char incompressible pad makes shuffle bytes honest.
+45% of rows, key 1 10%, key 2 5%, the rest uniform over n_keys via
+xxhash64; a 16-char incompressible pad keeps shuffle bytes honest while
+letting the hot reducer's sort — not the map-side write — set the wall.
 dims(n_keys) carries a 64-char pad so its estimated size clears the 64m
 broadcast threshold — the join MUST shuffle, which is the scenario.
 

@@ -22,7 +22,12 @@ Usage: python tools/core_elasticity_probe.py [reps] [cpus ...]
 Prints one JSON line: {query: {cpus: best_s}}.
 
 Committed reading (round 10, 100x sf0.1, best-of-3 warm, after the
-data-sized-heap fix this probe motivated — see below):
+data-sized-heap fix this probe motivated — see below; taken under the
+then-default 16m scan splits.  A later re-sweep under the data-derived
+128m policy — BASELINE.md round-10 continuation — reads q1
+7.06/4.77/2.77/1.85, q3 12.44/7.34/5.17/3.07, q9 9.41/5.00/3.84/2.35:
+monotone on every doubling, q3/q9 faster at 32 cores, q1's absolutes
+in a busier window; the scaling property holds under both policies):
 
   query     local[4]   local[8]   local[16]   local[32]   4->32 speedup
   tpch_q1     5.732      3.529      1.960       1.336         4.3x

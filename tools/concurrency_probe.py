@@ -32,9 +32,13 @@ Committed reading (round 10, local[32], heavy = tpch_q3@100x looping,
 4 tiny-client threads x 12 tpch_q6@sf0.1 each = 48 tiny queries per
 arm, results stable in every arm):
 
-  arm    tiny p50    tiny p95    tiny max    heavy s/iter (contended)
-  fifo    2.065 s     3.356 s     3.431 s        3.80
-  fair    1.052 s     1.312 s     1.335 s        6.35
+  arm    tiny p50    tiny p95    tiny max    heavy iter median (contended)
+  fifo    2.065 s     3.356 s     3.431 s        3.72 s
+  fair    1.052 s     1.312 s     1.335 s        7.12 s
+
+  (Repro run same window: fifo p50 2.112 / p95 3.108, fair p50 1.043 /
+  p95 1.492 — the arms reproduce within 2-14% and the ordering is
+  stable; heavy medians are the heavy query's own per-iteration walls.)
 
   Reading: FIFO queues the tiny query's 8 tasks behind the heavy
   stage's hundreds — median 2.1 s and a 3.4 s tail for a ~0.1 s
@@ -44,7 +48,7 @@ arm, results stable in every arm):
   per-STAGE granularity — a running task is never preempted, so the
   tiny job waits for slots to free, not for whole stages to drain.
   The cost is real and measured, not waved away: the heavy iteration
-  slows 3.80 -> 6.35 s while tiny clients are active (tiny jobs now
+  slows 3.72 -> 7.12 s while tiny clients are active (tiny jobs now
   steal slots from every heavy stage).  That trade IS the deployment
   decision: SPARK_GRAFT_SCHEDULER=fair (session.py) for mixed
   interactive serving — on a real cluster, weighted scheduler pools
@@ -91,15 +95,16 @@ def run_arm(mode: str, x100: str, per_thread: int) -> dict:
     q3(spark, x100).collect()  # warm the heavy plan too
 
     stop_evt = threading.Event()
-    heavy_iters = [0]
+    heavy_durs: list = []
     tiny_lat: list = []
     tiny_rows: set = set()
     lock = threading.Lock()
 
     def heavy():
         while not stop_evt.is_set():
+            t0 = time.perf_counter()
             q3(spark, x100).collect()
-            heavy_iters[0] += 1
+            heavy_durs.append(time.perf_counter() - t0)
 
     def tiny():
         for _ in range(per_thread):
@@ -129,7 +134,13 @@ def run_arm(mode: str, x100: str, per_thread: int) -> dict:
         "tiny_p95_s": round(sorted(tiny_lat)[int(0.95 * len(tiny_lat)) - 1], 3),
         "tiny_max_s": round(max(tiny_lat), 3),
         "tiny_n": len(tiny_lat),
-        "heavy_iters": heavy_iters[0],
+        "heavy_iters": len(heavy_durs),
+        # median of the heavy query's OWN per-iteration walls — iteration
+        # boundaries straddle the contention window, so window/iters
+        # would smear the head start and tail overhang into the rate
+        "heavy_iter_median_s": round(statistics.median(heavy_durs), 2)
+        if heavy_durs
+        else None,
         "contention_window_s": round(contention_window, 2),
         "tiny_results_stable": len(tiny_rows) == 1,
     }

@@ -155,8 +155,8 @@ def build(spark, fact_rows: int, n_keys: int) -> str:
 
     if not os.path.exists(os.path.join(facts_path, "_SUCCESS")):
         pct = F.pmod(F.col("id"), F.lit(100))
-        # chained when(): narrowest band first, so pct<20 -> key 0 wins
-        # before the cumulative pct<30 band assigns key 1
+        # chained when(): narrowest band first, so the first hot key's
+        # band wins before the wider cumulative band assigns the next key
         key, acc = None, 0
         for k, share in HOT_SHARES:
             cond = pct < F.lit(acc + share)

@@ -2320,10 +2320,15 @@ def dedup_exact_substrings_q(spark, sf_dir):
 
 # BM25 ranked retrieval: one literal query against the corpus.  The idf is
 # Robertson's (N - df + 0.5)/(df + 0.5) WITHOUT the usual log wrap: ln()
-# may differ by 1 ulp between the JVM and libm, and idf is monotone in df
-# either way, so ranking is unchanged while every arithmetic step stays
-# exact-rounded IEEE — bit-identical across engines (the hash-match then
-# proves tf/dl/df/avgdl end to end).  k1=1.2, b=0.75.
+# may differ by 1 ulp between the JVM and libm, so the log-free form keeps
+# every arithmetic step exact-rounded IEEE — bit-identical across engines
+# (the hash-match then proves tf/dl/df/avgdl end to end).  This is a
+# DOCUMENTED VARIANT, not rank-equivalent to log-idf BM25 in general:
+# per-term the idf is monotone in df either way, but summing across terms
+# weights rare terms more heavily than the log form does.  A deployment
+# wanting textbook Okapi scores swaps ln() into _bm25_term_sql and accepts
+# a tolerance-compare (or integer-log10 bucketing) instead of the exact
+# hash gate.  k1=1.2, b=0.75.
 _BM25_TERMS = ("spark", "join", "window")
 
 

@@ -171,6 +171,18 @@ def _rebuild_with_persist_ownership(
     return df
 
 
+def invalidate_plan_cache(spark: "SparkSession", sf_dir: str) -> None:
+    """Drop every cached (query, sf_dir) plan for this session — called by
+    tables._invalidate_session_table when a table's layout changes
+    (optimize_layout / drop_layout), so the next invocation re-plans over
+    the new layout instead of serving a plan analyzed against the old one.
+    The dropped DataFrames stay valid (the old layout's data is correct);
+    no poisoning needed."""
+    per = _plan_cache(spark)
+    for key in [k for k in per if k[1] == sf_dir]:
+        per.pop(key, None)
+
+
 def query(
     name: str, oracle: str | None = None, plan_cache: bool = True
 ) -> Callable[[QueryFn], QueryFn]:
@@ -409,72 +421,72 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # sf0.01 AND sf0.1 when added), leaving 38 slots for backfilling the oldest driver-green names (the
 # backfill list below is the start; continue with the r3 greens).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-10 WINDOW (50 slots; VERDICT r9 #5 — continue strict
-    # least-recently-checked rotation: per-name last-green rounds
-    # computed from the committed CORRECTNESS_r0{1..9}.json artifacts,
-    # EXCLUDING the current round's own artifact (which records this
-    # very window and would otherwise mark every member fresh — the
-    # r9 time-bomb fixed per VERDICT r9 #1).  The window is pure
-    # backfill: every name below was last checked in round 4 or 5;
-    # nothing checked after r5 is in the window.  The 3 round-10
-    # additions (compat_time_modifiers, dedup_url_canonical,
-    # text_nfc_dedup — each selfcheck-green at sf0.001/sf0.01-vanilla/
-    # sf0.1 on creation) register BEHIND the window and take their
-    # first driver rows in the round-11 rotation, alongside the
-    # remaining 35 r5-window names. ----
-    # the 36 names whose last driver row is the r4 window (artifact order):
-    "mm_media_inventory",
-    "win_global_rownum_scale",
-    "win_running_sum",
-    "win_groups_frame",
-    "win_exclude_current_row",
-    "win_exclude_group",
-    "cte_recursive",
-    "agg_count_distinct",
-    "agg_minmax_stats",
-    "agg_string_concat",
-    "having_clause",
-    "join_range_binned",
-    "join_interval_overlap",
-    "window_rollup_hierarchy",
-    "text_repetition_flags",
-    "text_decontaminate_bloom",
-    "text_boilerplate_strip",
-    "text_pii_redact",
-    "cluster_kmeans",
-    "dedup_semantic",
-    "dedup_incremental",
-    "sketch_hll_users_by_type",
-    "sketch_quantile_hist",
-    "profile_documents",
-    "pack_length_buckets",
-    "dataset_shuffle_shards",
-    "group_zscore_pandas",
-    "agg_gmean_pandas",
-    "window_tumbling_1h",
-    "window_session_5m",
-    "streaming_stateful_user_totals",
-    "streaming_stream_stream_join",
-    "streaming_dedup_watermark",
-    "tvf_generate_series",
-    "json_sqlite_type_valid_quote",
-    "json_sqlite_mutators",
-    # …then the first 14 of the 49 r5-window names (artifact order) —
-    # the remaining 35 r5 names start the round-11 rotation:
-    "window_sliding_1h_30m",
-    "streaming_sliding_30m",
-    "json_build_and_length",
-    "tpch_q1_dataframe",
-    "distinct_pairs",
-    "compat_scalar_misc",
-    "sketch_topk_tokens",
-    "text_chunk_sliding",
-    "ts_gapfill_locf",
-    "sample_weighted_md5",
-    "dedup_cdc_chunks",
-    "knn_cosine_blas",
-    "cdc_latest_state",
-    "cdc_scd2_intervals",
+    # ---- ROUND-11 WINDOW (50 slots; VERDICT r10 #1 — lead with the 3
+    # round-10 additions that have never had a driver row (each was
+    # selfcheck-green at sf0.001/sf0.01-vanilla/sf0.1 on creation and
+    # re-verified by the round-10 judge's own selfcheck), then continue
+    # strict least-recently-checked rotation: per-name last-green
+    # rounds computed from the committed CORRECTNESS_r0{1..10}.json
+    # artifacts (all pre-r11 — the r10 artifact is committed at HEAD,
+    # so including it is correct; only the CURRENT round's mid-round
+    # artifact must be excluded, per the r9 time-bomb lesson).  The
+    # backfill is the 35 remaining r5-window names followed by the 12
+    # oldest r6-window names, in artifact order within each round.
+    # Green rows here make cumulative driver coverage 288/288. ----
+    # the 3 never-driver-checked round-10 additions:
+    "text_nfc_dedup",
+    "dedup_url_canonical",
+    "compat_time_modifiers",
+    # the 35 names whose last driver row is the r5 window (artifact order):
+    "schema_evolution_union",
+    "streaming_cdc_latest",
+    "ts_ewma_smooth",
+    "pack_context_windows",
+    "funnel_view_click_purchase",
+    "cohort_retention_daily",
+    "session_stats_rollup",
+    "dedup_exact_substrings",
+    "search_bm25_topk",
+    "knn_cosine_filtered",
+    "search_inverted_index",
+    "curation_keep_list",
+    "dataset_split_leakage_safe",
+    "dataset_temperature_weights",
+    "ts_ohlc_hourly",
+    "ts_twap_hourly",
+    "graph_pagerank",
+    "streaming_trending_types",
+    "ts_count_anomaly",
+    "win_first_nth_value",
+    "compat_glob_filter",
+    "compat_strftime_month_rollup",
+    "compat_date_functions",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "knn_cosine_bruteforce",
+    "emb_neardup_cosine",
+    "emb_centroid_per_label",
+    "knn_cosine_ivf",
+    "text_tfidf_top_terms",
+    "sketch_hll_doc_texts",
+    "sample_stratified_md5",
+    # …then the 12 oldest r6-window names (artifact order) — the
+    # remaining r6 names start the round-12 rotation:
+    "join_lateral_topn",
+    "win_range_interval",
+    "group_by_all",
+    "text_keyword_tag",
+    "dedup_containment_ngram",
+    "contamination_source_matrix",
+    "dataset_epochs_schedule",
+    "search_hybrid_rrf",
+    "knn_cosine_pq",
+    "quality_constraints_audit",
+    "dataset_drift_tvd",
+    "search_mmr_diversified",
 ]
 
 

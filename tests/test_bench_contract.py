@@ -24,16 +24,22 @@ def test_headline_queries_registered_with_oracles():
 # driver drops CORRECTNESS_r{WINDOW_ROUND}.json mid-round recording the
 # very window this test polices, so including it would mark every member
 # fresh and fail the assertion (the round-9 time bomb — VERDICT r9 #1).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
+
+# The only corpus names with no driver row in any pre-r11 artifact — the
+# round-10 additions, which VERDICT r10 #1 says must LEAD the r11 window
+# to make cumulative driver coverage 288/288.
+NEVER_CHECKED_LEAD = ["text_nfc_dedup", "dedup_url_canonical", "compat_time_modifiers"]
 
 
-def test_round10_driver_window_is_least_recently_checked():
+def test_round11_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-10 rotation (VERDICT r9 #5) is strictly least-recently-checked —
-    pure backfill of the 36 r4-window names plus the 14 oldest r5-window
-    names (no new round-10 queries).  Pin the freshness property so a
-    registration-order or priority-list refactor can't silently evict
-    them, computing last-checked ONLY from pre-window-round artifacts."""
+    round-11 rotation (VERDICT r10 #1) leads with the 3 never-driver-checked
+    round-10 additions, then strict least-recently-checked backfill (the 35
+    remaining r5-window names + the 12 oldest r6-window names).  Pin the
+    freshness property so a registration-order or priority-list refactor
+    can't silently evict them, computing last-checked ONLY from
+    pre-window-round artifacts."""
     import glob
     import json
     import re
@@ -50,11 +56,17 @@ def test_round10_driver_window_is_least_recently_checked():
             continue  # the window's own (or a later) artifact — see above
         for name in json.load(open(f)):
             last[name] = max(last.get(name, 0), rnd)
-    stale_violations = [n for n in window if last.get(n, 0) > 5]
+    assert window[:3] == NEVER_CHECKED_LEAD, (
+        f"window must lead with the never-driver-checked names; got {window[:3]}"
+    )
+    stale_violations = [n for n in window if last.get(n, 0) > 6]
     assert not stale_violations, (
         f"window contains recently-checked names: {stale_violations}"
     )
-    never_checked = [n for n in window if n not in last]
+    # beyond the sanctioned lead, everything must have a prior green row
+    never_checked = [
+        n for n in window if n not in last and n not in NEVER_CHECKED_LEAD
+    ]
     assert not never_checked, (
         f"window members missing any pre-r{WINDOW_ROUND} green row: "
         f"{never_checked}"
@@ -83,6 +95,7 @@ def test_compact_summary_line_fits_driver_tail_capture():
             "duckdb": worst,
             "duckdb_total": 12345.678,
             "ratio_vs_duckdb": 123.456,
+            "noise": {"sentinel_before": 123.4567, "sentinel_after": 123.4567},
             "sf": 0.001,
         }
     )

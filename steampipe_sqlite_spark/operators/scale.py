@@ -176,6 +176,7 @@ def salted_join_hot_keys(
     key: str,
     hot_keys: list,
     n_salts: int = 16,
+    how: str = "inner",
 ) -> DataFrame:
     """Equi-join with TARGETED salting: only rows whose key is in the
     known-hot set get a salt in [0, n_salts); everything else keeps salt
@@ -191,12 +192,24 @@ def salted_join_hot_keys(
     "null/default key" list).  When the hot set is NOT known, prefer AQE's
     runtime skew split (on in session.py) for sort-merge joins; this
     operator also covers shuffle-hash joins, which AQE's splitter does not.
-    Inner and left joins are safe; measured by tools/skew_join_probe.py.
+
+    ``how`` supports ``inner`` (default) and ``left``, threaded through
+    both join paths (ADVICE r10): salting preserves left-join semantics
+    because every left row carries exactly one salt and the right side is
+    replicated across ALL salts for hot keys (salt 0 for cold), so an
+    unmatched left row is unmatched at every salt and surfaces once with
+    nulls.  Right/full would need the MIRRORED construction (salt the
+    right, replicate the left) — not provided; measured by
+    tools/skew_join_probe.py.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join_hot_keys supports how='inner'|'left', got {how!r}"
+        )
     if not hot_keys:
         # no declared hot set — the salt would be constant 0 everywhere,
         # a plain join with bookkeeping overhead; do the plain join
-        return left.join(right, [key])
+        return left.join(right, [key], how)
     hot = F.col(key).isin(*[F.lit(k) for k in hot_keys])
     l_salted = left.withColumn(
         "_salt",
@@ -213,7 +226,7 @@ def salted_join_hot_keys(
     # sequence/array of int literals already yields int elements, matching
     # the left side's cast — no cast around the generator (Catalyst rejects
     # expressions nested over explode()).
-    return l_salted.join(r_salted, [key, "_salt"]).drop("_salt")
+    return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
 
 
 def distributed_row_number(

@@ -92,6 +92,14 @@ def _input_bytes() -> int:
     return total
 
 
+# Datasets below this size are ignored by the split-size policy: a table
+# smaller than one small split can't fan out under ANY setting, its scan is
+# negligible, and letting it vote would drag the whole session to 16m splits
+# (a single-file nation alongside a many-file lineitem reinstating the
+# measured ~8% large-table regression — ADVICE r10).
+_SPLIT_POLICY_MIN_DATASET_BYTES = 4 << 20
+
+
 def _max_partition_bytes(cpus: int) -> str:
     """Scan split size derived from the input's FILE layout, like every
     other session knob (shuffle partitions, AQE, heap: data-derived).
@@ -104,20 +112,40 @@ def _max_partition_bytes(cpus: int) -> str:
     4096 files the 16m override was ~8% SLOWER than Spark's 128m
     default at every granularity (72/171/1024 partitions vs 32/32/137),
     and at 100 TB a blanket 16m would mean ~6M scan tasks per query.
-    Rule: if any dataset has fewer part files than cores, it needs the
-    small split to fan out (16m); when every dataset is already at
-    least cores-wide, Spark's 128m default wins.  Explicit
+    Rule: if any dataset LARGE ENOUGH TO MATTER (see
+    _SPLIT_POLICY_MIN_DATASET_BYTES) has fewer part files than cores, it
+    needs the small split to fan out (16m); when every such dataset is
+    already at least cores-wide, Spark's 128m default wins.  Part files
+    are counted recursively (os.walk, mirroring _input_bytes) so
+    hive-partitioned datasets — whose part files nest under key=value
+    subdirs — don't miscount as 1 file (ADVICE r10).  Explicit
     SPARK_GRAFT_MAX_PARTITION_BYTES always wins."""
     env = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
     if env:
         return env
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def _size(path: str) -> int:
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
+
     min_files = None
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         if os.path.isdir(p):
-            n = max(sum(1 for f in os.listdir(p) if f.endswith(".parquet")), 1)
+            n = 0
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                parts = [f for f in files if f.endswith(".parquet")]
+                n += len(parts)
+                total += sum(_size(os.path.join(root, f)) for f in parts)
+            n = max(n, 1)
         else:
             n = 1
+            total = _size(p)
+        if total < _SPLIT_POLICY_MIN_DATASET_BYTES:
+            continue
         min_files = n if min_files is None else min(min_files, n)
     if min_files is None or min_files < cpus:
         return "16m"
@@ -180,6 +208,17 @@ def get_spark(app_name: str = "steampipe_sqlite_spark", cpus: str | int | None =
         .config(
             "spark.scheduler.mode",
             os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO").upper(),
+        )
+        # FAIR mode alone is not enough: with no allocation file every job
+        # lands in the auto-built "default" pool whose internal mode is
+        # hard-coded FIFO (FairSchedulableBuilder.buildDefaultPool), so
+        # task scheduling stays head-of-line.  Ship an allocation file
+        # declaring the default pool FAIR so round-robin across concurrent
+        # jobs is real without per-job spark.scheduler.pool setup
+        # (ADVICE r10; re-measured by tools/concurrency_probe.py).
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(__file__), "fairscheduler.xml"),
         )
         # UI off by default (test-bed hygiene: no port squatting, less
         # startup); SPARK_GRAFT_UI=on exposes the REST status API the

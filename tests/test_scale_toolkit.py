@@ -117,6 +117,44 @@ def test_salted_hot_keys_join_matches_plain(spark):
     assert fingerprint(salted) == fingerprint(plain)
 
 
+def test_salted_hot_keys_left_join_matches_plain(spark):
+    """how='left' (ADVICE r10): an unmatched left row carries exactly one
+    salt and the right side is replicated across all salts for hot keys,
+    so it surfaces once with nulls — both through the salted path and
+    the empty-hot-set plain-join fallback."""
+    from steampipe_sqlite_spark.operators.scale import salted_join_hot_keys
+
+    lineitem = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    # drop half the orders so some left rows are unmatched
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    right = orders.withColumnRenamed("o_orderkey", "l_orderkey").filter(
+        F.col("l_orderkey") % 2 == 0
+    )
+    hot = [r.l_orderkey for r in lineitem.groupBy("l_orderkey").count()
+           .orderBy(F.desc("count")).limit(3).collect()]
+
+    def fingerprint(df):
+        return {
+            (r.l_orderkey, r.n, r.matched)
+            for r in df.groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("o_orderpriority").alias("matched"),
+            )
+            .collect()
+        }
+
+    plain = lineitem.join(right, "l_orderkey", "left")
+    salted = salted_join_hot_keys(
+        lineitem, right, "l_orderkey", hot, n_salts=8, how="left"
+    )
+    assert fingerprint(salted) == fingerprint(plain)
+    fallback = salted_join_hot_keys(lineitem, right, "l_orderkey", [], how="left")
+    assert fingerprint(fallback) == fingerprint(plain)
+    with pytest.raises(ValueError):
+        salted_join_hot_keys(lineitem, right, "l_orderkey", hot, how="full")
+
+
 def test_prepartition_reuses_exchange(spark):
     events = load_table(spark, SF_DIR, "events")
     pre = prepartition_for_reuse(events, "user_id", 8)

@@ -76,11 +76,17 @@ def test_driver_mem_scales_with_data(monkeypatch):
     assert S._driver_mem() == "8g"
 
 
+def _sparse(path, size):
+    """A file whose getsize() reports ``size`` without writing the bytes."""
+    with open(path, "wb") as f:
+        f.truncate(size)
+
+
 def test_max_partition_bytes_single_file_inputs_split_small(monkeypatch, tmp_path):
     """Driver testdata (one file per table) needs 16m splits to fan a
     sub-GB scan across the cores (measured: tpch_q1 0.72->0.45 s)."""
     monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
-    (tmp_path / "lineitem.parquet").write_bytes(b"x")
+    _sparse(tmp_path / "lineitem.parquet", 10 << 20)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
     assert S._max_partition_bytes(32) == "16m"
 
@@ -95,12 +101,50 @@ def test_max_partition_bytes_many_file_datasets_keep_spark_default(
     d = tmp_path / "lineitem.parquet"
     d.mkdir()
     for i in range(40):
-        (d / f"part-{i:05d}.snappy.parquet").write_bytes(b"x")
+        _sparse(d / f"part-{i:05d}.snappy.parquet", 8 << 20)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
     assert S._max_partition_bytes(32) == "128m"
-    # a single-file dataset alongside pulls the whole session back to 16m
-    (tmp_path / "orders.parquet").write_bytes(b"x")
+    # a LARGE single-file dataset alongside pulls the session back to 16m
+    _sparse(tmp_path / "orders.parquet", 10 << 20)
     assert S._max_partition_bytes(32) == "16m"
+
+
+def test_max_partition_bytes_ignores_tiny_side_tables(monkeypatch, tmp_path):
+    """A tiny single-file dim (nation: 2.7 KB) must NOT drag a many-file
+    lineitem to 16m splits — a table below one split width can't fan out
+    under any setting and its scan is negligible (ADVICE r10: the min rule
+    would otherwise reinstate the measured ~8% large-table regression)."""
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
+    d = tmp_path / "lineitem.parquet"
+    d.mkdir()
+    for i in range(40):
+        _sparse(d / f"part-{i:05d}.snappy.parquet", 8 << 20)
+    (tmp_path / "nation.parquet").write_bytes(b"x" * 2700)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert S._max_partition_bytes(32) == "128m"
+    # all-tiny inputs (sf0.001 fixtures) keep the fan-out default
+    tiny = tmp_path / "only"
+    tiny.mkdir()
+    (tiny / "nation.parquet").write_bytes(b"x" * 2700)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tiny))
+    assert S._max_partition_bytes(32) == "16m"
+
+
+def test_max_partition_bytes_counts_hive_partitioned_parts(monkeypatch, tmp_path):
+    """write_partitioned_dataset nests part files under key=value subdirs;
+    counting only the dataset dir's direct children saw 1 file and forced
+    16m splits on an already-many-file layout (ADVICE r10) — the count
+    must walk recursively, mirroring _input_bytes."""
+    monkeypatch.delenv("SPARK_GRAFT_MAX_PARTITION_BYTES", raising=False)
+    d = tmp_path / "events.parquet"
+    for part in range(8):
+        sub = d / f"event_date=2024-01-{part + 1:02d}"
+        sub.mkdir(parents=True)
+        for i in range(5):
+            _sparse(sub / f"part-{i:05d}.snappy.parquet", 8 << 20)
+    (d / "_SUCCESS").write_bytes(b"")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path))
+    assert S._max_partition_bytes(32) == "128m"
 
 
 def test_max_partition_bytes_env_override_wins(monkeypatch, tmp_path):

@@ -15,9 +15,17 @@ SPARK_GRAFT_SCHEDULER (session.py):
   fifo  -- Spark's default: stages run in submission order; a tiny
            job's 8 tasks queue behind whatever slice of the heavy
            stage's task backlog is ahead of them.
-  fair  -- spark.scheduler.mode=FAIR (no pools file: one default pool,
-           round-robin ACROSS JOBS): the tiny job's tasks interleave
-           with the heavy stage's as slots free per-task.
+  fair  -- spark.scheduler.mode=FAIR + the shipped allocation file
+           (session.py sets spark.scheduler.allocation.file to the
+           package's fairscheduler.xml, which declares the default
+           pool schedulingMode FAIR).  The file is load-bearing
+           (ADVICE r10): WITHOUT it, FAIR mode builds the default
+           pool with an internal FIFO comparator — every job lands in
+           that one pool, so task ordering is mechanically identical
+           to FIFO mode and the earlier r10 delta was co-tenant
+           noise, not the scheduler.  With it, the tiny job's tasks
+           genuinely round-robin with the heavy stage's per freed
+           slot.
 
 Metrics: tiny-query p50/p95/max latency during contention, isolated
 baseline from a pre-pass, heavy iterations completed — PASS = FAIR
@@ -156,7 +164,11 @@ def main() -> None:
     x100 = build(spark, 100, {"lineitem", "orders", "customer"})
     stop_spark()
 
-    for mode in ("fifo", "fair"):
+    # Counterbalanced A/B/B/A arm order (ADVICE r10): a fixed fifo-then-
+    # fair order confounds the scheduler with page-cache warm-up and
+    # co-tenant drift; running both orders exposes any order effect
+    # directly in the paired readings.
+    for mode in ("fifo", "fair", "fair", "fifo"):
         run_arm(mode, x100, per_thread)
     del os.environ["SPARK_GRAFT_SCHEDULER"]
 

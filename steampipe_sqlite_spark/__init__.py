@@ -21,6 +21,14 @@ the reference's observable behavior.
 """
 
 from steampipe_sqlite_spark.session import get_spark, stop_spark
+from steampipe_sqlite_spark.tables import drop_layout, load_table, optimize_layout, register_views
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "load_table",
+    "register_views",
+    "optimize_layout",
+    "drop_layout",
+]
 __version__ = "0.1.0"

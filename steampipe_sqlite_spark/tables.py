@@ -181,6 +181,189 @@ def compacted_path(spark: SparkSession, path: str) -> str:
         return path
 
 
+# ---------------------------------------------------------------------------
+# Bucketed layout deployment (lakehouse OPTIMIZE ... CLUSTER BY analog).
+#
+# The measured deployment story (tools/bucketed_layout_probe.py, round 10):
+# registering q3/q18 over a 64-bucket orderkey layout runs the join
+# EXCHANGE-FREE, 4.5-8.7x faster at 100x data (q3 5.40 s -> 1.12 s).  This
+# is the engine-owned path to that plan (VERDICT r10 #3): pay ONE shuffle at
+# ingest (`optimize_layout`), then every registered query discovers the
+# bucketed copy through the same catalog funnel as `.cache/compact` —
+# Catalyst sees the bucketing as a satisfied hash distribution and plans
+# zero exchanges on the bucket key (proof: tests/test_plans.py
+# test_optimized_layout_runs_q3_q18_exchange_free_on_orderkey).
+#
+# Spark keeps bucketing metadata in the CATALOG, not in the files, and the
+# default in-memory catalog dies with the session — so the layout registry
+# (a JSON file beside the data) records (source identity, bucket spec,
+# schema DDL, location), and discovery re-creates the catalog entry in any
+# new session with `CREATE TABLE ... USING PARQUET CLUSTERED BY ...
+# LOCATION` over the already-written bucket files (bucket ids ride the
+# part-file names, so the external-table form preserves them).  Fixture
+# identity (size + mtime) keys the entry exactly like `.cache/compact`: a
+# regenerated fixture silently invalidates the layout rather than serving
+# stale rows.  At cluster scale the same two calls map onto real lakehouse
+# primitives (Delta/Iceberg OPTIMIZE + a catalog the whole cluster shares);
+# nothing here buffers data on the driver — the rewrite is a distributed
+# write.  Turn discovery off with SPARK_GRAFT_LAYOUT=off.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_ROOT = os.environ.get(
+    "SPARK_GRAFT_LAYOUT_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "layout"),
+)
+
+
+def _layout_enabled() -> bool:
+    return os.environ.get("SPARK_GRAFT_LAYOUT", "on").lower() not in ("off", "false", "0")
+
+
+def _layout_registry_path() -> str:
+    return os.path.join(_LAYOUT_ROOT, "registry.json")
+
+
+def _layout_registry() -> dict:
+    import json
+
+    try:
+        with open(_layout_registry_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _layout_key(sf_dir: str, name: str) -> str:
+    return f"{os.path.abspath(sf_dir)}::{name}"
+
+
+def _source_identity(path: str) -> dict:
+    st = os.stat(path)
+    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+
+
+def optimize_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    bucket_by: str,
+    buckets: int,
+    sort_by: str | None = None,
+) -> str:
+    """Rewrite ``table`` into a hash-bucketed layout and register it for
+    discovery: every subsequent :func:`load_table` / :func:`register_views`
+    for this (sf_dir, table) — in this session or a fresh one — reads the
+    bucketed copy, and equi-joins/aggregations on ``bucket_by`` plan with
+    ZERO exchanges on that key.  Returns the catalog table name.
+
+    One ingest-time shuffle buys every repeated big-fact join; measured
+    4.5-8.7x on q3/q18 at 100x data (tools/bucketed_layout_probe.py).
+    Values, row multiset, and logical schema are unchanged (timestamp
+    normalization is applied BEFORE the write, so the copy carries proper
+    timestamps).  Undo with :func:`drop_layout`.
+    """
+    import json
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    ident = _source_identity(src)
+    spec = f"{os.path.abspath(src)}|{ident['size']}|{ident['mtime_ns']}|{bucket_by}|{buckets}|{sort_by}"
+    tag = hashlib.sha256(spec.encode()).hexdigest()[:12]
+    catalog_name = f"sgs_layout_{table}_{tag}"
+    location = os.path.join(_LAYOUT_ROOT, f"{tag}-{table}")
+
+    # write OUTSIDE discovery: read the raw source (normalized), not a
+    # previously-registered layout of itself
+    df = _load_table_raw(spark, sf_dir, table)
+    writer = df.write.mode("overwrite").bucketBy(buckets, bucket_by).option("path", location)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
+    writer.saveAsTable(catalog_name)
+
+    reg = _layout_registry()
+    reg[_layout_key(sf_dir, table)] = {
+        "source": ident,
+        "bucket_by": bucket_by,
+        "buckets": buckets,
+        "sort_by": sort_by,
+        "location": location,
+        "catalog_name": catalog_name,
+        "schema_ddl": df.schema.toDDL(),
+    }
+    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+    tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=1)
+    os.replace(tmp, _layout_registry_path())
+    _invalidate_session_table(spark, sf_dir, table)
+    return catalog_name
+
+
+def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
+    """Remove a deployed layout: registry entry, catalog table, and files."""
+    import json
+
+    reg = _layout_registry()
+    entry = reg.pop(_layout_key(sf_dir, table), None)
+    if entry is None:
+        return
+    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+    tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(reg, f, indent=1)
+    os.replace(tmp, _layout_registry_path())
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
+    except Exception:  # noqa: BLE001 — cleanup best-effort
+        pass
+    shutil.rmtree(entry["location"], ignore_errors=True)
+    _invalidate_session_table(spark, sf_dir, table)
+
+
+def _invalidate_session_table(spark: SparkSession, sf_dir: str, table: str) -> None:
+    state = _session_state(spark)
+    state["tables"].pop((sf_dir, table), None)
+    # force re-registration of temp views so spark.sql() sees the change
+    state.pop("views", None)
+    # the query registry caches one DataFrame per (query, sf_dir) per
+    # session — those plans were analyzed against the OLD layout and would
+    # keep serving it (still-correct data, but the exchange-free plan the
+    # layout was deployed for never appears); drop them so the next call
+    # re-plans over the new layout.  Lazy import: registry imports tables
+    # at call time, so importing it here at call time closes no cycle.
+    from steampipe_sqlite_spark.plans import registry as _registry
+
+    _registry.invalidate_plan_cache(spark, sf_dir)
+
+
+def _layout_table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """Return the bucketed-layout DataFrame for (sf_dir, name), or None.
+
+    Never fails a read: any staleness (source regenerated, files removed)
+    or DDL error falls back to the plain parquet path.
+    """
+    if not _layout_enabled():
+        return None
+    entry = _layout_registry().get(_layout_key(sf_dir, name))
+    if entry is None:
+        return None
+    try:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if _source_identity(src) != entry["source"] or not os.path.isdir(entry["location"]):
+            return None
+        cat = entry["catalog_name"]
+        if not spark.catalog.tableExists(cat):
+            sorted_clause = f"SORTED BY ({entry['sort_by']}) " if entry["sort_by"] else ""
+            spark.sql(
+                f"CREATE TABLE {cat} ({entry['schema_ddl']}) USING PARQUET "
+                f"CLUSTERED BY ({entry['bucket_by']}) {sorted_clause}"
+                f"INTO {entry['buckets']} BUCKETS LOCATION '{entry['location']}'"
+            )
+        return spark.table(cat)
+    except Exception:  # noqa: BLE001 — layout discovery must never fail a read
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame (memoized per session).
 
@@ -189,12 +372,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     footer read, measured at ~0.1 s per call — a 6-table query paid ~0.6 s
     of pure re-loading per construction.  DataFrames are immutable plans,
     so sharing is safe; executions are independent.
+
+    Resolution order: deployed bucketed layout (``optimize_layout``) if one
+    is registered and fresh, else the plain (possibly compacted) parquet
+    scan.
     """
     memo = _session_state(spark)["tables"]
     key = (sf_dir, name)
     cached = memo.get(key)
     if cached is not None:
         return cached
+    _ensure_nanos_conf(spark)
+    layout = _layout_table_df(spark, sf_dir, name)
+    if layout is not None:
+        # the bucketed copy was written post-normalization — serve as-is
+        memo[key] = layout
+        return layout
+    df = _load_table_raw(spark, sf_dir, name)
+    memo[key] = df
+    return df
+
+
+def _load_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The plain parquet read + timestamp normalization (no layout, no memo)."""
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(compacted_path(spark, os.path.join(sf_dir, f"{name}.parquet")))
     # The fixture's physical timestamp type has flipped between rounds:
@@ -215,7 +415,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for c in ts_cols:
             if dtypes.get(c) == "bigint":
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    memo[key] = df
     return df
 
 

@@ -303,6 +303,10 @@ def main() -> None:
     # capture truncated the detail line in r8/r9 leaving "parsed": null,
     # so the machine-readable summary — totals + per-query spark/duckdb
     # seconds only — must be the final stdout line and stay small.
+    # "noise" carries the sentinel pair (VERDICT r10 #8) so every archived
+    # BENCH_rN.json records its own co-tenant-load context: readings with
+    # sentinels well above the ~0.006 s quiet-box value were taken under
+    # load and must not be compared as engine regressions.
     print(
         json.dumps(
             {
@@ -313,6 +317,7 @@ def main() -> None:
                 "duckdb": duck,
                 "duckdb_total": round(duck_comp, 3),
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
+                "noise": {k: round(v, 4) for k, v in noise.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -189,8 +189,8 @@ class Qual:
 
 
 class MissingRequiredQualError(Exception):
-    """Raised when a required key column has no equality qual — explicit
-    error replacing the reference's infinite-cost trick
+    """Raised when a required key column appears in no qual at all —
+    explicit error replacing the reference's infinite-cost trick
     (/root/reference/table.go:156-164)."""
 
     def __init__(self, table: str, columns: list[str]):
@@ -204,7 +204,15 @@ class MissingRequiredQualError(Exception):
 
 
 def check_required_quals(schema: TableSchema, quals: list[Qual]) -> None:
-    qualed = {q.column for q in quals if q.op in ("=", "in")}
+    """Gate parity with the reference (/root/reference/table.go:182-214,
+    ``allRequiredKeyColsInConstraints``): a required key column is
+    satisfied by ANY constraint naming it — name presence only, not a
+    specific operator.  A range-only qual (``WHERE required_col > 5``)
+    therefore proceeds to the connector, which may serve it or raise its
+    own richer error, exactly as a reference plugin would (ADVICE/VERDICT
+    r10: the earlier ``=``/``in``-only gate was an undeclared stricter
+    divergence)."""
+    qualed = {q.column for q in quals}
     missing = [c.name for c in schema.required_key_columns() if c.name not in qualed]
     if missing:
         raise MissingRequiredQualError(schema.name, missing)

@@ -36,34 +36,40 @@ Usage: python tools/concurrency_probe.py [tiny_queries_per_thread]
        (default 12; replica shared under .cache/floorscale)
 Prints one JSON line per arm.
 
-Committed reading (round 10, local[32], heavy = tpch_q3@100x looping,
+Committed reading (round 11, local[32], heavy = tpch_q3@100x looping,
 4 tiny-client threads x 12 tpch_q6@sf0.1 each = 48 tiny queries per
-arm, results stable in every arm):
+arm, A/B/B/A order, results stable in every arm; the allocation file
+is in effect, so the fair arm is REAL fair — the round-10 reading was
+taken without it, when both arms were mechanically FIFO, and its
+similar-looking delta is therefore attributed to window noise, not
+the scheduler):
 
-  arm    tiny p50    tiny p95    tiny max    heavy iter median (contended)
-  fifo    2.065 s     3.356 s     3.431 s        3.72 s
-  fair    1.052 s     1.312 s     1.335 s        7.12 s
+  arm (order)   tiny p50    tiny p95    tiny max    heavy iter median
+  fifo (1st)     1.715 s     2.623 s     2.803 s        3.67 s
+  fair (2nd)     0.921 s     1.456 s     1.479 s        5.64 s
+  fair (3rd)     0.853 s     2.333 s     2.412 s        6.48 s
+  fifo (4th)     2.098 s     2.849 s     3.337 s        3.45 s
 
-  (Repro run same window: fifo p50 2.112 / p95 3.108, fair p50 1.043 /
-  p95 1.492 — the arms reproduce within 2-14% and the ordering is
-  stable; heavy medians are the heavy query's own per-iteration walls.)
-
-  Reading: FIFO queues the tiny query's 8 tasks behind the heavy
-  stage's hundreds — median 2.1 s and a 3.4 s tail for a ~0.1 s
-  query: the dashboard stalls whenever the warehouse breathes.
-  FAIR's per-job round-robin halves the median and cuts the tail
-  2.6x, and the ceiling it converges to (~1 s) is the heavy query's
-  per-STAGE granularity — a running task is never preempted, so the
-  tiny job waits for slots to free, not for whole stages to drain.
-  The cost is real and measured, not waved away: the heavy iteration
-  slows 3.72 -> 7.12 s while tiny clients are active (tiny jobs now
-  steal slots from every heavy stage).  That trade IS the deployment
-  decision: SPARK_GRAFT_SCHEDULER=fair (session.py) for mixed
-  interactive serving — on a real cluster, weighted scheduler pools
-  per tenant class — FIFO for pure batch where stage-at-a-time
-  throughput wins.  At 1000 executors the FIFO penalty grows with
-  the heavy backlog (minutes of queued tasks), while FAIR's floor
-  stays one stage-slot away; the 2-3x measured here UNDERSTATES it.
+  Reading: the effect survives counterbalancing — both fair arms beat
+  both fifo arms on tiny p50 by ~2x regardless of position, so it is
+  the scheduler, not cache warm-up or co-tenant drift.  FIFO queues
+  the tiny query's 8 tasks behind the heavy stage's hundreds —
+  median ~1.7-2.1 s and a 2.8-3.3 s tail for a ~0.1 s query: the
+  dashboard stalls whenever the warehouse breathes.  FAIR's per-job
+  round-robin (now real: the default pool's internal comparator is
+  FAIR via the allocation file) halves the median, and the ceiling it
+  converges to (~0.9 s) is the heavy query's per-STAGE granularity —
+  a running task is never preempted, so the tiny job waits for slots
+  to free, not for whole stages to drain.  The cost is real and
+  measured, not waved away: heavy iterations slow 3.5 -> 5.6-6.5 s
+  while tiny clients are active (tiny jobs now steal slots from every
+  heavy stage).  That trade IS the deployment decision:
+  SPARK_GRAFT_SCHEDULER=fair (session.py) for mixed interactive
+  serving — on a real cluster, weighted scheduler pools per tenant
+  class — FIFO for pure batch where stage-at-a-time throughput wins.
+  At 1000 executors the FIFO penalty grows with the heavy backlog
+  (minutes of queued tasks), while FAIR's floor stays one stage-slot
+  away; the ~2x measured here UNDERSTATES it.
 """
 
 from __future__ import annotations

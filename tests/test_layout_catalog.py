@@ -115,3 +115,29 @@ def test_redeploy_reclaims_superseded_copy(spark, layout_root):
     df = _fresh(spark, SF_DIR, "region")
     assert "sgs_layout" in df._jdf.queryExecution().executedPlan().toString()
     T.drop_layout(spark, SF_DIR, "region")
+
+
+def test_concurrent_deployments_keep_both_entries(spark, layout_root):
+    """Registry read-modify-write is flock-serialized: two concurrent
+    optimize_layout calls for DIFFERENT tables must both survive (before
+    the lock, the last writer re-wrote the registry from its own stale
+    read and silently dropped the other's entry)."""
+    import threading
+
+    errs = []
+
+    def deploy(table, key, buckets):
+        try:
+            T.optimize_layout(spark, SF_DIR, table, key, buckets)
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            errs.append(e)
+
+    t1 = threading.Thread(target=deploy, args=("region", "r_regionkey", 2))
+    t2 = threading.Thread(target=deploy, args=("nation", "n_nationkey", 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    reg = T._layout_registry()
+    assert T._layout_key(SF_DIR, "region") in reg
+    assert T._layout_key(SF_DIR, "nation") in reg
+    T.drop_layout(spark, SF_DIR, "region")
+    T.drop_layout(spark, SF_DIR, "nation")

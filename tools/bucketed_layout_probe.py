@@ -22,9 +22,11 @@ join (Catalyst treats the bucket layout as a satisfied hash
 distribution), results are row-identical, and wall-clock drops by about
 the cost of the removed shuffle writes.
 
-Usage: python tools/bucketed_layout_probe.py [reps] [buckets]
+Usage: python tools/bucketed_layout_probe.py [reps] [buckets] [--engine-path]
        (defaults: 100 64; replica corpus cached/shared with
-       floorbound_scale_probe under .cache/floorscale)
+       floorbound_scale_probe under .cache/floorscale; --engine-path
+       deploys via the public tables.optimize_layout catalog instead of
+       probe-level write_bucketed — the engine-owned path, VERDICT r10 #3)
 Prints one JSON line.
 
 Committed reading (round 10, local[32], 100x sf0.1 = 60M lineitem /
@@ -117,8 +119,14 @@ def _best_of(fn, n: int = 3) -> float:
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    # --engine-path: deploy via the PUBLIC tables.optimize_layout API
+    # (fixture-keyed catalog + discovery through register_views) instead
+    # of probe-level write_bucketed + view shadowing — measures the
+    # engine-owned deployment path end-to-end (VERDICT r10 #3).
+    engine_path = "--engine-path" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--engine-path"]
+    reps = int(args[0]) if len(args) > 0 else 100
+    buckets = int(args[1]) if len(args) > 1 else 64
 
     spark = get_spark("bucketprobe")
     sf_dir = build(spark, reps, TABLES)
@@ -151,27 +159,43 @@ def main() -> None:
 
     # ---- bucketed layout: one-time ingest, then the same SQL text ----
     write_s = {}
-    for t, key in BUCKET_KEYS.items():
-        src = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-        # one output file per bucket: hash-repartition on the bucket key
-        # first, else every write task emits a sliver of every bucket
-        # (tasks x buckets small files)
-        t0 = time.perf_counter()
-        write_bucketed(
-            src.repartition(buckets, F.col(key)), t, key, buckets, sort_col=key
-        )
-        write_s[t] = round(time.perf_counter() - t0, 3)
-        # the temp view (registered by the flat run) shadows the catalog
-        # table — drop it so the SQL resolves to the bucketed table
-        spark.catalog.dropTempView(t)
+    if engine_path:
+        import steampipe_sqlite_spark.tables as T
+
+        for t, key in BUCKET_KEYS.items():
+            t0 = time.perf_counter()
+            T.optimize_layout(spark, sf_dir, t, key, buckets, sort_by=key)
+            write_s[t] = round(time.perf_counter() - t0, 3)
+    else:
+        for t, key in BUCKET_KEYS.items():
+            src = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            # one output file per bucket: hash-repartition on the bucket key
+            # first, else every write task emits a sliver of every bucket
+            # (tasks x buckets small files)
+            t0 = time.perf_counter()
+            write_bucketed(
+                src.repartition(buckets, F.col(key)), t, key, buckets, sort_col=key
+            )
+            write_s[t] = round(time.perf_counter() - t0, 3)
+            # the temp view (registered by the flat run) shadows the catalog
+            # table — drop it so the SQL resolves to the bucketed table
+            spark.catalog.dropTempView(t)
 
     bucketed = {}
     equal = {}
     for name in PROBE_QUERIES:
-        sql_text = queries[name].__doc__
-        buck_df = spark.sql(sql_text)
-        buck_pd = buck_df.toPandas()  # warm
-        buck_s = _best_of(lambda: spark.sql(sql_text).toPandas())
+        if engine_path:
+            # the registered query fn itself — discovery re-registers the
+            # views over the deployed layout; no view surgery here
+            fn = getattr(queries[name], "__wrapped__", queries[name])
+            buck_df = fn(spark, sf_dir)
+            buck_pd = buck_df.toPandas()  # warm
+            buck_s = _best_of(lambda: fn(spark, sf_dir).toPandas())
+        else:
+            sql_text = queries[name].__doc__
+            buck_df = spark.sql(sql_text)
+            buck_pd = buck_df.toPandas()  # warm
+            buck_s = _best_of(lambda: spark.sql(sql_text).toPandas())
         plan = _executed_plan(buck_df)
         bucketed[name] = {
             "best_s": round(buck_s, 3),
@@ -186,6 +210,7 @@ def main() -> None:
         )
 
     out = {
+        "mode": "engine_path" if engine_path else "probe_path",
         "reps": reps,
         "buckets": buckets,
         "rows": rows,
@@ -195,8 +220,14 @@ def main() -> None:
         "results_equal": equal,
     }
     print(json.dumps(out))
-    for t in BUCKET_KEYS:
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if engine_path:
+        import steampipe_sqlite_spark.tables as T
+
+        for t in BUCKET_KEYS:
+            T.drop_layout(spark, sf_dir, t)
+    else:
+        for t in BUCKET_KEYS:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 if __name__ == "__main__":

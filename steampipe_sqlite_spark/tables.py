@@ -271,27 +271,52 @@ def optimize_layout(
     spark: SparkSession,
     sf_dir: str,
     table: str,
-    bucket_by: str,
-    buckets: int,
+    bucket_by: str | None = None,
+    buckets: int | None = None,
     sort_by: str | None = None,
+    partition_by: str | None = None,
 ) -> str:
-    """Rewrite ``table`` into a hash-bucketed layout and register it for
-    discovery: every subsequent :func:`load_table` / :func:`register_views`
-    for this (sf_dir, table) — in this session or a fresh one — reads the
-    bucketed copy, and equi-joins/aggregations on ``bucket_by`` plan with
-    ZERO exchanges on that key.  Returns the catalog table name.
+    """Rewrite ``table`` into an optimized physical layout and register it
+    for discovery: every subsequent :func:`load_table` /
+    :func:`register_views` for this (sf_dir, table) — in this session or a
+    fresh one — reads the optimized copy.  Returns the catalog table name
+    (bucketed mode) or the layout location (partitioned mode).
 
-    One ingest-time shuffle buys every repeated big-fact join; measured
-    4.5-8.7x on q3/q18 at 100x data (tools/bucketed_layout_probe.py).
-    Values, row multiset, and logical schema are unchanged (timestamp
-    normalization is applied BEFORE the write, so the copy carries proper
-    timestamps).  Undo with :func:`drop_layout`.
+    Two layout axes, the two every lakehouse deployment uses:
+
+    - ``bucket_by``/``buckets`` (+optional ``sort_by``): hash-bucketed
+      table — equi-joins/aggregations on the bucket key plan with ZERO
+      exchanges on that key.  One ingest-time shuffle buys every repeated
+      big-fact join; measured 4.5-8.7x on q3/q18 at 100x data
+      (tools/bucketed_layout_probe.py, engine-path mode).
+    - ``partition_by``: hive-partitioned directory layout — equality/IN
+      filters on the partition column prune to matching directories
+      (PartitionFilters in the scan; untouched partitions are never read).
+      The right axis for low-cardinality selective columns (event type,
+      language, date bucket).  Readers recover partition values from
+      directory names, so discovery restores the ORIGINAL column order and
+      dtypes from the recorded schema (directory-name round-trips are
+      string-typed until the cast).
+
+    Exactly one axis per call (combined partition+bucket DDL rediscovery
+    needs MSCK repair semantics — not supported).  Values, row multiset,
+    and logical schema are unchanged (timestamp normalization is applied
+    BEFORE the write, so the copy carries proper timestamps).  Undo with
+    :func:`drop_layout`.
     """
     import json
 
+    if (bucket_by is None) == (partition_by is None):
+        raise ValueError("optimize_layout: pass exactly one of bucket_by or partition_by")
+    if bucket_by is not None and not buckets:
+        raise ValueError("optimize_layout: bucket_by requires buckets")
+
     src = os.path.join(sf_dir, f"{table}.parquet")
     ident = _source_identity(src)
-    spec = f"{os.path.abspath(src)}|{ident['size']}|{ident['mtime_ns']}|{bucket_by}|{buckets}|{sort_by}"
+    spec = (
+        f"{os.path.abspath(src)}|{ident['size']}|{ident['mtime_ns']}"
+        f"|{bucket_by}|{buckets}|{sort_by}|{partition_by}"
+    )
     tag = hashlib.sha256(spec.encode()).hexdigest()[:12]
     catalog_name = f"sgs_layout_{table}_{tag}"
     location = os.path.join(_LAYOUT_ROOT, f"{tag}-{table}")
@@ -299,11 +324,19 @@ def optimize_layout(
     # write OUTSIDE discovery: read the raw source (normalized), not a
     # previously-registered layout of itself
     df = _load_table_raw(spark, sf_dir, table)
-    writer = df.write.mode("overwrite").bucketBy(buckets, bucket_by).option("path", location)
-    if sort_by:
-        writer = writer.sortBy(sort_by)
-    spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
-    writer.saveAsTable(catalog_name)
+    if bucket_by is not None:
+        writer = df.write.mode("overwrite").bucketBy(buckets, bucket_by).option("path", location)
+        if sort_by:
+            writer = writer.sortBy(sort_by)
+        spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
+        writer.saveAsTable(catalog_name)
+    else:
+        # partitioned mode needs no catalog entry: a plain parquet read
+        # recovers the partitioning from the directory layout in ANY
+        # session; discovery restores column order/dtypes (see
+        # _layout_table_df)
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(location)
+        catalog_name = location
 
     with _layout_lock():
         reg = _layout_registry()
@@ -313,7 +346,8 @@ def optimize_layout(
             # files and catalog entry instead of orphaning them under
             # _LAYOUT_ROOT (they are unreachable once the entry is replaced)
             try:
-                spark.sql(f"DROP TABLE IF EXISTS {prev['catalog_name']}")
+                if prev.get("bucket_by") is not None:
+                    spark.sql(f"DROP TABLE IF EXISTS {prev['catalog_name']}")
             except Exception:  # noqa: BLE001 — cleanup best-effort
                 pass
             shutil.rmtree(prev["location"], ignore_errors=True)
@@ -322,9 +356,14 @@ def optimize_layout(
             "bucket_by": bucket_by,
             "buckets": buckets,
             "sort_by": sort_by,
+            "partition_by": partition_by,
             "location": location,
             "catalog_name": catalog_name,
             "schema_ddl": df.schema.toDDL(),
+            # (name, sql-type) per column in ORIGINAL order — the
+            # partitioned-mode restore list (DDL strings are not split-safe
+            # for nested types like map<string,int>)
+            "columns": list(df.dtypes),
         }
         tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
@@ -347,10 +386,11 @@ def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
         with open(tmp, "w") as f:
             json.dump(reg, f, indent=1)
         os.replace(tmp, _layout_registry_path())
-    try:
-        spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
-    except Exception:  # noqa: BLE001 — cleanup best-effort
-        pass
+    if entry.get("bucket_by") is not None:  # partitioned mode has no catalog entry
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
+        except Exception:  # noqa: BLE001 — cleanup best-effort
+            pass
     shutil.rmtree(entry["location"], ignore_errors=True)
     _invalidate_session_table(spark, sf_dir, table)
 
@@ -386,6 +426,18 @@ def _layout_table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame |
         src = os.path.join(sf_dir, f"{name}.parquet")
         if _source_identity(src) != entry["source"] or not os.path.isdir(entry["location"]):
             return None
+        if entry.get("bucket_by") is None:
+            # partitioned layout: a plain read recovers the partitioning
+            # from the directory names, but moves the partition column to
+            # the END and types it from the directory STRINGS — restore
+            # the recorded column order and dtypes so the layout is
+            # invisible to every consumer (the oracle hashes schema too)
+            from pyspark.sql import functions as F
+
+            df = spark.read.parquet(entry["location"])
+            return df.select(
+                *(F.col(n).cast(t).alias(n) for n, t in entry["columns"])
+            )
         cat = entry["catalog_name"]
         if not spark.catalog.tableExists(cat):
             sorted_clause = f"SORTED BY ({entry['sort_by']}) " if entry["sort_by"] else ""

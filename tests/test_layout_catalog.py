@@ -141,3 +141,43 @@ def test_concurrent_deployments_keep_both_entries(spark, layout_root):
     assert T._layout_key(SF_DIR, "nation") in reg
     T.drop_layout(spark, SF_DIR, "region")
     T.drop_layout(spark, SF_DIR, "nation")
+
+
+def test_partitioned_layout_prunes_and_is_invisible(spark, layout_root):
+    """partition_by mode: discovery must restore the ORIGINAL column order
+    and dtypes (a plain partitioned read moves the partition column to the
+    end, string-typed from directory names), rows must be identical, and
+    an equality filter on the partition column must prune at the scan
+    (PartitionFilters), reading only matching directories."""
+    plain = T.load_table(spark, SF_DIR, "events")
+    plain_schema = plain.dtypes
+    plain_rows = {tuple(r) for r in plain.collect()}
+    T.optimize_layout(spark, SF_DIR, "events", partition_by="event_type")
+    df = _fresh(spark, SF_DIR, "events")
+    assert df.dtypes == plain_schema, f"schema changed: {df.dtypes}"
+    assert {tuple(r) for r in df.collect()} == plain_rows
+    filtered = df.filter(df.event_type == "click")
+    filtered.collect()
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition filter must actually reach PartitionFilters (not just
+    # the residual DataFilters) — the pruning the layout exists for
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "event_type" in pf, f"partition filter not pushed: {pf}"
+    T.drop_layout(spark, SF_DIR, "events")
+    back = _fresh(spark, SF_DIR, "events")
+    assert back.dtypes == plain_schema
+
+
+def test_optimize_layout_validates_axes(spark, layout_root):
+    with pytest.raises(ValueError):
+        T.optimize_layout(spark, SF_DIR, "region")  # neither axis
+    with pytest.raises(ValueError):
+        T.optimize_layout(
+            spark, SF_DIR, "region", bucket_by="r_regionkey", buckets=2,
+            partition_by="r_name",
+        )  # both axes
+    with pytest.raises(ValueError):
+        T.optimize_layout(spark, SF_DIR, "region", bucket_by="r_regionkey")  # no buckets

@@ -420,6 +420,29 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # eval_calibration_bins, mining_hard_negatives — all selfcheck-green at
 # sf0.01 AND sf0.1 when added), leaving 38 slots for backfilling the oldest driver-green names (the
 # backfill list below is the start; continue with the r3 greens).
+# ROUND-12 ROTATION PLAN (execute after CORRECTNESS_r11 lands green —
+# rotating earlier would evict the names the r11 window exists to
+# certify): continue strict least-recently-checked over artifacts
+# r1..r11.  Computed candidate window (38 r6-window names then the 12
+# oldest r7-window names, artifact order): text_oov_rate,
+# emb_random_projection, dedup_ppjoin_exact, graph_bfs_distances,
+# sketch_topk_tokens_by_lang, sketch_cms_token_counts,
+# dataset_snapshot_diff, sketch_kmv_source_jaccard, mm_video_scene_cuts,
+# mm_audio_silence_runs, streaming_static_enrich, streaming_session_5m,
+# compat_quote_char, agg_corr_covar_moments, mm_image_phash_neardup,
+# dataset_mixing_weights, text_bigram_surprisal, mm_image_decode,
+# mm_image_resize, mm_video_frame_sample, mm_audio_stats, str_basics,
+# str_search, str_concat_format, str_regexp, date_arithmetic,
+# math_basics, math_transcendental, cond_case_coalesce, cast_try_cast,
+# tvf_sequence_explode, str_hex_char_translate, scalar_greatest_least,
+# json_group_object, agg_percentiles_median, dedup_exact,
+# dedup_minhash_lsh, dedup_simhash, stats_equidepth_bins,
+# rfm_segmentation, join_asof_tolerance, ts_interval_union,
+# user_activity_streaks, funnel_latency_stats, attribution_last_touch,
+# bpe_merge_step, vocab_growth_curve, text_novelty_ordered,
+# emb_matryoshka_fidelity, sample_systematic_weighted.
+# Re-verify against the actual r11 artifact (any r11 red re-leads), then
+# bump WINDOW_ROUND to 12 in tests/test_bench_contract.py.
 _WINDOW_PRIORITY = [
     # ---- ROUND-11 WINDOW (50 slots; VERDICT r10 #1 — lead with the 3
     # round-10 additions that have never had a driver row (each was

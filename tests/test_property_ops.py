@@ -635,3 +635,16 @@ def test_salted_hot_keys_join_is_plain_join(spark, rows, dim_keys, hot, n_salts)
         for r in salted_join_hot_keys(left, right, "key", hot, n_salts).collect()
     )
     assert salted == plain
+
+    # how='left' (ADVICE r10): exact multiset parity including unmatched
+    # left rows (one null-extended row each, never fanned over salts)
+    plain_left = sorted(
+        tuple(r) for r in left.join(right, ["key"], "left").collect()
+    )
+    salted_left = sorted(
+        tuple(r)
+        for r in salted_join_hot_keys(
+            left, right, "key", hot, n_salts, how="left"
+        ).collect()
+    )
+    assert salted_left == plain_left

@@ -253,6 +253,20 @@ def main() -> None:
         floor_anatomy[name] = a
 
     noise = {"sentinel_before": sentinel_before, "sentinel_after": _sentinel(sf_dir)}
+    # Integrity transparency: if an optimize_layout deployment exists for
+    # THIS sf_dir, the engine legitimately reads the optimized copy — but a
+    # bench artifact must say so, or a forgotten deployment would read as
+    # an engine speedup.  Expected value for driver runs: [].
+    try:
+        from steampipe_sqlite_spark import tables as _tables
+
+        deployed_layouts = sorted(
+            k.split("::", 1)[1]
+            for k in _tables._layout_registry()
+            if k.split("::", 1)[0] == os.path.abspath(sf_dir)
+        )
+    except Exception:  # noqa: BLE001 — transparency must not fail the bench
+        deployed_layouts = []
     total = round(sum(per_query.values()), 3)
     comparable = [n for n in HEADLINE if n in duck]
     eng_comp = sum(per_query[n] for n in comparable)
@@ -293,6 +307,7 @@ def main() -> None:
                 "spark_marginal_job": round(marginal_job, 3),
                 "floor_anatomy": floor_anatomy,
                 "noise": noise,
+                "deployed_layouts": deployed_layouts,
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "ratio_ex_floor_per_query": ratio_ex_floor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -319,6 +334,11 @@ def main() -> None:
                 "ratio_vs_duckdb": round(eng_comp / duck_comp, 3) if duck_comp else None,
                 "noise": {k: round(v, 4) for k, v in noise.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # present ONLY when a layout deployment covers this sf_dir
+                # (see deployed_layouts above) — keeps the compact line
+                # small in the normal case while making a non-plain read
+                # path impossible to miss in the archived artifact
+                **({"layouts": deployed_layouts} if deployed_layouts else {}),
             }
         )
     )

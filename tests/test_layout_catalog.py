@@ -181,3 +181,25 @@ def test_optimize_layout_validates_axes(spark, layout_root):
         )  # both axes
     with pytest.raises(ValueError):
         T.optimize_layout(spark, SF_DIR, "region", bucket_by="r_regionkey")  # no buckets
+
+
+def test_partitioned_layout_reaches_registered_queries(spark, layout_root):
+    """The registered corpus SQL must transparently benefit: deploy events
+    partitioned by event_type, re-run a registered query whose predicate
+    selects event types (join_asof_events filters event_type='click'), and
+    require identical rows plus the partition filter in the executed scan."""
+    from steampipe_sqlite_spark.plans.registry import collect
+
+    q, _ = collect()
+    fn = getattr(q["join_asof_events"], "__wrapped__", q["join_asof_events"])
+    base = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    T.optimize_layout(spark, SF_DIR, "events", partition_by="event_type")
+    try:
+        df = fn(spark, SF_DIR)
+        assert {tuple(r) for r in df.collect()} == base
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        assert "event_type" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    finally:
+        T.drop_layout(spark, SF_DIR, "events")
+    assert {tuple(r) for r in fn(spark, SF_DIR).collect()} == base

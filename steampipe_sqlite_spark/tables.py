@@ -275,6 +275,8 @@ def optimize_layout(
     buckets: int | None = None,
     sort_by: str | None = None,
     partition_by: str | None = None,
+    order_by: list[str] | tuple[str, ...] | None = None,
+    order_files: int = 32,
 ) -> str:
     """Rewrite ``table`` into an optimized physical layout and register it
     for discovery: every subsequent :func:`load_table` /
@@ -282,7 +284,7 @@ def optimize_layout(
     fresh one — reads the optimized copy.  Returns the catalog table name
     (bucketed mode) or the layout location (partitioned mode).
 
-    Two layout axes, the two every lakehouse deployment uses:
+    Three layout axes, the three every lakehouse deployment uses:
 
     - ``bucket_by``/``buckets`` (+optional ``sort_by``): hash-bucketed
       table — equi-joins/aggregations on the bucket key plan with ZERO
@@ -297,6 +299,13 @@ def optimize_layout(
       directory names, so discovery restores the ORIGINAL column order and
       dtypes from the recorded schema (directory-name round-trips are
       string-typed until the cast).
+    - ``order_by`` (+``order_files``): sorted / Z-ordered layout, the
+      OPTIMIZE ZORDER analog — one column = plain range sort; several =
+      Morton-code clustering (operators/scale.zorder_values), so EVERY
+      listed column has narrow min/max per file and parquet footer stats
+      skip non-matching row groups at read time for range/equality
+      filters.  The right axis for high-cardinality range-filtered
+      columns, where partitioning would explode the directory count.
 
     Exactly one axis per call (combined partition+bucket DDL rediscovery
     needs MSCK repair semantics — not supported).  Values, row multiset,
@@ -306,8 +315,10 @@ def optimize_layout(
     """
     import json
 
-    if (bucket_by is None) == (partition_by is None):
-        raise ValueError("optimize_layout: pass exactly one of bucket_by or partition_by")
+    if sum(x is not None for x in (bucket_by, partition_by, order_by)) != 1:
+        raise ValueError(
+            "optimize_layout: pass exactly one of bucket_by, partition_by, order_by"
+        )
     if bucket_by is not None and not buckets:
         raise ValueError("optimize_layout: bucket_by requires buckets")
 
@@ -316,6 +327,7 @@ def optimize_layout(
     spec = (
         f"{os.path.abspath(src)}|{ident['size']}|{ident['mtime_ns']}"
         f"|{bucket_by}|{buckets}|{sort_by}|{partition_by}"
+        f"|{list(order_by) if order_by else None}|{order_files}"
     )
     tag = hashlib.sha256(spec.encode()).hexdigest()[:12]
     catalog_name = f"sgs_layout_{table}_{tag}"
@@ -330,12 +342,30 @@ def optimize_layout(
             writer = writer.sortBy(sort_by)
         spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
         writer.saveAsTable(catalog_name)
-    else:
+    elif partition_by is not None:
         # partitioned mode needs no catalog entry: a plain parquet read
         # recovers the partitioning from the directory layout in ANY
         # session; discovery restores column order/dtypes (see
         # _layout_table_df)
         df.write.mode("overwrite").partitionBy(partition_by).parquet(location)
+        catalog_name = location
+    else:
+        # sorted / z-ordered mode: plain parquet files, clustered so footer
+        # min/max stats skip row groups at read time — no catalog entry,
+        # same discovery restore as partitioned mode
+        from pyspark.sql import functions as F
+
+        from steampipe_sqlite_spark.operators.scale import zorder_write
+
+        if len(order_by) == 1:
+            (
+                df.repartitionByRange(order_files, F.col(order_by[0]))
+                .sortWithinPartitions(order_by[0])
+                .write.mode("overwrite")
+                .parquet(location)
+            )
+        else:
+            zorder_write(df, list(order_by), location, files=order_files)
         catalog_name = location
 
     with _layout_lock():
@@ -357,6 +387,7 @@ def optimize_layout(
             "buckets": buckets,
             "sort_by": sort_by,
             "partition_by": partition_by,
+            "order_by": list(order_by) if order_by else None,
             "location": location,
             "catalog_name": catalog_name,
             "schema_ddl": df.schema.toDDL(),
@@ -427,11 +458,13 @@ def _layout_table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame |
         if _source_identity(src) != entry["source"] or not os.path.isdir(entry["location"]):
             return None
         if entry.get("bucket_by") is None:
-            # partitioned layout: a plain read recovers the partitioning
-            # from the directory names, but moves the partition column to
-            # the END and types it from the directory STRINGS — restore
-            # the recorded column order and dtypes so the layout is
-            # invisible to every consumer (the oracle hashes schema too)
+            # partitioned / sorted layouts need no catalog: a plain read
+            # works in any session.  Partitioned reads move the partition
+            # column to the END and type it from the directory STRINGS —
+            # restore the recorded column order and dtypes so the layout
+            # is invisible to every consumer (the oracle hashes schema
+            # too); for sorted layouts the select is a no-op projection
+            # Catalyst collapses, leaving pushdown intact.
             from pyspark.sql import functions as F
 
             df = spark.read.parquet(entry["location"])

@@ -203,3 +203,71 @@ def test_partitioned_layout_reaches_registered_queries(spark, layout_root):
     finally:
         T.drop_layout(spark, SF_DIR, "events")
     assert {tuple(r) for r in fn(spark, SF_DIR).collect()} == base
+
+
+def _file_ranges(location, col):
+    """Per-parquet-file (min, max) of ``col`` from footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(location, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index(col)
+        lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+        hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+        out.append((lo, hi))
+    return out
+
+
+def test_sorted_layout_clusters_footer_stats(spark, layout_root):
+    """order_by single column (range-sort layout): rows identical, schema
+    identical, and the per-file min/max footer ranges are NARROW — the
+    property parquet row-group skipping keys on.  With 16 range-sorted
+    files the mean per-file width must be a small fraction of the global
+    range (a random layout gives ~the full range in every file)."""
+    plain = T.load_table(spark, SF_DIR, "events")
+    plain_schema = plain.dtypes
+    plain_rows = {tuple(r) for r in plain.collect()}
+    T.optimize_layout(spark, SF_DIR, "events", order_by=["value"], order_files=16)
+    try:
+        df = _fresh(spark, SF_DIR, "events")
+        assert df.dtypes == plain_schema
+        assert {tuple(r) for r in df.collect()} == plain_rows
+        entry = T._layout_registry()[T._layout_key(SF_DIR, "events")]
+        ranges = _file_ranges(entry["location"], "value")
+        assert len(ranges) >= 8
+        glo = min(r[0] for r in ranges)
+        ghi = max(r[1] for r in ranges)
+        mean_width = sum(hi - lo for lo, hi in ranges) / len(ranges)
+        assert mean_width < 0.2 * (ghi - glo), (
+            f"files not range-clustered: mean width {mean_width} of {ghi - glo}"
+        )
+    finally:
+        T.drop_layout(spark, SF_DIR, "events")
+
+
+def test_zorder_layout_clusters_both_columns(spark, layout_root):
+    """order_by two columns (Morton layout): BOTH columns' per-file footer
+    ranges must be materially narrower than global — the multi-column
+    data-skipping property one-column sorting cannot give (sorting by
+    value alone leaves user_id at ~full range per file)."""
+    plain_rows = {tuple(r) for r in T.load_table(spark, SF_DIR, "events").collect()}
+    T.optimize_layout(
+        spark, SF_DIR, "events", order_by=["value", "user_id"], order_files=16
+    )
+    try:
+        df = _fresh(spark, SF_DIR, "events")
+        assert {tuple(r) for r in df.collect()} == plain_rows
+        entry = T._layout_registry()[T._layout_key(SF_DIR, "events")]
+        for col in ("value", "user_id"):
+            ranges = _file_ranges(entry["location"], col)
+            glo = min(r[0] for r in ranges)
+            ghi = max(r[1] for r in ranges)
+            mean_width = sum(hi - lo for lo, hi in ranges) / len(ranges)
+            assert mean_width < 0.6 * (ghi - glo), (
+                f"{col} not z-clustered: mean width {mean_width} of {ghi - glo}"
+            )
+    finally:
+        T.drop_layout(spark, SF_DIR, "events")

@@ -264,7 +264,7 @@ def main() -> None:
             k.split("::", 1)[1]
             for k in _tables._layout_registry()
             if k.split("::", 1)[0] == os.path.abspath(sf_dir)
-        )
+        ) if _tables._layout_enabled() else []  # off-switch = plain reads
     except Exception:  # noqa: BLE001 — transparency must not fail the bench
         deployed_layouts = []
     total = round(sum(per_query.values()), 3)

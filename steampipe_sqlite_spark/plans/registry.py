@@ -177,9 +177,14 @@ def invalidate_plan_cache(spark: "SparkSession", sf_dir: str) -> None:
     (optimize_layout / drop_layout), so the next invocation re-plans over
     the new layout instead of serving a plan analyzed against the old one.
     The dropped DataFrames stay valid (the old layout's data is correct);
-    no poisoning needed."""
+    no poisoning needed.  Abspath-insensitive: cache keys carry the
+    caller's sf_dir spelling, the layout registry normalizes — both must
+    match."""
+    import os
+
+    ap = os.path.abspath(sf_dir)
     per = _plan_cache(spark)
-    for key in [k for k in per if k[1] == sf_dir]:
+    for key in [k for k in per if os.path.abspath(k[1]) == ap]:
         per.pop(key, None)
 
 

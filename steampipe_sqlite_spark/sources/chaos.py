@@ -132,12 +132,23 @@ class ChaosConnector(Connector):
                     return
 
     def _keyed_rows(self, quals: list[Qual], limit: int | None):
-        tenants = [q for q in quals if q.column == "tenant"]
+        tenants = [q for q in quals if q.column == "tenant" and q.op in ("=", "in")]
         # the required key column drives generation — the plugin-style
-        # behavior where the qual IS the API call parameter
+        # behavior where the qual IS the API call parameter.  When the
+        # engine's name-presence gate passes a shape this connector can't
+        # serve (e.g. a range qual on tenant), RAISE like a real plugin
+        # does — silently returning a partial/empty set would violate the
+        # over-return contract and poison the scan cache's subsumption
+        # (an under-returned result must never be cached as the
+        # no-qual superset).
         wanted = set()
         for q in tenants:
             wanted.update(q.value if q.op == "in" else [q.value])
+        if not wanted:
+            raise ValueError(
+                "keyed: the 'tenant' key column requires an '=' or IN qual "
+                "(the connector cannot enumerate tenants)"
+            )
         n = 0
         if limit == 0:  # LIMIT 0 fetches nothing (yield-then-check misses it)
             return

@@ -203,7 +203,11 @@ class MissingRequiredQualError(Exception):
         )
 
 
-def check_required_quals(schema: TableSchema, quals: list[Qual]) -> None:
+def check_required_quals(
+    schema: TableSchema,
+    quals: list[Qual],
+    constrained_columns: "set[str] | None" = None,
+) -> None:
     """Gate parity with the reference (/root/reference/table.go:182-214,
     ``allRequiredKeyColsInConstraints``): a required key column is
     satisfied by ANY constraint naming it — name presence only, not a
@@ -211,9 +215,16 @@ def check_required_quals(schema: TableSchema, quals: list[Qual]) -> None:
     therefore proceeds to the connector, which may serve it or raise its
     own richer error, exactly as a reference plugin would (ADVICE/VERDICT
     r10: the earlier ``=``/``in``-only gate was an undeclared stricter
-    divergence)."""
-    qualed = {q.column for q in quals}
-    missing = [c.name for c in schema.required_key_columns() if c.name not in qualed]
+    divergence).
+
+    ``constrained_columns``: column names from EVERY pushed filter,
+    including shapes/ops the qual translator drops (an unsupported-op
+    filter still names the column, and the reference counts it) — without
+    this the gate would re-tighten to translated-quals-only whenever the
+    declared operators exclude the filter's op.
+    """
+    named = {q.column for q in quals} | set(constrained_columns or ())
+    missing = [c.name for c in schema.required_key_columns() if c.name not in named]
     if missing:
         raise MissingRequiredQualError(schema.name, missing)
 

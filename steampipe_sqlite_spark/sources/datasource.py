@@ -133,6 +133,26 @@ def filters_to_quals(
     return quals, converted
 
 
+def _filter_column_names(filters: Sequence[Filter]) -> set[str]:
+    """Best-effort column names from pushed filters, including shapes the
+    qual translator rejects — gate input only (see check_required_quals)."""
+    names: set[str] = set()
+    for f in filters:
+        try:
+            parsed = _parse_filter(f)
+        except ValueError:
+            parsed = None
+        if parsed is not None:
+            names.add(parsed[0])
+            continue
+        for holder in (f, getattr(f, "child", None)):
+            attr = getattr(holder, "attribute", None)
+            if attr and len(attr) == 1:
+                names.add(attr[0])
+                break
+    return names
+
+
 def _parse_filter(f: Filter) -> tuple[str, str, Any] | None:
     def col(attr: tuple) -> str | None:
         return attr[0] if len(attr) == 1 else None  # no nested pushdown
@@ -193,6 +213,7 @@ class ConnectorReader(DataSourceReader):
         cols_opt = options.get("columns")
         self.columns: list[str] | None = json.loads(cols_opt) if cols_opt else None
         self._filters_seen = False
+        self._constrained: set[str] = set()
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """BestIndex analog.  Captures supported quals; yields back EVERY
@@ -201,14 +222,20 @@ class ConnectorReader(DataSourceReader):
         connector may over-return, the engine restores exactness."""
         self._filters_seen = True
         self.quals, _ = filters_to_quals(filters, self.table)
-        check_required_quals(self.table, self.quals)
+        # every column a pushed filter NAMES, independent of op support or
+        # translatability — the reference's gate counts any constraint
+        # naming the column (table.go:182-214), so e.g. a range filter on
+        # a required col whose declared operators are ('=',) must still
+        # satisfy the gate and proceed to the connector
+        self._constrained = _filter_column_names(filters)
+        check_required_quals(self.table, self.quals, self._constrained)
         yield from filters
 
     def partitions(self) -> list[ConnectorPartition]:
         # late required-check: pushFilters is skipped entirely for
         # filterless scans — mirror the reference where the missing-qual
         # error surfaces at execute time (/root/reference/table.go:156-164)
-        check_required_quals(self.table, self.quals)
+        check_required_quals(self.table, self.quals, self._constrained)
         parts = self.connector.partitions(self.table.name, self.quals)
         return [ConnectorPartition(p.index, p.info) for p in parts]
 

@@ -263,8 +263,27 @@ def _layout_key(sf_dir: str, name: str) -> str:
 
 
 def _source_identity(path: str) -> dict:
+    """Fixture identity for staleness checks.  A directory's own
+    size/mtime does NOT change when a part file is rewritten in place, so
+    directory-shaped tables (anything Spark wrote) fingerprint the full
+    recursive (relpath, size, mtime) listing instead — folded into the
+    mtime_ns slot so the registry entry shape stays uniform."""
     st = os.stat(path)
-    return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    if not os.path.isdir(path):
+        return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    h = hashlib.sha256()
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            fp = os.path.join(root, f)
+            try:
+                s = os.stat(fp)
+            except OSError:
+                continue
+            total += s.st_size
+            h.update(f"{os.path.relpath(fp, path)}|{s.st_size}|{s.st_mtime_ns};".encode())
+    return {"size": total, "mtime_ns": int(h.hexdigest()[:15], 16)}
 
 
 def optimize_layout(
@@ -321,6 +340,8 @@ def optimize_layout(
         )
     if bucket_by is not None and not buckets:
         raise ValueError("optimize_layout: bucket_by requires buckets")
+    if order_by is not None and not order_by:
+        raise ValueError("optimize_layout: order_by must name at least one column")
 
     src = os.path.join(sf_dir, f"{table}.parquet")
     ident = _source_identity(src)
@@ -336,36 +357,55 @@ def optimize_layout(
     # write OUTSIDE discovery: read the raw source (normalized), not a
     # previously-registered layout of itself
     df = _load_table_raw(spark, sf_dir, table)
+    # The tag is content-keyed (source identity + full spec), so a COMPLETE
+    # copy at this location is byte-equivalent to what this call would
+    # write: skip the rewrite.  This makes redeploys cheap AND closes the
+    # same-spec overwrite race (a second deployer must not delete files a
+    # reader discovered through the registry mid-rewrite); discovery
+    # additionally requires the _SUCCESS commit marker, so a half-written
+    # location is never served.
+    complete = os.path.exists(os.path.join(location, "_SUCCESS"))
     if bucket_by is not None:
-        writer = df.write.mode("overwrite").bucketBy(buckets, bucket_by).option("path", location)
-        if sort_by:
-            writer = writer.sortBy(sort_by)
-        spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
-        writer.saveAsTable(catalog_name)
+        if complete:
+            if not spark.catalog.tableExists(catalog_name):
+                sorted_clause = f"SORTED BY ({sort_by}) " if sort_by else ""
+                spark.sql(
+                    f"CREATE TABLE {catalog_name} ({df.schema.toDDL()}) USING PARQUET "
+                    f"CLUSTERED BY ({bucket_by}) {sorted_clause}"
+                    f"INTO {buckets} BUCKETS LOCATION '{location}'"
+                )
+        else:
+            writer = df.write.mode("overwrite").bucketBy(buckets, bucket_by).option("path", location)
+            if sort_by:
+                writer = writer.sortBy(sort_by)
+            spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
+            writer.saveAsTable(catalog_name)
     elif partition_by is not None:
         # partitioned mode needs no catalog entry: a plain parquet read
         # recovers the partitioning from the directory layout in ANY
         # session; discovery restores column order/dtypes (see
         # _layout_table_df)
-        df.write.mode("overwrite").partitionBy(partition_by).parquet(location)
+        if not complete:
+            df.write.mode("overwrite").partitionBy(partition_by).parquet(location)
         catalog_name = location
     else:
         # sorted / z-ordered mode: plain parquet files, clustered so footer
         # min/max stats skip row groups at read time — no catalog entry,
         # same discovery restore as partitioned mode
-        from pyspark.sql import functions as F
+        if not complete:
+            from pyspark.sql import functions as F
 
-        from steampipe_sqlite_spark.operators.scale import zorder_write
+            from steampipe_sqlite_spark.operators.scale import zorder_write
 
-        if len(order_by) == 1:
-            (
-                df.repartitionByRange(order_files, F.col(order_by[0]))
-                .sortWithinPartitions(order_by[0])
-                .write.mode("overwrite")
-                .parquet(location)
-            )
-        else:
-            zorder_write(df, list(order_by), location, files=order_files)
+            if len(order_by) == 1:
+                (
+                    df.repartitionByRange(order_files, F.col(order_by[0]))
+                    .sortWithinPartitions(order_by[0])
+                    .write.mode("overwrite")
+                    .parquet(location)
+                )
+            else:
+                zorder_write(df, list(order_by), location, files=order_files)
         catalog_name = location
 
     with _layout_lock():
@@ -428,7 +468,13 @@ def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
 
 def _invalidate_session_table(spark: SparkSession, sf_dir: str, table: str) -> None:
     state = _session_state(spark)
-    state["tables"].pop((sf_dir, table), None)
+    # abspath-insensitive: the registry keys on abspath(sf_dir) but the
+    # session memo keys on the CALLER'S spelling — a relative-path
+    # drop_layout must still evict the absolute-path memo entry (and vice
+    # versa), or the session keeps serving a plan over removed files
+    ap = os.path.abspath(sf_dir)
+    for key in [k for k in state["tables"] if k[1] == table and os.path.abspath(k[0]) == ap]:
+        state["tables"].pop(key, None)
     # force re-registration of temp views so spark.sql() sees the change
     state.pop("views", None)
     # the query registry caches one DataFrame per (query, sf_dir) per
@@ -455,19 +501,27 @@ def _layout_table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame |
         return None
     try:
         src = os.path.join(sf_dir, f"{name}.parquet")
-        if _source_identity(src) != entry["source"] or not os.path.isdir(entry["location"]):
+        if (
+            _source_identity(src) != entry["source"]
+            or not os.path.isdir(entry["location"])
+            # a location without its commit marker is mid-(re)write or
+            # torn — serving it would silently return partial rows
+            or not os.path.exists(os.path.join(entry["location"], "_SUCCESS"))
+        ):
             return None
         if entry.get("bucket_by") is None:
             # partitioned / sorted layouts need no catalog: a plain read
             # works in any session.  Partitioned reads move the partition
-            # column to the END and type it from the directory STRINGS —
-            # restore the recorded column order and dtypes so the layout
-            # is invisible to every consumer (the oracle hashes schema
-            # too); for sorted layouts the select is a no-op projection
-            # Catalyst collapses, leaving pushdown intact.
+            # column to the END — and with INFERRED types the directory
+            # STRING round-trip is lossy ('02134' infers as int 2134, a
+            # silent value corruption), so the read is pinned to the
+            # RECORDED schema (schema() disables partition-value inference
+            # for declared columns) and the select restores the recorded
+            # column order; for sorted layouts the select is a no-op
+            # projection Catalyst collapses, leaving pushdown intact.
             from pyspark.sql import functions as F
 
-            df = spark.read.parquet(entry["location"])
+            df = spark.read.schema(entry["schema_ddl"]).parquet(entry["location"])
             return df.select(
                 *(F.col(n).cast(t).alias(n) for n, t in entry["columns"])
             )

@@ -77,6 +77,19 @@ class TestEndToEnd:
         with pytest.raises(Exception, match="tenant"):
             engine.sql("SELECT * FROM chaos_keyed").collect()
 
+    def test_unsupported_op_on_required_col_reaches_connector(self, engine):
+        """Reference gate parity END-TO-END (table.go:182-214): tenant
+        declares operators ('=','in'), so a range filter is untranslatable
+        — but it still NAMES the column, and the gate must count it (any
+        constraint naming the column) and let the scan reach the
+        CONNECTOR, whose own richer error surfaces instead of the gate's
+        (before the round-11 fix, MissingRequiredQualError fired at
+        planning).  The connector must raise rather than under-return:
+        a silently-partial result would be cached as the no-qual superset
+        and served to LATER stricter queries via subsumption."""
+        with pytest.raises(Exception, match="cannot enumerate tenants"):
+            engine.sql("SELECT * FROM chaos_keyed WHERE tenant > 'a'").collect()
+
     def test_limit_hint_and_projection(self, engine):
         df = engine.table("chaos", "all_types", limit=5, columns=["id", "name"])
         rows = df.collect()

@@ -271,3 +271,87 @@ def test_zorder_layout_clusters_both_columns(spark, layout_root):
             )
     finally:
         T.drop_layout(spark, SF_DIR, "events")
+
+
+def test_partitioned_restore_preserves_numeric_looking_strings(spark, layout_root, tmp_path):
+    """Inferred partition types corrupt numeric-looking string values
+    ('02134' infers as int 2134); discovery pins the read to the recorded
+    schema, so the directory round-trip is lossless."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src = spark.createDataFrame(
+        [(1, "02134", 1.5), (2, "007", 2.5), (3, "plain", 3.5)],
+        "id long, code string, v double",
+    )
+    src.coalesce(1).write.parquet(str(sf / "custom.parquet"))
+    plain = {tuple(r) for r in T.load_table(spark, str(sf), "custom").collect()}
+    T.optimize_layout(spark, str(sf), "custom", partition_by="code")
+    df = _fresh(spark, str(sf), "custom")
+    assert df.dtypes == [("id", "bigint"), ("code", "string"), ("v", "double")]
+    assert {tuple(r) for r in df.collect()} == plain, "partition values corrupted"
+    T.drop_layout(spark, str(sf), "custom")
+
+
+def test_missing_success_marker_falls_back(spark, layout_root):
+    """A location without its commit marker is mid-rewrite or torn —
+    discovery must serve the plain path, never partial rows."""
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    entry = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    os.remove(os.path.join(entry["location"], "_SUCCESS"))
+    df = _fresh(spark, SF_DIR, "region")
+    assert "sgs_layout" not in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() > 0
+    T.drop_layout(spark, SF_DIR, "region")
+
+
+def test_directory_source_staleness_detected(spark, layout_root, tmp_path):
+    """Directory-shaped sources (Spark-written tables): rewriting a part
+    file in place changes the file's mtime but NOT the directory's — the
+    identity must fingerprint the recursive listing, or the stale layout
+    serves old rows."""
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").coalesce(
+        1
+    ).write.parquet(str(sf / "dirtab.parquet"))
+    T.optimize_layout(spark, str(sf), "dirtab", order_by=["id"], order_files=2)
+    assert T._layout_table_df(spark, str(sf), "dirtab") is not None
+    # "regenerate" one part file in place: same name, new mtime
+    part = next(
+        p for p in os.listdir(sf / "dirtab.parquet") if p.endswith(".parquet")
+    )
+    os.utime(sf / "dirtab.parquet" / part)
+    assert T._layout_table_df(spark, str(sf), "dirtab") is None
+    T.drop_layout(spark, str(sf), "dirtab")
+
+
+def test_same_spec_redeploy_skips_rewrite(spark, layout_root):
+    """Content-keyed tag + _SUCCESS check: redeploying an identical spec
+    must reuse the completed copy (no destructive overwrite window)."""
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    entry = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    marker = os.path.join(entry["location"], "_SUCCESS")
+    before = os.stat(marker).st_mtime_ns
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    assert os.stat(marker).st_mtime_ns == before, "identical spec rewrote the data"
+    T.drop_layout(spark, SF_DIR, "region")
+
+
+def test_empty_order_by_rejected(spark, layout_root):
+    with pytest.raises(ValueError):
+        T.optimize_layout(spark, SF_DIR, "region", order_by=[])
+
+
+def test_relative_sf_dir_invalidation(spark, layout_root, monkeypatch):
+    """Registry keys are abspath-normalized; session memo keys carry the
+    caller's spelling — a relative-path drop must still evict the
+    absolute-path session state (and the layout files)."""
+    monkeypatch.chdir("/root")
+    rel = os.path.relpath(SF_DIR, "/root")
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    df = T.load_table(spark, SF_DIR, "region")  # memoized under abs spelling
+    assert "sgs_layout" in df._jdf.queryExecution().executedPlan().toString()
+    T.drop_layout(spark, rel, "region")  # relative spelling
+    fresh = T.load_table(spark, SF_DIR, "region")
+    assert "sgs_layout" not in fresh._jdf.queryExecution().executedPlan().toString()
+    assert fresh.count() > 0

@@ -97,13 +97,13 @@ def main() -> None:
 
     out = {"reps": reps, "rows": T.load_table(spark, sf_dir, "events").count()}
 
-    def run_arm(label, agg):
-        flat_res = agg(T.load_table(spark, sf_dir, "events")).collect()
-        flat_s = _best_of(lambda: agg(T.load_table(spark, sf_dir, "events")).collect())
-        return flat_res, flat_s
+    def run_arm(agg):
+        res = agg(T.load_table(spark, sf_dir, "events")).collect()
+        best = _best_of(lambda: agg(T.load_table(spark, sf_dir, "events")).collect())
+        return res, best
 
-    flat_one_res, flat_one_s = run_arm("flat_one", _one_col)
-    flat_two_res, flat_two_s = run_arm("flat_two", _two_col)
+    flat_one_res, flat_one_s = run_arm(_one_col)
+    flat_two_res, flat_two_s = run_arm(_two_col)
     out["flat_one_col_s"] = round(flat_one_s, 3)
     out["flat_two_col_s"] = round(flat_two_s, 3)
 
@@ -111,11 +111,12 @@ def main() -> None:
     t0 = time.perf_counter()
     T.optimize_layout(spark, sf_dir, "events", order_by=["value"], order_files=64)
     out["sorted_ingest_s"] = round(time.perf_counter() - t0, 1)
-    res, s = run_arm("sorted_one", _one_col)
+    res, s = run_arm(_one_col)
     out["sorted_one_col_s"] = round(s, 3)
     out["sorted_one_equal"] = res == flat_one_res
-    res, s = run_arm("sorted_two", _two_col)
+    res, s = run_arm(_two_col)
     out["sorted_two_col_s"] = round(s, 3)
+    out["sorted_two_equal"] = res == flat_two_res
     T.drop_layout(spark, sf_dir, "events")
 
     # arm 2: two-column Morton clustering
@@ -124,7 +125,7 @@ def main() -> None:
         spark, sf_dir, "events", order_by=["value", "user_id"], order_files=64
     )
     out["zorder_ingest_s"] = round(time.perf_counter() - t0, 1)
-    res, s = run_arm("zorder_two", _two_col)
+    res, s = run_arm(_two_col)
     out["zorder_two_col_s"] = round(s, 3)
     out["zorder_two_equal"] = res == flat_two_res
     T.drop_layout(spark, sf_dir, "events")

@@ -258,13 +258,9 @@ def main() -> None:
     # bench artifact must say so, or a forgotten deployment would read as
     # an engine speedup.  Expected value for driver runs: [].
     try:
-        from steampipe_sqlite_spark import tables as _tables
+        from steampipe_sqlite_spark.tables import layout_tables_for
 
-        deployed_layouts = sorted(
-            k.split("::", 1)[1]
-            for k in _tables._layout_registry()
-            if k.split("::", 1)[0] == os.path.abspath(sf_dir)
-        ) if _tables._layout_enabled() else []  # off-switch = plain reads
+        deployed_layouts = layout_tables_for(sf_dir)
     except Exception:  # noqa: BLE001 — transparency must not fail the bench
         deployed_layouts = []
     total = round(sum(per_query.values()), 3)

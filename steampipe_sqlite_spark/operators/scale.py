@@ -444,21 +444,49 @@ def zorder_values(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     parquet footer stats into an effective multi-column index — the
     standard lakehouse answer to "I filter on two columns but can only
     partition by one".
+
+    Column types: numerics, booleans, timestamps (incl. NTZ — the session
+    timezone is pinned UTC), and dates quantize through a numeric
+    surrogate; strings/binaries are rejected with a clear error (their
+    only order-preserving surrogate IS the value — use ``partition_by``
+    for low-cardinality strings, or a plain range sort on a single string
+    column, which repartitionByRange handles natively).
     """
     n = 1 << bits
     probs = [j / n for j in range(1, n)]
+    # order-preserving NUMERIC surrogate per column: approxQuantile (and
+    # the quantization filter below) are numeric-only, but z-ordering by
+    # time + key is the canonical use — cast rather than reject
+    surrogates = []
+    for c, t in ((c, dict(df.dtypes)[c]) for c in cols):
+        if t in ("timestamp", "timestamp_ntz"):
+            surrogates.append(f"cast(cast({c} as timestamp) as double)")
+        elif t == "date":
+            surrogates.append(f"cast(unix_date({c}) as double)")
+        elif t in ("string", "binary") or t.startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"zorder_values: column {c!r} has non-quantizable type {t} — "
+                "use partition_by for low-cardinality strings"
+            )
+        else:
+            surrogates.append(f"cast({c} as double)")
+    work = df
+    for i, s in enumerate(surrogates):
+        work = work.withColumn(f"_q{i}", F.expr(s))
+    qcols = [f"_q{i}" for i in range(len(cols))]
     # ONE multi-column GK pass (one job), not one per column
-    all_bounds = df.stat.approxQuantile(list(cols), probs, 0.001)
-    quantized = df
-    for i, (c, bounds) in enumerate(zip(cols, all_bounds)):
+    all_bounds = work.stat.approxQuantile(qcols, probs, 0.001)
+    quantized = work
+    for i, bounds in enumerate(all_bounds):
         # width_bucket via a literal sorted-array binary search would be
         # ideal; a filter-count over the literal array is one expression
         # and exact for our bucket counts
         arr = ", ".join(repr(float(b)) for b in bounds)
         quantized = quantized.withColumn(
             f"_b{i}",
-            F.expr(f"size(filter(array({arr}), x -> x <= cast({c} as double)))"),
+            F.expr(f"size(filter(array({arr}), x -> x <= _q{i}))"),
         )
+    quantized = quantized.drop(*qcols)
     k = len(cols)
     z = " | ".join(
         f"shiftleft(cast(shiftrightunsigned(_b{i}, {b}) & 1 as bigint), {b * k + (k - 1 - i)})"

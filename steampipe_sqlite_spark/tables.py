@@ -214,6 +214,12 @@ _LAYOUT_ROOT = os.environ.get(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "layout"),
 )
 
+# Engine-owned completion marker, written after the layout data commits.
+# Deliberately NOT the committer's _SUCCESS (often disabled on object
+# stores); removed FIRST in drop_layout so a torn rmtree can never leave
+# a "complete" gutted directory.
+_LAYOUT_COMPLETE_MARKER = "_sgs_layout_complete"
+
 
 def _layout_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_LAYOUT", "on").lower() not in ("off", "false", "0")
@@ -260,6 +266,23 @@ class _layout_lock:
 
 def _layout_key(sf_dir: str, name: str) -> str:
     return f"{os.path.abspath(sf_dir)}::{name}"
+
+
+def layout_tables_for(sf_dir: str) -> list[str]:
+    """Table names with a registered layout for ``sf_dir`` — the public
+    introspection surface (bench.py's integrity-transparency field uses
+    it), so key-format knowledge stays in this module.  Empty when
+    discovery is disabled (SPARK_GRAFT_LAYOUT=off): the engine reads the
+    plain path then, and reporting a deployment would be the inverse
+    misreading."""
+    if not _layout_enabled():
+        return []
+    ap = os.path.abspath(sf_dir)
+    return sorted(
+        k.split("::", 1)[1]
+        for k in _layout_registry()
+        if k.split("::", 1)[0] == ap
+    )
 
 
 def _source_identity(path: str) -> dict:
@@ -361,52 +384,72 @@ def optimize_layout(
     # copy at this location is byte-equivalent to what this call would
     # write: skip the rewrite.  This makes redeploys cheap AND closes the
     # same-spec overwrite race (a second deployer must not delete files a
-    # reader discovered through the registry mid-rewrite); discovery
-    # additionally requires the _SUCCESS commit marker, so a half-written
-    # location is never served.
-    complete = os.path.exists(os.path.join(location, "_SUCCESS"))
-    if bucket_by is not None:
-        if complete:
-            if not spark.catalog.tableExists(catalog_name):
-                sorted_clause = f"SORTED BY ({sort_by}) " if sort_by else ""
-                spark.sql(
-                    f"CREATE TABLE {catalog_name} ({df.schema.toDDL()}) USING PARQUET "
-                    f"CLUSTERED BY ({bucket_by}) {sorted_clause}"
-                    f"INTO {buckets} BUCKETS LOCATION '{location}'"
-                )
-        else:
-            writer = df.write.mode("overwrite").bucketBy(buckets, bucket_by).option("path", location)
-            if sort_by:
-                writer = writer.sortBy(sort_by)
-            spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
-            writer.saveAsTable(catalog_name)
-    elif partition_by is not None:
-        # partitioned mode needs no catalog entry: a plain parquet read
-        # recovers the partitioning from the directory layout in ANY
-        # session; discovery restores column order/dtypes (see
-        # _layout_table_df)
-        if not complete:
-            df.write.mode("overwrite").partitionBy(partition_by).parquet(location)
-        catalog_name = location
-    else:
-        # sorted / z-ordered mode: plain parquet files, clustered so footer
-        # min/max stats skip row groups at read time — no catalog entry,
-        # same discovery restore as partitioned mode
-        if not complete:
-            from pyspark.sql import functions as F
+    # reader discovered through the registry mid-rewrite).  Completeness is
+    # OUR OWN marker, written after the data commit — not the committer's
+    # _SUCCESS, which environments commonly disable
+    # (mapreduce.fileoutputcommitter.marksuccessfuljobs=false) and whose
+    # absence would otherwise silently disable discovery forever.  The
+    # write itself is serialized per LOCATION (flock on <location>.writing)
+    # so two same-spec first deploys can't interleave their overwrite
+    # commits; different specs have different locations and never contend.
+    marker = os.path.join(location, _LAYOUT_COMPLETE_MARKER)
+    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+    wl = os.open(f"{location}.writing", os.O_CREAT | os.O_RDWR)
+    try:
+        import fcntl
 
-            from steampipe_sqlite_spark.operators.scale import zorder_write
-
-            if len(order_by) == 1:
-                (
-                    df.repartitionByRange(order_files, F.col(order_by[0]))
-                    .sortWithinPartitions(order_by[0])
-                    .write.mode("overwrite")
-                    .parquet(location)
-                )
+        fcntl.flock(wl, fcntl.LOCK_EX)
+        complete = os.path.exists(marker)
+        if bucket_by is not None:
+            if complete:
+                if not spark.catalog.tableExists(catalog_name):
+                    sorted_clause = f"SORTED BY ({sort_by}) " if sort_by else ""
+                    spark.sql(
+                        f"CREATE TABLE {catalog_name} ({df.schema.toDDL()}) USING PARQUET "
+                        f"CLUSTERED BY ({bucket_by}) {sorted_clause}"
+                        f"INTO {buckets} BUCKETS LOCATION '{location}'"
+                    )
             else:
-                zorder_write(df, list(order_by), location, files=order_files)
-        catalog_name = location
+                writer = df.write.mode("overwrite").bucketBy(buckets, bucket_by).option("path", location)
+                if sort_by:
+                    writer = writer.sortBy(sort_by)
+                spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
+                writer.saveAsTable(catalog_name)
+        elif partition_by is not None:
+            # partitioned mode needs no catalog entry: a plain parquet read
+            # recovers the partitioning from the directory layout in ANY
+            # session; discovery restores column order/dtypes (see
+            # _layout_table_df)
+            if not complete:
+                df.write.mode("overwrite").partitionBy(partition_by).parquet(location)
+            catalog_name = location
+        else:
+            # sorted / z-ordered mode: plain parquet files, clustered so
+            # footer min/max stats skip row groups at read time — no catalog
+            # entry, same discovery restore as partitioned mode
+            if not complete:
+                from pyspark.sql import functions as F
+
+                from steampipe_sqlite_spark.operators.scale import zorder_write
+
+                if len(order_by) == 1:
+                    (
+                        df.repartitionByRange(order_files, F.col(order_by[0]))
+                        .sortWithinPartitions(order_by[0])
+                        .write.mode("overwrite")
+                        .parquet(location)
+                    )
+                else:
+                    zorder_write(df, list(order_by), location, files=order_files)
+            catalog_name = location
+        if not complete:
+            with open(marker, "w"):
+                pass
+    finally:
+        import fcntl
+
+        fcntl.flock(wl, fcntl.LOCK_UN)
+        os.close(wl)
 
     with _layout_lock():
         reg = _layout_registry()
@@ -420,7 +463,15 @@ def optimize_layout(
                     spark.sql(f"DROP TABLE IF EXISTS {prev['catalog_name']}")
             except Exception:  # noqa: BLE001 — cleanup best-effort
                 pass
+            try:
+                os.remove(os.path.join(prev["location"], _LAYOUT_COMPLETE_MARKER))
+            except OSError:
+                pass
             shutil.rmtree(prev["location"], ignore_errors=True)
+            try:
+                os.remove(f"{prev['location']}.writing")
+            except OSError:
+                pass
         reg[_layout_key(sf_dir, table)] = {
             "source": ident,
             "bucket_by": bucket_by,
@@ -462,7 +513,18 @@ def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
             spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
         except Exception:  # noqa: BLE001 — cleanup best-effort
             pass
+    # completion marker FIRST: a torn rmtree (flaky fs, permissions) must
+    # leave an INCOMPLETE directory, never a "complete" gutted one a later
+    # same-spec redeploy would reuse
+    try:
+        os.remove(os.path.join(entry["location"], _LAYOUT_COMPLETE_MARKER))
+    except OSError:
+        pass
     shutil.rmtree(entry["location"], ignore_errors=True)
+    try:
+        os.remove(f"{entry['location']}.writing")
+    except OSError:
+        pass
     _invalidate_session_table(spark, sf_dir, table)
 
 
@@ -504,9 +566,12 @@ def _layout_table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame |
         if (
             _source_identity(src) != entry["source"]
             or not os.path.isdir(entry["location"])
-            # a location without its commit marker is mid-(re)write or
-            # torn — serving it would silently return partial rows
-            or not os.path.exists(os.path.join(entry["location"], "_SUCCESS"))
+            # a location without the engine's completion marker is
+            # mid-(re)write or torn — serving it would silently return
+            # partial rows
+            or not os.path.exists(
+                os.path.join(entry["location"], _LAYOUT_COMPLETE_MARKER)
+            )
         ):
             return None
         if entry.get("bucket_by") is None:

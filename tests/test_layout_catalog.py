@@ -292,16 +292,34 @@ def test_partitioned_restore_preserves_numeric_looking_strings(spark, layout_roo
     T.drop_layout(spark, str(sf), "custom")
 
 
-def test_missing_success_marker_falls_back(spark, layout_root):
-    """A location without its commit marker is mid-rewrite or torn —
-    discovery must serve the plain path, never partial rows."""
+def test_missing_completion_marker_falls_back(spark, layout_root):
+    """A location without the engine's completion marker is mid-rewrite or
+    torn — discovery must serve the plain path, never partial rows.  The
+    marker is engine-owned (_sgs_layout_complete), NOT the committer's
+    _SUCCESS, which object-store configs commonly disable."""
     T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
     entry = T._layout_registry()[T._layout_key(SF_DIR, "region")]
-    os.remove(os.path.join(entry["location"], "_SUCCESS"))
+    os.remove(os.path.join(entry["location"], T._LAYOUT_COMPLETE_MARKER))
     df = _fresh(spark, SF_DIR, "region")
     assert "sgs_layout" not in df._jdf.queryExecution().executedPlan().toString()
     assert df.count() > 0
     T.drop_layout(spark, SF_DIR, "region")
+
+
+def test_zorder_accepts_timestamp_columns(spark, layout_root):
+    """The canonical z-order use is time + entity key; timestamp (incl.
+    NTZ) columns must quantize through the numeric surrogate rather than
+    crash in approxQuantile, and string columns must be rejected with a
+    clear error."""
+    plain_rows = {tuple(r) for r in T.load_table(spark, SF_DIR, "events").collect()}
+    T.optimize_layout(spark, SF_DIR, "events", order_by=["ts", "user_id"], order_files=8)
+    try:
+        df = _fresh(spark, SF_DIR, "events")
+        assert {tuple(r) for r in df.collect()} == plain_rows
+    finally:
+        T.drop_layout(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="event_type"):
+        T.optimize_layout(spark, SF_DIR, "events", order_by=["ts", "event_type"])
 
 
 def test_directory_source_staleness_detected(spark, layout_root, tmp_path):

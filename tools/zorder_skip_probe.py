@@ -111,8 +111,8 @@ def main() -> None:
     t0 = time.perf_counter()
     T.optimize_layout(spark, sf_dir, "events", order_by=["value"], order_files=64)
     out["sorted_ingest_s"] = round(time.perf_counter() - t0, 1)
-    res, s = run_arm(_one_col)
-    out["sorted_one_col_s"] = round(s, 3)
+    res, sorted_one_s = run_arm(_one_col)
+    out["sorted_one_col_s"] = round(sorted_one_s, 3)
     out["sorted_one_equal"] = res == flat_one_res
     res, s = run_arm(_two_col)
     out["sorted_two_col_s"] = round(s, 3)
@@ -125,13 +125,14 @@ def main() -> None:
         spark, sf_dir, "events", order_by=["value", "user_id"], order_files=64
     )
     out["zorder_ingest_s"] = round(time.perf_counter() - t0, 1)
-    res, s = run_arm(_two_col)
-    out["zorder_two_col_s"] = round(s, 3)
+    res, zorder_two_s = run_arm(_two_col)
+    out["zorder_two_col_s"] = round(zorder_two_s, 3)
     out["zorder_two_equal"] = res == flat_two_res
     T.drop_layout(spark, sf_dir, "events")
 
-    out["speedup_one_col_sorted"] = round(flat_one_s / out["sorted_one_col_s"], 2)
-    out["speedup_two_col_zorder"] = round(flat_two_s / out["zorder_two_col_s"], 2)
+    # divide the UNROUNDED times (a sub-ms arm rounds to 0.0 at tiny reps)
+    out["speedup_one_col_sorted"] = round(flat_one_s / max(sorted_one_s, 1e-6), 2)
+    out["speedup_two_col_zorder"] = round(flat_two_s / max(zorder_two_s, 1e-6), 2)
     print(json.dumps(out))
 
 

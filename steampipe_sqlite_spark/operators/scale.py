@@ -229,6 +229,40 @@ def salted_join_hot_keys(
     return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
 
 
+# Above this many range partitions, per-partition offsets attach via a
+# broadcast equi-join on ``_pid`` instead of a ``create_map`` literal: the
+# literal costs O(num_partitions) Catalyst expression nodes PER REFERENCE
+# (analysis time + codegen size), which is fine to ~10⁴ partitions but not
+# at 100 TB with default 128 MB splits (~10⁶ partitions).  The broadcast
+# side is one (int, long) row per partition — metadata-sized at any SF —
+# and a broadcast hash join adds no shuffle, so the plan shape is
+# unchanged.  Module-level so tests can monkeypatch it to 0 and prove the
+# two paths produce identical output.
+_OFFSETS_BROADCAST_THRESHOLD = 10_000
+
+
+def _with_partition_offsets(ranged: DataFrame, offsets: dict) -> DataFrame:
+    """Attach each row's partition prefix offset as column ``_off``.
+
+    ``ranged`` must carry ``_pid`` (spark_partition_id at persist time);
+    ``offsets`` maps pid -> exclusive prefix total.  Small maps inline as
+    a ``create_map`` literal (zero extra plan nodes beyond the map);
+    large maps broadcast-join so plan size stays O(1) in partition count
+    (see ``_OFFSETS_BROADCAST_THRESHOLD``)."""
+    if len(offsets) <= _OFFSETS_BROADCAST_THRESHOLD:
+        expr = F.create_map(
+            *[F.lit(x) for pair in offsets.items() for x in pair]
+        )[F.col("_pid")]
+        return ranged.withColumn("_off", expr)
+    off_df = ranged.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        schema="_pid int, _off long",
+    )
+    # inner join is total: every ranged row's _pid has exactly one offsets
+    # row by construction (offsets came from grouping ranged by _pid)
+    return ranged.join(F.broadcast(off_df), "_pid")
+
+
 def distributed_row_number(
     df: DataFrame,
     order_cols: list,
@@ -265,10 +299,10 @@ def distributed_row_number(
     with the result to reclaim executor memory (session stop also
     releases it).
 
-    Offsets ship as a ``create_map`` literal — O(num_partitions) expression
-    nodes, fine to ~10⁴ partitions.  Beyond that (100 TB with small
-    partitions), switch the offset attach to a broadcast equi-join on
-    ``_pid``: same plan shape, no literal-size bound.
+    Offsets attach via :func:`_with_partition_offsets`: a ``create_map``
+    literal up to ``_OFFSETS_BROADCAST_THRESHOLD`` partitions, a broadcast
+    equi-join on ``_pid`` beyond it — so there is no literal-size bound at
+    100 TB partition counts.
     """
     from pyspark.sql import Column, Window
 
@@ -287,13 +321,11 @@ def distributed_row_number(
     for pid, cnt in counts:
         offsets[pid] = acc
         acc += cnt
-    offset_expr = F.create_map(
-        *[F.lit(x) for pair in offsets.items() for x in pair]
-    )[F.col("_pid")]
     w = Window.partitionBy("_pid").orderBy(*cols)
     out = (
-        ranged.withColumn(name, (F.row_number().over(w) + offset_expr).cast("long"))
-        .drop("_pid")
+        _with_partition_offsets(ranged, offsets)
+        .withColumn(name, (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
     )
     out._sgs_persisted = ranged  # owner handle — see Lifetime note above
     # chained-call ownership: a helper built ON another helper's result
@@ -345,16 +377,14 @@ def distributed_running_sum(
     for pid, tot in totals:
         offsets[pid] = acc
         acc += tot or 0
-    offset_expr = F.create_map(
-        *[F.lit(x) for pair in offsets.items() for x in pair]
-    )[F.col("_pid")]
     w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     out = (
-        ranged.withColumn(
-            name, (F.sum(F.col(value_col)).over(w) + offset_expr).cast("long")
-        ).drop("_pid")
+        _with_partition_offsets(ranged, offsets)
+        .withColumn(
+            name, (F.sum(F.col(value_col)).over(w) + F.col("_off")).cast("long")
+        ).drop("_pid", "_off")
     )
     out._sgs_persisted = ranged  # owner handle — see distributed_row_number
     out._sgs_persisted_all = [*getattr(df, "_sgs_persisted_all", []), ranged]

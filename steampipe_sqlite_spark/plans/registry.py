@@ -425,96 +425,108 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # eval_calibration_bins, mining_hard_negatives — all selfcheck-green at
 # sf0.01 AND sf0.1 when added), leaving 38 slots for backfilling the oldest driver-green names (the
 # backfill list below is the start; continue with the r3 greens).
-# ROUND-12 ROTATION PLAN (execute after CORRECTNESS_r11 lands green —
-# rotating earlier would evict the names the r11 window exists to
-# certify): continue strict least-recently-checked over artifacts
-# r1..r11.  Computed candidate window (38 r6-window names then the 12
-# oldest r7-window names, artifact order): text_oov_rate,
-# emb_random_projection, dedup_ppjoin_exact, graph_bfs_distances,
-# sketch_topk_tokens_by_lang, sketch_cms_token_counts,
-# dataset_snapshot_diff, sketch_kmv_source_jaccard, mm_video_scene_cuts,
-# mm_audio_silence_runs, streaming_static_enrich, streaming_session_5m,
-# compat_quote_char, agg_corr_covar_moments, mm_image_phash_neardup,
-# dataset_mixing_weights, text_bigram_surprisal, mm_image_decode,
-# mm_image_resize, mm_video_frame_sample, mm_audio_stats, str_basics,
-# str_search, str_concat_format, str_regexp, date_arithmetic,
-# math_basics, math_transcendental, cond_case_coalesce, cast_try_cast,
-# tvf_sequence_explode, str_hex_char_translate, scalar_greatest_least,
-# json_group_object, agg_percentiles_median, dedup_exact,
-# dedup_minhash_lsh, dedup_simhash, stats_equidepth_bins,
-# rfm_segmentation, join_asof_tolerance, ts_interval_union,
-# user_activity_streaks, funnel_latency_stats, attribution_last_touch,
-# bpe_merge_step, vocab_growth_curve, text_novelty_ordered,
-# emb_matryoshka_fidelity, sample_systematic_weighted.
-# Re-verify against the actual r11 artifact (any r11 red re-leads), then
-# bump WINDOW_ROUND to 12 in tests/test_bench_contract.py.
+# ROUND-12 ROTATION [EXECUTED — CORRECTNESS_r11 landed 50/50 green with
+# zero reds, so the pre-staged plan applies verbatim; re-verified at
+# execution time by recomputing per-name last-green rounds from the
+# committed CORRECTNESS_r01..r11 artifacts: the 50 least-recently-checked
+# names are exactly the 38 remaining r6-window names followed by the 12
+# oldest r7-window names, in artifact order within each round, matching
+# the list below name-for-name.  WINDOW_ROUND bumped to 12 in
+# tests/test_bench_contract.py, which now recomputes the same order from
+# the artifacts and pins window == first 50 of it.]
+# Previous windows' composition lives in git history (r11 window:
+# text_nfc_dedup/dedup_url_canonical/compat_time_modifiers lead + 35 r5
+# names + 12 oldest r6 names — all green in CORRECTNESS_r11.json).
+# ROUND-13 ROTATION PLAN (execute after CORRECTNESS_r12 lands green):
+# continue strict least-recently-checked over artifacts r1..r12.
+# Computed candidate window (names ranked 51–100 in the r1..r11
+# least-recently-checked order — the 11 remaining r7-window names then
+# 39 r8-window names, artifact order within each round):
+# agg_weighted_median, key_skew_profile, shard_by_bytes,
+# graph_triangle_count, impute_by_group_median,
+# streaming_stream_stream_left, str_edit_distance, win_exclude_ties,
+# winsorized_length_stats, dataset_split_temporal, market_basket_pairs,
+# eval_auc_mann_whitney, stats_gini_spend, stats_pareto_topdecile,
+# ts_seasonal_naive_mae, token_pair_lift, graph_two_hop_reach,
+# dataset_kfold_stratified, stats_chi2_lang_source, text_hapax_ratio,
+# emb_label_centroid_geometry, eval_ndcg_at10, events_transition_matrix,
+# events_interarrival_hist, events_growth_daily, ts_threshold_crossings,
+# join_fuzzy_blocked_prefix, join_scd2_point_in_time,
+# agg_width_bucket_hist, win_running_distinct, stats_join_size_profile,
+# mm_video_neardup_shingles, stats_ks_lengths, events_user_hhi,
+# ts_autocorr_lag1, text_vocab_jaccard_langs, privacy_k_anonymity,
+# ts_cusum_changepoint, agg_bitwise, agg_mode_per_group,
+# compat_printf_integer, stats_benford_first_digit,
+# stats_benford_deviation, group_cube_grouping_flags,
+# agg_any_value_functional, dedup_soft_weights, bitext_margin_pairs,
+# dedup_keep_best, eval_calibration_bins, mining_hard_negatives.
+# Recompute from the actual artifacts before executing (any r12 red
+# re-leads), then bump WINDOW_ROUND to 13 in
+# tests/test_bench_contract.py (the test recomputes the same order, so
+# the bump + list swap is the whole change).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-11 WINDOW (50 slots; VERDICT r10 #1 — lead with the 3
-    # round-10 additions that have never had a driver row (each was
-    # selfcheck-green at sf0.001/sf0.01-vanilla/sf0.1 on creation and
-    # re-verified by the round-10 judge's own selfcheck), then continue
-    # strict least-recently-checked rotation: per-name last-green
-    # rounds computed from the committed CORRECTNESS_r0{1..10}.json
-    # artifacts (all pre-r11 — the r10 artifact is committed at HEAD,
-    # so including it is correct; only the CURRENT round's mid-round
-    # artifact must be excluded, per the r9 time-bomb lesson).  The
-    # backfill is the 35 remaining r5-window names followed by the 12
-    # oldest r6-window names, in artifact order within each round.
-    # Green rows here make cumulative driver coverage 288/288. ----
-    # the 3 never-driver-checked round-10 additions:
-    "text_nfc_dedup",
-    "dedup_url_canonical",
-    "compat_time_modifiers",
-    # the 35 names whose last driver row is the r5 window (artifact order):
-    "schema_evolution_union",
-    "streaming_cdc_latest",
-    "ts_ewma_smooth",
-    "pack_context_windows",
-    "funnel_view_click_purchase",
-    "cohort_retention_daily",
-    "session_stats_rollup",
-    "dedup_exact_substrings",
-    "search_bm25_topk",
-    "knn_cosine_filtered",
-    "search_inverted_index",
-    "curation_keep_list",
-    "dataset_split_leakage_safe",
-    "dataset_temperature_weights",
-    "ts_ohlc_hourly",
-    "ts_twap_hourly",
-    "graph_pagerank",
-    "streaming_trending_types",
-    "ts_count_anomaly",
-    "win_first_nth_value",
-    "compat_glob_filter",
-    "compat_strftime_month_rollup",
-    "compat_date_functions",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "knn_cosine_bruteforce",
-    "emb_neardup_cosine",
-    "emb_centroid_per_label",
-    "knn_cosine_ivf",
-    "text_tfidf_top_terms",
-    "sketch_hll_doc_texts",
-    "sample_stratified_md5",
-    # …then the 12 oldest r6-window names (artifact order) — the
-    # remaining r6 names start the round-12 rotation:
-    "join_lateral_topn",
-    "win_range_interval",
-    "group_by_all",
-    "text_keyword_tag",
-    "dedup_containment_ngram",
-    "contamination_source_matrix",
-    "dataset_epochs_schedule",
-    "search_hybrid_rrf",
-    "knn_cosine_pq",
-    "quality_constraints_audit",
-    "dataset_drift_tvd",
-    "search_mmr_diversified",
+    # ---- ROUND-12 WINDOW (50 slots; VERDICT r11 #1 — pure
+    # least-recently-checked continuation: every corpus name now has at
+    # least one driver-green row, so no never-checked lead exists; the
+    # window is simply the 50 names whose most recent driver row is
+    # oldest, computed from CORRECTNESS_r01..r11 (the r11 artifact is
+    # committed at HEAD so including it is correct; only the CURRENT
+    # round's mid-round artifact must be excluded, per the r9 time-bomb
+    # lesson).  38 names last checked in the r6 window + the 12 oldest
+    # r7-window names, artifact order within each round. ----
+    # the 38 names whose last driver row is the r6 window:
+    "text_oov_rate",
+    "emb_random_projection",
+    "dedup_ppjoin_exact",
+    "graph_bfs_distances",
+    "sketch_topk_tokens_by_lang",
+    "sketch_cms_token_counts",
+    "dataset_snapshot_diff",
+    "sketch_kmv_source_jaccard",
+    "mm_video_scene_cuts",
+    "mm_audio_silence_runs",
+    "streaming_static_enrich",
+    "streaming_session_5m",
+    "compat_quote_char",
+    "agg_corr_covar_moments",
+    "mm_image_phash_neardup",
+    "dataset_mixing_weights",
+    "text_bigram_surprisal",
+    "mm_image_decode",
+    "mm_image_resize",
+    "mm_video_frame_sample",
+    "mm_audio_stats",
+    "str_basics",
+    "str_search",
+    "str_concat_format",
+    "str_regexp",
+    "date_arithmetic",
+    "math_basics",
+    "math_transcendental",
+    "cond_case_coalesce",
+    "cast_try_cast",
+    "tvf_sequence_explode",
+    "str_hex_char_translate",
+    "scalar_greatest_least",
+    "json_group_object",
+    "agg_percentiles_median",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # …then the 12 oldest r7-window names (artifact order) — the
+    # remaining r7 names start the round-13 rotation:
+    "stats_equidepth_bins",
+    "rfm_segmentation",
+    "join_asof_tolerance",
+    "ts_interval_union",
+    "user_activity_streaks",
+    "funnel_latency_stats",
+    "attribution_last_touch",
+    "bpe_merge_step",
+    "vocab_growth_curve",
+    "text_novelty_ordered",
+    "emb_matryoshka_fidelity",
+    "sample_systematic_weighted",
 ]
 
 

@@ -24,22 +24,19 @@ def test_headline_queries_registered_with_oracles():
 # driver drops CORRECTNESS_r{WINDOW_ROUND}.json mid-round recording the
 # very window this test polices, so including it would mark every member
 # fresh and fail the assertion (the round-9 time bomb — VERDICT r9 #1).
-WINDOW_ROUND = 11
-
-# The only corpus names with no driver row in any pre-r11 artifact — the
-# round-10 additions, which VERDICT r10 #1 says must LEAD the r11 window
-# to make cumulative driver coverage 288/288.
-NEVER_CHECKED_LEAD = ["text_nfc_dedup", "dedup_url_canonical", "compat_time_modifiers"]
+WINDOW_ROUND = 12
 
 
-def test_round11_driver_window_is_least_recently_checked():
+def test_round12_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-11 rotation (VERDICT r10 #1) leads with the 3 never-driver-checked
-    round-10 additions, then strict least-recently-checked backfill (the 35
-    remaining r5-window names + the 12 oldest r6-window names).  Pin the
-    freshness property so a registration-order or priority-list refactor
-    can't silently evict them, computing last-checked ONLY from
-    pre-window-round artifacts."""
+    round-12 rotation (VERDICT r11 #1) is a pure least-recently-checked
+    continuation — every corpus name now has at least one driver-green
+    row, so the window is exactly the 50 names whose most recent driver
+    row is oldest.  Recompute that order here from the committed
+    pre-window-round artifacts (round order, then artifact insertion
+    order within a round — the same tiebreak the rotation uses) and pin
+    window == first 50 of it, so a registration-order or priority-list
+    refactor can't silently evict a stale name."""
     import glob
     import json
     import re
@@ -50,26 +47,25 @@ def test_round11_driver_window_is_least_recently_checked():
     q, _ = collect()
     window = list(q)[:50]
     last = {}
+    rounds = []
     for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r0*(\d+)\.json$", f).group(1))
         if rnd >= WINDOW_ROUND:
             continue  # the window's own (or a later) artifact — see above
+        rounds.append((rnd, f))
         for name in json.load(open(f)):
             last[name] = max(last.get(name, 0), rnd)
-    assert window[:3] == NEVER_CHECKED_LEAD, (
-        f"window must lead with the never-driver-checked names; got {window[:3]}"
-    )
-    stale_violations = [n for n in window if last.get(n, 0) > 6]
-    assert not stale_violations, (
-        f"window contains recently-checked names: {stale_violations}"
-    )
-    # beyond the sanctioned lead, everything must have a prior green row
-    never_checked = [
-        n for n in window if n not in last and n not in NEVER_CHECKED_LEAD
-    ]
-    assert not never_checked, (
-        f"window members missing any pre-r{WINDOW_ROUND} green row: "
-        f"{never_checked}"
+    stale_order = []
+    for rnd, f in sorted(rounds):
+        for name in json.load(open(f)):
+            if last[name] == rnd and name not in stale_order:
+                stale_order.append(name)
+    expected = stale_order[:50]
+    assert window == expected, (
+        "window must be the 50 least-recently-driver-checked names "
+        f"(computed from pre-r{WINDOW_ROUND} artifacts); "
+        f"unexpected: {[n for n in window if n not in expected]}, "
+        f"evicted: {[n for n in expected if n not in window]}"
     )
 
 

@@ -193,39 +193,50 @@ def salted_join_hot_keys(
     runtime skew split (on in session.py) for sort-merge joins; this
     operator also covers shuffle-hash joins, which AQE's splitter does not.
 
-    ``how`` supports ``inner`` (default) and ``left``, threaded through
-    both join paths (ADVICE r10): salting preserves left-join semantics
-    because every left row carries exactly one salt and the right side is
-    replicated across ALL salts for hot keys (salt 0 for cold), so an
-    unmatched left row is unmatched at every salt and surfaces once with
-    nulls.  Right/full would need the MIRRORED construction (salt the
-    right, replicate the left) — not provided; measured by
+    ``how`` supports ``inner`` (default), ``left`` (ADVICE r10) and
+    ``right`` (VERDICT r11 #6): salting preserves outer semantics because
+    the PRESERVED side's rows each carry exactly one salt and the other
+    side is replicated across ALL salts for hot keys (salt 0 for cold),
+    so an unmatched preserved row is unmatched at every salt and surfaces
+    once with nulls.  ``right`` is the mirrored construction — salt the
+    right, replicate the left.  ``full`` is impossible under salting
+    (BOTH sides would have to be single-salt, leaving hot keys unsplit);
+    use AQE's runtime skew join for full outer.  Measured by
     tools/skew_join_probe.py.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right"):
         raise ValueError(
-            f"salted_join_hot_keys supports how='inner'|'left', got {how!r}"
+            f"salted_join_hot_keys supports how='inner'|'left'|'right', got {how!r}"
         )
     if not hot_keys:
         # no declared hot set — the salt would be constant 0 everywhere,
         # a plain join with bookkeeping overhead; do the plain join
         return left.join(right, [key], how)
     hot = F.col(key).isin(*[F.lit(k) for k in hot_keys])
-    l_salted = left.withColumn(
-        "_salt",
-        F.when(
-            hot, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
-        ).otherwise(F.lit(0)).cast("int"),
-    )
-    r_salted = right.withColumn(
-        "_salt",
-        F.when(hot, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
-            F.array(F.lit(0))
-        ),
-    ).withColumn("_salt", F.explode("_salt"))
-    # sequence/array of int literals already yields int elements, matching
-    # the left side's cast — no cast around the generator (Catalyst rejects
-    # expressions nested over explode()).
+
+    def one_salt(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_salt",
+            F.when(
+                hot, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+
+    def all_salts(df: DataFrame) -> DataFrame:
+        # sequence/array of int literals already yields int elements,
+        # matching the other side's cast — no cast around the generator
+        # (Catalyst rejects expressions nested over explode()).
+        return df.withColumn(
+            "_salt",
+            F.when(hot, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            ),
+        ).withColumn("_salt", F.explode("_salt"))
+
+    if how == "right":
+        l_salted, r_salted = all_salts(left), one_salt(right)
+    else:
+        l_salted, r_salted = one_salt(left), all_salts(right)
     return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
 
 

@@ -1386,9 +1386,13 @@ def dedup_semantic_q(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-@query(
-    "knn_cosine_ivf",
-    oracle=f"""
+# Shared by knn_cosine_ivf (direct operator) and knn_ivf_index_persisted
+# (build-then-query through the hive-partitioned on-disk index): the index
+# path's assignment semantics are exactly ivf_topk's (shared
+# _assign_cells_gemm; bit-identity pinned by
+# tests/test_llm_ops.py::TestIvfIndexPersistence), so one oracle covers
+# both and the driver checks the persisted lifecycle end-to-end.
+_IVF_TOPK_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
 ),
@@ -1418,8 +1422,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) t
 WHERE rank <= 5
 ORDER BY query_id, rank
-""",
-)
+"""
+
+
+@query("knn_cosine_ivf", oracle=_IVF_TOPK_ORACLE)
 def knn_ivf_q(spark, sf_dir):
     """IVF approximate top-5 (16 cells, nprobe=3, deterministic first-N
     centroids) — the whole inverted-file pipeline is mirrored in the
@@ -1430,6 +1436,53 @@ def knn_ivf_q(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return presentation_sort(
         ivf_topk(emb, queries, "embedding", "vec_id", k=5, n_cells=16, nprobe=3),
+        ["query_id", "rank"],
+    )
+
+
+def _index_cache_path(sf_dir: str, kind: str) -> str:
+    """Repo-local scratch for persisted ANN indexes built by the corpus
+    witnesses below (same .cache/ convention as the layout catalog).
+    Keyed on the absolute sf_dir so sf0.001/sf0.01/sf0.1 builds never
+    collide; each build overwrites its own path, so there is no staleness
+    to manage — the index is rebuilt from the current fixture on every
+    plan construction (single-writer per query name, as each corpus name
+    runs in exactly one gate process)."""
+    import hashlib
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(repo, ".cache", "indexes", f"{kind}_{h}")
+
+
+@query("knn_ivf_index_persisted", oracle=_IVF_TOPK_ORACLE)
+def knn_ivf_index_persisted_q(spark, sf_dir):
+    """Persisted-IVF serving lifecycle as a driver-checkable witness
+    (VERDICT r11 #5): build the on-disk index (centroids parquet + cells
+    hive-partitioned BY CELL), then answer top-5 THROUGH it with
+    ivf_query_index's partition-pruned probe scan.  Parameters are
+    knn_cosine_ivf's exactly (16 first-N centroids, nprobe=3, queries
+    vec_id<10), and the index path shares ivf_topk's assignment semantics
+    (similarity.py _assign_cells_gemm), so the direct operator's oracle
+    replays this result value-for-value — the build/read-back/prune
+    machinery is what's newly under test.  At 10^9 vectors the probe
+    reads nprobe/n_cells of the index directories and nothing else."""
+    from steampipe_sqlite_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_cache_path(sf_dir, "ivf16")
+    ivf_build_index(emb, "embedding", "vec_id", path, n_cells=16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return presentation_sort(
+        ivf_query_index(
+            spark, path, queries, "embedding", "vec_id", k=5, nprobe=3
+        ),
         ["query_id", "rank"],
     )
 
@@ -3153,9 +3206,13 @@ scored AS (
 )"""
 
 
-@query(
-    "knn_cosine_pq",
-    oracle=f"""
+# Shared by knn_cosine_pq (direct pq_topk_rerank) and
+# knn_ivfpq_index_persisted (build-then-query through the on-disk IVF-PQ
+# index at nprobe = n_cells): a full probe makes the ADC candidate set the
+# whole corpus, so index-then-query equals the direct PQ pipeline exactly
+# (pinned by tests/test_llm_ops.py::TestIvfPqIndexPersistence::
+# test_full_probe_equals_direct_pq_rerank) and one oracle covers both.
+_PQ_RERANK_ORACLE = f"""
 {_dd_pq_ctes()},
 short AS (
   SELECT query_id, neighbor_id FROM (
@@ -3179,8 +3236,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM exact) t
 WHERE rank <= 5
 ORDER BY query_id, rank
-""",
-)
+"""
+
+
+@query("knn_cosine_pq", oracle=_PQ_RERANK_ORACLE)
 def knn_cosine_pq_q(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011 construction), the full
     serving pipeline: per-subspace codebooks (4×16, generalized Lloyd, 2
@@ -3198,6 +3257,36 @@ def knn_cosine_pq_q(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     return presentation_sort(
         pq_topk_rerank(emb, queries, "embedding", "vec_id", k=5, shortlist=50),
+        ["query_id", "rank"],
+    )
+
+
+@query("knn_ivfpq_index_persisted", oracle=_PQ_RERANK_ORACLE)
+def knn_ivfpq_index_persisted_q(spark, sf_dir):
+    """Persisted-IVF-PQ serving lifecycle as a driver-checkable witness
+    (VERDICT r11 #5): build the FAISS-style on-disk layout (coarse
+    centroids + PQ codebooks + cells hive-partitioned BY CELL carrying
+    (id, codes, nrm, v)), then answer top-5 THROUGH it — partition-pruned
+    probe, column-pruned ADC pass over (id, codes, nrm), shortlist-50,
+    exact refine.  nprobe = n_cells (8) makes the ADC candidate set the
+    whole corpus, so the direct PQ pipeline's oracle replays the result
+    value-for-value while the index build/read-back/two-axis-pruning
+    machinery is what's newly under driver test; partial-probe recall is
+    covered by pytest (TestIvfPqIndexPersistence.test_partial_probe_recall)."""
+    from steampipe_sqlite_spark.operators.similarity import (
+        ivfpq_build_index,
+        ivfpq_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _index_cache_path(sf_dir, "ivfpq8")
+    ivfpq_build_index(emb, "embedding", "vec_id", path, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return presentation_sort(
+        ivfpq_query_index(
+            spark, path, queries, "embedding", "vec_id", k=5, nprobe=8,
+            shortlist=50,
+        ),
         ["query_id", "rank"],
     )
 

@@ -439,9 +439,12 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # names + 12 oldest r6 names — all green in CORRECTNESS_r11.json).
 # ROUND-13 ROTATION PLAN (execute after CORRECTNESS_r12 lands green):
 # continue strict least-recently-checked over artifacts r1..r12.
-# Computed candidate window (names ranked 51–100 in the r1..r11
-# least-recently-checked order — the 11 remaining r7-window names then
-# 39 r8-window names, artifact order within each round):
+# Computed candidate window — FIRST the 2 backfill names the r12
+# never-checked lead displaced (emb_matryoshka_fidelity,
+# sample_systematic_weighted — last checked r7), then names ranked
+# 51–100 in the r1..r11 least-recently-checked order (the 11 remaining
+# r7-window names then r8-window names, artifact order within each
+# round), truncated to fill 50 slots:
 # agg_weighted_median, key_skew_profile, shard_by_bytes,
 # graph_triangle_count, impute_by_group_median,
 # streaming_stream_stream_left, str_edit_distance, win_exclude_ties,
@@ -465,15 +468,22 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # tests/test_bench_contract.py (the test recomputes the same order, so
 # the bump + list swap is the whole change).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-12 WINDOW (50 slots; VERDICT r11 #1 — pure
-    # least-recently-checked continuation: every corpus name now has at
-    # least one driver-green row, so no never-checked lead exists; the
-    # window is simply the 50 names whose most recent driver row is
-    # oldest, computed from CORRECTNESS_r01..r11 (the r11 artifact is
-    # committed at HEAD so including it is correct; only the CURRENT
-    # round's mid-round artifact must be excluded, per the r9 time-bomb
-    # lesson).  38 names last checked in the r6 window + the 12 oldest
-    # r7-window names, artifact order within each round. ----
+    # ---- ROUND-12 WINDOW (50 slots; VERDICT r11 #1 + #5) — lead with
+    # the 2 round-12 additions that have never had a driver row (the
+    # persisted-index lifecycle witnesses VERDICT r11 #5 asked for; both
+    # selfcheck-green at sf0.01-vanilla and sf0.1 on creation), exactly
+    # as the r11 window led with the 3 r10 additions; then continue the
+    # pure least-recently-checked rotation: the names whose most recent
+    # driver row is oldest, computed from CORRECTNESS_r01..r11 (the r11
+    # artifact is committed at HEAD so including it is correct; only the
+    # CURRENT round's mid-round artifact must be excluded, per the r9
+    # time-bomb lesson).  38 names last checked in the r6 window + the
+    # 10 oldest r7-window names, artifact order within each round (the
+    # 2-slot lead defers emb_matryoshka_fidelity and
+    # sample_systematic_weighted to lead the r13 backfill). ----
+    # the 2 never-driver-checked round-12 additions:
+    "knn_ivf_index_persisted",
+    "knn_ivfpq_index_persisted",
     # the 38 names whose last driver row is the r6 window:
     "text_oov_rate",
     "emb_random_projection",
@@ -513,7 +523,7 @@ _WINDOW_PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # …then the 12 oldest r7-window names (artifact order) — the
+    # …then the 10 oldest r7-window names (artifact order) — the
     # remaining r7 names start the round-13 rotation:
     "stats_equidepth_bins",
     "rfm_segmentation",
@@ -525,8 +535,6 @@ _WINDOW_PRIORITY = [
     "bpe_merge_step",
     "vocab_growth_curve",
     "text_novelty_ordered",
-    "emb_matryoshka_fidelity",
-    "sample_systematic_weighted",
 ]
 
 

@@ -26,17 +26,22 @@ def test_headline_queries_registered_with_oracles():
 # fresh and fail the assertion (the round-9 time bomb — VERDICT r9 #1).
 WINDOW_ROUND = 12
 
+# The only corpus names with no driver row in any pre-r12 artifact — the
+# round-12 persisted-index witnesses (VERDICT r11 #5), which lead the
+# window per the r11 precedent so they earn a CORRECTNESS row this round.
+NEVER_CHECKED_LEAD = ["knn_ivf_index_persisted", "knn_ivfpq_index_persisted"]
+
 
 def test_round12_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-12 rotation (VERDICT r11 #1) is a pure least-recently-checked
-    continuation — every corpus name now has at least one driver-green
-    row, so the window is exactly the 50 names whose most recent driver
-    row is oldest.  Recompute that order here from the committed
+    round-12 rotation (VERDICT r11 #1 + #5) leads with the 2
+    never-driver-checked round-12 additions, then pure
+    least-recently-checked continuation — the names whose most recent
+    driver row is oldest.  Recompute that order here from the committed
     pre-window-round artifacts (round order, then artifact insertion
     order within a round — the same tiebreak the rotation uses) and pin
-    window == first 50 of it, so a registration-order or priority-list
-    refactor can't silently evict a stale name."""
+    window == lead + first 48 of it, so a registration-order or
+    priority-list refactor can't silently evict a stale name."""
     import glob
     import json
     import re
@@ -60,10 +65,14 @@ def test_round12_driver_window_is_least_recently_checked():
         for name in json.load(open(f)):
             if last[name] == rnd and name not in stale_order:
                 stale_order.append(name)
-    expected = stale_order[:50]
+    for n in NEVER_CHECKED_LEAD:
+        assert n not in last, f"lead name {n} already has a driver row"
+        assert n in q, f"lead name {n} not registered"
+    expected = NEVER_CHECKED_LEAD + stale_order[: 50 - len(NEVER_CHECKED_LEAD)]
     assert window == expected, (
-        "window must be the 50 least-recently-driver-checked names "
-        f"(computed from pre-r{WINDOW_ROUND} artifacts); "
+        "window must be the never-checked lead + the least-recently-"
+        f"driver-checked names (computed from pre-r{WINDOW_ROUND} "
+        f"artifacts); "
         f"unexpected: {[n for n in window if n not in expected]}, "
         f"evicted: {[n for n in expected if n not in window]}"
     )

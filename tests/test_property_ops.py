@@ -648,3 +648,18 @@ def test_salted_hot_keys_join_is_plain_join(spark, rows, dim_keys, hot, n_salts)
         ).collect()
     )
     assert salted_left == plain_left
+
+    # how='right' (VERDICT r11 #6): the mirrored construction — right rows
+    # single-salt, left replicated — so unmatched right rows surface once
+    # and matched multiplicities are exact.  Swap sides so the fact table
+    # (duplicated keys) sits on the preserved side, the skew scenario.
+    plain_right = sorted(
+        tuple(r) for r in right.join(left, ["key"], "right").collect()
+    )
+    salted_right = sorted(
+        tuple(r)
+        for r in salted_join_hot_keys(
+            right, left, "key", hot, n_salts, how="right"
+        ).collect()
+    )
+    assert salted_right == plain_right

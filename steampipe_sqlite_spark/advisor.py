@@ -1,0 +1,284 @@
+"""Layout advisor: recommend the optimize_layout axis per table from a
+workload's physical plans.
+
+:func:`tables.optimize_layout` (round 11) gives the engine three layout
+axes — bucketed, hive-partitioned, sorted/Z-ordered — but makes the caller
+pick.  The decision rule lives in its docstring table; this module
+AUTOMATES it: given a workload (query name -> plan builder), it reads each
+query's physical plan, attributes shuffle keys and pushed filters to the
+base tables they touch, classifies each table's dominant access pattern,
+and emits ranked, evidence-carrying recommendations whose
+``suggested_call`` is a ready-to-run optimize_layout invocation.
+
+This is plan ANALYSIS only: no query is executed, no data moves.  The one
+data-touching step is an approx_count_distinct per equality-filtered
+candidate column (needed to split partition_by from order_by — the
+low/high cardinality fork in the decision rule), bounded to candidate
+columns and skippable with ``estimate_ndv=False``.
+
+The analysis reads the same physical-plan facts the plan-proof tests pin
+(tests/test_plans.py, tools/explain_audit.py): ``Exchange
+hashpartitioning(...)`` nodes are where joins/aggregations shuffle — a
+bucketed layout on that key removes them (measured q3 1.46x / q18 1.65x at
+100x, tools/bucketed_layout_probe.py); ``PushedFilters`` on a scan are
+what partition pruning (1.89x at 100M) or footer-stats skipping (2.4-3.8x
+at 100M) would accelerate.  At 100 TB this is exactly the evidence a
+lakehouse OPTIMIZE advisor uses: recommend ingest-time clustering only
+where the workload's repeated plan shapes prove it pays.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# recommend partition_by only up to this many distinct values — beyond it
+# the directory count explodes and footer-stats sorting wins (the same
+# ~10^3 bound as optimize_layout's decision table)
+_PARTITION_NDV_MAX = 1_000
+
+_HASHPART_RE = re.compile(r"hashpartitioning\(([^)]*)\)")
+_COLREF_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+_SCAN_TABLE_RE = re.compile(r"[/\[](?:[0-9a-f]{8,}-)?([A-Za-z_][A-Za-z0-9_]*)\.parquet")
+_PUSHED_RE = re.compile(r"PushedFilters: \[([^\]\n]*)")
+_DATAFILTERS_RE = re.compile(r"DataFilters: \[([^\]\n]*)")
+_PRED_RE = re.compile(
+    r"(EqualTo|EqualNullSafe|In|GreaterThanOrEqual|GreaterThan|"
+    r"LessThanOrEqual|LessThan|StringStartsWith)\(([A-Za-z_][A-Za-z0-9_]*)"
+)
+_EQ_PREDS = {"EqualTo", "EqualNullSafe", "In"}
+_RANGE_PREDS = {"GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual"}
+# DataFilters spell predicates as lowercase expressions over col#id refs —
+# "(l_shipdate#10 >= 1994-01-01)", "(l_orderkey#0L = 5)", "l_x#1 IN (…)".
+# The column ref precedes the operator, so these survive the toString
+# field truncation that clips PushedFilters entries mid-name.
+_DF_RANGE_RE = re.compile(r"\(([A-Za-z_][A-Za-z0-9_]*)#\d+L? (?:>=|<=|>|<) ")
+_DF_EQ_RE = re.compile(r"\(([A-Za-z_][A-Za-z0-9_]*)#\d+L? = ")
+_DF_IN_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+L? IN ")
+
+
+def _plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_facts(plan: str, known_cols: dict[str, set[str]]) -> dict[str, dict]:
+    """Per-table filter facts from the plan's parquet scans.
+
+    Reads BOTH PushedFilters (typed predicate names) and DataFilters
+    (expression spelling) per scan line: toString truncates long filter
+    lists, and the two fields truncate at different points, so the union
+    recovers what either alone would drop.  Every extracted name is
+    validated against the table's actual columns — a name clipped
+    mid-token ("l_shipda") must not become evidence."""
+    facts: dict[str, dict] = {}
+    for line in plan.splitlines():
+        if "Scan parquet" not in line and "FileScan parquet" not in line:
+            continue
+        m = _SCAN_TABLE_RE.search(line)
+        if not m or m.group(1) not in known_cols:
+            continue
+        table = m.group(1)
+        cols = known_cols[table]
+        entry = facts.setdefault(table, {"eq": set(), "range": set()})
+        pf = _PUSHED_RE.search(line)
+        if pf:
+            for kind, col in _PRED_RE.findall(pf.group(1)):
+                if col not in cols:
+                    continue
+                if kind in _EQ_PREDS:
+                    entry["eq"].add(col)
+                elif kind in _RANGE_PREDS:
+                    entry["range"].add(col)
+                # IsNotNull / StringStartsWith carry no layout signal
+        dfil = _DATAFILTERS_RE.search(line)
+        if dfil:
+            body = dfil.group(1)
+            entry["range"].update(c for c in _DF_RANGE_RE.findall(body) if c in cols)
+            entry["eq"].update(c for c in _DF_EQ_RE.findall(body) if c in cols)
+            entry["eq"].update(c for c in _DF_IN_RE.findall(body) if c in cols)
+    return facts
+
+
+def _shuffle_keys(plan: str) -> list[tuple[str, ...]]:
+    """Column-name tuples of every hash-partitioned exchange in the plan."""
+    keys = []
+    for m in _HASHPART_RE.finditer(plan):
+        cols = tuple(cm.group(1) for cm in _COLREF_RE.finditer(m.group(1)))
+        if cols:
+            keys.append(cols)
+    return keys
+
+
+def advise_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    workload: dict[str, "Callable[[SparkSession, str], DataFrame] | DataFrame"],
+    estimate_ndv: bool = True,
+) -> list[dict]:
+    """Rank layout recommendations for ``sf_dir``'s tables under
+    ``workload`` (query name -> builder fn or already-built DataFrame).
+
+    Returns a list of dicts, highest-evidence first::
+
+        {"table": ..., "axis": "bucket_by"|"partition_by"|"order_by",
+         "columns": [...], "evidence": {"queries": [...], "count": N, ...},
+         "suggested_call": "optimize_layout(spark, sf_dir, ...)"}
+
+    Rules (the optimize_layout docstring table, mechanized):
+
+    - a column that is BOTH a repeated shuffle key and a table's column
+      -> ``bucket_by`` (removes the exchange on every such query);
+    - repeated equality/IN pushed filters on a low-cardinality column
+      (approx NDV <= 1000) -> ``partition_by``;
+    - range filters on one high-cardinality column -> ``order_by=[col]``;
+    - a MIX of filtered columns (>= 2 across the workload) with at least
+      one range or high-cardinality equality -> ``order_by`` Z-order over
+      the mix (capped at 3 columns — Morton bits dilute beyond that).
+
+    One recommendation per table (the single strongest axis — deploys are
+    one-axis-per-call by design); tables with no repeated signal are
+    omitted.  Evidence counts QUERIES, not plan nodes: ten exchanges in
+    one query still argue less than one exchange in ten queries.
+    """
+    from steampipe_sqlite_spark.tables import ALL_TABLES, load_table
+
+    known = {
+        t for t in ALL_TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+    }
+    col_owner: dict[str, set[str]] = defaultdict(set)
+    for t in known:
+        for c in load_table(spark, sf_dir, t).columns:
+            col_owner[c].add(t)
+
+    # per (table, column) query-sets per signal kind
+    shuffle_q: dict[tuple[str, str], set[str]] = defaultdict(set)
+    eq_q: dict[tuple[str, str], set[str]] = defaultdict(set)
+    range_q: dict[tuple[str, str], set[str]] = defaultdict(set)
+
+    known_cols = {t: set(load_table(spark, sf_dir, t).columns) for t in known}
+
+    for qname, q in workload.items():
+        df = q if isinstance(q, DataFrame) else q(spark, sf_dir)
+        plan = _plan_string(df)
+        scans = _scan_facts(plan, known_cols)
+        for table, entry in scans.items():
+            for col in entry["eq"]:
+                eq_q[(table, col)].add(qname)
+            for col in entry["range"]:
+                range_q[(table, col)].add(qname)
+        scanned = set(scans)
+        for cols in _shuffle_keys(plan):
+            for col in cols:
+                # attribute the shuffle key to scanned tables owning the
+                # column — renamed/derived keys don't resolve, correctly
+                for table in col_owner.get(col, set()) & scanned:
+                    shuffle_q[(table, col)].add(qname)
+
+    ndv_cache: dict[tuple[str, str], int] = {}
+
+    def _ndv(table: str, col: str) -> int:
+        key = (table, col)
+        if key not in ndv_cache:
+            if not estimate_ndv:
+                ndv_cache[key] = _PARTITION_NDV_MAX + 1  # assume high
+            else:
+                from pyspark.sql import functions as F
+
+                ndv_cache[key] = load_table(spark, sf_dir, table).agg(
+                    F.approx_count_distinct(col)
+                ).first()[0]
+        return ndv_cache[key]
+
+    recs = []
+    for table in sorted(known):
+        candidates = []
+        # bucket: strongest shuffle-key column
+        t_shuffle = {c: qs for (t, c), qs in shuffle_q.items() if t == table}
+        if t_shuffle:
+            col, qs = max(t_shuffle.items(), key=lambda kv: (len(kv[1]), kv[0]))
+            if len(qs) >= 2:  # repeated — one-shot shuffles don't pay ingest
+                candidates.append(
+                    {
+                        "axis": "bucket_by",
+                        "columns": [col],
+                        "score": len(qs),
+                        "evidence": {
+                            "signal": "exchange hashpartitioning",
+                            "queries": sorted(qs),
+                            "count": len(qs),
+                        },
+                        "suggested_call": (
+                            f"optimize_layout(spark, {sf_dir!r}, {table!r}, "
+                            f"bucket_by={col!r}, buckets=64)"
+                        ),
+                    }
+                )
+        t_eq = {c: qs for (t, c), qs in eq_q.items() if t == table}
+        t_range = {c: qs for (t, c), qs in range_q.items() if t == table}
+        filter_cols = {
+            c: (t_eq.get(c, set()) | t_range.get(c, set()))
+            for c in set(t_eq) | set(t_range)
+        }
+        repeated = {c: qs for c, qs in filter_cols.items() if len(qs) >= 2}
+        if repeated:
+            mix = sorted(repeated, key=lambda c: (-len(repeated[c]), c))
+            top = mix[0]
+            qs = repeated[top]
+            if top in t_eq and top not in t_range and _ndv(table, top) <= _PARTITION_NDV_MAX:
+                candidates.append(
+                    {
+                        "axis": "partition_by",
+                        "columns": [top],
+                        "score": len(qs),
+                        "evidence": {
+                            "signal": "pushed equality/IN filters, "
+                            f"ndv<={_PARTITION_NDV_MAX}",
+                            "queries": sorted(qs),
+                            "count": len(qs),
+                        },
+                        "suggested_call": (
+                            f"optimize_layout(spark, {sf_dir!r}, {table!r}, "
+                            f"partition_by={top!r})"
+                        ),
+                    }
+                )
+            else:
+                cols = mix[:3] if len(mix) >= 2 else [top]
+                label = "Z-order filter mix" if len(cols) > 1 else "range filters"
+                candidates.append(
+                    {
+                        "axis": "order_by",
+                        "columns": cols,
+                        "score": len(set().union(*(repeated[c] for c in cols))),
+                        "evidence": {
+                            "signal": label,
+                            "queries": sorted(set().union(*(repeated[c] for c in cols))),
+                            "count": len(set().union(*(repeated[c] for c in cols))),
+                        },
+                        "suggested_call": (
+                            f"optimize_layout(spark, {sf_dir!r}, {table!r}, "
+                            f"order_by={cols!r})"
+                        ),
+                    }
+                )
+        if candidates:
+            # ties prefer bucket_by: exchange elimination measured the
+            # largest payoff of the three axes (q3/q18 4.5-8.7x loaded)
+            pref = {"bucket_by": 2, "partition_by": 1, "order_by": 0}
+            candidates.sort(key=lambda c: (c["score"], pref[c["axis"]]), reverse=True)
+            best, rest = candidates[0], candidates[1:]
+            # deploys are one-axis-per-call, but the runner-up axis is
+            # still real evidence (e.g. a table both joined-on and
+            # range-filtered) — surface it rather than silently dropping
+            for c in rest:
+                c.pop("score")
+            recs.append({"table": table, **best, "alternatives": rest})
+    recs.sort(key=lambda r: (-r["score"], r["table"]))
+    for r in recs:
+        r.pop("score")
+    return recs

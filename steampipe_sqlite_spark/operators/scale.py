@@ -493,6 +493,21 @@ def zorder_values(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     for low-cardinality strings, or a plain range sort on a single string
     column, which repartitionByRange handles natively).
     """
+    k_res = len(cols)
+    reserved = (
+        {f"_q{i}" for i in range(k_res)}
+        | {f"_b{i}" for i in range(k_res)}
+        | {"_z"}
+    )
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        # the internal quantization columns would silently overwrite (and
+        # then drop) same-named input columns — corrupting data is worse
+        # than demanding a rename (ADVICE r11)
+        raise ValueError(
+            f"zorder_values: input columns {clash} collide with the "
+            "reserved internal names (_q<i>/_b<i>/_z) — rename them first"
+        )
     n = 1 << bits
     probs = [j / n for j in range(1, n)]
     # order-preserving NUMERIC surrogate per column: approxQuantile (and

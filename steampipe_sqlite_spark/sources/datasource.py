@@ -135,7 +135,15 @@ def filters_to_quals(
 
 def _filter_column_names(filters: Sequence[Filter]) -> set[str]:
     """Best-effort column names from pushed filters, including shapes the
-    qual translator rejects — gate input only (see check_required_quals)."""
+    qual translator rejects — gate input only (see check_required_quals).
+
+    Untranslatable filters are unwrapped through ``child`` links
+    RECURSIVELY (bounded) before reading ``attribute``: a doubly-nested
+    shape (e.g. Not(Not(EqualTo(col, v))), or whatever future wrapper
+    Spark pushes) still NAMES the column, and the reference's gate
+    (table.go:182-214) passes on any constraint naming the column —
+    stopping at one level would silently re-tighten the gate in that
+    corner (ADVICE r11)."""
     names: set[str] = set()
     for f in filters:
         try:
@@ -145,11 +153,15 @@ def _filter_column_names(filters: Sequence[Filter]) -> set[str]:
         if parsed is not None:
             names.add(parsed[0])
             continue
-        for holder in (f, getattr(f, "child", None)):
+        holder = f
+        for _ in range(8):  # bound: wrapper chains are tiny in practice
+            if holder is None:
+                break
             attr = getattr(holder, "attribute", None)
             if attr and len(attr) == 1:
                 names.add(attr[0])
                 break
+            holder = getattr(holder, "child", None)
     return names
 
 

@@ -209,10 +209,23 @@ def compacted_path(spark: SparkSession, path: str) -> str:
 # write.  Turn discovery off with SPARK_GRAFT_LAYOUT=off.
 # ---------------------------------------------------------------------------
 
-_LAYOUT_ROOT = os.environ.get(
-    "SPARK_GRAFT_LAYOUT_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "layout"),
-)
+# Test override only (monkeypatched to a str by the layout tests); None
+# means "resolve SPARK_GRAFT_LAYOUT_DIR at call time" — reading the env var
+# once at import silently ignored a dir set after import (ADVICE r11).
+_LAYOUT_ROOT: str | None = None
+
+
+def _layout_root() -> str:
+    if _LAYOUT_ROOT is not None:
+        return _LAYOUT_ROOT
+    return os.environ.get(
+        "SPARK_GRAFT_LAYOUT_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".cache",
+            "layout",
+        ),
+    )
 
 # Engine-owned completion marker, written after the layout data commits.
 # Deliberately NOT the committer's _SUCCESS (often disabled on object
@@ -226,7 +239,7 @@ def _layout_enabled() -> bool:
 
 
 def _layout_registry_path() -> str:
-    return os.path.join(_LAYOUT_ROOT, "registry.json")
+    return os.path.join(_layout_root(), "registry.json")
 
 
 def _layout_registry() -> dict:
@@ -251,8 +264,9 @@ class _layout_lock:
     def __enter__(self):
         import fcntl
 
-        os.makedirs(_LAYOUT_ROOT, exist_ok=True)
-        self._fd = os.open(os.path.join(_LAYOUT_ROOT, ".registry.lock"), os.O_CREAT | os.O_RDWR)
+        root = _layout_root()
+        os.makedirs(root, exist_ok=True)
+        self._fd = os.open(os.path.join(root, ".registry.lock"), os.O_CREAT | os.O_RDWR)
         fcntl.flock(self._fd, fcntl.LOCK_EX)
         return self
 
@@ -266,6 +280,116 @@ class _layout_lock:
 
 def _layout_key(sf_dir: str, name: str) -> str:
     return f"{os.path.abspath(sf_dir)}::{name}"
+
+
+# Reserved registry key holding superseded/dropped layouts pending file
+# reclamation.  Deleting a layout's files the instant its entry is replaced
+# can fail a query planned over the old location in ANOTHER process
+# mid-scan (FileNotFoundException — never wrong rows; ADVICE r11).  So
+# reclamation is DEFERRED: the entry moves to this trash list and the files
+# stay at their original path until a later deploy/drop sweeps entries
+# older than the grace period, giving in-flight scans time to drain.
+# Discovery never serves a trashed layout (its registry entry is gone).
+# The key starts with "::" so no abspath-derived layout key can collide and
+# layout_tables_for's split-on-"::" never mistakes it for a table.
+_LAYOUT_TRASH_KEY = "::trash::"
+
+
+def _reclaim_grace_s() -> float:
+    return float(os.environ.get("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "600"))
+
+
+def _enqueue_reclaim(reg: dict, entry: dict) -> None:
+    """Move a replaced/dropped layout entry to the trash list (caller holds
+    the registry lock).  Same-location duplicates collapse to one slot."""
+    import time
+
+    trash = [
+        t for t in reg.get(_LAYOUT_TRASH_KEY, [])
+        if t["location"] != entry["location"]
+    ]
+    trash.append(
+        {
+            "location": entry["location"],
+            "catalog_name": entry.get("catalog_name"),
+            "bucket_by": entry.get("bucket_by"),
+            "ts": time.time(),
+        }
+    )
+    reg[_LAYOUT_TRASH_KEY] = trash
+
+
+def _catalog_table_points_at(spark: SparkSession, cat: str, location: str) -> bool:
+    """True iff catalog table ``cat`` exists AND its LOCATION is
+    ``location``.  The catalog name embeds the content tag but NOT the
+    layout root, so a long-lived session that changes
+    SPARK_GRAFT_LAYOUT_DIR between deploys could otherwise keep the name
+    bound to the OLD root's files (ADVICE r11) — callers recreate the
+    table on mismatch."""
+    try:
+        if not spark.catalog.tableExists(cat):
+            return False
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {cat}").collect():
+            if str(r[0]).strip() == "Location":
+                got = str(r[1]).strip().removeprefix("file:")
+                return os.path.normpath(got) == os.path.normpath(location)
+    except Exception:  # noqa: BLE001 — treat unreadable metadata as mismatch
+        return False
+    return False
+
+
+def _sweep_trash(reg: dict, spark: SparkSession) -> None:
+    """Reclaim trash entries past the grace period (caller holds the
+    registry lock).  A location whose ``.writing`` flock is held by a
+    concurrent deployer is skipped this round — that deployer is
+    resurrecting the same content-keyed location and must not have its
+    files gutted between its completeness check and its registry write."""
+    import fcntl
+    import time
+
+    trash = reg.get(_LAYOUT_TRASH_KEY, [])
+    if not trash:
+        return
+    now = time.time()
+    keep = []
+    for t in trash:
+        if now - t["ts"] < _reclaim_grace_s():
+            keep.append(t)
+            continue
+        wl = None
+        try:
+            wl = os.open(f"{t['location']}.writing", os.O_CREAT | os.O_RDWR)
+            fcntl.flock(wl, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            if wl is not None:
+                os.close(wl)
+            keep.append(t)  # a deployer holds this location — retry later
+            continue
+        try:
+            if t.get("bucket_by") is not None and t.get("catalog_name"):
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {t['catalog_name']}")
+                except Exception:  # noqa: BLE001 — cleanup best-effort
+                    pass
+            # completion marker FIRST: a torn rmtree must leave an
+            # INCOMPLETE directory, never a "complete" gutted one a later
+            # same-spec redeploy would reuse
+            try:
+                os.remove(os.path.join(t["location"], _LAYOUT_COMPLETE_MARKER))
+            except OSError:
+                pass
+            shutil.rmtree(t["location"], ignore_errors=True)
+        finally:
+            fcntl.flock(wl, fcntl.LOCK_UN)
+            os.close(wl)
+            try:
+                os.remove(f"{t['location']}.writing")
+            except OSError:
+                pass
+    if keep:
+        reg[_LAYOUT_TRASH_KEY] = keep
+    else:
+        reg.pop(_LAYOUT_TRASH_KEY, None)
 
 
 def layout_tables_for(sf_dir: str) -> list[str]:
@@ -354,6 +478,40 @@ def optimize_layout(
     and logical schema are unchanged (timestamp normalization is applied
     BEFORE the write, so the copy carries proper timestamps).  Undo with
     :func:`drop_layout`.
+
+    **Which axis? (decision rule, each row backed by a committed probe —
+    readings in BASELINE.md):**
+
+    ====================================  ==============  =======================
+    dominant access pattern               pick            measured payoff
+    ====================================  ==============  =======================
+    repeated equi-join / groupBy on one   bucket_by       q3 1.46x / q18 1.65x at
+    key (fact-fact or fact-dim)                           100x quiet (4.5-8.7x
+                                                          under load); orderkey
+                                                          exchanges 4->0 / 2->0
+                                                          (tools/bucketed_layout_
+                                                          probe.py)
+    selective equality/IN on a LOW-       partition_by    1.89x at 100M for a
+    cardinality column (lang, type,                       1-of-5 partition read
+    date bucket; <= ~10^3 values)                         (ceiling = selectivity;
+                                                          tools/partition_prune_
+                                                          probe.py)
+    range/equality filters on ONE high-   order_by=[col]  row-group footer skip,
+    cardinality column (ts, id, score)                    plain range sort — no
+                                                          Morton overhead
+    filter MIX across SEVERAL high-       order_by=       2.4-3.8x scan skip at
+    cardinality columns (the "filter on   [c1, c2, ...]   100M; ingest premium
+    two, partition by one" case)          (Z-order)       215 s at 100M — spend
+                                                          it only when the mix is
+                                                          real (tools/zorder_
+                                                          skip_probe.py)
+    ====================================  ==============  =======================
+
+    Anti-rules: partitioning a high-cardinality column explodes directory
+    counts (use order_by); bucketing helps joins/aggs on the bucket key
+    only — a filter-dominated workload wants partition_by/order_by
+    instead; every axis costs one ingest-time rewrite, so deploy for
+    REPEATED access, not one-shot queries.
     """
     import json
 
@@ -375,7 +533,7 @@ def optimize_layout(
     )
     tag = hashlib.sha256(spec.encode()).hexdigest()[:12]
     catalog_name = f"sgs_layout_{table}_{tag}"
-    location = os.path.join(_LAYOUT_ROOT, f"{tag}-{table}")
+    location = os.path.join(_layout_root(), f"{tag}-{table}")
 
     # write OUTSIDE discovery: read the raw source (normalized), not a
     # previously-registered layout of itself
@@ -393,7 +551,7 @@ def optimize_layout(
     # so two same-spec first deploys can't interleave their overwrite
     # commits; different specs have different locations and never contend.
     marker = os.path.join(location, _LAYOUT_COMPLETE_MARKER)
-    os.makedirs(_LAYOUT_ROOT, exist_ok=True)
+    os.makedirs(_layout_root(), exist_ok=True)
     wl = os.open(f"{location}.writing", os.O_CREAT | os.O_RDWR)
     try:
         import fcntl
@@ -402,7 +560,10 @@ def optimize_layout(
         complete = os.path.exists(marker)
         if bucket_by is not None:
             if complete:
-                if not spark.catalog.tableExists(catalog_name):
+                if not _catalog_table_points_at(spark, catalog_name, location):
+                    # absent, or bound to ANOTHER root's files (layout dir
+                    # changed mid-session) — (re)create at this location
+                    spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
                     sorted_clause = f"SORTED BY ({sort_by}) " if sort_by else ""
                     spark.sql(
                         f"CREATE TABLE {catalog_name} ({df.schema.toDDL()}) USING PARQUET "
@@ -455,23 +616,25 @@ def optimize_layout(
         reg = _layout_registry()
         prev = reg.get(_layout_key(sf_dir, table))
         if prev and prev["location"] != location:
-            # re-deployment with a new spec: reclaim the superseded copy's
-            # files and catalog entry instead of orphaning them under
-            # _LAYOUT_ROOT (they are unreachable once the entry is replaced)
-            try:
-                if prev.get("bucket_by") is not None:
-                    spark.sql(f"DROP TABLE IF EXISTS {prev['catalog_name']}")
-            except Exception:  # noqa: BLE001 — cleanup best-effort
-                pass
-            try:
-                os.remove(os.path.join(prev["location"], _LAYOUT_COMPLETE_MARKER))
-            except OSError:
-                pass
-            shutil.rmtree(prev["location"], ignore_errors=True)
-            try:
-                os.remove(f"{prev['location']}.writing")
-            except OSError:
-                pass
+            # re-deployment with a new spec: the superseded copy is
+            # unreachable once the entry is replaced — queue it for
+            # DEFERRED reclamation (grace period lets in-flight scans
+            # over the old location drain; ADVICE r11) instead of
+            # deleting immediately or orphaning it under the layout root
+            _enqueue_reclaim(reg, prev)
+        # this deploy's location may itself be trash-pending (dropped or
+        # superseded earlier, same content-keyed spec redeployed within
+        # the grace window): resurrect it — the completeness check above
+        # already reused its byte-equivalent files
+        trash = [
+            t for t in reg.get(_LAYOUT_TRASH_KEY, [])
+            if t["location"] != location
+        ]
+        if trash:
+            reg[_LAYOUT_TRASH_KEY] = trash
+        else:
+            reg.pop(_LAYOUT_TRASH_KEY, None)
+        _sweep_trash(reg, spark)
         reg[_layout_key(sf_dir, table)] = {
             "source": ident,
             "bucket_by": bucket_by,
@@ -496,35 +659,35 @@ def optimize_layout(
 
 
 def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
-    """Remove a deployed layout: registry entry, catalog table, and files."""
+    """Remove a deployed layout: registry entry and catalog table now,
+    files via DEFERRED reclamation (trash list + grace-period sweep on the
+    next deploy/drop — ADVICE r11: an immediate rmtree could fail a query
+    planned over this location in another process mid-scan; discovery
+    stops serving the layout the moment the entry is gone, so the delay
+    only costs disk).  Set SPARK_GRAFT_LAYOUT_RECLAIM_GRACE=0 to reclaim
+    on the next sweep regardless of age."""
     import json
 
     with _layout_lock():
         reg = _layout_registry()
         entry = reg.pop(_layout_key(sf_dir, table), None)
-        if entry is None:
-            return
+        if entry is not None:
+            _enqueue_reclaim(reg, entry)
+        _sweep_trash(reg, spark)
         tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(reg, f, indent=1)
         os.replace(tmp, _layout_registry_path())
+    if entry is None:
+        return
     if entry.get("bucket_by") is not None:  # partitioned mode has no catalog entry
+        # the catalog name dies with the registry entry (discovery would
+        # re-create it); already-planned queries hold their file listing
+        # and are unaffected by the catalog drop
         try:
             spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
         except Exception:  # noqa: BLE001 — cleanup best-effort
             pass
-    # completion marker FIRST: a torn rmtree (flaky fs, permissions) must
-    # leave an INCOMPLETE directory, never a "complete" gutted one a later
-    # same-spec redeploy would reuse
-    try:
-        os.remove(os.path.join(entry["location"], _LAYOUT_COMPLETE_MARKER))
-    except OSError:
-        pass
-    shutil.rmtree(entry["location"], ignore_errors=True)
-    try:
-        os.remove(f"{entry['location']}.writing")
-    except OSError:
-        pass
     _invalidate_session_table(spark, sf_dir, table)
 
 
@@ -591,7 +754,10 @@ def _layout_table_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame |
                 *(F.col(n).cast(t).alias(n) for n, t in entry["columns"])
             )
         cat = entry["catalog_name"]
-        if not spark.catalog.tableExists(cat):
+        if not _catalog_table_points_at(spark, cat, entry["location"]):
+            # absent, or a stale binding from a previous layout root in
+            # this session — recreate over the registry's location
+            spark.sql(f"DROP TABLE IF EXISTS {cat}")
             sorted_clause = f"SORTED BY ({entry['sort_by']}) " if entry["sort_by"] else ""
             spark.sql(
                 f"CREATE TABLE {cat} ({entry['schema_ddl']}) USING PARQUET "

@@ -1,0 +1,138 @@
+"""Layout advisor: workload plans in, ranked optimize_layout calls out.
+
+The advisor mechanizes the optimize_layout docstring's decision table from
+the same physical-plan facts the plan proofs pin — Exchange
+hashpartitioning keys (bucket signal) and PushedFilters (partition /
+sort / Z-order signals)."""
+
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.advisor import advise_layout
+from steampipe_sqlite_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rec_for(recs, table):
+    matches = [r for r in recs if r["table"] == table]
+    return matches[0] if matches else None
+
+
+class TestAdvisor:
+    def test_repeated_shuffle_key_recommends_bucket(self, spark):
+        """q3+q18 both hash-partition on l_orderkey (join at scale, the
+        groupBy at broadcast scale) — the advisor must surface lineitem
+        bucket_by l_orderkey with both queries as evidence."""
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        q, _ = collect()
+        recs = advise_layout(
+            spark, SF_DIR, {"tpch_q3": q["tpch_q3"], "tpch_q18": q["tpch_q18"]}
+        )
+        rec = _rec_for(recs, "lineitem")
+        assert rec is not None
+        assert rec["axis"] == "bucket_by"
+        assert rec["columns"] == ["l_orderkey"]
+        assert rec["evidence"]["queries"] == ["tpch_q18", "tpch_q3"]
+        assert "bucket_by='l_orderkey'" in rec["suggested_call"]
+
+    def test_low_cardinality_equality_recommends_partition(self, spark):
+        """Repeated pushed equality on event_type (5 distinct values) —
+        partition_by, the directory-pruning axis."""
+        ev = load_table(spark, SF_DIR, "events")
+        workload = {
+            "clicks": ev.filter(F.col("event_type") == "click").groupBy().count(),
+            "views": ev.filter(F.col("event_type") == "view").agg(
+                F.sum("value")
+            ),
+        }
+        recs = advise_layout(spark, SF_DIR, workload)
+        rec = _rec_for(recs, "events")
+        assert rec is not None
+        assert rec["axis"] == "partition_by"
+        assert rec["columns"] == ["event_type"]
+        assert rec["evidence"]["count"] == 2
+
+    def test_range_filter_mix_recommends_zorder(self, spark):
+        """Repeated range filters on BOTH ts and value — the multi-column
+        footer-stats case: order_by over the mix (Z-order)."""
+        ev = load_table(spark, SF_DIR, "events")
+        workload = {
+            "w1": ev.filter("value > 50 AND ts >= timestamp'2024-01-02'").groupBy().count(),
+            "w2": ev.filter("value < 10 AND ts < timestamp'2024-01-05'").agg(
+                F.count("*")
+            ),
+        }
+        recs = advise_layout(spark, SF_DIR, workload)
+        rec = _rec_for(recs, "events")
+        assert rec is not None
+        assert rec["axis"] == "order_by"
+        assert sorted(rec["columns"]) == ["ts", "value"]
+
+    def test_high_cardinality_equality_falls_to_order_by(self, spark):
+        """estimate_ndv=False assumes high cardinality: an equality-only
+        filter column must NOT get partition_by (directory explosion) —
+        it falls to the sorted layout."""
+        ev = load_table(spark, SF_DIR, "events")
+        workload = {
+            "u1": ev.filter(F.col("user_id") == 7).groupBy().count(),
+            "u2": ev.filter(F.col("user_id") == 9).agg(F.sum("value")),
+        }
+        recs = advise_layout(spark, SF_DIR, workload, estimate_ndv=False)
+        rec = _rec_for(recs, "events")
+        assert rec is not None
+        assert rec["axis"] == "order_by"
+        assert rec["columns"] == ["user_id"]
+
+    def test_runner_up_axis_surfaces_as_alternative(self, spark):
+        """A table that is BOTH joined-on and range-filtered keeps the
+        runner-up axis visible: q1/q3/q6 push l_shipdate ranges (count 3)
+        while q3/q18 shuffle on l_orderkey (count 2) — the sort wins the
+        top slot on evidence, the bucket stays as an alternative instead
+        of being silently dropped."""
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        q, _ = collect()
+        workload = {n: q[n] for n in ("tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18")}
+        rec = _rec_for(advise_layout(spark, SF_DIR, workload), "lineitem")
+        assert rec is not None
+        assert rec["axis"] == "order_by"
+        assert rec["columns"] == ["l_shipdate"]
+        assert rec["evidence"]["count"] == 3
+        alts = {(a["axis"], tuple(a["columns"])) for a in rec["alternatives"]}
+        assert ("bucket_by", ("l_orderkey",)) in alts
+
+    def test_single_query_signal_is_not_enough(self, spark):
+        """One-shot workloads never pay the ingest rewrite: a signal seen
+        in a single query yields no recommendation."""
+        ev = load_table(spark, SF_DIR, "events")
+        workload = {
+            "only": ev.filter(F.col("event_type") == "click").groupBy().count()
+        }
+        assert advise_layout(spark, SF_DIR, workload) == []
+
+    def test_suggested_call_round_trips_through_deploy(self, spark, tmp_path, monkeypatch):
+        """The emitted suggested_call must be a valid optimize_layout
+        invocation: deploy the partition recommendation and verify the
+        registered read actually prunes."""
+        import steampipe_sqlite_spark.tables as T
+
+        monkeypatch.setattr(T, "_LAYOUT_ROOT", str(tmp_path / "layout"))
+        ev = load_table(spark, SF_DIR, "events")
+        workload = {
+            "clicks": ev.filter(F.col("event_type") == "click").groupBy().count(),
+            "views": ev.filter(F.col("event_type") == "view").groupBy().count(),
+        }
+        rec = _rec_for(advise_layout(spark, SF_DIR, workload), "events")
+        T.optimize_layout(spark, SF_DIR, rec["table"], partition_by=rec["columns"][0])
+        try:
+            T._invalidate_session_table(spark, SF_DIR, "events")
+            df = T.load_table(spark, SF_DIR, "events").filter(
+                F.col("event_type") == "click"
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PartitionFilters" in plan and "event_type" in plan.split(
+                "PartitionFilters"
+            )[1][:200]
+        finally:
+            T.drop_layout(spark, SF_DIR, "events")

@@ -149,6 +149,24 @@ class TestFilterTranslation:
         )
         assert quals == [Qual("created_at", ">", dt.datetime(2024, 1, 2))]
 
+    def test_filter_column_names_unwraps_nested_children(self):
+        """Gate parity corner (ADVICE r11): an untranslatable filter whose
+        column name sits BELOW one ``child`` level (e.g. Not(Not(EqualTo)))
+        must still NAME the column for the required-key gate
+        (table.go:182-214 passes on any constraint naming the column)."""
+        from pyspark.sql.datasource import EqualTo, Not
+
+        from steampipe_sqlite_spark.sources.datasource import (
+            _filter_column_names,
+        )
+
+        double_not = Not(Not(EqualTo(("tenant",), "a")))
+        assert _filter_column_names([double_not]) == {"tenant"}
+        # single level still works, and translatable shapes unchanged
+        assert _filter_column_names(
+            [Not(EqualTo(("kind",), "x")), EqualTo(("id",), 1)]
+        ) == {"kind", "id"}
+
 
 class TestDynamicReconfigure:
     def test_configure_creates_and_drops(self, spark):

@@ -101,19 +101,116 @@ def test_registry_write_is_atomic_shape(layout_root):
     assert [p for p in os.listdir(reg_dir) if ".tmp." in p] == []
 
 
-def test_redeploy_reclaims_superseded_copy(spark, layout_root):
+def test_redeploy_reclaims_superseded_copy(spark, layout_root, monkeypatch):
     """optimize_layout with a new spec must remove the old location and
     catalog entry — superseded copies are unreachable once the registry
-    entry is replaced and would otherwise accumulate under _LAYOUT_ROOT."""
+    entry is replaced and would otherwise accumulate under the layout
+    root.  Grace 0 sweeps on the next deploy/drop (ADVICE r11: default
+    reclamation is deferred so in-flight scans drain first)."""
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "0")
     T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
     old = T._layout_registry()[T._layout_key(SF_DIR, "region")]
     T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 4)
     new = T._layout_registry()[T._layout_key(SF_DIR, "region")]
     assert new["location"] != old["location"]
+    # the superseded entry is trash-pending after the redeploy; the NEXT
+    # registry mutation sweeps it (grace 0)
+    T.drop_layout(spark, SF_DIR, "region")
     assert not os.path.exists(old["location"])
     assert not spark.catalog.tableExists(old["catalog_name"])
+    # and the final drop's own entry is swept by a later no-op drop
+    T.drop_layout(spark, SF_DIR, "region")
+    assert not os.path.exists(new["location"])
+
+
+def test_reclamation_is_deferred_within_grace(spark, layout_root, monkeypatch):
+    """Default reclamation must NOT delete files the moment an entry is
+    replaced — a query planned over the old location in another process
+    may still be scanning it (ADVICE r11).  Within the grace period the
+    superseded files stay on disk (discovery already stopped serving
+    them); after the grace elapses the next deploy/drop sweeps them."""
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "3600")
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    old = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 4)
+    # superseded, but trash-pending: files intact, discovery serves the new
+    assert os.path.exists(old["location"])
+    trash = T._layout_registry()[T._LAYOUT_TRASH_KEY]
+    assert [t["location"] for t in trash] == [old["location"]]
+    df = _fresh(spark, SF_DIR, "region")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sgs_layout" in plan and old["location"] not in plan
+    # grace elapsed → next mutation reclaims
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "0")
+    T.drop_layout(spark, SF_DIR, "region")
+    assert not os.path.exists(old["location"])
+
+
+def test_same_spec_redeploy_resurrects_trashed_location(spark, layout_root, monkeypatch):
+    """drop_layout then a SAME-SPEC redeploy within the grace window must
+    resurrect the trash-pending location (the content-keyed completeness
+    marker is intact, so the files are byte-equivalent) and remove it
+    from the trash list — otherwise a later sweep would gut a LIVE
+    layout."""
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "3600")
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    loc = T._layout_registry()[T._layout_key(SF_DIR, "region")]["location"]
+    T.drop_layout(spark, SF_DIR, "region")
+    assert os.path.exists(loc)  # trash-pending, not deleted
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    reg = T._layout_registry()
+    assert reg[T._layout_key(SF_DIR, "region")]["location"] == loc
+    assert loc not in [t["location"] for t in reg.get(T._LAYOUT_TRASH_KEY, [])]
+    # the resurrected layout must actually serve (sweep must not gut it)
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "0")
+    T.optimize_layout(spark, SF_DIR, "nation", "n_nationkey", 2)  # triggers sweep
     df = _fresh(spark, SF_DIR, "region")
     assert "sgs_layout" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() > 0
+    T.drop_layout(spark, SF_DIR, "region")
+    T.drop_layout(spark, SF_DIR, "nation")
+
+
+def test_layout_dir_env_honored_at_call_time(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_LAYOUT_DIR set AFTER import must take effect (ADVICE
+    r11: the root was read once at import and later changes were silently
+    ignored)."""
+    monkeypatch.setattr(T, "_LAYOUT_ROOT", None)
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "lateroot"))
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    entry = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    assert entry["location"].startswith(str(tmp_path / "lateroot"))
+    T.drop_layout(spark, SF_DIR, "region")
+
+
+def test_bucketed_catalog_rebinds_when_layout_root_changes(spark, tmp_path, monkeypatch):
+    """Changing SPARK_GRAFT_LAYOUT_DIR between deploys within one session
+    must not leave the catalog name bound to the OLD root's files (ADVICE
+    r11): the location check recreates the table over the registry's
+    location."""
+    monkeypatch.setattr(T, "_LAYOUT_ROOT", None)
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "3600")
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootA"))
+    cat = T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    locA = T._layout_registry()[T._layout_key(SF_DIR, "region")]["location"]
+    assert T._catalog_table_points_at(spark, cat, locA)
+    # same spec under a different root: same content tag, SAME catalog
+    # name, new location — the fresh write rebinds the name to rootB
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootB"))
+    cat2 = T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    assert cat2 == cat
+    locB = T._layout_registry()[T._layout_key(SF_DIR, "region")]["location"]
+    assert locB.startswith(str(tmp_path / "rootB"))
+    assert T._catalog_table_points_at(spark, cat2, locB)
+    # back to rootA: its files + completeness marker are intact, so the
+    # COMPLETE fast path runs — before the fix it skipped CREATE because
+    # the name existed, leaving it bound to rootB's files
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootA"))
+    cat3 = T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    assert cat3 == cat
+    assert T._catalog_table_points_at(spark, cat3, locA)
+    df = _fresh(spark, SF_DIR, "region")
+    assert df.count() > 0
     T.drop_layout(spark, SF_DIR, "region")
 
 

@@ -535,6 +535,27 @@ class TestZorder:
             mean_spread = sum(spreads) / len(spreads)
             assert mean_spread < 0.6, f"{c}: files cover {mean_spread:.0%} of the domain on average"
 
+    def test_reserved_internal_names_rejected(self, spark):
+        """An input column named like the internal quantization columns
+        (_q<i>/_b<i>/_z) would be silently overwritten and then dropped
+        (ADVICE r11) — must raise instead of corrupting data."""
+        import pytest
+
+        from steampipe_sqlite_spark.operators.scale import zorder_values
+
+        df = spark.range(10).selectExpr("id", "id * 2 AS _q0")
+        with pytest.raises(ValueError, match="_q0"):
+            zorder_values(df, ["id", "_q0"])
+        df2 = spark.range(10).selectExpr("id", "id * 2 AS v", "id AS _z")
+        with pytest.raises(ValueError, match="_z"):
+            zorder_values(df2, ["id", "v"])
+        # and clean inputs still work
+        out = zorder_values(
+            spark.range(10).selectExpr("id", "id * 3 AS v"), ["id", "v"], bits=2
+        )
+        assert out.columns == ["id", "v", "_z"]
+        assert out.count() == 10
+
 
 def test_every_distributed_helper_query_bypasses_plan_cache():
     """Enforcement for the silent-wrong-ranks class: ANY corpus query whose

@@ -238,6 +238,10 @@ def main() -> None:
     if engine_path:
         import steampipe_sqlite_spark.tables as T
 
+        # probe hygiene: reclamation is deferred by default (grace period
+        # for in-flight readers); a probe's multi-GB 100x layouts must not
+        # linger in the trash list
+        os.environ["SPARK_GRAFT_LAYOUT_RECLAIM_GRACE"] = "0"
         for t in BUCKET_KEYS:
             T.drop_layout(spark, sf_dir, t)
     else:

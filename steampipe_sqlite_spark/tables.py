@@ -382,10 +382,11 @@ def _sweep_trash(reg: dict, spark: SparkSession) -> None:
         finally:
             fcntl.flock(wl, fcntl.LOCK_UN)
             os.close(wl)
-            try:
-                os.remove(f"{t['location']}.writing")
-            except OSError:
-                pass
+            # the .writing lockfile is deliberately LEFT on disk: unlinking
+            # a lockfile races with a concurrent opener (it can end up
+            # holding a lock on the unlinked inode while a fresh file is
+            # created — two "exclusive" holders).  A few empty lockfiles
+            # under the layout root are cheaper than that split-brain.
     if keep:
         reg[_LAYOUT_TRASH_KEY] = keep
     else:

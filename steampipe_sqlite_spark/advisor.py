@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 # ~10^3 bound as optimize_layout's decision table)
 _PARTITION_NDV_MAX = 1_000
 
-_HASHPART_RE = re.compile(r"hashpartitioning\(([^)]*)\)")
 _COLREF_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 _SCAN_TABLE_RE = re.compile(r"[/\[](?:[0-9a-f]{8,}-)?([A-Za-z_][A-Za-z0-9_]*)\.parquet")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]\n]*)")
@@ -104,12 +103,33 @@ def _scan_facts(plan: str, known_cols: dict[str, set[str]]) -> dict[str, dict]:
 
 
 def _shuffle_keys(plan: str) -> list[tuple[str, ...]]:
-    """Column-name tuples of every hash-partitioned exchange in the plan."""
+    """Column-name tuples of every hash-partitioned exchange in the plan.
+
+    The argument list is extracted with a balanced-paren walk, not a
+    ``[^)]*`` regex: a nested expression key like
+    ``hashpartitioning(coalesce(a#1, b#2), c#3, 200)`` closes its inner
+    paren before the list ends, and a regex stopping at the first ``)``
+    would silently drop every column after it."""
     keys = []
-    for m in _HASHPART_RE.finditer(plan):
-        cols = tuple(cm.group(1) for cm in _COLREF_RE.finditer(m.group(1)))
+    start = 0
+    token = "hashpartitioning("
+    while True:
+        i = plan.find(token, start)
+        if i < 0:
+            break
+        j = i + len(token)
+        depth = 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        body = plan[i + len(token) : j - 1]
+        cols = tuple(cm.group(1) for cm in _COLREF_RE.finditer(body))
         if cols:
             keys.append(cols)
+        start = j
     return keys
 
 
@@ -150,17 +170,16 @@ def advise_layout(
         t for t in ALL_TABLES
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
     }
+    known_cols = {t: set(load_table(spark, sf_dir, t).columns) for t in known}
     col_owner: dict[str, set[str]] = defaultdict(set)
-    for t in known:
-        for c in load_table(spark, sf_dir, t).columns:
+    for t, cols in known_cols.items():
+        for c in cols:
             col_owner[c].add(t)
 
     # per (table, column) query-sets per signal kind
     shuffle_q: dict[tuple[str, str], set[str]] = defaultdict(set)
     eq_q: dict[tuple[str, str], set[str]] = defaultdict(set)
     range_q: dict[tuple[str, str], set[str]] = defaultdict(set)
-
-    known_cols = {t: set(load_table(spark, sf_dir, t).columns) for t in known}
 
     for qname, q in workload.items():
         df = q if isinstance(q, DataFrame) else q(spark, sf_dir)
@@ -250,15 +269,16 @@ def advise_layout(
             else:
                 cols = mix[:3] if len(mix) >= 2 else [top]
                 label = "Z-order filter mix" if len(cols) > 1 else "range filters"
+                covered = set().union(*(repeated[c] for c in cols))
                 candidates.append(
                     {
                         "axis": "order_by",
                         "columns": cols,
-                        "score": len(set().union(*(repeated[c] for c in cols))),
+                        "score": len(covered),
                         "evidence": {
                             "signal": label,
-                            "queries": sorted(set().union(*(repeated[c] for c in cols))),
-                            "count": len(set().union(*(repeated[c] for c in cols))),
+                            "queries": sorted(covered),
+                            "count": len(covered),
                         },
                         "suggested_call": (
                             f"optimize_layout(spark, {sf_dir!r}, {table!r}, "

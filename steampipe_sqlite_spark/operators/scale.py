@@ -252,6 +252,21 @@ def salted_join_hot_keys(
 _OFFSETS_BROADCAST_THRESHOLD = 10_000
 
 
+def _check_prefix_sum_reserved(df: DataFrame, name: str) -> None:
+    """The two-phase prefix-sum helpers stage ``_pid`` and ``_off`` working
+    columns and emit ``name``: an input already carrying one of those
+    would be silently overwritten then dropped (or made ambiguous on the
+    broadcast-join path) — same corruption class as zorder_values'
+    reserved names, same remedy: demand a rename."""
+    clash = sorted({"_pid", "_off", name} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"distributed prefix-sum: input columns {clash} collide with "
+            "the reserved working/output names (_pid/_off/rank name) — "
+            "rename them first"
+        )
+
+
 def _with_partition_offsets(ranged: DataFrame, offsets: dict) -> DataFrame:
     """Attach each row's partition prefix offset as column ``_off``.
 
@@ -317,6 +332,7 @@ def distributed_row_number(
     """
     from pyspark.sql import Column, Window
 
+    _check_prefix_sum_reserved(df, name)
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
@@ -360,8 +376,9 @@ def distributed_running_sum(
     """Global running SUM(value_col) over a total order without the
     single-partition WindowExec — the prefix-sum sibling of
     :func:`distributed_row_number` (same two-phase composition, same
-    lifetime contract on the persisted ranged instance, same offsets-as-
-    map-literal bound): range shuffle on the order keys, local cumsum
+    lifetime contract on the persisted ranged instance, same
+    literal-or-broadcast offset attach via :func:`_with_partition_offsets`):
+    range shuffle on the order keys, local cumsum
     windowed by ``spark_partition_id()``, per-partition TOTALS (one long
     per partition) prefix-summed on the driver and added as offsets.
 
@@ -372,6 +389,7 @@ def distributed_running_sum(
     assignment by byte budget."""
     from pyspark.sql import Column, Window
 
+    _check_prefix_sum_reserved(df, name)
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]

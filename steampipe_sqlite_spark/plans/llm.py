@@ -1440,22 +1440,48 @@ def knn_ivf_q(spark, sf_dir):
     )
 
 
-def _index_cache_path(sf_dir: str, kind: str) -> str:
-    """Repo-local scratch for persisted ANN indexes built by the corpus
-    witnesses below (same .cache/ convention as the layout catalog).
-    Keyed on the absolute sf_dir so sf0.001/sf0.01/sf0.1 builds never
-    collide; each build overwrites its own path, so there is no staleness
-    to manage — the index is rebuilt from the current fixture on every
-    plan construction (single-writer per query name, as each corpus name
-    runs in exactly one gate process)."""
+def _ensure_index(sf_dir: str, kind: str, build_fn) -> str:
+    """Build a persisted ANN index under repo-local ``.cache/indexes``
+    exactly once per (fixture content, kind) and return its path.
+
+    Same discipline as the layout catalog (tables.py): the path is keyed
+    on the embeddings fixture's identity (abspath + size + mtime_ns), so a
+    regenerated fixture gets a NEW path instead of a stale read and
+    different SFs never collide; the build is serialized by an exclusive
+    flock on ``<path>.writing`` and completed by an engine-owned marker
+    written AFTER the data commits — so concurrent plan constructions
+    (parallel selfcheck chunks, bench alongside a sweep, pytest) can't
+    tear each other's files, and re-constructions of an unchanged fixture
+    skip the rebuild entirely."""
+    import fcntl
     import hashlib
     import os
 
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return os.path.join(repo, ".cache", "indexes", f"{kind}_{h}")
+    root = os.path.join(repo, ".cache", "indexes")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{kind}_{key}")
+    marker = os.path.join(path, "_sgs_index_complete")
+    wl = os.open(f"{path}.writing", os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(wl, fcntl.LOCK_EX)
+        if not os.path.exists(marker):
+            build_fn(path)
+            with open(marker, "w"):
+                pass
+    finally:
+        fcntl.flock(wl, fcntl.LOCK_UN)
+        os.close(wl)
+        # the .writing lockfile stays on disk: unlinking a lockfile races
+        # with a concurrent opener (see tables._sweep_trash)
+    return path
 
 
 @query("knn_ivf_index_persisted", oracle=_IVF_TOPK_ORACLE)
@@ -1476,8 +1502,10 @@ def knn_ivf_index_persisted_q(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _index_cache_path(sf_dir, "ivf16")
-    ivf_build_index(emb, "embedding", "vec_id", path, n_cells=16)
+    path = _ensure_index(
+        sf_dir, "ivf16",
+        lambda p: ivf_build_index(emb, "embedding", "vec_id", p, n_cells=16),
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     return presentation_sort(
         ivf_query_index(
@@ -3279,8 +3307,10 @@ def knn_ivfpq_index_persisted_q(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _index_cache_path(sf_dir, "ivfpq8")
-    ivfpq_build_index(emb, "embedding", "vec_id", path, n_cells=8)
+    path = _ensure_index(
+        sf_dir, "ivfpq8",
+        lambda p: ivfpq_build_index(emb, "embedding", "vec_id", p, n_cells=8),
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     return presentation_sort(
         ivfpq_query_index(

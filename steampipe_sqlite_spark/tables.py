@@ -367,10 +367,16 @@ def _sweep_trash(reg: dict, spark: SparkSession) -> None:
             continue
         try:
             if t.get("bucket_by") is not None and t.get("catalog_name"):
-                try:
-                    spark.sql(f"DROP TABLE IF EXISTS {t['catalog_name']}")
-                except Exception:  # noqa: BLE001 — cleanup best-effort
-                    pass
+                # drop the catalog name ONLY if it still points at the
+                # trashed location: the name is content-keyed without the
+                # layout root, so a same-spec redeploy under a different
+                # root REBINDS it — sweeping the old root's entry must not
+                # kill the live binding
+                if _catalog_table_points_at(spark, t["catalog_name"], t["location"]):
+                    try:
+                        spark.sql(f"DROP TABLE IF EXISTS {t['catalog_name']}")
+                    except Exception:  # noqa: BLE001 — cleanup best-effort
+                        pass
             # completion marker FIRST: a torn rmtree must leave an
             # INCOMPLETE directory, never a "complete" gutted one a later
             # same-spec redeploy would reuse
@@ -607,54 +613,61 @@ def optimize_layout(
         if not complete:
             with open(marker, "w"):
                 pass
+
+        # registry phase runs while the location's .writing flock is STILL
+        # HELD: _sweep_trash skips flocked locations, so a concurrent
+        # sweeper cannot gut a same-spec resurrection between the
+        # completeness check above and the entry write below.  Lock order
+        # is location-flock then registry-flock everywhere a deploy takes
+        # both; the sweeper's reverse order is non-blocking (LOCK_NB), so
+        # no deadlock is possible.
+        with _layout_lock():
+            reg = _layout_registry()
+            prev = reg.get(_layout_key(sf_dir, table))
+            if prev and prev["location"] != location:
+                # re-deployment with a new spec: the superseded copy is
+                # unreachable once the entry is replaced — queue it for
+                # DEFERRED reclamation (grace period lets in-flight scans
+                # over the old location drain; ADVICE r11) instead of
+                # deleting immediately or orphaning it under the layout root
+                _enqueue_reclaim(reg, prev)
+            # this deploy's location may itself be trash-pending (dropped or
+            # superseded earlier, same content-keyed spec redeployed within
+            # the grace window): resurrect it — the completeness check above
+            # already reused its byte-equivalent files
+            trash = [
+                t for t in reg.get(_LAYOUT_TRASH_KEY, [])
+                if t["location"] != location
+            ]
+            if trash:
+                reg[_LAYOUT_TRASH_KEY] = trash
+            else:
+                reg.pop(_LAYOUT_TRASH_KEY, None)
+            _sweep_trash(reg, spark)
+            reg[_layout_key(sf_dir, table)] = {
+                "source": ident,
+                "bucket_by": bucket_by,
+                "buckets": buckets,
+                "sort_by": sort_by,
+                "partition_by": partition_by,
+                "order_by": list(order_by) if order_by else None,
+                "location": location,
+                "catalog_name": catalog_name,
+                "schema_ddl": df.schema.toDDL(),
+                # (name, sql-type) per column in ORIGINAL order — the
+                # partitioned-mode restore list (DDL strings are not split-safe
+                # for nested types like map<string,int>)
+                "columns": list(df.dtypes),
+            }
+            tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(reg, f, indent=1)
+            os.replace(tmp, _layout_registry_path())
     finally:
         import fcntl
 
         fcntl.flock(wl, fcntl.LOCK_UN)
         os.close(wl)
-
-    with _layout_lock():
-        reg = _layout_registry()
-        prev = reg.get(_layout_key(sf_dir, table))
-        if prev and prev["location"] != location:
-            # re-deployment with a new spec: the superseded copy is
-            # unreachable once the entry is replaced — queue it for
-            # DEFERRED reclamation (grace period lets in-flight scans
-            # over the old location drain; ADVICE r11) instead of
-            # deleting immediately or orphaning it under the layout root
-            _enqueue_reclaim(reg, prev)
-        # this deploy's location may itself be trash-pending (dropped or
-        # superseded earlier, same content-keyed spec redeployed within
-        # the grace window): resurrect it — the completeness check above
-        # already reused its byte-equivalent files
-        trash = [
-            t for t in reg.get(_LAYOUT_TRASH_KEY, [])
-            if t["location"] != location
-        ]
-        if trash:
-            reg[_LAYOUT_TRASH_KEY] = trash
-        else:
-            reg.pop(_LAYOUT_TRASH_KEY, None)
-        _sweep_trash(reg, spark)
-        reg[_layout_key(sf_dir, table)] = {
-            "source": ident,
-            "bucket_by": bucket_by,
-            "buckets": buckets,
-            "sort_by": sort_by,
-            "partition_by": partition_by,
-            "order_by": list(order_by) if order_by else None,
-            "location": location,
-            "catalog_name": catalog_name,
-            "schema_ddl": df.schema.toDDL(),
-            # (name, sql-type) per column in ORIGINAL order — the
-            # partitioned-mode restore list (DDL strings are not split-safe
-            # for nested types like map<string,int>)
-            "columns": list(df.dtypes),
-        }
-        tmp = f"{_layout_registry_path()}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(reg, f, indent=1)
-        os.replace(tmp, _layout_registry_path())
     _invalidate_session_table(spark, sf_dir, table)
     return catalog_name
 
@@ -684,11 +697,15 @@ def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
     if entry.get("bucket_by") is not None:  # partitioned mode has no catalog entry
         # the catalog name dies with the registry entry (discovery would
         # re-create it); already-planned queries hold their file listing
-        # and are unaffected by the catalog drop
-        try:
-            spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
-        except Exception:  # noqa: BLE001 — cleanup best-effort
-            pass
+        # and are unaffected by the catalog drop.  Location-gated for the
+        # same reason as _sweep_trash: a same-spec deploy under another
+        # layout root shares the content-keyed name, and dropping THIS
+        # entry must not kill that live binding.
+        if _catalog_table_points_at(spark, entry["catalog_name"], entry["location"]):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
+            except Exception:  # noqa: BLE001 — cleanup best-effort
+                pass
     _invalidate_session_table(spark, sf_dir, table)
 
 

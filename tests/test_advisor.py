@@ -18,6 +18,20 @@ def _rec_for(recs, table):
     return matches[0] if matches else None
 
 
+def test_shuffle_keys_survive_nested_parens():
+    """hashpartitioning args are extracted with a balanced-paren walk: a
+    nested expression key must not truncate the list at its inner ')'
+    (code-review r12 — a [^)]* regex dropped every column after it)."""
+    from steampipe_sqlite_spark.advisor import _shuffle_keys
+
+    plan = (
+        "+- Exchange hashpartitioning(coalesce(a#1, b#2), c#3, 200), "
+        "ENSURE_REQUIREMENTS, [plan_id=7]\n"
+        "+- Exchange hashpartitioning(d#4L, 32), REPARTITION_BY_COL\n"
+    )
+    assert _shuffle_keys(plan) == [("a", "b", "c"), ("d",)]
+
+
 class TestAdvisor:
     def test_repeated_shuffle_key_recommends_bucket(self, spark):
         """q3+q18 both hash-partition on l_orderkey (join at scale, the

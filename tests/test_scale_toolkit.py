@@ -353,6 +353,28 @@ class TestDistributedRowNumber:
         assert {(r.id, r.rn) for r in bc_rn.collect()} == lit_rows
         assert {(r.id, r.cum) for r in bc_cum.collect()} == lit_cums
 
+    def test_reserved_working_names_rejected(self, spark):
+        """Inputs already carrying _pid/_off (or the output name) would be
+        silently overwritten then dropped by the two-phase composition —
+        the same corruption class zorder_values guards against; both
+        helpers must raise instead (code-review r12)."""
+        import pytest
+
+        from steampipe_sqlite_spark.operators.scale import (
+            distributed_row_number,
+            distributed_running_sum,
+        )
+
+        df_off = spark.range(10).selectExpr("id", "id * 2 AS _off")
+        with pytest.raises(ValueError, match="_off"):
+            distributed_row_number(df_off, ["id"], num_partitions=2)
+        df_pid = spark.range(10).selectExpr("id", "id AS _pid", "id AS w")
+        with pytest.raises(ValueError, match="_pid"):
+            distributed_running_sum(df_pid, "w", ["id"], num_partitions=2)
+        df_name = spark.range(10).selectExpr("id", "id AS rn")
+        with pytest.raises(ValueError, match="rn"):
+            distributed_row_number(df_name, ["id"], name="rn", num_partitions=2)
+
     def test_persist_handle_released(self, spark):
         """The ranged intermediate must expose its owner handle so callers
         can reclaim cache memory once done (ADVICE r3: persist without a

@@ -171,6 +171,42 @@ def test_same_spec_redeploy_resurrects_trashed_location(spark, layout_root, monk
     T.drop_layout(spark, SF_DIR, "nation")
 
 
+def test_sweep_and_drop_never_kill_a_rebound_catalog_name(spark, tmp_path, monkeypatch):
+    """The catalog name is content-keyed WITHOUT the layout root, so a
+    same-spec deploy under a different root REBINDS the same name.
+    Reclaiming the old root's entry (drop_layout, or the trash sweep)
+    must therefore drop the name ONLY while it still points at the
+    reclaimed location — otherwise the live rebinding dies with the
+    superseded files (code-review r12)."""
+    monkeypatch.setattr(T, "_LAYOUT_ROOT", None)
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "3600")
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootA"))
+    cat = T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    locA = T._layout_registry()[T._layout_key(SF_DIR, "region")]["location"]
+    # trash rootA's entry (files stay, grace window), then rebind the SAME
+    # content-keyed name under rootB
+    T.drop_layout(spark, SF_DIR, "region")
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootB"))
+    assert T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2) == cat
+    locB = T._layout_registry()[T._layout_key(SF_DIR, "region")]["location"]
+    assert T._catalog_table_points_at(spark, cat, locB)
+    # back under rootA: a grace-0 deploy of another table sweeps region's
+    # trashed rootA location — the (rebound) catalog name must survive
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootA"))
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "0")
+    T.optimize_layout(spark, SF_DIR, "nation", "n_nationkey", 2)
+    assert not os.path.exists(locA)  # files reclaimed
+    assert spark.catalog.tableExists(cat)  # live rootB binding intact
+    assert T._catalog_table_points_at(spark, cat, locB)
+    # and drop_layout under rootB (entry points at locB) still cleans up
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootB"))
+    T.drop_layout(spark, SF_DIR, "region")
+    assert not spark.catalog.tableExists(cat)
+    T.drop_layout(spark, str(tmp_path), "nation")  # no-op wrong dir, harmless
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_DIR", str(tmp_path / "rootA"))
+    T.drop_layout(spark, SF_DIR, "nation")
+
+
 def test_layout_dir_env_honored_at_call_time(spark, tmp_path, monkeypatch):
     """SPARK_GRAFT_LAYOUT_DIR set AFTER import must take effect (ADVICE
     r11: the root was read once at import and later changes were silently

@@ -133,12 +133,30 @@ def _shuffle_keys(plan: str) -> list[tuple[str, ...]]:
     return keys
 
 
+_BHJ_RE = re.compile(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]")
+
+
+def _broadcast_join_keys(plan: str) -> list[tuple[str, ...]]:
+    """Column-name tuples of every broadcast-hash-join key pair."""
+    out = []
+    for m in _BHJ_RE.finditer(plan):
+        cols = tuple(
+            cm.group(1)
+            for side in m.groups()
+            for cm in _COLREF_RE.finditer(side)
+        )
+        if cols:
+            out.append(cols)
+    return out
+
+
 def advise_layout(
     spark: SparkSession,
     sf_dir: str,
     workload: dict[str, "Callable[[SparkSession, str], DataFrame] | DataFrame"],
     estimate_ndv: bool = True,
-) -> list[dict]:
+    with_notes: bool = False,
+) -> "list[dict] | tuple[list[dict], list[dict]]":
     """Rank layout recommendations for ``sf_dir``'s tables under
     ``workload`` (query name -> builder fn or already-built DataFrame).
 
@@ -163,6 +181,16 @@ def advise_layout(
     one-axis-per-call by design); tables with no repeated signal are
     omitted.  Evidence counts QUERIES, not plan nodes: ten exchanges in
     one query still argue less than one exchange in ten queries.
+
+    ``with_notes=True`` additionally returns SCALE NOTES: broadcast-join
+    keys seen in the workload's plans.  Recommendations are derived from
+    the plans at THIS sf_dir, and a join that broadcasts at sample scale
+    becomes a hash-exchange sort-merge join when the build side outgrows
+    the broadcast threshold at production scale — those keys are
+    tomorrow's bucket candidates even though today's plans show no
+    exchange on them.  Notes are informational (per-key tables/queries),
+    never auto-deployed: whether the build side grows is a fact about
+    the data's future, not the plan.
     """
     from steampipe_sqlite_spark.tables import ALL_TABLES, load_table
 
@@ -180,6 +208,7 @@ def advise_layout(
     shuffle_q: dict[tuple[str, str], set[str]] = defaultdict(set)
     eq_q: dict[tuple[str, str], set[str]] = defaultdict(set)
     range_q: dict[tuple[str, str], set[str]] = defaultdict(set)
+    bhj_q: dict[tuple[str, str], set[str]] = defaultdict(set)
 
     for qname, q in workload.items():
         df = q if isinstance(q, DataFrame) else q(spark, sf_dir)
@@ -197,6 +226,11 @@ def advise_layout(
                 # column — renamed/derived keys don't resolve, correctly
                 for table in col_owner.get(col, set()) & scanned:
                     shuffle_q[(table, col)].add(qname)
+        if with_notes:
+            for cols in _broadcast_join_keys(plan):
+                for col in cols:
+                    for table in col_owner.get(col, set()) & scanned:
+                        bhj_q[(table, col)].add(qname)
 
     ndv_cache: dict[tuple[str, str], int] = {}
 
@@ -301,4 +335,23 @@ def advise_layout(
     recs.sort(key=lambda r: (-r["score"], r["table"]))
     for r in recs:
         r.pop("score")
-    return recs
+    if not with_notes:
+        return recs
+    notes = [
+        {
+            "table": table,
+            "column": col,
+            "kind": "broadcast_join_key",
+            "queries": sorted(qs),
+            "note": (
+                "broadcast-join key at this scale; becomes a hash exchange "
+                "when the build side outgrows the broadcast threshold — "
+                f"bucket_by {col!r} candidate at production scale"
+            ),
+        }
+        for (table, col), qs in sorted(bhj_q.items())
+        # a column already carrying an exchange-backed bucket rec needs
+        # no note; notes exist for the keys today's plans HIDE
+        if (table, col) not in shuffle_q
+    ]
+    return recs, notes

@@ -125,6 +125,28 @@ class TestAdvisor:
         }
         assert advise_layout(spark, SF_DIR, workload) == []
 
+    def test_scale_notes_surface_broadcast_join_keys(self, spark):
+        """At sample scale q3/q18's fact joins broadcast — no exchange on
+        the join keys, so no recommendation — but those keys become hash
+        exchanges at production scale.  with_notes=True must surface them
+        as broadcast_join_key notes on the tables that own them, and must
+        NOT note keys that already carry exchange evidence."""
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        q, _ = collect()
+        recs, notes = advise_layout(
+            spark, SF_DIR,
+            {"tpch_q3": q["tpch_q3"], "tpch_q18": q["tpch_q18"]},
+            with_notes=True,
+        )
+        noted = {(n["table"], n["column"]) for n in notes}
+        assert ("orders", "o_custkey") in noted
+        assert ("customer", "c_custkey") in noted
+        # l_orderkey already has exchange evidence (bucket rec) — no note
+        assert ("lineitem", "l_orderkey") not in noted
+        assert all(n["kind"] == "broadcast_join_key" for n in notes)
+        assert _rec_for(recs, "lineitem")["axis"] == "bucket_by"
+
     def test_suggested_call_round_trips_through_deploy(self, spark, tmp_path, monkeypatch):
         """The emitted suggested_call must be a valid optimize_layout
         invocation: deploy the partition recommendation and verify the

@@ -125,6 +125,13 @@ def _shuffle_keys(plan: str) -> list[tuple[str, ...]]:
             elif plan[j] == ")":
                 depth -= 1
             j += 1
+        if depth:
+            # clipped plan string (maxPlanStringLength): the list never
+            # closes, and a body spanning subsequent plan nodes would
+            # FABRICATE shuffle-key columns from their col refs — skip
+            # the truncated occurrence instead (under-counting is safe,
+            # inventing evidence is not)
+            break
         body = plan[i + len(token) : j - 1]
         cols = tuple(cm.group(1) for cm in _COLREF_RE.finditer(body))
         if cols:
@@ -337,6 +344,16 @@ def advise_layout(
         r.pop("score")
     if not with_notes:
         return recs
+    # suppress a note ONLY when the key carries an EMITTED bucket
+    # recommendation (top slot or alternative) — not on mere shuffle
+    # evidence: a key below the >=2 threshold, or one that lost the
+    # per-table slot, has no rec, and hiding its note too would make
+    # real join-key evidence completely invisible
+    recommended = set()
+    for r in recs:
+        for cand in (r, *r.get("alternatives", [])):
+            if cand["axis"] == "bucket_by":
+                recommended.update((r["table"], c) for c in cand["columns"])
     notes = [
         {
             "table": table,
@@ -350,8 +367,6 @@ def advise_layout(
             ),
         }
         for (table, col), qs in sorted(bhj_q.items())
-        # a column already carrying an exchange-backed bucket rec needs
-        # no note; notes exist for the keys today's plans HIDE
-        if (table, col) not in shuffle_q
+        if (table, col) not in recommended
     ]
     return recs, notes

@@ -1440,39 +1440,66 @@ def knn_ivf_q(spark, sf_dir):
     )
 
 
-def _ensure_index(sf_dir: str, kind: str, build_fn) -> str:
+def _ensure_index(
+    sf_dir: str, kind: str, build_fn, parts: tuple[str, ...]
+) -> str:
     """Build a persisted ANN index under repo-local ``.cache/indexes``
     exactly once per (fixture content, kind) and return its path.
 
     Same discipline as the layout catalog (tables.py): the path is keyed
-    on the embeddings fixture's identity (abspath + size + mtime_ns), so a
-    regenerated fixture gets a NEW path instead of a stale read and
-    different SFs never collide; the build is serialized by an exclusive
-    flock on ``<path>.writing`` and completed by an engine-owned marker
-    written AFTER the data commits — so concurrent plan constructions
-    (parallel selfcheck chunks, bench alongside a sweep, pytest) can't
-    tear each other's files, and re-constructions of an unchanged fixture
-    skip the rebuild entirely."""
+    on the embeddings fixture's identity via ``tables._source_identity``
+    (recursive listing for directory-shaped fixtures — a top-level stat
+    misses in-place part-file rewrites), so a regenerated fixture gets a
+    NEW path instead of a stale read and different SFs never collide; the
+    build is serialized by an exclusive flock on ``<path>.writing`` and
+    completed by an engine-owned marker written AFTER the data commits —
+    so concurrent plan constructions (parallel selfcheck chunks, bench
+    alongside a sweep, pytest) can't tear each other's files, and
+    re-constructions of an unchanged fixture skip the rebuild.
+    Completeness = marker AND every ``parts`` subdir present: a torn
+    manual deletion that leaves the marker must trigger a rebuild, not a
+    permanent PATH_NOT_FOUND.  Superseded generations (other keys of the
+    same kind) are reclaimed after a successful ensure — marker first,
+    skip any generation a concurrent process holds flocked."""
     import fcntl
+    import glob
     import hashlib
     import os
+    import shutil
+
+    from steampipe_sqlite_spark.tables import _source_identity
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
+    ident = _source_identity(src)
+    # two-part key: fixture PATH hash names the family (distinct SFs are
+    # distinct families, all live — never each other's garbage), fixture
+    # CONTENT hash names the generation (a regenerated fixture supersedes
+    # its own family's previous generation, which becomes reclaimable)
+    fam = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:8]
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{ident['size']}|{ident['mtime_ns']}".encode()
     ).hexdigest()[:12]
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     root = os.path.join(repo, ".cache", "indexes")
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"{kind}_{key}")
+    path = os.path.join(root, f"{kind}_{fam}_{key}")
     marker = os.path.join(path, "_sgs_index_complete")
+
+    def _complete() -> bool:
+        return os.path.exists(marker) and all(
+            os.path.isdir(os.path.join(path, p)) for p in parts
+        )
+
     wl = os.open(f"{path}.writing", os.O_CREAT | os.O_RDWR)
     try:
         fcntl.flock(wl, fcntl.LOCK_EX)
-        if not os.path.exists(marker):
+        if not _complete():
+            try:
+                os.remove(marker)  # torn dir must not look complete mid-build
+            except OSError:
+                pass
             build_fn(path)
             with open(marker, "w"):
                 pass
@@ -1481,6 +1508,28 @@ def _ensure_index(sf_dir: str, kind: str, build_fn) -> str:
         os.close(wl)
         # the .writing lockfile stays on disk: unlinking a lockfile races
         # with a concurrent opener (see tables._sweep_trash)
+    # reclaim superseded generations WITHIN THIS FAMILY ONLY (same fixture
+    # path, older content) — sibling SFs' indexes are live, not garbage
+    for old in glob.glob(os.path.join(root, f"{kind}_{fam}_*")):
+        if old == path or old.endswith(".writing"):
+            continue
+        owl = None
+        try:
+            owl = os.open(f"{old}.writing", os.O_CREAT | os.O_RDWR)
+            fcntl.flock(owl, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            if owl is not None:
+                os.close(owl)
+            continue  # a concurrent process is using/building it
+        try:
+            try:
+                os.remove(os.path.join(old, "_sgs_index_complete"))
+            except OSError:
+                pass
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            fcntl.flock(owl, fcntl.LOCK_UN)
+            os.close(owl)
     return path
 
 
@@ -1505,6 +1554,7 @@ def knn_ivf_index_persisted_q(spark, sf_dir):
     path = _ensure_index(
         sf_dir, "ivf16",
         lambda p: ivf_build_index(emb, "embedding", "vec_id", p, n_cells=16),
+        parts=("centroids", "cells"),
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return presentation_sort(
@@ -3310,6 +3360,7 @@ def knn_ivfpq_index_persisted_q(spark, sf_dir):
     path = _ensure_index(
         sf_dir, "ivfpq8",
         lambda p: ivfpq_build_index(emb, "embedding", "vec_id", p, n_cells=8),
+        parts=("centroids", "codebooks", "cells"),
     )
     queries = emb.filter(F.col("vec_id") < 10)
     return presentation_sort(

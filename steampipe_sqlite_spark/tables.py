@@ -332,7 +332,11 @@ def _catalog_table_points_at(spark: SparkSession, cat: str, location: str) -> bo
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {cat}").collect():
             if str(r[0]).strip() == "Location":
                 got = str(r[1]).strip().removeprefix("file:")
-                return os.path.normpath(got) == os.path.normpath(location)
+                # realpath both sides: DESCRIBE may report the RESOLVED
+                # path (symlinked tmpdirs, /private/var on macOS), and a
+                # false mismatch here would leak a stale binding through
+                # the location-gated drops
+                return os.path.realpath(got) == os.path.realpath(location)
     except Exception:  # noqa: BLE001 — treat unreadable metadata as mismatch
         return False
     return False
@@ -692,20 +696,46 @@ def drop_layout(spark: SparkSession, sf_dir: str, table: str) -> None:
         with open(tmp, "w") as f:
             json.dump(reg, f, indent=1)
         os.replace(tmp, _layout_registry_path())
+        if entry is not None and entry.get("bucket_by") is not None:
+            # the catalog name dies with the registry entry (discovery
+            # would re-create it); already-planned queries hold their file
+            # listing and are unaffected.  Location-gated like
+            # _sweep_trash (a same-spec deploy under another layout root
+            # shares the content-keyed name).  The drop additionally needs
+            # the LOCATION flock, non-blocking: a concurrent same-spec
+            # redeploy holds that flock across its catalog re-point AND
+            # registry phase, and location-gating alone cannot tell the
+            # dying entry's binding from the redeploy's fresh one (same
+            # name, same location) — if a deployer holds the flock, skip
+            # the drop entirely; the winning serialization is then
+            # "drop, then redeploy" and the binding must survive
+            # (code-review r12, second pass).
+            import fcntl
+
+            wl = None
+            try:
+                wl = os.open(f"{entry['location']}.writing", os.O_CREAT | os.O_RDWR)
+                fcntl.flock(wl, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                if wl is not None:
+                    os.close(wl)
+                    wl = None
+            else:
+                try:
+                    if _catalog_table_points_at(
+                        spark, entry["catalog_name"], entry["location"]
+                    ):
+                        try:
+                            spark.sql(
+                                f"DROP TABLE IF EXISTS {entry['catalog_name']}"
+                            )
+                        except Exception:  # noqa: BLE001 — best-effort
+                            pass
+                finally:
+                    fcntl.flock(wl, fcntl.LOCK_UN)
+                    os.close(wl)
     if entry is None:
         return
-    if entry.get("bucket_by") is not None:  # partitioned mode has no catalog entry
-        # the catalog name dies with the registry entry (discovery would
-        # re-create it); already-planned queries hold their file listing
-        # and are unaffected by the catalog drop.  Location-gated for the
-        # same reason as _sweep_trash: a same-spec deploy under another
-        # layout root shares the content-keyed name, and dropping THIS
-        # entry must not kill that live binding.
-        if _catalog_table_points_at(spark, entry["catalog_name"], entry["location"]):
-            try:
-                spark.sql(f"DROP TABLE IF EXISTS {entry['catalog_name']}")
-            except Exception:  # noqa: BLE001 — cleanup best-effort
-                pass
     _invalidate_session_table(spark, sf_dir, table)
 
 

@@ -432,6 +432,74 @@ def test_leakage_safe_split_never_splits_a_component(spark, docs):
     assert spanning == 0
 
 
+class TestEnsureIndexCache:
+    """_ensure_index (the corpus witnesses' guarded build): content-keyed,
+    flock-serialized, marker-completed — plus the torn-deletion rebuild
+    and same-family generation reclaim (code-review r12, second pass)."""
+
+    def test_torn_deletion_rebuilds_and_generations_reclaim(self, spark):
+        import os
+        import shutil
+
+        import steampipe_sqlite_spark.plans.llm as L
+        from steampipe_sqlite_spark.tables import load_table
+
+        calls = []
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+        def build(p):
+            calls.append(p)
+            from steampipe_sqlite_spark.operators.similarity import ivf_build_index
+
+            ivf_build_index(emb, "embedding", "vec_id", p, n_cells=4)
+
+        # the cache root derives from llm.py's location (repo .cache/);
+        # the test uses its own 'testivf' kind so real witnesses' indexes
+        # are untouched, and cleans up its family in the finally
+        path = L._ensure_index(
+            "/root/testdata/sf0.001", "testivf", build, parts=("centroids", "cells")
+        )
+        try:
+            assert len(calls) == 1
+            # unchanged fixture: second ensure skips the rebuild
+            assert (
+                L._ensure_index(
+                    "/root/testdata/sf0.001", "testivf", build,
+                    parts=("centroids", "cells"),
+                )
+                == path
+            )
+            assert len(calls) == 1
+            # torn deletion leaving the marker must trigger a REBUILD, not
+            # a permanent PATH_NOT_FOUND
+            shutil.rmtree(os.path.join(path, "cells"))
+            assert os.path.exists(os.path.join(path, "_sgs_index_complete"))
+            L._ensure_index(
+                "/root/testdata/sf0.001", "testivf", build,
+                parts=("centroids", "cells"),
+            )
+            assert len(calls) == 2
+            assert os.path.isdir(os.path.join(path, "cells"))
+            # a superseded generation of the SAME family is reclaimed...
+            root = os.path.dirname(path)
+            fam_prefix = "_".join(os.path.basename(path).split("_")[:2])
+            fake = os.path.join(root, f"{fam_prefix}_deadbeef0000")
+            os.makedirs(fake, exist_ok=True)
+            open(os.path.join(fake, "_sgs_index_complete"), "w").close()
+            # ...while a DIFFERENT family (another fixture path) is live
+            other = os.path.join(root, "testivf_ffffffff_aaaaaaaaaaaa")
+            os.makedirs(other, exist_ok=True)
+            L._ensure_index(
+                "/root/testdata/sf0.001", "testivf", build,
+                parts=("centroids", "cells"),
+            )
+            assert not os.path.exists(fake)
+            assert os.path.exists(other)
+            shutil.rmtree(other, ignore_errors=True)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+
 class TestIvfIndexPersistence:
     """Build-once/query-many IVF lifecycle: persisted index must answer
     exactly like the direct operator, through a partition-pruned scan."""

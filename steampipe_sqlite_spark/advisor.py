@@ -143,6 +143,40 @@ def _shuffle_keys(plan: str) -> list[tuple[str, ...]]:
 _BHJ_RE = re.compile(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]")
 
 
+def _plan_scale_hazards(plan: str) -> set[str]:
+    """Plan-level scale killers, independent of any layout axis:
+
+    - ``single_partition_window``: a Window operator fed by an Exchange
+      SinglePartition — the empty-OVER global window that moves EVERY row
+      to one task (Spark's own "No Partition Defined" warning).  Works at
+      sample scale, fatal at 100 TB; operators/scale.distributed_row_number
+      / distributed_running_sum are the engine's replacements.
+    - ``cartesian_product``: an unconditioned SHUFFLED join — quadratic
+      row count.  (The engine's own 290-query corpus is pinned to zero of
+      these by tests/test_plans.py; user workloads get the same check
+      here.)  A broadcast cross join (BroadcastNestedLoopJoin) is
+      deliberately NOT flagged: it is bounded by the broadcast threshold
+      by construction, and the scalar 1-row crossJoin is a legitimate
+      pattern this engine itself uses.
+    """
+    hazards = set()
+    if "CartesianProduct" in plan:
+        hazards.add("cartesian_product")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        # operator name match, not substring-of-anything: 'Window ' /
+        # 'WindowExec' head after tree-drawing prefix
+        stripped = line.lstrip(" :+-*()0123456789")
+        if stripped.startswith("Window"):
+            # the child subtree prints directly below; a global window's
+            # immediate input is the all-to-one exchange
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange SinglePartition" in nxt:
+                    hazards.add("single_partition_window")
+                    break
+    return hazards
+
+
 def _broadcast_join_keys(plan: str) -> list[tuple[str, ...]]:
     """Column-name tuples of every broadcast-hash-join key pair."""
     out = []
@@ -216,6 +250,7 @@ def advise_layout(
     eq_q: dict[tuple[str, str], set[str]] = defaultdict(set)
     range_q: dict[tuple[str, str], set[str]] = defaultdict(set)
     bhj_q: dict[tuple[str, str], set[str]] = defaultdict(set)
+    hazard_q: dict[str, set[str]] = defaultdict(set)
 
     for qname, q in workload.items():
         df = q if isinstance(q, DataFrame) else q(spark, sf_dir)
@@ -238,6 +273,8 @@ def advise_layout(
                 for col in cols:
                     for table in col_owner.get(col, set()) & scanned:
                         bhj_q[(table, col)].add(qname)
+            for hazard in _plan_scale_hazards(plan):
+                hazard_q[hazard].add(qname)
 
     ndv_cache: dict[tuple[str, str], int] = {}
 
@@ -368,5 +405,27 @@ def advise_layout(
         }
         for (table, col), qs in sorted(bhj_q.items())
         if (table, col) not in recommended
+    ]
+    _HAZARD_NOTES = {
+        "single_partition_window": (
+            "global (empty-OVER) window: Exchange SinglePartition moves "
+            "every row to one task — fatal at scale; rewrite with "
+            "operators.scale.distributed_row_number / "
+            "distributed_running_sum"
+        ),
+        "cartesian_product": (
+            "unconditioned join plans a CartesianProduct — quadratic rows; "
+            "add an equi/range condition or a blocking key"
+        ),
+    }
+    notes += [
+        {
+            "table": None,
+            "column": None,
+            "kind": hazard,
+            "queries": sorted(qs),
+            "note": _HAZARD_NOTES[hazard],
+        }
+        for hazard, qs in sorted(hazard_q.items())
     ]
     return recs, notes

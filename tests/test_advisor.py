@@ -147,6 +147,45 @@ class TestAdvisor:
         assert all(n["kind"] == "broadcast_join_key" for n in notes)
         assert _rec_for(recs, "lineitem")["axis"] == "bucket_by"
 
+    def test_scale_hazard_notes_flag_global_window_and_cartesian(self, spark):
+        """Plan-level lints: an empty-OVER window (Exchange SinglePartition
+        into Window) and an unconditioned join are scale killers the
+        layout axes can't fix — with_notes=True must flag both by query,
+        and a healthy workload must produce neither."""
+        from pyspark.sql import Window
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        ev = load_table(spark, SF_DIR, "events")
+        docs = load_table(spark, SF_DIR, "documents")
+        bad = {
+            "global_rn": ev.withColumn(
+                "rn", F.row_number().over(Window.orderBy("event_id"))
+            ),
+            # shuffle_replicate_nl forces the true CartesianProduct node
+            # (an unhinted tiny cross join broadcasts instead — bounded by
+            # the broadcast threshold, deliberately NOT flagged: the
+            # corpus' 1-row scalar crossJoins are that shape)
+            "cross": ev.hint("shuffle_replicate_nl").crossJoin(docs.limit(5)),
+        }
+        _, notes = advise_layout(spark, SF_DIR, bad, with_notes=True)
+        kinds = {n["kind"]: n["queries"] for n in notes}
+        assert kinds.get("single_partition_window") == ["global_rn"]
+        assert kinds.get("cartesian_product") == ["cross"]
+
+        q, _ = collect()
+        _, clean_notes = advise_layout(
+            spark, SF_DIR,
+            {"tpch_q3": q["tpch_q3"], "win_global_rownum_scale": q["win_global_rownum_scale"]},
+            with_notes=True,
+        )
+        hazards = {n["kind"] for n in clean_notes} & {
+            "single_partition_window", "cartesian_product"
+        }
+        assert not hazards, (
+            f"corpus queries (incl. the distributed_row_number-based "
+            f"global rank) must lint clean, got {hazards}"
+        )
+
     def test_suggested_call_round_trips_through_deploy(self, spark, tmp_path, monkeypatch):
         """The emitted suggested_call must be a valid optimize_layout
         invocation: deploy the partition recommendation and verify the

@@ -360,6 +360,56 @@ def test_curation_pipeline_evaluates_scoring_chain_once(spark, queries):
 ROW_UDTF_WITNESS_OK = {"tvf_generate_series"}
 
 
+# Queries whose plans legitimately carry an Exchange SinglePartition into
+# a Window, each with a boundedness or dialect justification — any NEW
+# corpus query tripping the detector must be added here WITH a reason, or
+# rewritten over operators/scale.distributed_row_number.
+GLOBAL_WINDOW_OK = {
+    # window input is pre-aggregated to a bounded domain (rows after the
+    # reduce are value-domain-sized, not data-sized):
+    "events_growth_daily",  # over daily aggregates — <=366 rows/year
+    "sketch_quantile_hist",  # over histogram bins — fixed bin count
+    "stats_ks_lengths",  # over DISTINCT n_chars — bounded value domain
+    # SQLite-dialect witnesses whose SEMANTICS are the global window
+    # (RANK/NTILE/RANGE/SUM OVER () over a whole table); the scale path
+    # is win_global_rownum_scale / distributed_row_number, documented at
+    # plans/relational.py (win_global_rownum_scale docstring):
+    "win_rank_family",
+    "win_ntile",
+    "win_range_frame",
+    "win_agg_over_unbounded",
+    "win_percent_rank_cume_dist",
+}
+
+
+def test_corpus_global_windows_are_allowlisted(spark, queries):
+    """Corpus-wide single-partition-window gate (advisor._plan_scale_hazards
+    detector): an empty-OVER window moves every row to one task — the
+    one-task-sorts-the-world shape at 100 TB.  Every corpus plan carrying
+    one must be on GLOBAL_WINDOW_OK with a boundedness/dialect reason;
+    the allowlist is also anti-rot-checked (an entry whose plan no longer
+    trips the detector must be removed)."""
+    from steampipe_sqlite_spark.advisor import _plan_scale_hazards
+
+    tripped = set()
+    built_ok = set()
+    for name, fn in queries.items():
+        try:
+            p = plan_text(fn(spark, SF_DIR))
+        except Exception:  # noqa: BLE001 — build errors are other tests' job
+            continue
+        built_ok.add(name)
+        if "single_partition_window" in _plan_scale_hazards(p):
+            tripped.add(name)
+    unjustified = tripped - GLOBAL_WINDOW_OK
+    assert not unjustified, (
+        f"unallowlisted single-partition windows in: {sorted(unjustified)} — "
+        "justify in GLOBAL_WINDOW_OK or rewrite via distributed_row_number"
+    )
+    stale = (GLOBAL_WINDOW_OK & built_ok) - tripped
+    assert not stale, f"allowlist entries no longer tripping the detector: {stale}"
+
+
 def test_corpus_has_no_cartesian_or_row_python_stages(spark, queries):
     """Corpus-wide anti-pattern gate (one plan build per query, sf0.001):
     no CartesianProduct anywhere — a shuffle-cross is never the right

@@ -227,9 +227,44 @@ ORDER BY user_id, rn
 """,
 )
 
+# rank/dense_rank/percent_rank/cume_dist over a LOW-CARDINALITY key
+# (o_orderpriority: 5 values): all four are pure functions of the
+# per-value counts, so the Spark side computes them on the ≤5-row
+# aggregate and broadcast-joins back — the DATA-SIZED single-partition
+# window the naive form plans (every order row to one task) is gone; the
+# residual window runs over the bounded distinct-value table (round 12;
+# allowlisted bounded in test_plans.GLOBAL_WINDOW_OK).  The oracle keeps
+# the naive window text — the rewrite must reproduce it bit-for-bit
+# (RANK = 1 + rows strictly before the peer group; PERCENT_RANK =
+# (rank-1)/(n-1); CUME_DIST = peers-through/n — single correctly-rounded
+# IEEE divisions of exact integers on both sides).
 sql_query(
     "win_rank_family",
     """
+WITH pr AS (
+  SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_orderpriority),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pr),
+r AS (
+  SELECT p,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+           AS INT) AS rnk,
+         CAST(ROW_NUMBER() OVER (ORDER BY p) AS INT) AS drnk,
+         CAST(SUM(c) OVER (ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_le
+  FROM pr)
+SELECT o.o_orderkey, o.o_orderpriority,
+       r.rnk AS rnk, r.drnk AS drnk,
+       CASE WHEN t.n = 1 THEN 0.0e0
+            ELSE CAST(r.rnk - 1 AS DOUBLE) / CAST(t.n - 1 AS DOUBLE)
+       END AS prnk,
+       CAST(r.cum_le AS DOUBLE) / CAST(t.n AS DOUBLE) AS cdist
+FROM orders o JOIN r ON o.o_orderpriority = r.p CROSS JOIN tot t
+ORDER BY o_orderkey
+""",
+    oracle="""
 SELECT o_orderkey, o_orderpriority,
        RANK() OVER (ORDER BY o_orderpriority) AS rnk,
        DENSE_RANK() OVER (ORDER BY o_orderpriority) AS drnk,
@@ -238,16 +273,51 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 ORDER BY o_orderkey
 """,
+    present_sort=["o_orderkey"],
 )
 
-sql_query(
+@query(
     "win_ntile",
-    """
+    oracle="""
 SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
 FROM customer
 ORDER BY c_custkey
 """,
+    plan_cache=False,  # bakes distributed-helper offsets; see registry.query
 )
+def win_ntile_q(spark, sf_dir):
+    """NTILE over a near-unique global order — the naive form is a
+    data-sized single-partition window.  NTILE is a pure function of
+    (row_number, total): with n rows and k tiles, q = n div k, r = n mod
+    k, the first r tiles carry q+1 rows — so the scale path is
+    operators/scale.distributed_row_number (range shuffle + local rank +
+    offsets; total rows come free from the offset pass) plus the closed
+    formula (round 12).  The window-form oracle proves exact parity;
+    (c_acctbal, c_custkey) is a total order ⇒ deterministic."""
+    from pyspark.sql import functions as F
+
+    from steampipe_sqlite_spark.operators.scale import distributed_row_number
+    from steampipe_sqlite_spark.plans.registry import presentation_sort
+    from steampipe_sqlite_spark.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = distributed_row_number(
+        cust,
+        order_cols=[F.col("c_acctbal"), F.col("c_custkey")],
+        name="_rn",
+    )
+    n, k = ranked._sgs_total_rows, 4
+    q, r = divmod(n, k)
+    if q == 0:
+        tile = "CAST(_rn AS INT)"  # fewer rows than tiles: one row per tile
+    else:
+        boundary = r * (q + 1)
+        tile = (
+            f"CAST(CASE WHEN _rn <= {boundary} THEN (_rn - 1) DIV {q + 1} + 1 "
+            f"ELSE {r} + (_rn - 1 - {boundary}) DIV {q} + 1 END AS INT)"
+        )
+    out = ranked.selectExpr("c_custkey", f"{tile} AS quartile")
+    return presentation_sort(out, ["c_custkey"])
 
 
 # Distributed global ROW_NUMBER — same semantics as the empty-OVER window
@@ -339,20 +409,65 @@ ORDER BY event_id
 """,
 )
 
+# A RANGE frame over a data-sized order is the hardest global-window
+# shape: the frame bound is a VALUE offset, so no partitioning preserves
+# it.  But COUNT(*) over [v-1000, v] is a BINNED RANGE JOIN (the
+# join_range_binned construction): bucket the distinct values by the
+# frame width, and every frame's contributors live in exactly 2 buckets
+# (v-1000 >= (floor(v/1000)-1)*1000), so a 2-candidate equi-join +
+# residual BETWEEN + sum-of-counts reproduces the frame with linear,
+# bounded-fanout work (round 12) — no window node.  Bounds use the same
+# v - 1000.0e0 double arithmetic the engines' frame evaluators use, so
+# edge equality matches bit-for-bit.
 sql_query(
     "win_range_frame",
     """
+WITH d AS (
+  SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_totalprice),
+db AS (SELECT v, c, CAST(FLOOR(v / 1000.0e0) AS BIGINT) AS b FROM d),
+cand AS (
+  SELECT t.v AS tv, t.b - o.k AS cb
+  FROM db t CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) o),
+counts AS (
+  SELECT cand.tv, CAST(SUM(db.c) AS BIGINT) AS n_within
+  FROM cand JOIN db ON db.b = cand.cb
+  WHERE db.v >= cand.tv - 1000.0e0 AND db.v <= cand.tv
+  GROUP BY cand.tv)
+SELECT o.o_orderkey, o.o_totalprice, counts.n_within AS n_within_1000
+FROM orders o JOIN counts ON counts.tv = o.o_totalprice
+ORDER BY o_orderkey
+""",
+    oracle="""
 SELECT o_orderkey, o_totalprice,
        COUNT(*) OVER (ORDER BY o_totalprice
                       RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000
 FROM orders
 ORDER BY o_orderkey
 """,
+    present_sort=["o_orderkey"],
 )
 
+# SUM(...) OVER () is a GLOBAL SCALAR wearing a window costume: the naive
+# form moves every row to one task to compute a single number.  The Spark
+# side computes the total as a regular (distributed, partial+final)
+# aggregate and broadcast-cross-joins the 1-row result back — no window
+# node at all (round 12); same integer-cents total, same single IEEE
+# division, so the hash matches the oracle's window form exactly.
 sql_query(
     "win_agg_over_unbounded",
     """
+WITH tot AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS t
+  FROM orders)
+SELECT o_orderkey,
+       CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE) * 100 /
+            CAST(t AS DOUBLE) AS pct_of_total
+FROM orders CROSS JOIN tot
+ORDER BY o_orderkey
+LIMIT 100
+""",
+    oracle="""
 SELECT o_orderkey,
        CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DOUBLE) * 100 /
             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER () AS DOUBLE) AS pct_of_total
@@ -1592,7 +1707,7 @@ sql_query(
 # neither was previously exercised by name).  The window input is the
 # per-nation customer AGGREGATE (≤25 rows at any corpus size), so the
 # unpartitioned window is bounded-by-construction — allowlisted in
-# test_plans.GLOBAL_WINDOW_BOUNDED_OK with this justification.  Both
+# test_plans.GLOBAL_WINDOW_OK with this justification.  Both
 # fractions are a single correctly-rounded IEEE division of small
 # integers, bit-identical across engines.
 sql_query(

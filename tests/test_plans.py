@@ -370,15 +370,14 @@ GLOBAL_WINDOW_OK = {
     "events_growth_daily",  # over daily aggregates — <=366 rows/year
     "sketch_quantile_hist",  # over histogram bins — fixed bin count
     "stats_ks_lengths",  # over DISTINCT n_chars — bounded value domain
-    # SQLite-dialect witnesses whose SEMANTICS are the global window
-    # (RANK/NTILE/RANGE/SUM OVER () over a whole table); the scale path
-    # is win_global_rownum_scale / distributed_row_number, documented at
-    # plans/relational.py (win_global_rownum_scale docstring):
-    "win_rank_family",
-    "win_ntile",
-    "win_range_frame",
-    "win_agg_over_unbounded",
-    "win_percent_rank_cume_dist",
+    "win_percent_rank_cume_dist",  # over per-nation aggregate — <=25 rows
+    "win_rank_family",  # round-12 rewrite: window over the <=5-row
+    # o_orderpriority count table (the data-sized window is gone; rank/
+    # dense_rank/percent_rank/cume_dist broadcast-join back)
+    # round-12 rewrites REMOVED from this list (their plans no longer
+    # carry any single-partition window): win_agg_over_unbounded
+    # (broadcast scalar total), win_range_frame (binned range join),
+    # win_ntile (distributed_row_number + closed NTILE formula).
 }
 
 

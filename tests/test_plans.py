@@ -286,13 +286,14 @@ GLOBAL_WINDOW_BOUNDED_OK = {
     # window input is per-LENGTH compacted counts: support bounded by the
     # value domain (max doc length), not the corpus (see query comment)
     "stats_ks_lengths",
-    # SQLite window-surface parity witnesses: the empty-OVER form IS the
-    # operator under test (SURVEY §2.3 window family); the scale path for
-    # global sequence/rank is pinned separately by win_global_rownum_scale
-    # and the distributed_* helpers
-    "win_agg_over_unbounded",
-    "win_ntile",
-    "win_range_frame",
+    # round-12 rewrite: the rank family now windows over the <=5-row
+    # o_orderpriority count table and broadcast-joins back — the residual
+    # tiny window still trips the detectors, bounded by the value domain.
+    # (win_agg_over_unbounded / win_ntile / win_range_frame were rewritten
+    # the same round to plans with NO global window at all — broadcast
+    # scalar, distributed_row_number + closed NTILE formula, binned range
+    # join — and left this list; the window-form semantics stay pinned by
+    # their unchanged oracles.)
     "win_rank_family",
     # window input is the per-nation customer aggregate: ≤25 rows at any
     # corpus size (r8 percent_rank/cume_dist surface witness)
@@ -360,34 +361,14 @@ def test_curation_pipeline_evaluates_scoring_chain_once(spark, queries):
 ROW_UDTF_WITNESS_OK = {"tvf_generate_series"}
 
 
-# Queries whose plans legitimately carry an Exchange SinglePartition into
-# a Window, each with a boundedness or dialect justification — any NEW
-# corpus query tripping the detector must be added here WITH a reason, or
-# rewritten over operators/scale.distributed_row_number.
-GLOBAL_WINDOW_OK = {
-    # window input is pre-aggregated to a bounded domain (rows after the
-    # reduce are value-domain-sized, not data-sized):
-    "events_growth_daily",  # over daily aggregates — <=366 rows/year
-    "sketch_quantile_hist",  # over histogram bins — fixed bin count
-    "stats_ks_lengths",  # over DISTINCT n_chars — bounded value domain
-    "win_percent_rank_cume_dist",  # over per-nation aggregate — <=25 rows
-    "win_rank_family",  # round-12 rewrite: window over the <=5-row
-    # o_orderpriority count table (the data-sized window is gone; rank/
-    # dense_rank/percent_rank/cume_dist broadcast-join back)
-    # round-12 rewrites REMOVED from this list (their plans no longer
-    # carry any single-partition window): win_agg_over_unbounded
-    # (broadcast scalar total), win_range_frame (binned range join),
-    # win_ntile (distributed_row_number + closed NTILE formula).
-}
-
-
 def test_corpus_global_windows_are_allowlisted(spark, queries):
-    """Corpus-wide single-partition-window gate (advisor._plan_scale_hazards
-    detector): an empty-OVER window moves every row to one task — the
-    one-task-sorts-the-world shape at 100 TB.  Every corpus plan carrying
-    one must be on GLOBAL_WINDOW_OK with a boundedness/dialect reason;
-    the allowlist is also anti-rot-checked (an entry whose plan no longer
-    trips the detector must be removed)."""
+    """PHYSICAL-plan twin of test_no_unbounded_global_windows_in_corpus,
+    sharing GLOBAL_WINDOW_BOUNDED_OK: the advisor's detector flags any
+    Exchange SinglePartition feeding a Window — the one-task-sorts-the-
+    world shape at 100 TB — so the logical audit (window_audit,
+    bounded-subtree aware) and the physical detector must agree on the
+    same justified set; anti-rot on entries whose plans stopped
+    tripping."""
     from steampipe_sqlite_spark.advisor import _plan_scale_hazards
 
     tripped = set()
@@ -400,12 +381,12 @@ def test_corpus_global_windows_are_allowlisted(spark, queries):
         built_ok.add(name)
         if "single_partition_window" in _plan_scale_hazards(p):
             tripped.add(name)
-    unjustified = tripped - GLOBAL_WINDOW_OK
+    unjustified = tripped - GLOBAL_WINDOW_BOUNDED_OK
     assert not unjustified, (
         f"unallowlisted single-partition windows in: {sorted(unjustified)} — "
-        "justify in GLOBAL_WINDOW_OK or rewrite via distributed_row_number"
+        "justify in GLOBAL_WINDOW_BOUNDED_OK or rewrite via distributed_row_number"
     )
-    stale = (GLOBAL_WINDOW_OK & built_ok) - tripped
+    stale = (GLOBAL_WINDOW_BOUNDED_OK & built_ok) - tripped
     assert not stale, f"allowlist entries no longer tripping the detector: {stale}"
 
 

@@ -437,104 +437,107 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # Previous windows' composition lives in git history (r11 window:
 # text_nfc_dedup/dedup_url_canonical/compat_time_modifiers lead + 35 r5
 # names + 12 oldest r6 names — all green in CORRECTNESS_r11.json).
-# ROUND-13 ROTATION PLAN (execute after CORRECTNESS_r12 lands green):
-# continue strict least-recently-checked over artifacts r1..r12.
-# Computed candidate window — FIRST the 2 backfill names the r12
-# never-checked lead displaced (emb_matryoshka_fidelity,
-# sample_systematic_weighted — last checked r7), then names ranked
-# 51–100 in the r1..r11 least-recently-checked order (the 11 remaining
-# r7-window names then r8-window names, artifact order within each
-# round), truncated to fill 50 slots:
-# agg_weighted_median, key_skew_profile, shard_by_bytes,
-# graph_triangle_count, impute_by_group_median,
-# streaming_stream_stream_left, str_edit_distance, win_exclude_ties,
-# winsorized_length_stats, dataset_split_temporal, market_basket_pairs,
-# eval_auc_mann_whitney, stats_gini_spend, stats_pareto_topdecile,
-# ts_seasonal_naive_mae, token_pair_lift, graph_two_hop_reach,
-# dataset_kfold_stratified, stats_chi2_lang_source, text_hapax_ratio,
-# emb_label_centroid_geometry, eval_ndcg_at10, events_transition_matrix,
-# events_interarrival_hist, events_growth_daily, ts_threshold_crossings,
-# join_fuzzy_blocked_prefix, join_scd2_point_in_time,
-# agg_width_bucket_hist, win_running_distinct, stats_join_size_profile,
-# mm_video_neardup_shingles, stats_ks_lengths, events_user_hhi,
-# ts_autocorr_lag1, text_vocab_jaccard_langs, privacy_k_anonymity,
-# ts_cusum_changepoint, agg_bitwise, agg_mode_per_group,
-# compat_printf_integer, stats_benford_first_digit,
-# stats_benford_deviation, group_cube_grouping_flags,
-# agg_any_value_functional, dedup_soft_weights, bitext_margin_pairs,
-# dedup_keep_best, eval_calibration_bins, mining_hard_negatives.
-# Recompute from the actual artifacts before executing (any r12 red
-# re-leads), then bump WINDOW_ROUND to 13 in
+# ROUND-13 ROTATION [EXECUTED — CORRECTNESS_r12 landed 50/50 green with
+# zero reds, so the pre-staged plan applies verbatim; re-verified at
+# execution time by recomputing per-name last-green rounds from the
+# committed CORRECTNESS_r01..r12 artifacts: the 50 least-recently-checked
+# names are exactly the 2 r12-displaced backfill names
+# (emb_matryoshka_fidelity, sample_systematic_weighted) followed by the
+# 38 remaining r7-window names and the 10 oldest r8-window names, in
+# artifact order within each round, matching the list below
+# name-for-name.  No never-driver-checked names exist this round (every
+# registered corpus name has a green driver row), so the window is pure
+# least-recently-checked continuation.  WINDOW_ROUND bumped to 13 in
+# tests/test_bench_contract.py, which recomputes the same order from the
+# artifacts and pins window == first 50 of it.]
+# Previous windows' composition lives in git history (r12 window: the 2
+# persisted-index witnesses lead + 38 r6 names + 10 oldest r7 names —
+# all green in CORRECTNESS_r12.json).
+# ROUND-14 ROTATION PLAN (execute after CORRECTNESS_r13 lands green):
+# continue strict least-recently-checked over artifacts r1..r13.
+# Candidate window — names ranked 51-100 in the r1..r12 order (the 10
+# remaining r8-era names, then r8-window names incl. the TPC-H block,
+# then the 10 oldest r9-era names), artifact order within each round:
+# eval_calibration_bins, mining_hard_negatives, eval_confusion_matrix,
+# privacy_l_diversity, text_zipf_band_counts, graph_label_prop_step,
+# emb_power_iteration_step, ts_mann_kendall_daily,
+# win_percent_rank_cume_dist, knn_cosine_lsh, curation_pipeline,
+# tpch_q1, tpch_q3, tpch_q5, tpch_q6, tpch_q9, tpch_q18,
+# join_left_outer, join_full_outer, join_semi, join_anti,
+# win_range_frame, setop_except, cte_multi, group_rollup, subq_not_in,
+# agg_filter_clause, pivot_status_by_flag, tpch_q2, tpch_q4, tpch_q7,
+# tpch_q8, tpch_q10, tpch_q11, tpch_q12, tpch_q13, tpch_q14, tpch_q15,
+# tpch_q16, tpch_q17, text_bpe_apply_fidelity, compat_collate_nocase,
+# compat_blob_constructors, tpch_q19, tpch_q20, tpch_q21, tpch_q22,
+# join_right_outer, join_cross, join_theta_range
+# Recompute from the actual artifacts before executing (any r13 red
+# re-leads), then bump WINDOW_ROUND to 14 in
 # tests/test_bench_contract.py (the test recomputes the same order, so
 # the bump + list swap is the whole change).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-12 WINDOW (50 slots; VERDICT r11 #1 + #5) — lead with
-    # the 2 round-12 additions that have never had a driver row (the
-    # persisted-index lifecycle witnesses VERDICT r11 #5 asked for; both
-    # selfcheck-green at sf0.01-vanilla and sf0.1 on creation), exactly
-    # as the r11 window led with the 3 r10 additions; then continue the
-    # pure least-recently-checked rotation: the names whose most recent
-    # driver row is oldest, computed from CORRECTNESS_r01..r11 (the r11
-    # artifact is committed at HEAD so including it is correct; only the
-    # CURRENT round's mid-round artifact must be excluded, per the r9
-    # time-bomb lesson).  38 names last checked in the r6 window + the
-    # 10 oldest r7-window names, artifact order within each round (the
-    # 2-slot lead defers emb_matryoshka_fidelity and
-    # sample_systematic_weighted to lead the r13 backfill). ----
-    # the 2 never-driver-checked round-12 additions:
-    "knn_ivf_index_persisted",
-    "knn_ivfpq_index_persisted",
-    # the 38 names whose last driver row is the r6 window:
-    "text_oov_rate",
-    "emb_random_projection",
-    "dedup_ppjoin_exact",
-    "graph_bfs_distances",
-    "sketch_topk_tokens_by_lang",
-    "sketch_cms_token_counts",
-    "dataset_snapshot_diff",
-    "sketch_kmv_source_jaccard",
-    "mm_video_scene_cuts",
-    "mm_audio_silence_runs",
-    "streaming_static_enrich",
-    "streaming_session_5m",
-    "compat_quote_char",
-    "agg_corr_covar_moments",
-    "mm_image_phash_neardup",
-    "dataset_mixing_weights",
-    "text_bigram_surprisal",
-    "mm_image_decode",
-    "mm_image_resize",
-    "mm_video_frame_sample",
-    "mm_audio_stats",
-    "str_basics",
-    "str_search",
-    "str_concat_format",
-    "str_regexp",
-    "date_arithmetic",
-    "math_basics",
-    "math_transcendental",
-    "cond_case_coalesce",
-    "cast_try_cast",
-    "tvf_sequence_explode",
-    "str_hex_char_translate",
-    "scalar_greatest_least",
-    "json_group_object",
-    "agg_percentiles_median",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # …then the 10 oldest r7-window names (artifact order) — the
-    # remaining r7 names start the round-13 rotation:
-    "stats_equidepth_bins",
-    "rfm_segmentation",
-    "join_asof_tolerance",
-    "ts_interval_union",
-    "user_activity_streaks",
-    "funnel_latency_stats",
-    "attribution_last_touch",
-    "bpe_merge_step",
-    "vocab_growth_curve",
-    "text_novelty_ordered",
+    # ---- ROUND-13 WINDOW (50 slots; VERDICT r12 #1) — pure
+    # least-recently-checked continuation computed from
+    # CORRECTNESS_r01..r12 (the r12 artifact is committed at HEAD so
+    # including it is correct; only the CURRENT round's mid-round
+    # artifact must be excluded, per the r9 time-bomb lesson).  Leads
+    # with the 2 names the r12 never-checked lead displaced (last
+    # checked r7), then the 38 remaining r7-window names and the 10
+    # oldest r8-window names, artifact order within each round. ----
+    "emb_matryoshka_fidelity",
+    "sample_systematic_weighted",
+    # the 38 remaining names whose last driver row is the r7 window
+    # (artifact order; first two above are also r7 but were the
+    # displaced backfill lead):
+    "agg_weighted_median",
+    "key_skew_profile",
+    "shard_by_bytes",
+    "graph_triangle_count",
+    "impute_by_group_median",
+    "streaming_stream_stream_left",
+    "str_edit_distance",
+    "win_exclude_ties",
+    "winsorized_length_stats",
+    "dataset_split_temporal",
+    "market_basket_pairs",
+    "eval_auc_mann_whitney",
+    "stats_gini_spend",
+    "stats_pareto_topdecile",
+    "ts_seasonal_naive_mae",
+    "token_pair_lift",
+    "graph_two_hop_reach",
+    "dataset_kfold_stratified",
+    "stats_chi2_lang_source",
+    "text_hapax_ratio",
+    "emb_label_centroid_geometry",
+    "eval_ndcg_at10",
+    "events_transition_matrix",
+    "events_interarrival_hist",
+    "events_growth_daily",
+    "ts_threshold_crossings",
+    "join_fuzzy_blocked_prefix",
+    "join_scd2_point_in_time",
+    "agg_width_bucket_hist",
+    "win_running_distinct",
+    "stats_join_size_profile",
+    "mm_video_neardup_shingles",
+    "stats_ks_lengths",
+    "events_user_hhi",
+    "ts_autocorr_lag1",
+    "text_vocab_jaccard_langs",
+    "privacy_k_anonymity",
+    "ts_cusum_changepoint",
+    # ...then the 10 oldest r8-window names (artifact order) — the
+    # remaining r8 names start the round-14 rotation:
+    "agg_bitwise",
+    "agg_mode_per_group",
+    "compat_printf_integer",
+    "stats_benford_first_digit",
+    "stats_benford_deviation",
+    "group_cube_grouping_flags",
+    "agg_any_value_functional",
+    "dedup_soft_weights",
+    "bitext_margin_pairs",
+    "dedup_keep_best",
 ]
 
 

@@ -24,18 +24,18 @@ def test_headline_queries_registered_with_oracles():
 # driver drops CORRECTNESS_r{WINDOW_ROUND}.json mid-round recording the
 # very window this test polices, so including it would mark every member
 # fresh and fail the assertion (the round-9 time bomb — VERDICT r9 #1).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
-# The only corpus names with no driver row in any pre-r12 artifact — the
-# round-12 persisted-index witnesses (VERDICT r11 #5), which lead the
-# window per the r11 precedent so they earn a CORRECTNESS row this round.
-NEVER_CHECKED_LEAD = ["knn_ivf_index_persisted", "knn_ivfpq_index_persisted"]
+# Corpus names with no driver row in any pre-window-round artifact lead
+# the window (r11/r12 precedent).  Round 13 adds no new corpus names —
+# every registered name already has a green driver row — so the lead is
+# empty and the window is pure least-recently-checked continuation.
+NEVER_CHECKED_LEAD: list[str] = []
 
 
-def test_round12_driver_window_is_least_recently_checked():
+def test_round13_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-12 rotation (VERDICT r11 #1 + #5) leads with the 2
-    never-driver-checked round-12 additions, then pure
+    round-13 rotation (VERDICT r12 #1) is pure
     least-recently-checked continuation — the names whose most recent
     driver row is oldest.  Recompute that order here from the committed
     pre-window-round artifacts (round order, then artifact insertion

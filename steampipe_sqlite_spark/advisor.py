@@ -167,7 +167,13 @@ def _plan_scale_hazards(plan: str) -> set[str]:
         # operator name match, not substring-of-anything: 'Window ' /
         # 'WindowExec' head after tree-drawing prefix
         stripped = line.lstrip(" :+-*()0123456789")
-        if stripped.startswith("Window"):
+        # Match only the actual Window operator, not WindowGroupLimit —
+        # the group-limit prune (rank<=k pushdown) is not the
+        # all-rows-to-one-task shape even when an Exchange
+        # SinglePartition sits below it (ADVICE r12).
+        if stripped.startswith("Window") and not stripped.startswith(
+            "WindowGroupLimit"
+        ):
             # the child subtree prints directly below; a global window's
             # immediate input is the all-to-one exchange
             for nxt in lines[i + 1 : i + 4]:

@@ -1459,15 +1459,26 @@ def _ensure_index(
     Completeness = marker AND every ``parts`` subdir present: a torn
     manual deletion that leaves the marker must trigger a rebuild, not a
     permanent PATH_NOT_FOUND.  Superseded generations (other keys of the
-    same kind) are reclaimed after a successful ensure — marker first,
-    skip any generation a concurrent process holds flocked."""
+    same kind) are reclaimed after a successful ensure — DEFERRED behind
+    a grace period: readers (ivf_query_index probe scans) hold no flock,
+    so an immediate rmtree could FileNotFound a concurrent process
+    mid-scan over the old generation — the same hazard class
+    tables._sweep_trash fixed for layouts (ADVICE r11/r12).  A
+    superseded dir is first tombstoned (``_sgs_index_superseded``
+    mtime = supersession time) and its files removed only by a later
+    ensure once the tombstone outlives tables._reclaim_grace_s(),
+    still skipping any generation a concurrent builder holds flocked."""
     import fcntl
     import glob
     import hashlib
     import os
     import shutil
+    import time
 
-    from steampipe_sqlite_spark.tables import _source_identity
+    from steampipe_sqlite_spark.tables import (
+        _reclaim_grace_s,
+        _source_identity,
+    )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     ident = _source_identity(src)
@@ -1508,11 +1519,34 @@ def _ensure_index(
         os.close(wl)
         # the .writing lockfile stays on disk: unlinking a lockfile races
         # with a concurrent opener (see tables._sweep_trash)
+    # a fixture reverted to a previously-seen content hash resurrects its
+    # old generation: clear any tombstone so a later sweep can't reclaim
+    # the index we just served
+    try:
+        os.remove(os.path.join(path, "_sgs_index_superseded"))
+    except OSError:
+        pass
     # reclaim superseded generations WITHIN THIS FAMILY ONLY (same fixture
-    # path, older content) — sibling SFs' indexes are live, not garbage
+    # path, older content) — sibling SFs' indexes are live, not garbage.
+    # Two-phase: tombstone on first sighting, rmtree only once the
+    # tombstone has outlived the grace period (in-flight probe scans over
+    # the old generation drain in the meantime — see docstring).
     for old in glob.glob(os.path.join(root, f"{kind}_{fam}_*")):
         if old == path or old.endswith(".writing"):
             continue
+        tomb = os.path.join(old, "_sgs_index_superseded")
+        try:
+            tomb_age = time.time() - os.path.getmtime(tomb)
+        except OSError:
+            # first sighting as superseded: tombstone and leave the files
+            try:
+                with open(tomb, "w"):
+                    pass
+            except OSError:
+                pass  # dir vanished under us (another process reclaimed)
+            continue
+        if tomb_age < _reclaim_grace_s():
+            continue  # grace window still open for in-flight scans
         owl = None
         try:
             owl = os.open(f"{old}.writing", os.O_CREAT | os.O_RDWR)

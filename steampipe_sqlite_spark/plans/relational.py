@@ -233,7 +233,7 @@ ORDER BY user_id, rn
 # aggregate and broadcast-joins back — the DATA-SIZED single-partition
 # window the naive form plans (every order row to one task) is gone; the
 # residual window runs over the bounded distinct-value table (round 12;
-# allowlisted bounded in test_plans.GLOBAL_WINDOW_OK).  The oracle keeps
+# allowlisted bounded in test_plans.GLOBAL_WINDOW_BOUNDED_OK).  The oracle keeps
 # the naive window text — the rewrite must reproduce it bit-for-bit
 # (RANK = 1 + rows strictly before the peer group; PERCENT_RANK =
 # (rank-1)/(n-1); CUME_DIST = peers-through/n — single correctly-rounded
@@ -1707,7 +1707,7 @@ sql_query(
 # neither was previously exercised by name).  The window input is the
 # per-nation customer AGGREGATE (≤25 rows at any corpus size), so the
 # unpartitioned window is bounded-by-construction — allowlisted in
-# test_plans.GLOBAL_WINDOW_OK with this justification.  Both
+# test_plans.GLOBAL_WINDOW_BOUNDED_OK with this justification.  Both
 # fractions are a single correctly-rounded IEEE division of small
 # integers, bit-identical across engines.
 sql_query(

@@ -32,6 +32,30 @@ def test_shuffle_keys_survive_nested_parens():
     assert _shuffle_keys(plan) == [("a", "b", "c"), ("d",)]
 
 
+def test_window_group_limit_is_not_a_global_window_hazard():
+    """_plan_scale_hazards must fire on the actual Window operator only:
+    a WindowGroupLimit (the rank<=k prune Spark inserts ABOVE the
+    window) sitting within 3 lines of an Exchange SinglePartition is
+    not the all-rows-to-one-task shape and must not be flagged
+    (ADVICE r12)."""
+    from steampipe_sqlite_spark.advisor import _plan_scale_hazards
+
+    prune_only = (
+        "+- WindowGroupLimit [rank#9], 10\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]\n"
+        "      +- Sort [k#1 ASC NULLS FIRST], false, 0\n"
+    )
+    assert _plan_scale_hazards(prune_only) == set()
+
+    real_global = (
+        "+- Window [row_number() windowspecdefinition(k#1 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS rn#7], [k#1 ASC NULLS FIRST]\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]\n"
+    )
+    assert _plan_scale_hazards(real_global) == {"single_partition_window"}
+
+
 class TestAdvisor:
     def test_repeated_shuffle_key_recommends_bucket(self, spark):
         """q3+q18 both hash-partition on l_orderkey (join at scale, the

@@ -437,7 +437,9 @@ class TestEnsureIndexCache:
     flock-serialized, marker-completed — plus the torn-deletion rebuild
     and same-family generation reclaim (code-review r12, second pass)."""
 
-    def test_torn_deletion_rebuilds_and_generations_reclaim(self, spark):
+    def test_torn_deletion_rebuilds_and_generations_reclaim(
+        self, spark, monkeypatch
+    ):
         import os
         import shutil
 
@@ -480,7 +482,10 @@ class TestEnsureIndexCache:
             )
             assert len(calls) == 2
             assert os.path.isdir(os.path.join(path, "cells"))
-            # a superseded generation of the SAME family is reclaimed...
+            # a superseded generation of the SAME family is reclaimed in
+            # TWO phases (ADVICE r12 — readers hold no flock, so the
+            # first sighting only tombstones; files go when the tombstone
+            # outlives the grace period)...
             root = os.path.dirname(path)
             fam_prefix = "_".join(os.path.basename(path).split("_")[:2])
             fake = os.path.join(root, f"{fam_prefix}_deadbeef0000")
@@ -493,8 +498,38 @@ class TestEnsureIndexCache:
                 "/root/testdata/sf0.001", "testivf", build,
                 parts=("centroids", "cells"),
             )
+            # phase 1: tombstoned, files intact — an in-flight scan over
+            # the old generation still completes during the grace window
+            tomb = os.path.join(fake, "_sgs_index_superseded")
+            assert os.path.exists(fake) and os.path.exists(tomb)
+            assert os.path.exists(os.path.join(fake, "_sgs_index_complete"))
+            # within-grace re-ensure: still intact
+            L._ensure_index(
+                "/root/testdata/sf0.001", "testivf", build,
+                parts=("centroids", "cells"),
+            )
+            assert os.path.exists(fake)
+            # phase 2: grace elapsed (env knob shared with the layout
+            # sweep) -> next ensure reclaims the files
+            monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "0")
+            L._ensure_index(
+                "/root/testdata/sf0.001", "testivf", build,
+                parts=("centroids", "cells"),
+            )
             assert not os.path.exists(fake)
             assert os.path.exists(other)
+            # resurrection: a tombstone landing on the LIVE generation
+            # (fixture reverted to old content) is cleared by ensure, so
+            # a later sweep can't reclaim an index being served
+            open(os.path.join(path, "_sgs_index_superseded"), "w").close()
+            L._ensure_index(
+                "/root/testdata/sf0.001", "testivf", build,
+                parts=("centroids", "cells"),
+            )
+            assert not os.path.exists(
+                os.path.join(path, "_sgs_index_superseded")
+            )
+            assert len(calls) == 2  # no spurious rebuilds along the way
             shutil.rmtree(other, ignore_errors=True)
         finally:
             shutil.rmtree(path, ignore_errors=True)

@@ -29,27 +29,71 @@ def _media(spark, sf_dir):
 
 @query(
     "mm_image_decode",
+    # SAME-WORK oracle (VERDICT r12 #2): DuckDB also ENCODES the FIMG
+    # container (magic + big-endian header + sample plane, byte for byte
+    # the blob Spark synthesizes) and then DECODES it back by slicing the
+    # blob's hex — so both engines pay the binary construction + parse,
+    # not Spark-decodes-vs-DuckDB-closed-form.  The previous closed-form
+    # arithmetic oracle made the bench ratio an apples-to-oranges 4.15x
+    # at 1000x; with symmetric work the comparison measures the decode
+    # path both engines actually run.
     oracle="""
-SELECT doc_id,
-       CAST(64 + (doc_id * 37) % 193 AS INT) AS width,
-       CAST(48 + (doc_id * 53) % 145 AS INT) AS height,
-       CAST(1 + (doc_id % 2) * 2 AS INT) AS channels,
-       (64 + (doc_id * 37) % 193) * (48 + (doc_id * 53) % 145)
-           * (1 + (doc_id % 2) * 2) AS n_pixels,
-       CAST((doc_id * 7) % 256 AS INT) AS first_px,
-       (SELECT AVG((doc_id * 7 + j * 13) % 256)
-        FROM generate_series(0, 7) t(j)) AS px_mean,
-       CAST((SELECT MAX((doc_id * 7 + j * 13) % 256)
-             FROM generate_series(0, 7) t(j)) AS INT) AS px_max
-FROM documents
-WHERE doc_id % 3 = 0
-ORDER BY doc_id
+WITH img AS (
+  SELECT doc_id,
+         64 + (doc_id * 37) % 193 AS w,
+         48 + (doc_id * 53) % 145 AS h,
+         1 + (doc_id % 2) * 2 AS ch
+  FROM documents WHERE doc_id % 3 = 0),
+enc AS (
+  SELECT doc_id,
+         'FIMG'::BLOB
+           || unhex(lpad(hex(w), 8, '0'))
+           || unhex(lpad(hex(h), 8, '0'))
+           || unhex(lpad(hex(ch), 2, '0'))
+           || unhex((SELECT string_agg(
+                        lpad(hex((doc_id * 7 + j * 13) % 256), 2, '0'),
+                        '' ORDER BY j)
+                     FROM generate_series(0, 7) t(j))) AS payload
+  FROM img),
+hx AS (
+  SELECT doc_id, hex(payload) AS hs FROM enc
+  WHERE substr(hex(payload), 1, 8) = hex('FIMG'::BLOB)),
+dec AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hs, 9, 8)) AS BIGINT) AS w64,
+         CAST(('0x' || substr(hs, 17, 8)) AS BIGINT) AS h64,
+         CAST(('0x' || substr(hs, 25, 2)) AS BIGINT) AS c64,
+         hs
+  FROM hx),
+px AS (
+  SELECT doc_id,
+         j,
+         CAST(('0x' || substr(hs, 27 + 2 * j, 2)) AS BIGINT) AS b
+  FROM dec, generate_series(0, 7) t(j)),
+stats AS (
+  SELECT doc_id,
+         MIN(CASE WHEN j = 0 THEN b END) AS first_b,
+         AVG(b) AS mean_b,
+         MAX(b) AS max_b
+  FROM px GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(w64 AS INT) AS width,
+       CAST(h64 AS INT) AS height,
+       CAST(c64 AS INT) AS channels,
+       w64 * h64 * c64 AS n_pixels,
+       CAST(first_b AS INT) AS first_px,
+       mean_b AS px_mean,
+       CAST(max_b AS INT) AS px_max
+FROM dec d JOIN stats s USING (doc_id)
+ORDER BY d.doc_id
 """,
 )
 def mm_image_decode(spark, sf_dir):
     """Binary FIMG payloads decoded via mapInPandas: header fields plus
-    numpy feature extraction over the sample plane (mean/max pixel).
-    Map-only: no shuffle, Arrow batches both directions."""
+    feature extraction over the sample plane (mean/max pixel), decoded
+    batch-vectorized (numpy over the concatenated fixed-width records —
+    operators/multimodal.decode_image_meta).  Map-only: no shuffle,
+    Arrow batches both directions."""
     return decode_image_meta(_media(spark, sf_dir)).orderBy("doc_id")
 
 

@@ -100,11 +100,23 @@ def test_compact_summary_line_fits_driver_tail_capture():
             "duckdb": worst,
             "duckdb_total": 12345.678,
             "ratio_vs_duckdb": 123.456,
+            "ratio_med": 123.456,
             "noise": {"sentinel_before": 123.4567, "sentinel_after": 123.4567},
             "sf": 0.001,
         }
     )
-    assert len(line) < 1800, (
-        f"compact bench summary is {len(line)} chars — within 200 of the "
-        "driver's 2000-char tail capture; trim fields or shorten names"
+    # the interleaved_pair_ratios middle line (VERDICT r12 #6) must fit
+    # the tail capture TOGETHER with the compact line, or the compact
+    # parse survives but the drift annotation is truncated away
+    ratio_line = json.dumps(
+        {
+            "metric": "interleaved_pair_ratios",
+            "ratios": {n: [123.45, 123.45] for n in HEADLINE},
+            "ratio_med_total": 123.456,
+        }
+    )
+    assert len(line) + len(ratio_line) < 1950, (
+        f"compact summary ({len(line)}) + pair-ratio line "
+        f"({len(ratio_line)}) = {len(line) + len(ratio_line)} chars — "
+        "exceeds the driver's ~2000-char tail capture; trim fields"
     )

@@ -146,6 +146,38 @@ def test_reclamation_is_deferred_within_grace(spark, layout_root, monkeypatch):
     assert not os.path.exists(old["location"])
 
 
+def test_scan_planned_pre_trash_completes_within_grace(
+    spark, layout_root, monkeypatch
+):
+    """The in-flight-reader scenario the grace period exists for (VERDICT
+    r12 #7), driven end to end: a DataFrame PLANNED over the old layout
+    location before a redeploy supersedes it (its FileIndex pins the old
+    files) must still EXECUTE correctly inside the grace window — not
+    just 'the files exist', the pre-planned scan itself completes."""
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_RECLAIM_GRACE", "3600")
+    base = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).collect()
+    }
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 2)
+    old = T._layout_registry()[T._layout_key(SF_DIR, "region")]
+    pre = _fresh(spark, SF_DIR, "region")  # plan pins the OLD location
+    # (paths are elided in plan toString; the content-keyed catalog name
+    # identifies the old generation unambiguously)
+    assert (
+        old["catalog_name"]
+        in pre._jdf.queryExecution().executedPlan().toString()
+    )
+    # redeploy supersedes the old generation -> trash-pending
+    T.optimize_layout(spark, SF_DIR, "region", "r_regionkey", 4)
+    assert [t["location"] for t in T._layout_registry()[T._LAYOUT_TRASH_KEY]] == [
+        old["location"]
+    ]
+    # the pre-planned scan drains during grace, rows identical to plain
+    assert {tuple(r) for r in pre.collect()} == base
+    T.drop_layout(spark, SF_DIR, "region")
+
+
 def test_same_spec_redeploy_resurrects_trashed_location(spark, layout_root, monkeypatch):
     """drop_layout then a SAME-SPEC redeploy within the grace window must
     resurrect the trash-pending location (the content-keyed completeness

@@ -41,6 +41,38 @@ from pyspark.sql import DataFrame, SparkSession
 # ~10^3 bound as optimize_layout's decision table)
 _PARTITION_NDV_MAX = 1_000
 
+# Estimated ingest cost per MILLION rows, by axis — derived from the
+# committed probe readings (BASELINE.md), so the benefit/cost rank prices
+# the premium the decision table previously carried only in prose
+# (VERDICT r12 #4):
+#   partition_by: 9.3 s / 100M events (partition_prune_probe)  ~0.1 s/M
+#   order_by, single column: 18.1 s / 100M (zorder_skip_probe) ~0.18 s/M
+#   order_by, Z-order mix:   215 s / 100M (zorder_skip_probe)  ~2.15 s/M
+#   bucket_by: 15.3-38.4 s / 60M lineitem + 6.3-16.3 s / 15M orders
+#              (bucketed_layout_probe)                         ~0.45 s/M
+# Coarse per-row linearizations of one box's readings — good enough to
+# rank (the Z-order premium is a ~10x factor, not a 10% one), not to
+# predict wall-clock on other hardware.
+_INGEST_S_PER_MROW = {
+    "bucket_by": 0.45,
+    "partition_by": 0.10,
+    "order_by": 0.18,
+    "order_by_zorder": 2.15,
+}
+
+# Per-query benefit weight per axis: the measured quiet-window speedup
+# minus 1 (the fraction of a query's wall the layout saves), from the
+# same probes — bucket 1.47-2.04x quiet (4.5-8.7x loaded; the quiet
+# midpoint is used, conservatively), partition 1.35-1.89x, sorted
+# 2.4x on a selective 1-col range filter, Z-order 3.8x on the 2-col
+# mix.  Benefit = count x weight; payback = benefit / est_ingest_s.
+_BENEFIT_WEIGHT = {
+    "bucket_by": 1.0,
+    "partition_by": 0.6,
+    "order_by": 1.4,
+    "order_by_zorder": 2.8,
+}
+
 _COLREF_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 _SCAN_TABLE_RE = re.compile(r"[/\[](?:[0-9a-f]{8,}-)?([A-Za-z_][A-Za-z0-9_]*)\.parquet")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]\n]*)")

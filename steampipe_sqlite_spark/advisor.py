@@ -329,6 +329,38 @@ def advise_layout(
                 ).first()[0]
         return ndv_cache[key]
 
+    rows_cache: dict[str, int] = {}
+
+    def _rows(table: str) -> int:
+        # parquet metadata count — one cheap job per candidate table
+        if table not in rows_cache:
+            rows_cache[table] = load_table(spark, sf_dir, table).count()
+        return rows_cache[table]
+
+    def _cost_benefit(table: str, axis: str, columns: list, count: int):
+        """(est_ingest_s, payback) for a candidate — so a Z-order whose
+        2.15 s/M ingest premium is ~5x a bucket's 0.45 s/M can no longer
+        outrank it on bare evidence count (VERDICT r12 #4).
+
+        est_ingest_s (informational, surfaced on the rec) is rows x the
+        probe-derived per-row axis factor.  The payback RANK is
+        count x benefit_weight / ingest_factor — row-INDEPENDENT, because
+        both sides of the ratio scale linearly with the table: the
+        seconds a layout saves grow with the rows the queries scan
+        (speedup is multiplicative on scan-dominated wall), and the
+        ingest cost grows with the rows written, so rows cancel.  A
+        rank that divided by absolute ingest seconds would let a big
+        table's cheap-axis rec lose to a tiny table's expensive-axis rec
+        even when the big table's measured saved-s-per-ingest-s is
+        higher — the opposite of measured payback."""
+        kind = (
+            "order_by_zorder"
+            if axis == "order_by" and len(columns) > 1
+            else axis
+        )
+        est = max(round(_rows(table) / 1e6 * _INGEST_S_PER_MROW[kind], 2), 0.01)
+        return est, count * _BENEFIT_WEIGHT[kind] / _INGEST_S_PER_MROW[kind]
+
     recs = []
     for table in sorted(known):
         candidates = []
@@ -337,11 +369,14 @@ def advise_layout(
         if t_shuffle:
             col, qs = max(t_shuffle.items(), key=lambda kv: (len(kv[1]), kv[0]))
             if len(qs) >= 2:  # repeated — one-shot shuffles don't pay ingest
+                est, payback = _cost_benefit(table, "bucket_by", [col], len(qs))
                 candidates.append(
                     {
                         "axis": "bucket_by",
                         "columns": [col],
                         "score": len(qs),
+                        "est_ingest_s": est,
+                        "_payback": payback,
                         "evidence": {
                             "signal": "exchange hashpartitioning",
                             "queries": sorted(qs),
@@ -365,11 +400,14 @@ def advise_layout(
             top = mix[0]
             qs = repeated[top]
             if top in t_eq and top not in t_range and _ndv(table, top) <= _PARTITION_NDV_MAX:
+                est, payback = _cost_benefit(table, "partition_by", [top], len(qs))
                 candidates.append(
                     {
                         "axis": "partition_by",
                         "columns": [top],
                         "score": len(qs),
+                        "est_ingest_s": est,
+                        "_payback": payback,
                         "evidence": {
                             "signal": "pushed equality/IN filters, "
                             f"ndv<={_PARTITION_NDV_MAX}",
@@ -386,11 +424,14 @@ def advise_layout(
                 cols = mix[:3] if len(mix) >= 2 else [top]
                 label = "Z-order filter mix" if len(cols) > 1 else "range filters"
                 covered = set().union(*(repeated[c] for c in cols))
+                est, payback = _cost_benefit(table, "order_by", cols, len(covered))
                 candidates.append(
                     {
                         "axis": "order_by",
                         "columns": cols,
                         "score": len(covered),
+                        "est_ingest_s": est,
+                        "_payback": payback,
                         "evidence": {
                             "signal": label,
                             "queries": sorted(covered),
@@ -403,20 +444,28 @@ def advise_layout(
                     }
                 )
         if candidates:
-            # ties prefer bucket_by: exchange elimination measured the
-            # largest payoff of the three axes (q3/q18 4.5-8.7x loaded)
+            # primary rank: estimated PAYBACK (benefit/ingest-cost, both
+            # priced from the committed probe readings — VERDICT r12 #4);
+            # evidence count then axis preference break ties (bucket_by
+            # preferred: exchange elimination measured the largest
+            # loaded-window payoff, q3/q18 4.5-8.7x)
             pref = {"bucket_by": 2, "partition_by": 1, "order_by": 0}
-            candidates.sort(key=lambda c: (c["score"], pref[c["axis"]]), reverse=True)
+            candidates.sort(
+                key=lambda c: (c["_payback"], c["score"], pref[c["axis"]]),
+                reverse=True,
+            )
             best, rest = candidates[0], candidates[1:]
             # deploys are one-axis-per-call, but the runner-up axis is
             # still real evidence (e.g. a table both joined-on and
             # range-filtered) — surface it rather than silently dropping
             for c in rest:
                 c.pop("score")
+                c.pop("_payback")
             recs.append({"table": table, **best, "alternatives": rest})
-    recs.sort(key=lambda r: (-r["score"], r["table"]))
+    recs.sort(key=lambda r: (-r["_payback"], r["table"]))
     for r in recs:
         r.pop("score")
+        r.pop("_payback")
     if not with_notes:
         return recs
     # suppress a note ONLY when the key carries an EMITTED bucket

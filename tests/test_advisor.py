@@ -140,6 +140,61 @@ class TestAdvisor:
         alts = {(a["axis"], tuple(a["columns"])) for a in rec["alternatives"]}
         assert ("bucket_by", ("l_orderkey",)) in alts
 
+    def test_ingest_cost_flips_zorder_count_win_to_bucket(self, spark):
+        """Benefit/cost ranking (VERDICT r12 #4): a 3-query Z-order
+        signal must NOT outrank a 2-query bucket signal on the same
+        table: the Z-order ingest premium is ~5x the bucket's (2.15 vs
+        0.45 s/M, zorder_skip_probe vs bucketed_layout_probe), so the
+        bucket pays back faster despite less evidence (payback rank
+        2 x 1.0/0.45 = 4.4 vs 3 x 2.8/2.15 = 3.9).  Pre-r13 count-first
+        ranking chose order_by here (3 > 2) — this pins the flip.
+
+        Uses a SHORT tempdir, not tmp_path: Spark elides long paths in
+        plan toString (".../test_ingest_cost_.../ev...") and the
+        advisor's scan-attribution regex correctly refuses to guess a
+        clipped table name — under tmp_path every scan goes unattributed
+        and no recommendation is emitted at all."""
+        import shutil
+        import tempfile
+
+        sf = tempfile.mkdtemp(prefix="adv")
+        n = 200_000
+        spark.range(n).selectExpr(
+            "id AS event_id",
+            "id % 5000 AS user_id",
+            "CAST(id % 1000 AS DOUBLE) AS value",
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, id % 86400) AS ts",
+            "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+        ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        ev = load_table(spark, sf, "events")
+        workload = {
+            # 2 queries shuffling on user_id -> bucket evidence
+            "j1": ev.groupBy("user_id").agg(F.sum("value")),
+            "j2": ev.groupBy("user_id").agg(F.count("*")),
+            # 3 queries range-filtering the (value, ts) mix -> Z-order
+            "w1": ev.filter("value > 900 AND ts >= timestamp'2024-01-01 12:00:00'")
+            .groupBy().count(),
+            "w2": ev.filter("value < 50 AND ts < timestamp'2024-01-01 06:00:00'")
+            .agg(F.count("*")),
+            "w3": ev.filter("value > 990 AND ts >= timestamp'2024-01-01 20:00:00'")
+            .agg(F.sum("value")),
+        }
+        rec = _rec_for(advise_layout(spark, sf, workload), "events")
+        assert rec is not None
+        assert rec["axis"] == "bucket_by", (
+            f"payback rank must pick the cheap bucket over the 3-query "
+            f"Z-order, got {rec['axis']} {rec['columns']}"
+        )
+        assert rec["columns"] == ["user_id"]
+        assert rec["evidence"]["count"] == 2
+        # the flip is real: the displaced Z-order carried MORE queries
+        alt = next(a for a in rec["alternatives"] if a["axis"] == "order_by")
+        assert alt["evidence"]["count"] == 3
+        assert len(alt["columns"]) > 1  # the priced premium is the mix
+        # and both candidates carry their priced ingest estimate
+        assert alt["est_ingest_s"] > rec["est_ingest_s"] > 0
+        shutil.rmtree(sf, ignore_errors=True)
+
     def test_single_query_signal_is_not_enough(self, spark):
         """One-shot workloads never pay the ingest rewrite: a signal seen
         in a single query yields no recommendation."""

@@ -1,0 +1,159 @@
+"""Advisor payback probe: does the EMITTED recommendation order match
+MEASURED payback?  (VERDICT r12 #4, second half.)
+
+advise_layout now ranks by estimated benefit/cost (count x per-axis
+benefit weight / per-axis ingest factor, both priced from committed
+probe readings).  This probe closes the loop at 100x: a mixed workload
+whose plans argue for a lineitem BUCKET (q3+q18 order-key exchanges)
+AND an events Z-ORDER (3 range-filter queries on the value/ts mix),
+then for every emitted recommendation:
+
+  measured_payback = (sum over its evidence queries of
+                      flat_best - advised_best) / measured_ingest_s
+
+i.e. seconds saved per workload pass per second of ingest paid.  PASS =
+the advisor's emitted order equals the descending measured_payback
+order — a one-query-count rank would put the 3-query Z-order first;
+measured payback (and the new rank) puts the bucket first, because the
+Z-order premium buys less saved time per ingest second.
+
+Usage: python tools/advisor_payback_probe.py [reps]   (default 100)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.floorbound_scale_probe import build
+
+
+def _best_of(fn, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+
+    from steampipe_sqlite_spark.session import get_spark, stop_spark
+
+    spark = get_spark("paybackprobe")
+    sf_dir = build(spark, reps, {"lineitem", "orders", "customer", "events"})
+    os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
+    stop_spark()
+    spark = get_spark("paybackprobe")
+
+    import steampipe_sqlite_spark.tables as T
+    from steampipe_sqlite_spark.advisor import advise_layout
+    from steampipe_sqlite_spark.plans.registry import collect
+    from steampipe_sqlite_spark.tables import load_table
+
+    queries, _ = collect()
+
+    def q(name):
+        return getattr(queries[name], "__wrapped__", queries[name])
+
+    # events range-filter trio over the (value, ts) mix — the Z-order
+    # evidence; tiny absolute wall next to q3/q18, which is the point
+    def ev(spark, sf_dir):
+        return load_table(spark, sf_dir, "events")
+
+    def w1(spark, sf_dir):
+        return (
+            ev(spark, sf_dir)
+            .filter("value > 90 AND ts >= timestamp'2024-01-04'")
+            .groupBy("event_type").count()
+        )
+
+    def w2(spark, sf_dir):
+        return (
+            ev(spark, sf_dir)
+            .filter("value < 5 AND ts < timestamp'2024-01-02'")
+            .agg({"value": "sum"})
+        )
+
+    def w3(spark, sf_dir):
+        return (
+            ev(spark, sf_dir)
+            .filter("value > 95 AND ts >= timestamp'2024-01-06'")
+            .agg({"*": "count"})
+        )
+
+    workload_fns = {
+        "tpch_q3": q("tpch_q3"), "tpch_q18": q("tpch_q18"),
+        "w1": w1, "w2": w2, "w3": w3,
+    }
+
+    # flat pass: warm + measure (these plans are also the advisor input)
+    flat = {}
+    built = {}
+    for name, fn in workload_fns.items():
+        df = fn(spark, sf_dir)
+        df.toPandas()  # warm
+        built[name] = df
+        flat[name] = round(_best_of(lambda f=fn: f(spark, sf_dir).toPandas()), 3)
+
+    recs = advise_layout(spark, sf_dir, built)
+    emitted = [
+        {"table": r["table"], "axis": r["axis"], "columns": r["columns"],
+         "count": r["evidence"]["count"], "est_ingest_s": r["est_ingest_s"]}
+        for r in recs
+    ]
+
+    measured = []
+    for r in recs:
+        kwargs = {}
+        if r["axis"] == "bucket_by":
+            kwargs = {"bucket_by": r["columns"][0], "buckets": 64,
+                      "sort_by": r["columns"][0]}
+        elif r["axis"] == "partition_by":
+            kwargs = {"partition_by": r["columns"][0]}
+        else:
+            kwargs = {"order_by": r["columns"]}
+        t0 = time.perf_counter()
+        T.optimize_layout(spark, sf_dir, r["table"], **kwargs)
+        ingest_s = time.perf_counter() - t0
+        saved = 0.0
+        per_q = {}
+        for name in r["evidence"]["queries"]:
+            fn = workload_fns[name]
+            fn(spark, sf_dir).toPandas()  # warm over the layout
+            adv = _best_of(lambda f=fn: f(spark, sf_dir).toPandas())
+            per_q[name] = {"flat_s": flat[name], "advised_s": round(adv, 3)}
+            saved += flat[name] - adv
+        measured.append({
+            "table": r["table"], "axis": r["axis"],
+            "ingest_s": round(ingest_s, 2),
+            "saved_s_per_pass": round(saved, 3),
+            "measured_payback": round(saved / ingest_s, 4),
+            "queries": per_q,
+        })
+        T.drop_layout(spark, sf_dir, r["table"])
+
+    emitted_order = [m["table"] + ":" + m["axis"] for m in measured]
+    measured_order = [
+        m["table"] + ":" + m["axis"]
+        for m in sorted(measured, key=lambda m: -m["measured_payback"])
+    ]
+    print(json.dumps({
+        "reps": reps,
+        "emitted": emitted,
+        "measured": measured,
+        "emitted_order": emitted_order,
+        "measured_payback_order": measured_order,
+        "order_matches": emitted_order == measured_order,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Paged-HTTP connector e2e (VERDICT r12 #5): the cloud-API access
+pattern — opaque page tokens, per-page throttle, injectable 429s —
+driven through ratelimit + retry + cache under real executor
+parallelism, with exact call accounting from the connector's
+atomic-append call log.
+
+The reference's cursor streams from the plugin SDK's paged Execute
+(/root/reference/cursor.go:39-59); these tests prove the bridge speaks
+that protocol shape: total connector calls == pages x partitions, the
+retry replay arithmetic is exact, the throttle bounds per-process
+request rate, and a partition_id qual prunes whole token chains at the
+API level."""
+
+import json
+import os
+
+import pytest
+
+from steampipe_sqlite_spark.engine import Engine
+from steampipe_sqlite_spark.sources.pagedhttp import (
+    PagedHttpConnector,
+    _parse_token,
+    _token,
+)
+
+PAGED = "steampipe_sqlite_spark.sources.pagedhttp:PagedHttpConnector"
+
+
+def _log(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def _reader(conn, quals=(), options=None):
+    from steampipe_sqlite_spark.sources import datasource as ds
+
+    ds._SCAN_CACHE.clear()
+    table = conn.get_schema().table("items")
+    r = ds.ConnectorReader(conn, table, options or {})
+    r.quals = list(quals)
+    return r
+
+
+class TestTokenChain:
+    def test_token_roundtrip_and_tamper_detection(self):
+        assert _parse_token(_token(3, 7)) == (3, 7)
+        with pytest.raises(ValueError, match="invalid page token"):
+            _parse_token("3:8:deadbeef")  # fabricated continuation
+
+    def test_spark_scan_calls_equal_pages_times_partitions(self, spark, tmp_path):
+        """The headline contract: a full parallel scan walks every
+        partition's token chain exactly once — total fetches ==
+        pages x partitions, each page fetched on attempt 1, pages
+        sequential per chain (a token chain cannot be skipped into)."""
+        log = str(tmp_path / "calls.jsonl")
+        eng = Engine(spark)
+        eng.load(PAGED)
+        eng.configure(
+            "paged",
+            json.dumps(
+                {
+                    "n_partitions": 4,
+                    "n_pages": 5,
+                    "page_size": 20,
+                    "call_log": log,
+                }
+            ),
+        )
+        row = eng.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT item_id) AS d, "
+            "COUNT(DISTINCT partition_id) AS p FROM paged_items"
+        ).first()
+        assert (row.n, row.d, row.p) == (4 * 5 * 20, 4 * 5 * 20, 4)
+        calls = _log(log)
+        assert len(calls) == 4 * 5, "total connector calls != pages x partitions"
+        assert all(c["attempt"] == 1 for c in calls)
+        for part in range(4):
+            chain = [c["page"] for c in calls if c["partition"] == part]
+            assert chain == [0, 1, 2, 3, 4], f"partition {part} chain {chain}"
+
+    def test_429_retry_replay_arithmetic_is_exact(self, spark, tmp_path):
+        """First fetch of (partition 1, page 2) raises 429; the
+        whole-scan retry (SDK RetryHydrate shape) replays that chain
+        from page 0.  Exact accounting: partition 1 logs pages [0,1,2]
+        then [0,1,2,3,4] = 8 fetches; the other three chains log 5
+        each; rows are complete and unduplicated."""
+        log = str(tmp_path / "calls.jsonl")
+        eng = Engine(spark)
+        eng.load(PAGED)
+        eng.configure(
+            "paged",
+            json.dumps(
+                {
+                    "n_partitions": 4,
+                    "n_pages": 5,
+                    "page_size": 10,
+                    "call_log": log,
+                    "fail_page_fetches": [[1, 2]],
+                    "retry_attempts": 2,
+                    "retry_min_backoff_ms": 1,
+                }
+            ),
+        )
+        row = eng.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT item_id) AS d FROM paged_items"
+        ).first()
+        assert (row.n, row.d) == (200, 200)  # complete, no duplicates
+        calls = _log(log)
+        assert len(calls) == 3 * 5 + 8
+        p1 = [c["page"] for c in calls if c["partition"] == 1]
+        assert sorted(p1) == [0, 0, 1, 1, 2, 2, 3, 4]
+        failed = [c for c in calls if c["partition"] == 1 and c["page"] == 2]
+        assert [c["attempt"] for c in failed] == [1, 2]  # 429 then success
+
+    def test_partition_qual_prunes_whole_token_chains(self, spark, tmp_path):
+        """WHERE partition_id = 2 must reach partitions() and prune the
+        other chains BEFORE any fetch — the API-level analog of region
+        pruning: 5 calls, all partition 2."""
+        log = str(tmp_path / "calls.jsonl")
+        eng = Engine(spark)
+        eng.load(PAGED)
+        eng.configure(
+            "paged",
+            json.dumps(
+                {
+                    "n_partitions": 4,
+                    "n_pages": 5,
+                    "page_size": 10,
+                    "call_log": log,
+                }
+            ),
+        )
+        rows = eng.sql(
+            "SELECT COUNT(*) AS n FROM paged_items WHERE partition_id = 2"
+        ).first()
+        assert rows.n == 50
+        calls = _log(log)
+        assert len(calls) == 5
+        assert {c["partition"] for c in calls} == {2}
+
+
+class TestThrottleAndCache:
+    def test_throttle_bounds_per_process_page_rate(self):
+        """rate_limit_rps spaces the page fetches: 6 pages at 50 rps
+        with burst 1 must take >= 5/50 s of bucket waiting.  Driven at
+        the reader level (one process) because the token-bucket budget
+        is per-process by design — at cluster scale each executor gets
+        its own slice, as the SDK's per-process limiter does."""
+        import time as _t
+
+        conn = PagedHttpConnector(
+            json.dumps(
+                {
+                    "n_partitions": 1,
+                    "n_pages": 6,
+                    "page_size": 5,
+                    "rate_limit_rps": 50,
+                    "rate_limit_burst": 1,
+                }
+            )
+        )
+        r = _reader(conn)
+        t0 = _t.perf_counter()
+        rows = [x for b in r.read(r.partitions()[0]) for x in b.to_pylist()]
+        elapsed = _t.perf_counter() - t0
+        assert len(rows) == 30
+        # 6 page debits + 1 scan debit, burst 1 -> >= 6 waits of 20 ms
+        assert elapsed >= 0.8 * 6 / 50, f"throttle not honored: {elapsed:.3f}s"
+
+    def test_scan_cache_absorbs_identical_rescan(self, tmp_path):
+        """Second identical scan in the same process must be served from
+        the result cache: zero new page fetches in the call log."""
+        log = str(tmp_path / "calls.jsonl")
+        conn = PagedHttpConnector(
+            json.dumps(
+                {
+                    "n_partitions": 1,
+                    "n_pages": 4,
+                    "page_size": 5,
+                    "call_log": log,
+                }
+            )
+        )
+        r = _reader(conn)
+        first = [x for b in r.read(r.partitions()[0]) for x in b.to_pylist()]
+        assert len(_log(log)) == 4
+        again = [x for b in r.read(r.partitions()[0]) for x in b.to_pylist()]
+        assert again == first
+        assert len(_log(log)) == 4, "cached rescan refetched pages"
+
+    def test_latency_is_paid_per_page(self):
+        """page_latency_ms models the network RTT: 5 pages at 40 ms must
+        take >= 0.16 s (scheduling slack aside) — the knob future probes
+        use to emulate slow APIs."""
+        import time as _t
+
+        conn = PagedHttpConnector(
+            json.dumps(
+                {"n_partitions": 1, "n_pages": 5, "page_size": 2,
+                 "page_latency_ms": 40}
+            )
+        )
+        r = _reader(conn)
+        t0 = _t.perf_counter()
+        list(r.read(r.partitions()[0]))
+        assert _t.perf_counter() - t0 >= 0.8 * 5 * 0.040

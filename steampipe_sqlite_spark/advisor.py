@@ -75,6 +75,7 @@ _BENEFIT_WEIGHT = {
 
 _COLREF_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 _SCAN_TABLE_RE = re.compile(r"[/\[](?:[0-9a-f]{8,}-)?([A-Za-z_][A-Za-z0-9_]*)\.parquet")
+_READSCHEMA_RE = re.compile(r"ReadSchema: struct<([^>\n]*)(>?)")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]\n]*)")
 _DATAFILTERS_RE = re.compile(r"DataFilters: \[([^\]\n]*)")
 _PRED_RE = re.compile(
@@ -104,15 +105,37 @@ def _scan_facts(plan: str, known_cols: dict[str, set[str]]) -> dict[str, dict]:
     lists, and the two fields truncate at different points, so the union
     recovers what either alone would drop.  Every extracted name is
     validated against the table's actual columns — a name clipped
-    mid-token ("l_shipda") must not become evidence."""
+    mid-token ("l_shipda") must not become evidence.
+
+    Attribution is two-step: the "<table>.parquet" path segment when the
+    plan shows it, else the scan's ReadSchema column set matched to a
+    UNIQUE owner among the known tables.  The fallback exists because
+    plan toString ELIDES long location paths (".../deep/dir/ev...") —
+    without it, a deep sf_dir silently dropped every scan fact and the
+    advisor emitted nothing (found via pytest's tmp_path in r13).
+    Ambiguous column sets are skipped, never guessed."""
     facts: dict[str, dict] = {}
     for line in plan.splitlines():
         if "Scan parquet" not in line and "FileScan parquet" not in line:
             continue
         m = _SCAN_TABLE_RE.search(line)
-        if not m or m.group(1) not in known_cols:
-            continue
-        table = m.group(1)
+        if m and m.group(1) in known_cols:
+            table = m.group(1)
+        else:
+            rs = _READSCHEMA_RE.search(line)
+            if not rs:
+                continue
+            parts = [p for p in rs.group(1).split(",") if ":" in p]
+            if not rs.group(2) and parts:
+                parts = parts[:-1]  # struct clipped mid-entry: drop it
+            scan_cols = {p.split(":", 1)[0].strip() for p in parts}
+            owners = [
+                t for t, cs in known_cols.items()
+                if scan_cols and scan_cols <= cs
+            ]
+            if len(owners) != 1:
+                continue
+            table = owners[0]
         cols = known_cols[table]
         entry = facts.setdefault(table, {"eq": set(), "range": set()})
         pf = _PUSHED_RE.search(line)
@@ -300,6 +323,18 @@ def advise_layout(
             for col in entry["range"]:
                 range_q[(table, col)].add(qname)
         scanned = set(scans)
+        try:
+            # path-elision fallback for shuffle/broadcast attribution:
+            # inputFiles() returns FULL paths even when the plan string
+            # elides them (same r13 deep-sf_dir failure as _scan_facts)
+            scanned |= {
+                t
+                for f in df.inputFiles()
+                for t in known
+                if f"/{t}.parquet" in f or f.endswith(f"/{t}.parquet")
+            }
+        except Exception:  # noqa: BLE001 — non-file relations have no files
+            pass
         for cols in _shuffle_keys(plan):
             for col in cols:
                 # attribute the shuffle key to scanned tables owning the

@@ -5,6 +5,8 @@ the same physical-plan facts the plan proofs pin — Exchange
 hashpartitioning keys (bucket signal) and PushedFilters (partition /
 sort / Z-order signals)."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from steampipe_sqlite_spark.advisor import advise_layout
@@ -149,11 +151,9 @@ class TestAdvisor:
         2 x 1.0/0.45 = 4.4 vs 3 x 2.8/2.15 = 3.9).  Pre-r13 count-first
         ranking chose order_by here (3 > 2) — this pins the flip.
 
-        Uses a SHORT tempdir, not tmp_path: Spark elides long paths in
-        plan toString (".../test_ingest_cost_.../ev...") and the
-        advisor's scan-attribution regex correctly refuses to guess a
-        clipped table name — under tmp_path every scan goes unattributed
-        and no recommendation is emitted at all."""
+        Uses a SHORT tempdir (long paths elide in plan toString; the
+        ReadSchema/inputFiles fallback covers them, pinned separately by
+        test_long_sf_dir_path_still_attributes_scans)."""
         import shutil
         import tempfile
 
@@ -194,6 +194,40 @@ class TestAdvisor:
         # and both candidates carry their priced ingest estimate
         assert alt["est_ingest_s"] > rec["est_ingest_s"] > 0
         shutil.rmtree(sf, ignore_errors=True)
+
+    def test_long_sf_dir_path_still_attributes_scans(self, spark, tmp_path):
+        """Plan toString ELIDES long locations (".../deep/dirs/ev...") —
+        before r13 every scan under a deep sf_dir went unattributed and
+        the advisor emitted nothing.  The ReadSchema unique-owner
+        fallback (filter facts) and the inputFiles fallback (shuffle
+        attribution) must both recover; pytest's tmp_path is exactly the
+        failing shape."""
+        sf = str(tmp_path / "an" / "extra" / "deep" / "dir")
+        os.makedirs(sf, exist_ok=True)
+        spark.range(10_000).selectExpr(
+            "id AS event_id",
+            "id % 50 AS user_id",
+            "CAST(id % 100 AS DOUBLE) AS value",
+            "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0, id) AS ts",
+            "'click' AS event_type",
+        ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        ev = load_table(spark, sf, "events")
+        workload = {
+            "j1": ev.groupBy("user_id").agg(F.sum("value")),
+            "j2": ev.groupBy("user_id").agg(F.count("*")),
+            "r1": ev.filter("value > 90").groupBy().count(),
+            "r2": ev.filter("value < 5").agg(F.count("*")),
+        }
+        # the plan really does elide this path (precondition of the test)
+        from steampipe_sqlite_spark.advisor import _plan_string
+
+        assert "events.parquet" not in _plan_string(workload["j1"])
+        recs = advise_layout(spark, sf, workload)
+        rec = _rec_for(recs, "events")
+        assert rec is not None, "deep-path scans went unattributed"
+        axes = {rec["axis"]} | {a["axis"] for a in rec["alternatives"]}
+        assert "bucket_by" in axes  # inputFiles fallback (shuffle keys)
+        assert "order_by" in axes  # ReadSchema fallback (filter facts)
 
     def test_single_query_signal_is_not_enough(self, spark):
         """One-shot workloads never pay the ingest rewrite: a signal seen

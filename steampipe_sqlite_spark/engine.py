@@ -32,6 +32,16 @@ from steampipe_sqlite_spark.sources.datasource import (
 class Engine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        # Self-sufficiency on DEFAULT-config sessions (the external
+        # driver's environment): the bridge reader implements
+        # pushFilters, and Spark REFUSES to plan a pushdown-implementing
+        # Python data source while spark.sql.python.filterPushdown.enabled
+        # is false (DATA_SOURCE_PUSHDOWN_DISABLED) rather than silently
+        # skipping pushdown.  It is a runtime SQL conf, so enable it
+        # here instead of relying on session.get_spark having built the
+        # session (caught by the r13 bridge corpus entries' vanilla
+        # selfcheck).
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(ConnectorDataSource)
         # alias -> (class_path, config, schema, view names)
         self._connections: dict[str, dict] = {}

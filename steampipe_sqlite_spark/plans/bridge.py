@@ -1,0 +1,111 @@
+"""Bridge-family corpus queries: the connector scan path, driver-checked.
+
+Every other corpus family reads parquet natively — by design (TESTDATA
+is parquet), but it left the engine's REASON-to-exist surface, the
+steampipe-style connector bridge (SURVEY §2.1), exercised only by
+pytest.  These entries give the bridge its own oracle-paired driver
+rows: the scan goes Spark SQL -> Python DataSource -> Connector.execute
+-> opaque page-token chains (sources/pagedhttp.py, the paginated
+cloud-API shape of /root/reference/cursor.go:39-59), and the DuckDB
+oracle reproduces the connector's deterministic row function
+arithmetically with generate_series — a hash match proves the entire
+bridge (schema mapping, partition planning, qual pushdown, token
+walking, Arrow batch assembly) end to end.
+
+``sf_dir`` is ignored: the connector synthesizes its rows, which is the
+point — the bridge serves tables that are NOT files.  Aggregates stick
+to integer columns (COUNT/MIN/MAX/SUM over seq/page) so the comparison
+is exact; the double-typed ``value`` column is covered by pytest.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.engine import Engine
+from steampipe_sqlite_spark.plans.registry import presentation_sort, query
+
+PAGED = "steampipe_sqlite_spark.sources.pagedhttp:PagedHttpConnector"
+
+# fixed fixture geometry: 4 token chains x 5 pages x 25 rows = 500 rows
+_CFG = json.dumps({"n_partitions": 4, "n_pages": 5, "page_size": 25})
+_P, _PG, _I = 4, 5, 25
+
+_GEN = f"""
+WITH g AS (
+  SELECT p.p AS partition_id, pg.pg AS page, i.i AS i,
+         (p.p * {_PG} + pg.pg) * {_I} + i.i AS seq,
+         'item-' || p.p || '-' || pg.pg || '-' || i.i AS item_id
+  FROM generate_series(0, {_P - 1}) p(p),
+       generate_series(0, {_PG - 1}) pg(pg),
+       generate_series(0, {_I - 1}) i(i))
+"""
+
+
+def _items(spark):
+    eng = Engine(spark)
+    eng.load(PAGED, config=_CFG)
+    return eng.table("paged", "items")
+
+
+def _per_partition(df):
+    return presentation_sort(
+        df.groupBy("partition_id").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("item_id").alias("n_ids"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+            F.sum("seq").alias("sum_seq"),
+            F.sum("page").alias("sum_page"),
+        ),
+        ["partition_id"],
+    )
+
+
+@query(
+    "bridge_paged_scan",
+    oracle=_GEN
+    + """
+SELECT partition_id,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT item_id) AS n_ids,
+       MIN(seq) AS min_seq,
+       MAX(seq) AS max_seq,
+       CAST(SUM(seq) AS BIGINT) AS sum_seq,
+       CAST(SUM(page) AS BIGINT) AS sum_page
+FROM g GROUP BY partition_id ORDER BY partition_id
+""",
+)
+def bridge_paged_scan(spark, sf_dir):
+    """Full parallel bridge scan: all 4 token chains walked page by page
+    under executor parallelism, aggregated per chain.  At cloud scale
+    each chain is a shard/region endpoint; the plan's work unit is one
+    chain, so parallelism == shards regardless of corpus size."""
+    return _per_partition(_items(spark))
+
+
+@query(
+    "bridge_paged_pruned",
+    oracle=_GEN
+    + """
+SELECT partition_id,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT item_id) AS n_ids,
+       MIN(seq) AS min_seq,
+       MAX(seq) AS max_seq,
+       CAST(SUM(seq) AS BIGINT) AS sum_seq,
+       CAST(SUM(page) AS BIGINT) AS sum_page
+FROM g WHERE partition_id IN (1, 2)
+GROUP BY partition_id ORDER BY partition_id
+""",
+)
+def bridge_paged_pruned(spark, sf_dir):
+    """Qual-pruned bridge scan: the IN (1, 2) predicate reaches
+    Connector.partitions() through pushFilters and the other chains are
+    never fetched (API-level partition pruning — proven call-exact by
+    test_pagedhttp_connector; this entry proves the VALUES through the
+    pruned path)."""
+    df = _items(spark).filter(F.col("partition_id").isin(1, 2))
+    return _per_partition(df)

@@ -336,6 +336,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         streaming_batch,
         compat,
         functions_corpus,
+        bridge,
     )
 
     # Duplicate-semantics witnesses register at the very back of the order.
@@ -454,10 +455,15 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # persisted-index witnesses lead + 38 r6 names + 10 oldest r7 names —
 # all green in CORRECTNESS_r12.json).
 # ROUND-14 ROTATION PLAN (execute after CORRECTNESS_r13 lands green):
-# continue strict least-recently-checked over artifacts r1..r13.
-# Candidate window — names ranked 51-100 in the r1..r12 order (the 10
-# remaining r8-era names, then r8-window names incl. the TPC-H block,
-# then the 10 oldest r9-era names), artifact order within each round:
+# LEAD with the 2 round-13 additions that have never had a driver row
+# (bridge_paged_scan, bridge_paged_pruned — the bridge family's first
+# corpus rows, selfcheck-green at sf0.01 oracle AND sf0.01/sf0.1 vanilla
+# on creation; r11/r12 never-checked-lead precedent), then continue
+# strict least-recently-checked over artifacts r1..r13.
+# Candidate continuation — names ranked 51-100 in the r1..r12 order (the
+# 10 remaining r8-era names, then r8-window names incl. the TPC-H block,
+# then the 10 oldest r9-era names), artifact order within each round,
+# truncated to the remaining 48 slots:
 # eval_calibration_bins, mining_hard_negatives, eval_confusion_matrix,
 # privacy_l_diversity, text_zipf_band_counts, graph_label_prop_step,
 # emb_power_iteration_step, ts_mann_kendall_daily,

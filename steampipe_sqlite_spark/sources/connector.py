@@ -334,11 +334,24 @@ class Connector(ABC):
 
     # -- rate limiting (SURVEY §7.5.5; SDK limiter analog) -----------------
     def throttle(self, n: float = 1.0) -> float:
-        """Debit ``n`` API calls from this connection's per-process budget,
-        blocking until allowed.  No-op unless the connection config sets
+        """Debit ``n`` API calls from this connection's budget, blocking
+        until allowed.  No-op unless the connection config sets
         ``rate_limit_rps``.  Call once per upstream API request — paging
         connectors should call per page, not per scan.  Returns seconds
-        waited (0.0 when unthrottled)."""
+        waited (0.0 when unthrottled).
+
+        Scope (config ``rate_limit_scope``):
+
+        - ``"process"`` (default): one token bucket per process at the
+          full rps — the SDK's per-process limiter shape.  On a cluster
+          the effective rate multiplies by worker count.
+        - ``"global"``: the scan planner divides the budget by the
+          planned partition count (datasource.ConnectorReader.partitions
+          stamps ``rate_share`` on each partition); each partition
+          throttles against its OWN bucket at rps x share, so the
+          cluster-wide total stays at rps no matter where tasks land —
+          the shape a 1000-executor deployment needs against a real
+          cloud API quota."""
         from steampipe_sqlite_spark.sources.config import parse_config
         from steampipe_sqlite_spark.sources.ratelimit import bucket_for
 
@@ -349,8 +362,19 @@ class Connector(ABC):
         rps = cfg.get("rate_limit_rps")
         if not rps:
             return 0.0
+        rps = float(rps)
+        burst = cfg.get("rate_limit_burst")
         key = (type(self).__module__, type(self).__qualname__, self.config)
-        return bucket_for(key, float(rps), cfg.get("rate_limit_burst")).acquire(n)
+        if str(cfg.get("rate_limit_scope", "process")).lower() == "global":
+            part = getattr(self, "_current_partition", None)
+            share = (part.info.get("rate_share") if part is not None else None) or 1.0
+            rps *= share
+            if burst:
+                burst = max(1.0, float(burst) * share)
+            # per-partition bucket: co-located partitions must not pool
+            # into one under-budget bucket (their shares are additive)
+            key = key + ("global", part.index if part is not None else -1)
+        return bucket_for(key, rps, burst).acquire(n)
 
     # -- discovery (reference configure_fn.go:152-163)
     @abstractmethod

@@ -249,10 +249,37 @@ class ConnectorReader(DataSourceReader):
         # error surfaces at execute time (/root/reference/table.go:156-164)
         check_required_quals(self.table, self.quals, self._constrained)
         parts = self.connector.partitions(self.table.name, self.quals)
+        # rate_limit_scope=global: the per-process token bucket multiplies
+        # by worker count on a real cluster (1000 executors x rps calls/s
+        # would hammer the upstream API 1000x over budget), so the planned
+        # partition count — known HERE, at plan time — divides the budget:
+        # each partition's scan gets an rps/n share enforced by its own
+        # bucket (Connector.throttle), keeping the cluster-wide total at
+        # rps regardless of task placement.  Static fair-share, the same
+        # discipline a Spark job uses absent a coordination service.
+        try:
+            from steampipe_sqlite_spark.sources.config import parse_config
+
+            cfg = parse_config(self.connector.config)
+        except Exception:  # noqa: BLE001 — unconfigured connectors
+            cfg = {}
+        if (
+            parts
+            and cfg.get("rate_limit_rps")
+            and str(cfg.get("rate_limit_scope", "process")).lower() == "global"
+        ):
+            share = 1.0 / len(parts)
+            for p in parts:
+                p.info.setdefault("rate_share", share)
         return [ConnectorPartition(p.index, p.info) for p in parts]
 
     def read(self, partition: ConnectorPartition):
         part = Partition(partition.index, partition.info)
+        # partition context for global-scope throttling: the connector's
+        # own per-page throttle() calls have no partition argument, so
+        # the current partition rides on the instance (one reader scan
+        # per partition — no concurrency on this attribute within a task)
+        self.connector._current_partition = part
         quals_key = tuple((q.column, q.op, q.value) for q in self.quals)
         cols_key = tuple(self.columns) if self.columns is not None else None
         conn_cls = type(self.connector)

@@ -167,6 +167,41 @@ class TestThrottleAndCache:
         # 6 page debits + 1 scan debit, burst 1 -> >= 6 waits of 20 ms
         assert elapsed >= 0.8 * 6 / 50, f"throttle not honored: {elapsed:.3f}s"
 
+    def test_global_scope_divides_budget_across_partitions(self):
+        """rate_limit_scope=global: the planner stamps rate_share=1/n on
+        each partition and throttle() enforces rps x share per-partition
+        — so the CLUSTER-wide total stays at rps even when every worker
+        process has its own bucket.  With 2 partitions at 40 rps, one
+        partition's 6-page chain runs at 20 rps: >= 5/20 s (the same
+        chain under process scope needs only >= 5/40 s)."""
+        import time as _t
+
+        cfg = {
+            "n_partitions": 2,
+            "n_pages": 6,
+            "page_size": 5,
+            "rate_limit_rps": 40,
+            "rate_limit_burst": 1,
+            "rate_limit_scope": "global",
+        }
+        conn = PagedHttpConnector(json.dumps(cfg))
+        r = _reader(conn)
+        parts = r.partitions()
+        assert [p.info["rate_share"] for p in parts] == [0.5, 0.5]
+        t0 = _t.perf_counter()
+        rows = [x for b in r.read(parts[0]) for x in b.to_pylist()]
+        elapsed = _t.perf_counter() - t0
+        assert len(rows) == 30
+        assert elapsed >= 0.8 * 6 / 20, (
+            f"global scope must halve the 2-partition rate: {elapsed:.3f}s"
+        )
+        # partitions draw from SEPARATE buckets (shares are additive):
+        # the other chain is not starved by the first one's debits
+        t0 = _t.perf_counter()
+        [x for b in r.read(parts[1]) for x in b.to_pylist()]
+        second = _t.perf_counter() - t0
+        assert second <= 2.5 * elapsed  # same budget, not a shared-deficit stall
+
     def test_scan_cache_absorbs_identical_rescan(self, tmp_path):
         """Second identical scan in the same process must be served from
         the result cache: zero new page fetches in the call log."""

@@ -401,7 +401,6 @@ def ewma_by_key(
             f"key_cols/order_cols/value_col must be disjoint, got {roles}"
         )
 
-    beta = 1.0 - alpha
     out_cols = [*key_cols, *order_cols, value_col, "ewma"]
     fields = df.select(*key_cols, *order_cols, value_col).schema.fields
     schema_str = ", ".join(
@@ -410,13 +409,17 @@ def ewma_by_key(
 
     def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        prev = None
-        ys = []
-        for x in pdf[value_col]:
-            prev = float(x) if prev is None else alpha * float(x) + beta * prev
-            ys.append(prev)
+        # pandas ewm(adjust=False) runs the identical left fold in C:
+        # y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1}.  beta is
+        # defined as exactly 1.0 - alpha and IEEE a*x + b*y is
+        # order-insensitive for the commuted addition, so this is
+        # bit-identical to the per-row Python loop it replaced (r13;
+        # hash-parity re-proven against the recursive-CTE oracle) while
+        # vectorizing the per-group pass.
         pdf = pdf[[*key_cols, *order_cols, value_col]].copy()
-        pdf["ewma"] = ys
+        pdf["ewma"] = (
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
+        )
         return pdf
 
     return (

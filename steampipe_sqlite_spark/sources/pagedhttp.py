@@ -206,28 +206,34 @@ class PagedHttpConnector(Connector):
         limit: int | None,
         partition: Partition | None = None,
     ) -> Iterator[pa.RecordBatch]:
-        shard = partition.info.get("shard", partition.index) if partition else 0
+        if partition is not None:
+            shards = [partition.info.get("shard", partition.index)]
+        else:
+            # partitionless call (e.g. the streaming face polls one
+            # cursor over the whole API): tail every chain sequentially
+            shards = [p.info["shard"] for p in self.partitions(table, quals)]
         schema = self.get_schema().table(table).arrow_schema(columns)
 
         def rows() -> Iterator[dict]:
-            token: str | None = None
             served = 0
-            while True:
-                page_rows, token = self._fetch_page(shard, token)
-                for r in page_rows:
-                    # advisory server-side filtering (over-return allowed;
-                    # the engine re-filters) — mirrors an API honoring
-                    # only the quals it understands
-                    ok = all(
-                        q.matches(r.get(q.column)) for q in quals
-                        if q.column in r
-                    )
-                    if ok:
-                        yield {k: r[k] for k in schema.names}
-                        served += 1
-                        if limit is not None and served >= limit:
-                            return
-                if token is None:
-                    return
+            for shard in shards:
+                token: str | None = None
+                while True:
+                    page_rows, token = self._fetch_page(shard, token)
+                    for r in page_rows:
+                        # advisory server-side filtering (over-return
+                        # allowed; the engine re-filters) — mirrors an API
+                        # honoring only the quals it understands
+                        ok = all(
+                            q.matches(r.get(q.column)) for q in quals
+                            if q.column in r
+                        )
+                        if ok:
+                            yield {k: r[k] for k in schema.names}
+                            served += 1
+                            if limit is not None and served >= limit:
+                                return
+                    if token is None:
+                        break
 
         yield from rows_to_batches(schema, rows())

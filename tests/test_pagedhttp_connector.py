@@ -223,6 +223,35 @@ class TestThrottleAndCache:
         assert again == first
         assert len(_log(log)) == 4, "cached rescan refetched pages"
 
+    def test_paged_table_tails_as_a_stream(self, spark):
+        """The streaming face of the bridge composes with the paged
+        protocol unchanged: tailing paged_items by seq ranges walks the
+        token chains per micro-batch (quals applied advisorily, the
+        engine's offset window restores exactness) and the exhausted
+        feed terminates processAllAvailable — every row exactly once."""
+        eng = Engine(spark)
+        eng.load(
+            PAGED,
+            config=json.dumps(
+                {"n_partitions": 2, "n_pages": 3, "page_size": 10}
+            ),
+        )
+        stream = eng.stream("paged", "items", batch_rows=25)
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("paged_stream_out")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table("paged_stream_out").collect()
+        assert len(rows) == 60
+        assert {r.seq for r in rows} == set(range(60))
+
     def test_latency_is_paid_per_page(self):
         """page_latency_ms models the network RTT: 5 pages at 40 ms must
         take >= 0.16 s (scheduling slack aside) — the knob future probes

@@ -10,11 +10,12 @@ base tables they touch, classifies each table's dominant access pattern,
 and emits ranked, evidence-carrying recommendations whose
 ``suggested_call`` is a ready-to-run optimize_layout invocation.
 
-This is plan ANALYSIS only: no query is executed, no data moves.  The one
-data-touching step is an approx_count_distinct per equality-filtered
-candidate column (needed to split partition_by from order_by — the
-low/high cardinality fork in the decision rule), bounded to candidate
-columns and skippable with ``estimate_ndv=False``.
+This is plan ANALYSIS only: no query is executed, no data moves.  Two
+bounded data-touching steps remain: an approx_count_distinct per
+equality-filtered candidate column (the low/high cardinality fork in the
+decision rule, skippable with ``estimate_ndv=False``) and one metadata
+row count per candidate table (prices the ingest estimate behind the
+payback rank — parquet counts come from footers, not scans).
 
 The analysis reads the same physical-plan facts the plan-proof tests pin
 (tests/test_plans.py, tools/explain_audit.py): ``Exchange

@@ -187,12 +187,7 @@ def main() -> None:
     # so a best-of-5 ratio drift self-annotates instead of costing a
     # round of tools/focused_ab.py attribution (VERDICT r12 #6; r10
     # mm_image_decode and r11→r12 window_tumbling_1h were both this).
-    import statistics
-
-    def _med_mad(xs: list[float]) -> tuple[float, float]:
-        med = statistics.median(xs)
-        mad = statistics.median([abs(x - med) for x in xs])
-        return med, mad
+    from tools.focused_ab import med_mad as _med_mad
 
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
     duck: dict[str, float] = {}

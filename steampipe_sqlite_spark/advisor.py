@@ -11,11 +11,13 @@ and emits ranked, evidence-carrying recommendations whose
 ``suggested_call`` is a ready-to-run optimize_layout invocation.
 
 This is plan ANALYSIS only: no query is executed, no data moves.  Two
-bounded data-touching steps remain: an approx_count_distinct per
-equality-filtered candidate column (the low/high cardinality fork in the
-decision rule, skippable with ``estimate_ndv=False``) and one metadata
-row count per candidate table (prices the ingest estimate behind the
-payback rank — parquet counts come from footers, not scans).
+bounded data-touching steps remain, BOTH disabled by
+``estimate_ndv=False`` (the zero-data-touch mode): an
+approx_count_distinct per equality-filtered candidate column (the
+low/high cardinality fork in the decision rule) and one metadata row
+count per candidate table (prices the informational ``est_ingest_s``
+field — parquet counts come from footers, not scans; the payback RANK
+itself is row-independent and never needs it).
 
 The analysis reads the same physical-plan facts the plan-proof tests pin
 (tests/test_plans.py, tools/explain_audit.py): ``Exchange
@@ -77,6 +79,10 @@ _BENEFIT_WEIGHT = {
 _COLREF_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
 _SCAN_TABLE_RE = re.compile(r"[/\[](?:[0-9a-f]{8,}-)?([A-Za-z_][A-Za-z0-9_]*)\.parquet")
 _READSCHEMA_RE = re.compile(r"ReadSchema: struct<([^>\n]*)(>?)")
+# elision INSIDE the Location bracket (no closing ] before the "..."):
+# distinguishes a clipped path from "..." produced by filter-list
+# truncation elsewhere on the same scan line
+_LOC_ELIDED_RE = re.compile(r"Location: [^\[\n]*\[[^\]\n]*\.\.\.")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]\n]*)")
 _DATAFILTERS_RE = re.compile(r"DataFilters: \[([^\]\n]*)")
 _PRED_RE = re.compile(
@@ -122,7 +128,14 @@ def _scan_facts(plan: str, known_cols: dict[str, set[str]]) -> dict[str, dict]:
         m = _SCAN_TABLE_RE.search(line)
         if m and m.group(1) in known_cols:
             table = m.group(1)
-        else:
+        elif _LOC_ELIDED_RE.search(line):
+            # the fallback applies ONLY to ELIDED locations (an unclosed
+            # "..." inside the Location bracket): a complete path naming
+            # an unknown table is a FOREIGN scan, and attributing it by
+            # column subset would fabricate layout evidence for a table
+            # the filters were never applied to (code-review r13; the
+            # Location-bracket match also keeps "..." from a truncated
+            # FILTER LIST on a foreign scan from re-opening the hole)
             rs = _READSCHEMA_RE.search(line)
             if not rs:
                 continue
@@ -137,6 +150,8 @@ def _scan_facts(plan: str, known_cols: dict[str, set[str]]) -> dict[str, dict]:
             if len(owners) != 1:
                 continue
             table = owners[0]
+        else:
+            continue
         cols = known_cols[table]
         entry = facts.setdefault(table, {"eq": set(), "range": set()})
         pf = _PUSHED_RE.search(line)
@@ -231,8 +246,17 @@ def _plan_scale_hazards(plan: str) -> set[str]:
             "WindowGroupLimit"
         ):
             # the child subtree prints directly below; a global window's
-            # immediate input is the all-to-one exchange
+            # immediate input is the all-to-one exchange.  A
+            # WindowGroupLimit BETWEEN the window and the exchange means
+            # Spark planned the rank<=k prune (partial below the
+            # exchange, final above): the single partition receives at
+            # most k rows per input partition, not the whole dataset —
+            # bounded, not the hazard (code-review r13: the real plan is
+            # Window / WindowGroupLimit / Sort / Exchange, so excluding
+            # only the WindowGroupLimit line itself wasn't enough).
             for nxt in lines[i + 1 : i + 4]:
+                if "WindowGroupLimit" in nxt:
+                    break  # group-limit-pruned input: bounded
                 if "Exchange SinglePartition" in nxt:
                     hazards.add("single_partition_window")
                     break
@@ -379,7 +403,10 @@ def advise_layout(
         outrank it on bare evidence count (VERDICT r12 #4).
 
         est_ingest_s (informational, surfaced on the rec) is rows x the
-        probe-derived per-row axis factor.  The payback RANK is
+        probe-derived per-row axis factor; with ``estimate_ndv=False``
+        (the documented zero-data-touch mode) the row count is skipped
+        and est_ingest_s is None — the payback rank needs no rows
+        (code-review r13).  The payback RANK is
         count x benefit_weight / ingest_factor — row-INDEPENDENT, because
         both sides of the ratio scale linearly with the table: the
         seconds a layout saves grow with the rows the queries scan
@@ -394,7 +421,11 @@ def advise_layout(
             if axis == "order_by" and len(columns) > 1
             else axis
         )
-        est = max(round(_rows(table) / 1e6 * _INGEST_S_PER_MROW[kind], 2), 0.01)
+        est = (
+            max(round(_rows(table) / 1e6 * _INGEST_S_PER_MROW[kind], 2), 0.01)
+            if estimate_ndv
+            else None
+        )
         return est, count * _BENEFIT_WEIGHT[kind] / _INGEST_S_PER_MROW[kind]
 
     recs = []

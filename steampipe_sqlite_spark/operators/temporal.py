@@ -411,15 +411,19 @@ def ewma_by_key(
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         # pandas ewm(adjust=False) runs the identical left fold in C:
         # y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1}.  beta is
-        # defined as exactly 1.0 - alpha and IEEE a*x + b*y is
-        # order-insensitive for the commuted addition, so this is
+        # exactly 1.0 - alpha and IEEE a*x + b*y is order-insensitive
+        # for the commuted addition, so on non-null runs this is
         # bit-identical to the per-row Python loop it replaced (r13;
         # hash-parity re-proven against the recursive-CTE oracle) while
-        # vectorizing the per-group pass.
+        # vectorizing the per-group pass.  NULL semantics differ: ewm
+        # SKIPS NaN and resumes smoothing, the left fold POISONS every
+        # subsequent value (alpha*NaN + beta*prev = NaN) — the mask
+        # below restores the fold's behavior so a null mid-series
+        # cannot silently smooth over the gap (code-review r13).
         pdf = pdf[[*key_cols, *order_cols, value_col]].copy()
-        pdf["ewma"] = (
-            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean()
-        )
+        vals = pdf[value_col].astype("float64")
+        ewma = vals.ewm(alpha=alpha, adjust=False).mean()
+        pdf["ewma"] = ewma.mask(vals.isna().cummax())
         return pdf
 
     return (

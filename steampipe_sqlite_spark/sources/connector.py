@@ -349,9 +349,15 @@ class Connector(ABC):
           planned partition count (datasource.ConnectorReader.partitions
           stamps ``rate_share`` on each partition); each partition
           throttles against its OWN bucket at rps x share, so the
-          cluster-wide total stays at rps no matter where tasks land —
-          the shape a 1000-executor deployment needs against a real
-          cloud API quota."""
+          cluster-wide total of PARTITIONED BATCH SCANS stays at rps no
+          matter where tasks land — the shape a 1000-executor deployment
+          needs against a real cloud API quota.  Known limit: a
+          partitionless call (the streaming face's single cursor, or a
+          direct execute with partition=None) has no share and takes the
+          full rps — a streaming tail running CONCURRENTLY with batch
+          scans of the same connection can reach 2x the budget; give the
+          stream its own connection config (its own budget) when that
+          matters."""
         from steampipe_sqlite_spark.sources.config import parse_config
         from steampipe_sqlite_spark.sources.ratelimit import bucket_for
 
@@ -372,8 +378,15 @@ class Connector(ABC):
             if burst:
                 burst = max(1.0, float(burst) * share)
             # per-partition bucket: co-located partitions must not pool
-            # into one under-budget bucket (their shares are additive)
-            key = key + ("global", part.index if part is not None else -1)
+            # into one under-budget bucket (their shares are additive).
+            # The applied RATE is part of the key so a rate change can
+            # never silently replace a live bucket mid-deficit
+            # (ratelimit.bucket_for rebuilds on rate mismatch, which
+            # would grant a fresh burst — code-review r13); shares are
+            # derived from the stable unpruned shard count
+            # (datasource.ConnectorReader.partitions), so in practice
+            # one partition maps to one long-lived bucket.
+            key = key + ("global", part.index if part is not None else -1, rps)
         return bucket_for(key, rps, burst).acquire(n)
 
     # -- discovery (reference configure_fn.go:152-163)

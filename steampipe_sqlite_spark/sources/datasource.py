@@ -268,7 +268,20 @@ class ConnectorReader(DataSourceReader):
             and cfg.get("rate_limit_rps")
             and str(cfg.get("rate_limit_scope", "process")).lower() == "global"
         ):
-            share = 1.0 / len(parts)
+            # Divide by the UNPRUNED shard count, not the planned count:
+            # a qual-pruned scan (2 of 4 chains) and a full scan would
+            # otherwise compute different per-partition rates for the
+            # SAME bucket key, and bucket_for replaces a bucket whose
+            # rate changed — each replacement grants a fresh burst,
+            # defeating the budget (code-review r13).  The unpruned
+            # count is stable across scans, so each partition's rate —
+            # and therefore its bucket — is stable too; pruning then
+            # only LOWERS the aggregate rate (fewer active chains).
+            try:
+                total = len(self.connector.partitions(self.table.name, []))
+            except Exception:  # noqa: BLE001 — required-qual connectors
+                total = len(parts)
+            share = 1.0 / max(total, len(parts), 1)
             for p in parts:
                 p.info.setdefault("rate_share", share)
         return [ConnectorPartition(p.index, p.info) for p in parts]

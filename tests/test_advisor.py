@@ -49,6 +49,22 @@ def test_window_group_limit_is_not_a_global_window_hazard():
     )
     assert _plan_scale_hazards(prune_only) == set()
 
+    # the REALISTIC full group-limit plan Spark emits for rank()<=k over
+    # an empty partition: Window / WindowGroupLimit Final / Sort /
+    # Exchange SinglePartition / WindowGroupLimit Partial — the exchange
+    # input is pruned to k rows per partition by the partial, so the
+    # Window-above must not be flagged either (code-review r13)
+    full_prune = (
+        "+- Window [rank(v#2) windowspecdefinition(v#2 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS rnk#7], [v#2 ASC NULLS FIRST]\n"
+        "   +- WindowGroupLimit [v#2 ASC NULLS FIRST], rank(v#2), 10, Final\n"
+        "      +- Sort [v#2 ASC NULLS FIRST], false, 0\n"
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]\n"
+        "            +- WindowGroupLimit [v#2 ASC NULLS FIRST], rank(v#2), 10, Partial\n"
+    )
+    assert _plan_scale_hazards(full_prune) == set()
+
     real_global = (
         "+- Window [row_number() windowspecdefinition(k#1 ASC NULLS FIRST, "
         "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "

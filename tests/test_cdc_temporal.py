@@ -87,6 +87,29 @@ def test_ewma_matches_reference_recursion(spark):
     assert got[(1, 101)] == 0.25 * 2.0 + 0.75 * (0.25 * 1.0 + 0.75 * 3.0)
 
 
+def test_ewma_null_poisons_the_tail_of_its_key(spark):
+    """A null mid-series must poison every subsequent smoothed value of
+    that key (the left fold's alpha*NaN + beta*prev = NaN), NOT be
+    skipped-and-resumed as pandas ewm does by default — smoothing over a
+    gap would fabricate continuity the data doesn't have (code-review
+    r13, introduced with the ewm vectorization).  Other keys unaffected."""
+    import math
+
+    df = spark.createDataFrame(
+        [("a", 1, 4.0), ("a", 2, None), ("a", 3, 2.0), ("b", 1, 8.0), ("b", 2, 4.0)],
+        "k string, t int, v double",
+    )
+    got = {
+        (r.k, r.t): r.ewma
+        for r in ewma_by_key(df, ["k"], ["t"], "v", alpha=0.25).collect()
+    }
+    assert got[("a", 1)] == 4.0
+    assert got[("a", 2)] is None or math.isnan(got[("a", 2)])
+    assert got[("a", 3)] is None or math.isnan(got[("a", 3)])  # poisoned, not resumed
+    assert got[("b", 1)] == 8.0
+    assert got[("b", 2)] == 0.25 * 4.0 + 0.75 * 8.0
+
+
 def test_union_by_name_null_fills_missing_columns(spark):
     old = spark.createDataFrame([(1, "t", "en")], "doc_id long, text string, lang string")
     new = spark.createDataFrame([(2, "u", 9)], "doc_id long, text string, n_chars long")

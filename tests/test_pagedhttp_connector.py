@@ -202,6 +202,30 @@ class TestThrottleAndCache:
         second = _t.perf_counter() - t0
         assert second <= 2.5 * elapsed  # same budget, not a shared-deficit stall
 
+    def test_global_share_is_stable_under_pruning(self):
+        """The per-partition budget share derives from the UNPRUNED shard
+        count: a qual-pruned scan must stamp the SAME share (and thus the
+        same per-partition bucket rate) as a full scan — a differing rate
+        would make bucket_for rebuild the live bucket with a fresh burst,
+        defeating the budget (code-review r13)."""
+        from steampipe_sqlite_spark.sources.connector import Qual
+
+        cfg = {
+            "n_partitions": 4,
+            "n_pages": 2,
+            "page_size": 5,
+            "rate_limit_rps": 40,
+            "rate_limit_scope": "global",
+        }
+        conn = PagedHttpConnector(json.dumps(cfg))
+        full = _reader(conn).partitions()
+        assert [p.info["rate_share"] for p in full] == [0.25] * 4
+        pruned = _reader(
+            conn, quals=[Qual("partition_id", "in", [1, 2])]
+        ).partitions()
+        assert [p.info["rate_share"] for p in pruned] == [0.25, 0.25]
+        assert [p.index for p in pruned] == [1, 2]
+
     def test_scan_cache_absorbs_identical_rescan(self, tmp_path):
         """Second identical scan in the same process must be served from
         the result cache: zero new page fetches in the call log."""

@@ -49,6 +49,15 @@ def _sentinel(sf_dir: str) -> float:
     return round(dt, 4)
 
 
+def med_mad(xs: "list[float]") -> "tuple[float, float]":
+    """Median and median-absolute-deviation — the shared statistic for
+    every interleaved A/B reading (bench.py imports this so its in-artifact
+    interleaved stats can never drift from focused_ab's attribution
+    stats — code-review r13)."""
+    m = statistics.median(xs)
+    return m, statistics.median(abs(x - m) for x in xs)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     sf_dir = "/root/testdata/sf0.1"
@@ -105,10 +114,6 @@ def main() -> None:
         for _ in range(rounds):
             samples[n]["spark"].append(spark_run(n))
             samples[n]["duckdb"].append(duck_run(n))
-
-    def med_mad(xs: list[float]) -> tuple[float, float]:
-        m = statistics.median(xs)
-        return m, statistics.median(abs(x - m) for x in xs)
 
     per_query = {}
     for n in names:

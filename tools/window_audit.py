@@ -94,9 +94,9 @@ def audit(
             # default; opt in with --include-distributed (their residual
             # windows are separately pinned bounded by tests/test_plans).
             out[name] = [
-                {"node": "SKIPPED: plan build runs data jobs "
-                         "(plan_cache=False); --include-distributed to audit",
-                 "bounded": True}
+                {"node": "plan build runs data jobs (plan_cache=False); "
+                         "--include-distributed to audit",
+                 "skipped": True}
             ]
             continue
         try:
@@ -118,8 +118,20 @@ if __name__ == "__main__":
     result = audit(sf_dir, names, include_distributed=include_distributed)
     for name, hits in sorted(result.items()):
         for h in hits:
-            tag = "bounded" if h["bounded"] else "UNBOUNDED"
+            if h.get("skipped"):
+                tag = "SKIPPED"
+            else:
+                tag = "bounded" if h["bounded"] else "UNBOUNDED"
             print(f"{tag:9s}  {name}: {h['node'][:140]}")
-    unbounded = {n for n, hs in result.items() if any(not h["bounded"] for h in hs)}
-    print(f"\n{len(result)} queries with global windows; "
+    # a skipped entry is NOT a bounded finding — it was not audited at
+    # all; only genuinely audited windows count either way
+    unbounded = {
+        n for n, hs in result.items()
+        if any(not h.get("skipped") and not h["bounded"] for h in hs)
+    }
+    skipped = {
+        n for n, hs in result.items() if all(h.get("skipped") for h in hs)
+    }
+    print(f"\n{len(result) - len(skipped)} queries with global windows "
+          f"({len(skipped)} skipped, not audited); "
           f"{len(unbounded)} with no Limit bound: {sorted(unbounded)}")

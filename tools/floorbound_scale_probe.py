@@ -139,6 +139,13 @@ NAMES = {
     "knn_cosine_blas": ("embeddings",),
     "knn_cosine_ivf": ("embeddings",),
     "mm_image_decode": ("documents",),
+    # mm_image_phash_neardup is deliberately NOT probe-able on this
+    # replica fixture: the fake pixel plane is doc_id-arithmetic mod 256,
+    # so id-rekeyed replicas multiply each near-dup CLASS's size by reps
+    # and the query's pair output grows quadratically in class size —
+    # at 100x the run wedges in the (legitimately) pair-sized tail, a
+    # fixture artifact, not a plan defect (attempted + reverted r13).
+    # Near-dup queries need content-unique scale fixtures.
     "tpch_q3": ("lineitem", "orders", "customer"),
     "tpch_q5": ("lineitem", "orders", "customer", "supplier", "nation", "region"),
     "tpch_q9": ("lineitem", "orders", "part", "supplier", "nation"),

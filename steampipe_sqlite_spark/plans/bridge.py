@@ -47,7 +47,13 @@ WITH g AS (
 def _items(spark):
     eng = Engine(spark)
     eng.load(PAGED, config=_CFG)
-    return eng.table("paged", "items")
+    # explicit projection (B2): the Python DataSource API has no
+    # pushColumns, so the narrow scan is requested at the reader — the
+    # plan's BatchScan then reads 4 columns, not 5 (``value`` is unused
+    # here; a scan wider than the projection is wrong at any scale)
+    return eng.table(
+        "paged", "items", columns=["seq", "partition_id", "page", "item_id"]
+    )
 
 
 def _per_partition(df):

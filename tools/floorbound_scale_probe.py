@@ -139,6 +139,11 @@ NAMES = {
     "knn_cosine_blas": ("embeddings",),
     "knn_cosine_ivf": ("embeddings",),
     "mm_image_decode": ("documents",),
+    # graph family: the functional two-out-edges graph is LINEAR in the
+    # replica corpus (2N edges for N docs), so replication scales the
+    # iterative join/aggregate work without the pair-quadratic hazard
+    # below — added r13 to give the Pregel shape a measured curve
+    "graph_pagerank": ("documents",),
     # mm_image_phash_neardup is deliberately NOT probe-able on this
     # replica fixture: the fake pixel plane is doc_id-arithmetic mod 256,
     # so id-rekeyed replicas multiply each near-dup CLASS's size by reps

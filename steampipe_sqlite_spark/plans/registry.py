@@ -454,96 +454,85 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # Previous windows' composition lives in git history (r12 window: the 2
 # persisted-index witnesses lead + 38 r6 names + 10 oldest r7 names —
 # all green in CORRECTNESS_r12.json).
-# ROUND-14 ROTATION PLAN (execute after CORRECTNESS_r13 lands green):
-# LEAD with the 2 round-13 additions that have never had a driver row
-# (bridge_paged_scan, bridge_paged_pruned — the bridge family's first
-# corpus rows, selfcheck-green at sf0.01 oracle AND sf0.01/sf0.1 vanilla
-# on creation; r11/r12 never-checked-lead precedent), then continue
-# strict least-recently-checked over artifacts r1..r13.
-# Candidate continuation — names ranked 51-100 in the r1..r12 order (the
-# 10 remaining r8-era names, then r8-window names incl. the TPC-H block,
-# then the 10 oldest r9-era names), artifact order within each round,
-# truncated to the remaining 48 slots:
-# eval_calibration_bins, mining_hard_negatives, eval_confusion_matrix,
-# privacy_l_diversity, text_zipf_band_counts, graph_label_prop_step,
-# emb_power_iteration_step, ts_mann_kendall_daily,
-# win_percent_rank_cume_dist, knn_cosine_lsh, curation_pipeline,
-# tpch_q1, tpch_q3, tpch_q5, tpch_q6, tpch_q9, tpch_q18,
-# join_left_outer, join_full_outer, join_semi, join_anti,
-# win_range_frame, setop_except, cte_multi, group_rollup, subq_not_in,
-# agg_filter_clause, pivot_status_by_flag, tpch_q2, tpch_q4, tpch_q7,
-# tpch_q8, tpch_q10, tpch_q11, tpch_q12, tpch_q13, tpch_q14, tpch_q15,
-# tpch_q16, tpch_q17, text_bpe_apply_fidelity, compat_collate_nocase,
-# compat_blob_constructors, tpch_q19, tpch_q20, tpch_q21, tpch_q22,
-# join_right_outer, join_cross, join_theta_range
-# Recompute from the actual artifacts before executing (any r13 red
-# re-leads), then bump WINDOW_ROUND to 14 in
+# ROUND-15 ROTATION PLAN (execute after CORRECTNESS_r14 lands green):
+# continue strict least-recently-checked over artifacts r1..r14 (no
+# never-driver-checked names expected unless round 14 adds corpus
+# queries — any additions LEAD per the r11/r12/r14 precedent).
+# Candidate continuation — names ranked 51-100 in the r1..r13 order
+# (the tail of the r8 window, then the r9 window), artifact order
+# within each round: join_cross, join_theta_range, then the r9-era
+# names (orderby_limit_offset, orderby_nulls_last, setop_union_all,
+# setop_intersect, tvf_json_each, json_group_array/object era, ...).
+# Recompute from the actual artifacts before executing (any r14 red
+# re-leads), then bump WINDOW_ROUND to 15 in
 # tests/test_bench_contract.py (the test recomputes the same order, so
 # the bump + list swap is the whole change).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-13 WINDOW (50 slots; VERDICT r12 #1) — pure
-    # least-recently-checked continuation computed from
-    # CORRECTNESS_r01..r12 (the r12 artifact is committed at HEAD so
-    # including it is correct; only the CURRENT round's mid-round
-    # artifact must be excluded, per the r9 time-bomb lesson).  Leads
-    # with the 2 names the r12 never-checked lead displaced (last
-    # checked r7), then the 38 remaining r7-window names and the 10
-    # oldest r8-window names, artifact order within each round. ----
-    "emb_matryoshka_fidelity",
-    "sample_systematic_weighted",
-    # the 38 remaining names whose last driver row is the r7 window
-    # (artifact order; first two above are also r7 but were the
-    # displaced backfill lead):
-    "agg_weighted_median",
-    "key_skew_profile",
-    "shard_by_bytes",
-    "graph_triangle_count",
-    "impute_by_group_median",
-    "streaming_stream_stream_left",
-    "str_edit_distance",
-    "win_exclude_ties",
-    "winsorized_length_stats",
-    "dataset_split_temporal",
-    "market_basket_pairs",
-    "eval_auc_mann_whitney",
-    "stats_gini_spend",
-    "stats_pareto_topdecile",
-    "ts_seasonal_naive_mae",
-    "token_pair_lift",
-    "graph_two_hop_reach",
-    "dataset_kfold_stratified",
-    "stats_chi2_lang_source",
-    "text_hapax_ratio",
-    "emb_label_centroid_geometry",
-    "eval_ndcg_at10",
-    "events_transition_matrix",
-    "events_interarrival_hist",
-    "events_growth_daily",
-    "ts_threshold_crossings",
-    "join_fuzzy_blocked_prefix",
-    "join_scd2_point_in_time",
-    "agg_width_bucket_hist",
-    "win_running_distinct",
-    "stats_join_size_profile",
-    "mm_video_neardup_shingles",
-    "stats_ks_lengths",
-    "events_user_hhi",
-    "ts_autocorr_lag1",
-    "text_vocab_jaccard_langs",
-    "privacy_k_anonymity",
-    "ts_cusum_changepoint",
-    # ...then the 10 oldest r8-window names (artifact order) — the
-    # remaining r8 names start the round-14 rotation:
-    "agg_bitwise",
-    "agg_mode_per_group",
-    "compat_printf_integer",
-    "stats_benford_first_digit",
-    "stats_benford_deviation",
-    "group_cube_grouping_flags",
-    "agg_any_value_functional",
-    "dedup_soft_weights",
-    "bitext_margin_pairs",
-    "dedup_keep_best",
+    # ---- ROUND-14 WINDOW (50 slots; VERDICT r13 #1) — executed after
+    # CORRECTNESS_r13 landed 50/50 green with zero reds; re-verified at
+    # execution time by recomputing per-name last-green rounds from the
+    # committed CORRECTNESS_r01..r13 artifacts (r13 IS included in the
+    # recompute: it is committed at HEAD; only the current round's
+    # mid-round artifact must be excluded, per the r9 time-bomb
+    # lesson).  LEADS with the 2 round-13 bridge-family additions that
+    # have never had a driver row (selfcheck-green at sf0.01 oracle AND
+    # sf0.01/sf0.1 vanilla on creation; r11/r12 never-checked-lead
+    # precedent), then the 48 least-recently-checked names: the 10
+    # remaining r8-era names, the r8-window TPC-H/join/window block,
+    # and the oldest r9-era names, artifact order within each round —
+    # matching the pre-staged r14 candidate list name-for-name. ----
+    "bridge_paged_scan",
+    "bridge_paged_pruned",
+    # the 10 remaining names whose last driver row is the r8 window:
+    "eval_calibration_bins",
+    "mining_hard_negatives",
+    "eval_confusion_matrix",
+    "privacy_l_diversity",
+    "text_zipf_band_counts",
+    "graph_label_prop_step",
+    "emb_power_iteration_step",
+    "ts_mann_kendall_daily",
+    "win_percent_rank_cume_dist",
+    "knn_cosine_lsh",
+    # ...then the r8-window backfill block (artifact order):
+    "curation_pipeline",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q18",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "win_range_frame",
+    "setop_except",
+    "cte_multi",
+    "group_rollup",
+    "subq_not_in",
+    "agg_filter_clause",
+    "pivot_status_by_flag",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "text_bpe_apply_fidelity",
+    "compat_collate_nocase",
+    "compat_blob_constructors",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "join_right_outer",
 ]
 
 

@@ -24,18 +24,18 @@ def test_headline_queries_registered_with_oracles():
 # driver drops CORRECTNESS_r{WINDOW_ROUND}.json mid-round recording the
 # very window this test polices, so including it would mark every member
 # fresh and fail the assertion (the round-9 time bomb — VERDICT r9 #1).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 # Corpus names with no driver row in any pre-window-round artifact lead
-# the window (r11/r12 precedent).  Round 13 adds no new corpus names —
-# every registered name already has a green driver row — so the lead is
-# empty and the window is pure least-recently-checked continuation.
-NEVER_CHECKED_LEAD: list[str] = []
+# the window (r11/r12 precedent).  Round 13 added the bridge family's
+# first two corpus rows AFTER the r13 window had rotated, so they have
+# never had a driver row and lead the round-14 window (VERDICT r13 #1).
+NEVER_CHECKED_LEAD: list[str] = ["bridge_paged_scan", "bridge_paged_pruned"]
 
 
-def test_round13_driver_window_is_least_recently_checked():
+def test_round14_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-13 rotation (VERDICT r12 #1) is pure
+    round-14 rotation (VERDICT r13 #1) is the never-checked bridge lead +
     least-recently-checked continuation — the names whose most recent
     driver row is oldest.  Recompute that order here from the committed
     pre-window-round artifacts (round order, then artifact insertion

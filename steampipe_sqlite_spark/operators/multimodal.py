@@ -241,7 +241,10 @@ def decode_video_meta(media: DataFrame) -> DataFrame:
                 continue
             rows = []
             for doc_id, b in zip(pdf["doc_id"], payloads):
-                if b[:4] != VID_MAGIC or len(b) < 9:
+                # full fixed record required, same tolerance as the
+                # image/audio fallbacks (ADVICE r14: a truncated FVID
+                # must not half-parse)
+                if b[:4] != VID_MAGIC or len(b) < 17:
                     continue
                 (n_frames,) = struct.unpack(">I", b[4:8])
                 rows.append((doc_id, n_frames, b[8]))

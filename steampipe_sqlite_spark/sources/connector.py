@@ -351,13 +351,29 @@ class Connector(ABC):
           throttles against its OWN bucket at rps x share, so the
           cluster-wide total of PARTITIONED BATCH SCANS stays at rps no
           matter where tasks land — the shape a 1000-executor deployment
-          needs against a real cloud API quota.  Known limit: a
-          partitionless call (the streaming face's single cursor, or a
-          direct execute with partition=None) has no share and takes the
-          full rps — a streaming tail running CONCURRENTLY with batch
-          scans of the same connection can reach 2x the budget; give the
-          stream its own connection config (its own budget) when that
-          matters."""
+          needs against a real cloud API quota.  Partitionless calls
+          (the streaming face's single cursor, or a direct execute with
+          partition=None) have no share; ALL of them for one connection
+          draw from ONE shared full-rps bucket in the process (bucket
+          key pins index -1), so any number of concurrent partitionless
+          scans stay at rps COMBINED (pinned by
+          test_concurrent_partitionless_scans_share_one_budget).
+
+          Known limits, in-process coordination can't remove:
+
+          - a streaming tail running CONCURRENTLY with batch scans of
+            the same connection can reach 2x the budget (stream bucket +
+            partition buckets are independent); give the stream its own
+            connection config (its own budget) when that matters.
+          - shares are derived PER TABLE (from that table's unpruned
+            shard count), so concurrent partitioned scans of T different
+            tables of one connection can reach T x rps combined.  Shards
+            of different tables that happen to compute the SAME
+            per-partition rate share a bucket (the key is (partition
+            index, rate)) — conservative — but differing shard counts
+            give different rates and therefore independent budgets.
+            Size rps per (connection, table) when multi-table
+            concurrency matters."""
         from steampipe_sqlite_spark.sources.config import parse_config
         from steampipe_sqlite_spark.sources.ratelimit import bucket_for
 

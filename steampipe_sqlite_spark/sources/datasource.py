@@ -62,6 +62,7 @@ from steampipe_sqlite_spark.sources.connector import (
     bind_timestamp,
     check_required_quals,
 )
+from steampipe_sqlite_spark.sources.ratelimit import cached_share
 
 FORMAT_NAME = "steampipe"
 
@@ -282,6 +283,21 @@ class ConnectorReader(DataSourceReader):
             except Exception:  # noqa: BLE001 — required-qual connectors
                 total = len(parts)
             share = 1.0 / max(total, len(parts), 1)
+            # pin the FIRST computed share per (connection, table) for
+            # the process: the required-qual fallback above is pruning-
+            # dependent, and a share that drifts between scans would
+            # open a fresh-burst bucket per distinct rate for the same
+            # shard (ADVICE r13 — see ratelimit.cached_share)
+            conn_cls = type(self.connector)
+            share = cached_share(
+                (
+                    conn_cls.__module__,
+                    conn_cls.__qualname__,
+                    self.connector.config,
+                    self.table.name,
+                ),
+                share,
+            )
             for p in parts:
                 p.info.setdefault("rate_share", share)
         return [ConnectorPartition(p.index, p.info) for p in parts]
@@ -291,8 +307,19 @@ class ConnectorReader(DataSourceReader):
         # partition context for global-scope throttling: the connector's
         # own per-page throttle() calls have no partition argument, so
         # the current partition rides on the instance (one reader scan
-        # per partition — no concurrency on this attribute within a task)
+        # per partition — no concurrency on this attribute within a task).
+        # Cleared on exit: a LATER partitionless execute() on the same
+        # in-process instance (streaming face, direct call) must take the
+        # full-rps shared bucket, not inherit this partition's share
+        # (ADVICE r14 — per-task deserialized copies were always fresh,
+        # only instance reuse leaked).
         self.connector._current_partition = part
+        try:
+            yield from self._read_with_cache(part, partition)
+        finally:
+            self.connector._current_partition = None
+
+    def _read_with_cache(self, part: Partition, partition: ConnectorPartition):
         quals_key = tuple((q.column, q.op, q.value) for q in self.quals)
         cols_key = tuple(self.columns) if self.columns is not None else None
         conn_cls = type(self.connector)

@@ -65,6 +65,7 @@ class TokenBucket:
 
 
 _BUCKETS: dict[tuple, TokenBucket] = {}
+_SHARES: dict[tuple, float] = {}
 _REGISTRY_LOCK = threading.Lock()
 
 
@@ -77,3 +78,16 @@ def bucket_for(key: tuple, rate_per_s: float, burst: float | None = None) -> Tok
             b = TokenBucket(rate_per_s, burst)
             _BUCKETS[key] = b
         return b
+
+
+def cached_share(key: tuple, value: float) -> float:
+    """First-computed global-scope rate share per (connection, table),
+    pinned for the process lifetime.  Required-qual connectors can't
+    answer the unpruned partitions() probe, so the share falls back to
+    the PRUNED count — which varies scan-to-scan with the quals; since
+    the applied rate is part of the bucket key, every distinct rate
+    would open a separate bucket with a fresh burst for the same shard
+    (ADVICE r13).  Pinning the first-computed share keeps one rate — and
+    therefore one long-lived bucket — per shard within a process."""
+    with _REGISTRY_LOCK:
+        return _SHARES.setdefault(key, value)

@@ -226,6 +226,97 @@ class TestThrottleAndCache:
         assert [p.info["rate_share"] for p in pruned] == [0.25, 0.25]
         assert [p.index for p in pruned] == [1, 2]
 
+    def test_concurrent_partitionless_scans_share_one_budget(self):
+        """VERDICT r13 #4: partitionless calls (streaming cursors, direct
+        execute) of ONE connection all draw from ONE shared full-rps
+        bucket — N concurrent partitionless scans stay at rps COMBINED,
+        they do not each take the full budget."""
+        import threading
+        import time as _t
+
+        cfg = {
+            "n_partitions": 1,
+            "n_pages": 2,
+            "page_size": 5,
+            "rate_limit_rps": 50,
+            "rate_limit_burst": 1,
+            "rate_limit_scope": "global",
+        }
+        # distinct config string -> fresh bucket (the registry is
+        # process-global and keyed by config)
+        conn_a = PagedHttpConnector(json.dumps({**cfg, "tag": "shared-budget"}))
+        conn_b = PagedHttpConnector(json.dumps({**cfg, "tag": "shared-budget"}))
+        assert getattr(conn_a, "_current_partition", None) is None
+
+        def drain(c):
+            for _ in range(5):
+                c.throttle()
+
+        t0 = _t.perf_counter()
+        threads = [
+            threading.Thread(target=drain, args=(c,)) for c in (conn_a, conn_b)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = _t.perf_counter() - t0
+        # 10 debits total, burst 1 -> >= 9 refills @ 50/s = 0.18 s; two
+        # INDEPENDENT buckets would finish in ~4 refills' time each
+        # (0.08 s) running concurrently
+        assert elapsed >= 0.8 * 9 / 50, (
+            f"partitionless scans must share one budget: {elapsed:.3f}s"
+        )
+
+    def test_partition_context_cleared_after_read(self):
+        """ADVICE r14: ConnectorReader.read must clear the connector's
+        partition context on exit, so a later partitionless execute on
+        the SAME in-process instance takes the full-rps shared bucket
+        instead of inheriting a stale partition's divided share."""
+        cfg = {
+            "n_partitions": 2,
+            "n_pages": 1,
+            "page_size": 5,
+            "rate_limit_rps": 1000,
+            "rate_limit_scope": "global",
+        }
+        conn = PagedHttpConnector(json.dumps({**cfg, "tag": "ctx-clear"}))
+        r = _reader(conn)
+        parts = r.partitions()
+        list(r.read(parts[0]))
+        assert getattr(conn, "_current_partition", None) is None
+
+    def test_required_qual_share_pinned_for_process(self):
+        """ADVICE r14: when the unpruned partitions() probe raises
+        (required-qual connectors), the share falls back to the pruned
+        count — which varies with the quals.  The FIRST computed share
+        is pinned per (connection, table) so later scans with different
+        pruning reuse the same rate (and thus the same long-lived
+        buckets) instead of opening fresh-burst buckets per rate."""
+        from steampipe_sqlite_spark.sources.connector import Qual
+
+        class RequiredQualPaged(PagedHttpConnector):
+            def partitions(self, table, quals):
+                if not quals:
+                    raise ValueError("partition_id qual required")
+                return super().partitions(table, quals)
+
+        cfg = {
+            "n_partitions": 4,
+            "n_pages": 1,
+            "page_size": 5,
+            "rate_limit_rps": 40,
+            "rate_limit_scope": "global",
+        }
+        conn = RequiredQualPaged(json.dumps({**cfg, "tag": "pin-share"}))
+        two = _reader(conn, quals=[Qual("partition_id", "in", [0, 1])]).partitions()
+        assert [p.info["rate_share"] for p in two] == [0.5, 0.5]
+        # a LATER wider scan would compute 1/3 — must reuse the pinned 1/2
+        three = _reader(
+            conn, quals=[Qual("partition_id", "in", [0, 1, 2])]
+        ).partitions()
+        assert [p.info["rate_share"] for p in three] == [0.5, 0.5, 0.5]
+
     def test_scan_cache_absorbs_identical_rescan(self, tmp_path):
         """Second identical scan in the same process must be served from
         the result cache: zero new page fetches in the call log."""

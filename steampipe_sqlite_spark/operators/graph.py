@@ -120,15 +120,25 @@ def pagerank_nano(
     the oracle replays the SAME recurrence, so the hash match proves the
     distributed iteration, not a numeric coincidence.
 
-    Scale shape: each iteration is one edges⋈ranks equi-join on the
+    Scale shape: each iteration is ONE edges⋈ranks equi-join on the
     source id plus one dst-keyed integer SUM — the canonical Pregel/
     GraphX plan re-expressed as DataFrame ops; lineage is truncated per
-    round with localCheckpoint.  The STATIC per-edge state (outdeg) is
-    folded into the edge list ONCE before the loop and checkpointed —
-    the naive form re-joined outdeg every round, paying an extra
-    edges-sized join x iters (r13; the same GraphX discipline of
-    separating immutable edge attributes from the mutable vertex
-    state).  Driver state: none (the loop count is fixed).  Returns
+    round with localCheckpoint.  Two pieces of STATIC state are hoisted
+    out of the loop (the GraphX discipline of separating immutable
+    attributes from the mutable vertex state):
+      * outdeg, folded into the edge list once and checkpointed (r13 —
+        the naive form re-joined it every round, an extra edges-sized
+        join x iters);
+      * the NO-IN-EDGE node set (r14): a node outside distinct(dst)
+        receives no contribution in ANY round, so its rank is the
+        constant teleport base every iteration.  The naive form
+        re-derived that fact each round by left-joining the full nodes
+        table against contribs — a nodes-sized scan + shuffle + join x
+        iters; here the sink set is computed once (anti-join, bounded
+        by the node count) and each round just UNIONs it onto the
+        contribution ranks, a shuffle-free concat.  The per-iteration
+        data touched drops from (edges + 2*nodes) to (edges + sinks).
+    Driver state: none (the loop count is fixed).  Returns
     (node, rank_nano).
     """
     n = nodes.count()
@@ -137,21 +147,42 @@ def pagerank_nano(
             F.col("node"), F.lit(0).cast("long").alias("rank_nano")
         )
     base = int((100 - damping_pct) * 1_000_000_000 // 100 // n)
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+    # ONE explicit src-hash exchange of the raw edges, shared by the
+    # outdeg aggregate and the attribute join below (identical canonical
+    # Exchange subtrees -> ReuseExchange dedupes them in the first
+    # materialization), replacing the two independent edges-sized
+    # shuffles the naive build paid.
+    edges_p = edges.select("src", "dst").repartition("src")
+    outdeg = edges_p.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
-    # immutable edge attributes, materialized once: (src, dst, outdeg)
+    # Immutable edge attributes, materialized once: (src, dst, outdeg),
+    # CACHED pre-partitioned on src and sorted within partitions.  The
+    # r13 localCheckpoint form lost the partitioning through LogicalRDD
+    # (AQE's final partitioning isn't exposed statically), so every
+    # iteration re-shuffled AND re-sorted the edges side of the rank
+    # join — at 1000x that was a 1.1 GB re-shuffle + 10M-row sort per
+    # round (stage profile in BASELINE.md r14).  An InMemoryRelation
+    # preserves both outputPartitioning and outputOrdering
+    # (canChangeCachedPlanOutputPartitioning=false is the default), so
+    # the per-iteration sort-merge join now exchanges and sorts ONLY the
+    # ranks side.
     edges_deg = (
-        edges.join(outdeg, edges.src == outdeg.node)
+        edges_p.join(outdeg, "src")
         .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     ranks = nodes.select(
         "node", F.lit(1_000_000_000 // n).cast("long").alias("rank_nano")
     )
+    sinks = None
     for _ in range(int(iters)):
+        # SHUFFLE_HASH on the ranks side: the ranks table is the small
+        # side (one row per node vs one per edge) and hash-building it
+        # skips the per-iteration sort-merge sorts of BOTH sides — the
+        # dominant exec cost in the r14 stage profile.
         contribs = (
-            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            edges_deg.join(ranks.hint("shuffle_hash"), edges_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_nano div outdeg").alias("c"),
@@ -159,13 +190,34 @@ def pagerank_nano(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("in_sum"))
         )
+        if sinks is None:
+            # nodes with no in-edge: rank is the constant base every
+            # round.  The key set of contribs is iteration-invariant
+            # (every rank is > 0, so a contribution ROW exists for every
+            # node with an in-edge), so the first round's contribution
+            # keys ARE distinct(dst) — deriving the sink set from them
+            # skips a 2|E|-row DISTINCT over the edge list (544 exec-s
+            # of the x10000 stage profile); the shared contribs subtree
+            # dedupes via shuffle-stage reuse when both legs
+            # materialize.
+            sinks = (
+                nodes.join(contribs, "node", "left_anti")
+                .select(
+                    "node", F.lit(base).cast("long").alias("rank_nano")
+                )
+                .localCheckpoint(eager=False)
+            )
         ranks = (
-            nodes.join(contribs, "node", "left")
-            .selectExpr(
+            contribs.selectExpr(
                 "node",
-                f"cast({base} + ({damping_pct} * coalesce(in_sum, 0)) div 100"
+                f"cast({base} + ({damping_pct} * in_sum) div 100"
                 " AS bigint) AS rank_nano",
             )
+            .unionAll(sinks)
+            # per-round lineage truncation; measured FASTER than letting
+            # the unrolled chain plan as one adaptive execution (A/B at
+            # 1000x: 12.6 s checkpointed vs 15.0 s unrolled — the deep
+            # DAG's replan outweighs the materialization pass)
             .localCheckpoint(eager=False)
         )
     return ranks

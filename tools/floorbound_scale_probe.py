@@ -194,7 +194,12 @@ def _replicate(spark, reps: int, table: str, out: str, strides: dict) -> None:
     rpl = df.crossJoin(rep).select(
         *[rekeyed.get(c, F.col(c)) for c in df.columns]
     )
-    rpl.repartition(max(32, reps // 2)).write.mode("overwrite").parquet(out)
+    # cap the part-file count: reps//2 was fine through 1000x but wrote
+    # 5000 files at 10000x — ~2200-map-task shuffles downstream and
+    # per-file open overhead in BOTH engines' scans (r14)
+    rpl.repartition(min(1024, max(32, reps // 2))).write.mode(
+        "overwrite"
+    ).parquet(out)
 
 
 def build(spark, reps: int, tables: set) -> str:

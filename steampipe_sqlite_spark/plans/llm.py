@@ -5282,12 +5282,50 @@ ORDER BY doc_a, doc_b
 # a skewed mega-block (all docs opening identically) would salt the key
 # with a length bucket or swap to dedup_ppjoin_exact's token-prefix
 # filter, which is skew-free by construction.
-sql_query(
+#
+# r14: converted from the pure-SQL spelling to DataFrame form for two
+# measured reasons (tools/neardup_scale_probe.py fuzzy arm at 5M docs):
+# (1) the self-join's two CTE references each recomputed the normalize —
+# persisting the 24-char prefixes runs it ONCE; (2) the normalize itself
+# moved off java.util.regex (which loses its fast path on a multi-range
+# character class — ~3 us/row measured) onto the RE2-backed Arrow batch
+# path (functions.text.normalize_text_arrow_udf), the same regex engine
+# the oracle runs.  Oracle unchanged; the hash match is the equivalence
+# proof.
+@query(
     "join_fuzzy_blocked_prefix",
-    _FUZZY_BODY.format(norm=_SP_NORM, bytelen="octet_length"),
     oracle=_FUZZY_BODY.format(norm=_DD_NORM, bytelen="strlen"),
-    present_sort=["doc_a", "doc_b"],
 )
+def join_fuzzy_blocked_prefix_q(spark, sf_dir):
+    from steampipe_sqlite_spark.functions.text import normalize_text_arrow_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text_arrow_udf()
+    pa_ = (
+        docs.select(
+            "doc_id", F.substring(norm(F.col("text")), 1, 24).alias("pre")
+        )
+        .filter("octet_length(pre) = length(pre)")
+        .persist()  # normalized ONCE, read by both join sides
+    )
+    a, b = pa_.alias("a"), pa_.alias("b")
+    cand = a.join(
+        b,
+        (F.expr("substring(a.pre, 1, 6)") == F.expr("substring(b.pre, 1, 6)"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.expr("abs(length(a.pre) - length(b.pre)) <= 3")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.expr("CAST(levenshtein(a.pre, b.pre) AS BIGINT)").alias("edit_dist"),
+    )
+    # orderBy, not presentation_sort: the pair output GROWS with the
+    # corpus (linear by blocking), and presentation_sort's coalesce(1)
+    # would collapse the join's reduce stage — join + levenshtein on one
+    # core (measured 52 s of the probe's 55 s at 5M docs; the sql_query
+    # form had the same defect via present_sort).  The parallel range
+    # sort is the documented unbounded-result path.
+    return cand.filter("edit_dist <= 3").orderBy("doc_a", "doc_b")
 
 
 _VOCAB_JAC_SP_TOKS = (

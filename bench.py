@@ -57,6 +57,11 @@ HEADLINE = [
     # round 5: exact set-similarity join (prefix-filtered; 1.81x its
     # brute-force DuckDB oracle at sf0.1 when added)
     "dedup_ppjoin_exact",
+    # round 14 (VERDICT r13 #5): the connector bridge path — 200k rows
+    # through 8 opaque token chains; the DuckDB twin is same-output
+    # generate_series arithmetic (see the query docstring), so this pair
+    # tracks absolute bridge throughput, not work parity
+    "bridge_paged_scan_bulk",
 ]
 
 # best-of-5: machine contention on this box (see the noise sentinel and

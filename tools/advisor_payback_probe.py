@@ -1,21 +1,24 @@
 """Advisor payback probe: does the EMITTED recommendation order match
-MEASURED payback?  (VERDICT r12 #4, second half.)
+MEASURED payback?  (VERDICT r12 #4, second half; partition axis added
+round 14 per VERDICT r13 #6.)
 
 advise_layout now ranks by estimated benefit/cost (count x per-axis
 benefit weight / per-axis ingest factor, both priced from committed
 probe readings).  This probe closes the loop at 100x: a mixed workload
-whose plans argue for a lineitem BUCKET (q3+q18 order-key exchanges)
-AND an events Z-ORDER (3 range-filter queries on the value/ts mix),
-then for every emitted recommendation:
+whose plans argue for a lineitem BUCKET (q3+q18 order-key exchanges),
+an events Z-ORDER (3 range-filter queries on the value/ts mix), AND a
+customer hive-PARTITION (3 equality filters on c_mktsegment, NDV 5 —
+the low-NDV equality shape that triggers the partition_by axis), then
+for every emitted recommendation:
 
   measured_payback = (sum over its evidence queries of
                       flat_best - advised_best) / measured_ingest_s
 
 i.e. seconds saved per workload pass per second of ingest paid.  PASS =
 the advisor's emitted order equals the descending measured_payback
-order — a one-query-count rank would put the 3-query Z-order first;
-measured payback (and the new rank) puts the bucket first, because the
-Z-order premium buys less saved time per ingest second.
+order across all three deployed axes — a one-query-count rank would put
+the 3-query legs first; measured payback decides which premium actually
+buys saved time per ingest second.
 
 Usage: python tools/advisor_payback_probe.py [reps]   (default 100)
 Prints one JSON line.
@@ -89,9 +92,37 @@ def main() -> None:
             .agg({"*": "count"})
         )
 
+    # customer equality trio on c_mktsegment (NDV 5) — pure equality, no
+    # range use of the column, so the advisor's filter-axis candidate
+    # resolves to partition_by (r14: the partition arm of the loop)
+    def cu(spark, sf_dir):
+        return load_table(spark, sf_dir, "customer")
+
+    def w4(spark, sf_dir):
+        return (
+            cu(spark, sf_dir)
+            .filter("c_mktsegment = 'BUILDING'")
+            .groupBy("c_nationkey").count()
+        )
+
+    def w5(spark, sf_dir):
+        return (
+            cu(spark, sf_dir)
+            .filter("c_mktsegment = 'MACHINERY'")
+            .agg({"c_acctbal": "avg"})
+        )
+
+    def w6(spark, sf_dir):
+        return (
+            cu(spark, sf_dir)
+            .filter("c_mktsegment = 'AUTOMOBILE'")
+            .agg({"*": "count"})
+        )
+
     workload_fns = {
         "tpch_q3": q("tpch_q3"), "tpch_q18": q("tpch_q18"),
         "w1": w1, "w2": w2, "w3": w3,
+        "w4": w4, "w5": w5, "w6": w6,
     }
 
     # flat pass: warm + measure (these plans are also the advisor input)

@@ -283,6 +283,7 @@ def advise_layout(
     workload: dict[str, "Callable[[SparkSession, str], DataFrame] | DataFrame"],
     estimate_ndv: bool = True,
     with_notes: bool = False,
+    observed_s: "dict[str, float] | None" = None,
 ) -> "list[dict] | tuple[list[dict], list[dict]]":
     """Rank layout recommendations for ``sf_dir``'s tables under
     ``workload`` (query name -> builder fn or already-built DataFrame).
@@ -397,7 +398,9 @@ def advise_layout(
             rows_cache[table] = load_table(spark, sf_dir, table).count()
         return rows_cache[table]
 
-    def _cost_benefit(table: str, axis: str, columns: list, count: int):
+    def _cost_benefit(
+        table: str, axis: str, columns: list, count: int, queries=None
+    ):
         """(est_ingest_s, payback) for a candidate — so a Z-order whose
         2.15 s/M ingest premium is ~5x a bucket's 0.45 s/M can no longer
         outrank it on bare evidence count (VERDICT r12 #4).
@@ -406,7 +409,7 @@ def advise_layout(
         probe-derived per-row axis factor; with ``estimate_ndv=False``
         (the documented zero-data-touch mode) the row count is skipped
         and est_ingest_s is None — the payback rank needs no rows
-        (code-review r13).  The payback RANK is
+        (code-review r13).  The default payback RANK is
         count x benefit_weight / ingest_factor — row-INDEPENDENT, because
         both sides of the ratio scale linearly with the table: the
         seconds a layout saves grow with the rows the queries scan
@@ -415,7 +418,18 @@ def advise_layout(
         rank that divided by absolute ingest seconds would let a big
         table's cheap-axis rec lose to a tiny table's expensive-axis rec
         even when the big table's measured saved-s-per-ingest-s is
-        higher — the opposite of measured payback."""
+        higher — the opposite of measured payback.
+
+        With ``observed_s`` (query name -> measured wall seconds — a DBA
+        has these for their own workload), the benefit side is priced in
+        MEASURED seconds instead of bare query count:
+        payback = weight x sum(evidence walls) / est_ingest_s.  Count
+        weighting treats a floor-bound 0.15 s trio as three full units
+        and a multi-second pair as two — the r14 payback-probe inversion
+        (orders partition ranked over the lineitem bucket that measured
+        1.7x its payback); seconds weighting ranks by the time the
+        layout can actually return.  Needs rows (estimate_ndv=True) for
+        the ingest denominator; otherwise falls back to the count rank."""
         kind = (
             "order_by_zorder"
             if axis == "order_by" and len(columns) > 1
@@ -426,6 +440,10 @@ def advise_layout(
             if estimate_ndv
             else None
         )
+        if observed_s is not None and est is not None and queries:
+            walls = [observed_s[q] for q in queries if q in observed_s]
+            if walls:
+                return est, sum(walls) * _BENEFIT_WEIGHT[kind] / est
         return est, count * _BENEFIT_WEIGHT[kind] / _INGEST_S_PER_MROW[kind]
 
     recs = []
@@ -436,7 +454,7 @@ def advise_layout(
         if t_shuffle:
             col, qs = max(t_shuffle.items(), key=lambda kv: (len(kv[1]), kv[0]))
             if len(qs) >= 2:  # repeated — one-shot shuffles don't pay ingest
-                est, payback = _cost_benefit(table, "bucket_by", [col], len(qs))
+                est, payback = _cost_benefit(table, "bucket_by", [col], len(qs), qs)
                 candidates.append(
                     {
                         "axis": "bucket_by",
@@ -467,7 +485,7 @@ def advise_layout(
             top = mix[0]
             qs = repeated[top]
             if top in t_eq and top not in t_range and _ndv(table, top) <= _PARTITION_NDV_MAX:
-                est, payback = _cost_benefit(table, "partition_by", [top], len(qs))
+                est, payback = _cost_benefit(table, "partition_by", [top], len(qs), qs)
                 candidates.append(
                     {
                         "axis": "partition_by",
@@ -491,7 +509,7 @@ def advise_layout(
                 cols = mix[:3] if len(mix) >= 2 else [top]
                 label = "Z-order filter mix" if len(cols) > 1 else "range filters"
                 covered = set().union(*(repeated[c] for c in cols))
-                est, payback = _cost_benefit(table, "order_by", cols, len(covered))
+                est, payback = _cost_benefit(table, "order_by", cols, len(covered), covered)
                 candidates.append(
                     {
                         "axis": "order_by",

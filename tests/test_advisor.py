@@ -92,6 +92,39 @@ class TestAdvisor:
         assert rec["evidence"]["queries"] == ["tpch_q18", "tpch_q3"]
         assert "bucket_by='l_orderkey'" in rec["suggested_call"]
 
+    def test_observed_walls_reprice_the_cross_table_rank(self, spark):
+        """With ``observed_s`` the benefit side is priced in measured
+        seconds, not bare query count (r14 payback probe): a 3-query
+        floor-bound equality trio (0.15 s walls) must rank BELOW a
+        2-query multi-second bucket pair — while the default count rank
+        (no walls) keeps the trio first, pinning that the parameter, not
+        a weight change, flips the order."""
+        from steampipe_sqlite_spark.plans.registry import collect
+
+        q, _ = collect()
+        od = load_table(spark, SF_DIR, "orders")
+        workload = {
+            "tpch_q3": q["tpch_q3"],
+            "tpch_q18": q["tpch_q18"],
+            "p1": od.filter("o_orderpriority = '1-URGENT'").groupBy().count(),
+            "p2": od.filter("o_orderpriority = '2-HIGH'").agg(F.count("*")),
+            "p3": od.filter("o_orderpriority = '5-LOW'").groupBy().count(),
+        }
+        by_count = [
+            (r["table"], r["axis"]) for r in advise_layout(spark, SF_DIR, workload)
+        ]
+        walls = {"tpch_q3": 3.0, "tpch_q18": 3.7, "p1": 0.15, "p2": 0.15, "p3": 0.15}
+        by_secs = [
+            (r["table"], r["axis"])
+            for r in advise_layout(spark, SF_DIR, workload, observed_s=walls)
+        ]
+        assert by_count.index(("orders", "partition_by")) < by_count.index(
+            ("lineitem", "bucket_by")
+        ), "count rank should keep the 3-query trio first"
+        assert by_secs.index(("lineitem", "bucket_by")) < by_secs.index(
+            ("orders", "partition_by")
+        ), "seconds rank must put the heavy bucket pair first"
+
     def test_low_cardinality_equality_recommends_partition(self, spark):
         """Repeated pushed equality on event_type (5 distinct values) —
         partition_by, the directory-pruning axis."""

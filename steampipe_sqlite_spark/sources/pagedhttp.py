@@ -63,7 +63,7 @@ from steampipe_sqlite_spark.sources.connector import (
     Qual,
     Schema,
     TableSchema,
-    rows_to_batches,
+    pages_to_batches,
 )
 
 
@@ -214,26 +214,38 @@ class PagedHttpConnector(Connector):
             shards = [p.info["shard"] for p in self.partitions(table, quals)]
         schema = self.get_schema().table(table).arrow_schema(columns)
 
-        def rows() -> Iterator[dict]:
+        # Page-wise pipeline (optimization r14): the old shape paid three
+        # per-row Python costs on every scan — an all() generator over the
+        # quals (even when empty), a projection dict comprehension (which
+        # from_pylist's schema projection already does in C), and a
+        # row-at-a-time buffer append.  Measured on the 200k-row bulk
+        # fixture: execute() 1.47 s of which the page fetches themselves
+        # were 0.37 s.  Filtering now runs as one list comprehension per
+        # page and ONLY when quals exist (advisory server-side filtering:
+        # over-return allowed, the engine re-filters — unchanged contract).
+        def pages() -> Iterator[list[dict]]:
             served = 0
             for shard in shards:
                 token: str | None = None
                 while True:
                     page_rows, token = self._fetch_page(shard, token)
-                    for r in page_rows:
-                        # advisory server-side filtering (over-return
-                        # allowed; the engine re-filters) — mirrors an API
-                        # honoring only the quals it understands
-                        ok = all(
-                            q.matches(r.get(q.column)) for q in quals
-                            if q.column in r
-                        )
-                        if ok:
-                            yield {k: r[k] for k in schema.names}
-                            served += 1
-                            if limit is not None and served >= limit:
-                                return
+                    if quals:
+                        page_rows = [
+                            r
+                            for r in page_rows
+                            if all(
+                                q.matches(r.get(q.column))
+                                for q in quals
+                                if q.column in r
+                            )
+                        ]
+                    if limit is not None and served + len(page_rows) >= limit:
+                        yield page_rows[: limit - served]
+                        return
+                    served += len(page_rows)
+                    if page_rows:
+                        yield page_rows
                     if token is None:
                         break
 
-        yield from rows_to_batches(schema, rows())
+        yield from pages_to_batches(schema, pages())

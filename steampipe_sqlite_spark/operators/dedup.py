@@ -176,8 +176,10 @@ def minhash_signatures_oph(
     bucket shift per shingle instead of 64 derived hashes.  At sf0.1 the
     end-to-end gain is modest (the 1.5M-row shingle shuffle dominates) but
     the per-shingle CPU is 64× lower — the term that grows with document
-    length at real corpus sizes.  Shuffle: partial (id, bucket) mins fold
-    map-side, then one 64-entry map per document.
+    length at real corpus sizes.  Shuffle: ONE exchange on id — the
+    bucket pivot runs as 64 conditional mins inside a single codegen'd
+    hash aggregate whose partials fold map-side (65 longs per doc per
+    map partition cross the wire).
     """
     from steampipe_sqlite_spark.functions.text import normalize_text
 
@@ -196,16 +198,25 @@ def minhash_signatures_oph(
     hb = ex.select("id", h.alias("h")).withColumn(
         "b", F.shiftrightunsigned(F.col("h"), shift)
     )
-    per_bucket = hb.groupBy("id", "b").agg(F.min("h").alias("mn"))
-    packed = per_bucket.groupBy("id").agg(
-        F.map_from_entries(F.collect_list(F.struct("b", "mn"))).alias("m"),
-        F.min("mn").alias("gmin"),
+    # ONE hash-partitioned aggregate straight off the shingle stream: 64
+    # conditional mins (bucket pivot) + the global min, all inside ONE
+    # codegen'd hash agg with map-side partials, assembled as a single
+    # array expression (one F.expr parse).  Replaces the r13 two-stage
+    # shape — groupBy(id, b) THEN groupBy(id) with
+    # map_from_entries(collect_list(...)) — whose second aggregate ran as
+    # an ObjectHashAggregate (collect_list defeats codegen) and cost a
+    # second exchange.  A/B at sf0.1 (md5 family, noop sink): 1.17 s →
+    # 0.77 s for the signature stage, and construction 0.43 s vs 3.29 s
+    # for the equivalent 64-column F.min(F.when(...)) Column-chain form
+    # (~400 py4j round trips — the same lesson as _band_projection).
+    # Output proven bit-identical at sf0.1 (sorted collect comparison).
+    mins = ", ".join(
+        f"min(CASE WHEN b = {i} THEN h END)" for i in range(num_hashes)
     )
-    return packed.select(
-        "id",
-        F.expr(
-            f"transform(sequence(0L, {num_hashes - 1}L), i -> coalesce(m[i], gmin)) as sig"
-        ),
+    return (
+        hb.groupBy("id")
+        .agg(F.expr(f"array({mins}) AS ms"), F.expr("min(h) AS gmin"))
+        .select("id", F.expr("transform(ms, m -> coalesce(m, gmin)) AS sig"))
     )
 
 
@@ -649,21 +660,27 @@ def ppjoin_pairs(
             f"array_distinct(transform(sequence(1, greatest(size(w) - {k - 1}, 1)),"
             f" i -> array_join(slice(w, i, {k}), ' ')))"
         )
-    # ONE scan, TWO shuffles, ZERO joins for the whole prefix ranking
-    # (VERDICT r5 #2a rewrite, measured 2.2x the r5 join shape at sf0.1):
-    # both document-frequency and set size are WINDOW counts over the
-    # single exploded token stream — df = count over (partition by tok)
-    # replaces the freq aggregate + stream⋈freq join, n = count over
-    # (partition by id) replaces the sizes aggregate + join and shares
-    # the row_number window's exchange.  Two plan traps dodged here:
-    # (a) explode() must take the array EXPRESSION, not a named array
-    # column — InferFiltersFromGenerate turns a named column into a
-    # pushed-down `size(...) > 0` scan filter with the whole
-    # regex+split+shingle pipeline inlined INSIDE the lambda (re-parsed
-    # per element — measured 26 s instead of 0.5 s); (b) `w` itself must
-    # stay a named column for the same per-element reason (the 14 s
-    # comment above).
-    toks = words.selectExpr("id", f"explode({elems}) AS tok")
+    # The per-doc shingle ARRAY is materialized ONCE (persist_tracked,
+    # the minhash-signatures pattern) and every later stage derives from
+    # it: the exploded prefix-ranking stream, BOTH sides of the candidate
+    # self-join, and the verification arrays.  The r13 shape recomputed
+    # the normalize+split+shingle pipeline four times in one plan (self-
+    # join a/b + two verification joins) — measured 1.65 s → 1.08 s at
+    # sf0.1 (noop sink) from this change alone.  Carrying n = size(toks)
+    # through the explode also deletes the
+    # `count(*) OVER (PARTITION BY id)` window the r5 rewrite used for
+    # set size — one fewer window aggregate on the id exchange.
+    arrs = persist_tracked(
+        words.selectExpr("id", f"{elems} AS toks").selectExpr(
+            "id", "toks", "CAST(size(toks) AS BIGINT) AS n"
+        )
+    )
+    # exploding the PERSISTED named column is safe here: the
+    # InferFiltersFromGenerate trap (a pushed `size(...) > 0` filter
+    # re-evaluating the whole shingle pipeline) bites when the array is
+    # an unmaterialized expression chain; against the cache it is one
+    # cheap array read.
+    toks = arrs.selectExpr("id", "n", "explode(toks) AS tok")
     # global rarity order: (df, tok) is a total order, so every document
     # ranks its tokens identically — the prefix-filter guarantee needs a
     # CONSISTENT order, not any particular one.  A stopword makes a hot
@@ -671,12 +688,11 @@ def ppjoin_pairs(
     # key in the aggregate shape too — no new skew exposure.
     ranked = (
         toks.selectExpr(
-            "id", "tok", "count(*) OVER (PARTITION BY tok) AS df"
+            "id", "tok", "n", "count(*) OVER (PARTITION BY tok) AS df"
         )
         .selectExpr(
-            "id", "tok",
+            "id", "tok", "n",
             "row_number() OVER (PARTITION BY id ORDER BY df, tok) AS r",
-            "count(*) OVER (PARTITION BY id) AS n",
         )
         # prefix length = n - ceil(t/100 * n) + 1, in pure integers:
         # ceil(a/b) = (a + b - 1) div b
@@ -702,12 +718,10 @@ def ppjoin_pairs(
         # BEFORE verification — see minhash_lsh_pairs
         stats["candidates"] = cand
     # verification: per-pair array_intersect over the two docs' token
-    # ARRAYS (two map joins, one row per side) — NEVER a candidate×token
-    # explode, which was measured 20x slower at sf0.1 (each candidate
-    # multiplied by every token of both docs before the count)
-    arrs = words.selectExpr("id", f"{elems} AS toks").selectExpr(
-        "id", "toks", "CAST(size(toks) AS BIGINT) AS n"
-    )
+    # ARRAYS (two map joins against the persisted arrs, one row per
+    # side) — NEVER a candidate×token explode, which was measured 20x
+    # slower at sf0.1 (each candidate multiplied by every token of both
+    # docs before the count)
     common = (
         cand.join(arrs.selectExpr("id AS _ida", "toks AS toks_a", "n AS n_a"),
                   F.col("id_a") == F.col("_ida"))

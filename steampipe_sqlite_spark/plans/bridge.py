@@ -122,7 +122,20 @@ def bridge_paged_pruned(spark, sf_dir):
 # 8 chains x 20 pages x 1250 rows = 200k rows: big enough that Arrow
 # batch assembly and token walking (not fixed session overhead) dominate
 # the Spark leg, small enough for the bench's per-pair budget.
-_BULK_CFG = json.dumps({"n_partitions": 8, "n_pages": 20, "page_size": 1250})
+# cache:false (optimization r14, measurement honesty): the reference-
+# parity scan cache (sources/cache.py) lives in REUSED Python worker
+# processes, so repeated bench runs were PARTIALLY served from memory —
+# and only partially, because task-to-worker assignment varies run to
+# run (measured: 160 page fetches on run 0, then +140/+100 on repeats;
+# spark_mad 0.059 in the interim bench).  The benched entry must walk
+# every token chain every run — bench.py clearCache() can't reach a
+# worker-process cache, so the per-connection option turns it off at
+# the source.  Warm cost of honesty: ~0.42 s partially-cached →
+# ~0.40-0.45 s fully fetched (machinery dominates, the cache saved
+# almost nothing).  Correctness rows are value-identical either way.
+_BULK_CFG = json.dumps(
+    {"n_partitions": 8, "n_pages": 20, "page_size": 1250, "cache": False}
+)
 _BP, _BPG, _BI = 8, 20, 1250
 
 _BULK_GEN = f"""

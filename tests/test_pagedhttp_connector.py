@@ -47,6 +47,30 @@ class TestTokenChain:
         with pytest.raises(ValueError, match="invalid page token"):
             _parse_token("3:8:deadbeef")  # fabricated continuation
 
+    def test_field_mask_skips_unrequested_payload_synthesis(self):
+        """Server-side field mask (optimization r14): a projected execute
+        must not synthesize the expensive payload fields (item_id
+        f-string, value round) it was not asked for, while a masked
+        fetch's values stay bit-identical to the unmasked fetch's for
+        the fields it does return."""
+        con = PagedHttpConnector(json.dumps({"n_partitions": 1, "n_pages": 1, "page_size": 4}))
+        full_rows, _ = con._fetch_page(0, None)
+        masked_rows, _ = con._fetch_page(0, None, {"seq", "partition_id", "page"})
+        assert set(masked_rows[0]) == {"seq", "partition_id", "page"}
+        for fr, mr in zip(full_rows, masked_rows):
+            assert {k: fr[k] for k in mr} == mr
+        # qual columns ride the mask even when not projected (advisory
+        # page filtering reads them from the row dicts)
+        val_rows, _ = con._fetch_page(0, None, {"seq", "value"})
+        assert set(val_rows[0]) == {"seq", "partition_id", "page", "value"}
+        assert [r["value"] for r in val_rows] == [r["value"] for r in full_rows]
+        # end-to-end: a projected execute's batches carry only the
+        # requested columns, values identical to the unprojected scan
+        batches = list(con.execute("items", [], ["seq", "page"], None))
+        assert batches[0].schema.names == ["seq", "page"]
+        full = list(con.execute("items", [], None, None))
+        assert batches[0].column("seq").to_pylist() == full[0].column("seq").to_pylist()
+
     def test_spark_scan_calls_equal_pages_times_partitions(self, spark, tmp_path):
         """The headline contract: a full parallel scan walks every
         partition's token chain exactly once — total fetches ==

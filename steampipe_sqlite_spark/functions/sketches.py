@@ -455,7 +455,19 @@ def kmv_pairwise_jaccard(sig: DataFrame, k: int = 128) -> DataFrame:
     relation: per (ga, gb) take the k smallest distinct hashes of the
     UNION of the two signatures (= kmv(A ∪ B)) and count how many appear
     in BOTH — the estimate is n_both/k, emitted as integers.
-    Work is |groups|² × k — signature-sized, never data-sized."""
+    Work is |groups|² × k — signature-sized, never data-sized.
+
+    The input signature relation is persisted first (optimization r14):
+    this plan references ``sig`` four times (both pair sides plus the two
+    membership probes), and an unpersisted signature re-ran its entire
+    upstream build — corpus scan, normalize, bigram explode, md5,
+    distinct, per-group top-k window — once per reference.  Signatures
+    are <= |groups|*k rows by construction, so the cached state is
+    bounded.  A/B at sf0.01 (source-pair query, warm): 1.28 s -> 0.85 s,
+    and the cold plan carries one build subtree instead of four."""
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    sig = persist_tracked(sig)
     a = sig.selectExpr("grp AS ga", "h")
     b = sig.selectExpr("grp AS gb", "h AS hb")
     paired = (

@@ -54,29 +54,50 @@ def bpe_ish_token_count(c: Column) -> Column:
     return F.regexp_count(c, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
 
+def _let(bound: Column, body) -> Column:
+    """Evaluate ``body(var)`` with ``var`` bound ONCE to ``bound``.
+
+    Spark performs no common-subexpression elimination into higher-order-
+    function lambdas: an outer expression referenced inside a ``transform``
+    lambda is re-evaluated per element.  For a per-position slide over a
+    normalize/split chain that turns O(len) work into O(len²) per document
+    — measured 90 s → 0.45 s for the sf0.1 char-shingle scan and 17 s →
+    0.6 s for the word-ngram scan (optimization r14).  Binding the chain
+    as the single element of an array and referencing the lambda VARIABLE
+    in the body makes it a per-row, not per-element, evaluation.  Same
+    expression tree otherwise — results are identical, including nulls
+    (the primitives null-propagate identically through the binding).
+    """
+    return F.transform(F.array(bound), body).getItem(0)
+
+
 def char_shingles(c: Column, k: int = 5) -> Column:
     """Distinct character k-grams of the normalized text (array<string>).
 
     Built as substring slides over the string — pure JVM expression, no
     explode, so it composes with downstream minhash without a shuffle.
     """
-    norm = normalize_text(c)
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
-    )
+    def shingles(norm: Column) -> Column:
+        n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, k))
+        )
+
+    return _let(normalize_text(c), shingles)
 
 
 def word_ngrams(c: Column, n: int = 3) -> Column:
     """Distinct word n-grams (array<string>)."""
-    toks = tokens(c)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    def grams(toks: Column) -> Column:
+        count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
-    )
+
+    return _let(tokens(c), grams)
 
 
 def stopword_hits(c: Column, lang: str) -> Column:

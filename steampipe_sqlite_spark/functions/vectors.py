@@ -58,8 +58,13 @@ def cosine_prenorm(dot_ab: Column) -> Column:
 
 def normalize(a: Column) -> Column:
     """Unit-normalize an array<float> into array<double>."""
-    n = norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    from steampipe_sqlite_spark.functions.text import _let
+
+    # bind the norm once per row: an aggregate fold referenced inside the
+    # transform lambda would be re-evaluated per element (O(dim²)/vector)
+    return _let(
+        norm(a), lambda n: F.transform(a, lambda x: x.cast("double") / n)
+    )
 
 
 def quantize_int8(a: Column) -> Column:
@@ -73,9 +78,17 @@ def quantize_int8(a: Column) -> Column:
     reproducible in DuckDB; downstream integer sums are order-independent,
     so quantized-cosine queries hash-match without rounding guards.
     """
+    from steampipe_sqlite_spark.functions.text import _let
+
     mx = F.greatest(
         F.array_max(F.transform(a, lambda x: F.abs(x.cast("double")))),
         F.lit(1e-30),
     )
-    scale = F.lit(127.0) / mx
-    return F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))
+    # bind the scale once per row — referenced directly inside the lambda
+    # it would recompute the array_max fold per element (O(dim²)/vector)
+    return _let(
+        F.lit(127.0) / mx,
+        lambda scale: F.transform(
+            a, lambda x: F.round(x.cast("double") * scale).cast("long")
+        ),
+    )

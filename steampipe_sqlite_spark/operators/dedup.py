@@ -90,26 +90,88 @@ def ngram_jaccard_pairs(
     The blocking key keeps the pair space linear-ish; at 100 TB the block
     should be a content-derived key (e.g. a minhash band), not a metadata
     column — this operator takes whatever blocking the caller chose.
+
+    Execution (optimization r14): an inverted-index gram join, not a
+    block-pair join.  The old shape enumerated every in-block pair and ran
+    an interpreted array_intersect per pair.  Now the DISTINCT grams
+    explode once and self-join on (block, gram): only pairs that SHARE a
+    gram ever materialize, |intersection| is a codegen'd count per
+    (id_a, id_b), and set sizes ride the exploded rows, so Jaccard comes
+    out of the same integers the old plan computed (bit-identical
+    doubles).  Work is sum over grams of df(g)^2 within each block —
+    rare-gram dominated for real text — instead of unconditional
+    block^2 x gram-array cost.
+
+    Honest measurement (the two r14 fixes pulled apart): the pre-r14
+    33 s sf0.1 wall was dominated by the O(tokens²) word_ngrams HOF
+    defect, fixed separately in functions/text.py:_let.  With that fix
+    in BOTH arms, sf0.1 (100 blocks of <=112 docs) runs 1.36 s as a
+    pair join vs 1.82 s here — the gram join pays ~0.5 s of extra
+    exchanges at toy block sizes.  The shape is chosen for block
+    GROWTH: at fixed corpus size, tools/ngram_pairs_scale_probe.py
+    measures the pair join quadratic in block size (2.2 / 13.3 / 48.3 s
+    at blocks of 100 / 1000 / 5000 over 20k docs) while this join stays
+    flat (2.8 / 2.9 / 2.4 s) — and a blocking key can never promise
+    small blocks at 100 TB.
+
+    A zero/negative threshold keeps the pair-join form: the gram join
+    cannot emit jaccard-0 pairs (they share no gram row), which such a
+    threshold would include.
     """
-    grams = df.select(
+    grams = _spread(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("grams"),
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
+    if threshold <= 0:
+        a = grams.alias("a")
+        b = grams.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+        cond.append(F.col("a.id") < F.col("b.id"))
+        inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+        union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+        jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(jac, 4).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # one materialization of the (block, id, gram, n) stream feeds both
+    # join sides — the ppjoin/kmv lesson: never recompute the tokenize
+    # pipeline per plan reference
+    toks = persist_tracked(
+        grams.select(
+            *[F.col(c) for c in block_cols],
+            "id",
+            F.size("grams").alias("n"),
+            F.explode("grams").alias("g"),
+        )
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col("a.id") < F.col("b.id"))
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
-    return (
+    cond += [F.col("a.g") == F.col("b.g"), F.col("a.id") < F.col("b.id")]
+    inter = (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jac, 4).alias("jaccard"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # same integer operands, same association, same cast/round as the
+    # pair-join form -> identical doubles
+    jac = F.col("inter").cast("double") / F.greatest(
+        F.col("n_a") + F.col("n_b") - F.col("inter"), F.lit(1)
+    ).cast("double")
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -170,11 +170,18 @@ def text_repetition_flags(spark, sf_dir):
     count per distinct gram."""
     from steampipe_sqlite_spark.functions.text import normalize_text
 
+    from steampipe_sqlite_spark.functions.text import _let
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(normalize_text(F.col("text")), " ")
-    n_grams = F.greatest(F.size(toks) - F.lit(1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
+    # bind the token split once per row (optimization r14): a split chain
+    # referenced inside the transform lambda is re-evaluated per element
+    # — O(tokens²) per document (see functions/text.py:_let)
+    grams = _let(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda toks: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
     )
     sents = F.split(F.col("text"), r"\. ")
     base = docs.select("doc_id", grams.alias("grams"), sents.alias("sents"))

@@ -1097,6 +1097,16 @@ def rfm_segmentation(spark, sf_dir):
         "o_custkey", "datediff(max_d, last_order) AS recency_days",
         "freq", "monetary_cents",
     )
+    # persist the customer-sized aggregate once (optimization r14): the
+    # first rank pass's repartitionByRange SAMPLES its child and then
+    # materializes it, so an unpersisted `anchored` ran the orders
+    # scan+groupBy (and the broadcast anchor's second orders scan) twice
+    # before any ranking happened.  Customer-grain state, same size class
+    # as the ranked partitions the helper itself persists.  Measured
+    # 2.59 s -> 1.95 s warm at sf0.1, identical output.
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    anchored = persist_tracked(anchored)
     d1 = distributed_row_number(
         anchored, [F.col("recency_days"), F.col("o_custkey")], name="_rn_r"
     )

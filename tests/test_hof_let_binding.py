@@ -1,0 +1,159 @@
+"""Pin the r14 HOF let-binding optimizations (functions/text.py:_let).
+
+Spark re-evaluates outer expressions referenced inside higher-order-
+function lambdas once PER ELEMENT (no CSE into lambdas) — O(len²) per
+document for a normalize/split chain under a per-position slide.  The
+fix binds the chain once per row via transform(array(x), f)[0].  These
+tests pin (a) value equivalence of every rewritten builder against a
+plain-Python reference, including null/empty/duplicate-token edge rows,
+and (b) the gram-join form of ngram_jaccard_pairs against the all-pairs
+reference it replaced.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from steampipe_sqlite_spark.functions.text import char_shingles, word_ngrams
+from steampipe_sqlite_spark.functions.vectors import normalize, quantize_int8
+from steampipe_sqlite_spark.operators.dedup import ngram_jaccard_pairs
+
+TEXTS = [
+    "The quick brown fox jumps over the lazy dog",
+    "the the the the repeated token stream",
+    "one",
+    "",
+    None,
+    "Mixed CASE with   extra   spaces and punct!!! marks...",
+    "ab",  # shorter than the shingle width
+]
+
+
+def _norm(s):
+    import re
+
+    s = (s or "").lower()
+    s = re.sub(r"[^a-z0-9一-鿿 ]", " ", s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return s
+
+
+def _ref_ngrams(s, n):
+    if s is None:
+        # NULL text: split(NULL)=NULL, size(NULL)=NULL → greatest(…,1)=1,
+        # slice(NULL)=NULL, concat_ws skips nulls → [""] — the identical
+        # semantics of the pre-r14 unbound form, pinned deliberately
+        return [""]
+    toks = _norm(s).split(" ")
+    count = max(len(toks) - (n - 1), 1)
+    out, seen = [], set()
+    for i in range(count):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def _ref_shingles(s, k):
+    if s is None:
+        # NULL text: length(NULL)=NULL → one position, substring(NULL)=NULL
+        # → [None]; identical to the pre-r14 unbound form
+        return [None]
+    norm = _norm(s)
+    count = max(len(norm) - (k - 1), 1)
+    out, seen = [], set()
+    for i in range(count):
+        g = norm[i : i + k]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "id int, t string")
+
+
+def test_word_ngrams_matches_python_reference(text_df):
+    rows = text_df.select("id", word_ngrams(F.col("t"), 3).alias("g")).collect()
+    for r in rows:
+        assert r.g == _ref_ngrams(TEXTS[r.id], 3), TEXTS[r.id]
+
+
+def test_char_shingles_match_python_reference(text_df):
+    rows = text_df.select("id", char_shingles(F.col("t"), 5).alias("g")).collect()
+    for r in rows:
+        assert r.g == _ref_shingles(TEXTS[r.id], 5), TEXTS[r.id]
+
+
+VECS = [
+    [1.0, -2.0, 3.0],
+    [0.0, 0.0, 0.0],
+    [127.5],
+    [-0.001, 0.002, -0.0005, 0.0],
+]
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(VECS)], "id int, v array<float>"
+    )
+
+
+def test_quantize_int8_matches_python_reference(vec_df):
+    rows = vec_df.select("id", quantize_int8(F.col("v")).alias("q")).collect()
+    for r in rows:
+        v = [float(F32(x)) for x in VECS[r.id]]
+        mx = max(max(abs(x) for x in v), 1e-30)
+        scale = 127.0 / mx
+        want = [round_half_even(x * scale) for x in v]
+        assert r.q == want, (VECS[r.id], r.q, want)
+
+
+def F32(x):
+    import struct
+
+    return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def round_half_even(x):
+    # Spark's ROUND on double is HALF_UP for positives/negatives away
+    # from zero; replicate via decimal
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def test_normalize_is_unit_length(vec_df):
+    rows = vec_df.filter(F.col("id") != 1).select(
+        "id", normalize(F.col("v")).alias("u")
+    ).collect()
+    for r in rows:
+        assert math.isclose(sum(x * x for x in r.u), 1.0, rel_tol=1e-9)
+
+
+def test_gram_join_equals_pair_join_reference(spark):
+    """The r14 inverted-index form must emit exactly the pairs and
+    jaccard values of the all-pairs block join it replaced (threshold>0)."""
+    from steampipe_sqlite_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0.3
+        ).collect()
+    }
+    # reference: the pre-r14 shape (kept in the operator for threshold<=0,
+    # filtered here to the same threshold)
+    ref = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang", "source"], n=3, threshold=0
+        ).filter(F.col("jaccard") >= 0.3).collect()
+    }
+    assert got == ref and len(got) > 0

@@ -489,12 +489,22 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ τ.  Blocked pair join when a block column is
     given; otherwise full O(n²) (test scale only — the ANN path is
-    similarity.lsh_topk)."""
+    similarity.lsh_topk).
+
+    Optimization r14: the un-blocked form is a BroadcastNestedLoopJoin
+    whose parallelism equals the STREAMED side's partition count — over a
+    single-file parquet input the whole n²/2-pair fold ran as ONE task
+    (51.8 s at sf0.1's 5k×5k pairs).  ``_spread`` fans the streamed side
+    across cores, and the element casts are hoisted out of the per-pair
+    lambda: ``v`` is cast to array<double> once per ROW, so the per-pair
+    work is just the multiply-add fold (cast-then-multiply ≡
+    multiply-of-casts, bit-identical).  51.8 s → 3.35 s at sf0.1 (noop,
+    best of 3), same rows."""
     from steampipe_sqlite_spark.functions.vectors import dot, norm
 
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS DOUBLE))").alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("nrm", norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")

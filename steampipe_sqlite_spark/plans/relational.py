@@ -430,8 +430,17 @@ cand AS (
   SELECT t.v AS tv, t.b - o.k AS cb
   FROM db t CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) o),
 counts AS (
+  -- REPARTITION(cb) holds the candidate join's parallelism (opt r14):
+  -- its INPUT is a few MB of (value, bucket) ints, so AQE coalesces the
+  -- exchange to one partition, but its OUTPUT fans out ~density(1000)
+  -- rows per value (~80M rows at sf0.1) — the whole expansion ran as a
+  -- single task (10.4 s).  A user repartition on the join key is exempt
+  -- from AQE coalescing and is scale-neutral (no partition-count
+  -- constant; the key is the bucket id both sides already join on).
+  -- 10.4 s -> 0.66 s at sf0.1, identical rows.
   SELECT cand.tv, CAST(SUM(db.c) AS BIGINT) AS n_within
-  FROM cand JOIN db ON db.b = cand.cb
+  FROM (SELECT /*+ REPARTITION(cb) */ tv, cb FROM cand) cand
+  JOIN db ON db.b = cand.cb
   WHERE db.v >= cand.tv - 1000.0e0 AND db.v <= cand.tv
   GROUP BY cand.tv)
 SELECT o.o_orderkey, o.o_totalprice, counts.n_within AS n_within_1000

@@ -496,3 +496,25 @@ def test_optimized_layout_runs_q3_q18_exchange_free_on_orderkey(
     plain = queries["tpch_q3"](spark, SF_DIR)
     assert "Bucketed: true" not in plain._jdf.queryExecution().executedPlan().toString()
     assert {tuple(r) for r in plain.collect()} == base["tpch_q3"]
+
+
+def test_emb_neardup_pair_join_is_parallel(spark, queries):
+    """Optimization r14: the un-blocked O(n²) cosine pair join is a
+    BroadcastNestedLoopJoin whose parallelism equals the STREAMED side's
+    partitions — a single-file parquet input serialized all pair folds
+    onto one task (51.8 s at sf0.1).  The streamed side must be spread
+    (round-robin repartition) and the vectors pre-cast per ROW, not per
+    pair (51.8 s -> 3.35 s)."""
+    p = plan_text(queries["emb_neardup_cosine"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p, p[:1500]
+    assert "RoundRobinPartitioning" in p, "streamed side not spread"
+
+
+def test_win_range_frame_candidate_join_not_coalesced(spark, queries):
+    """Optimization r14: the binned-range-join's candidate exchange has a
+    few MB of input but ~density(width) rows of OUTPUT per value — AQE's
+    input-sized coalescing collapsed the whole expansion onto one task
+    (10.4 s at sf0.1).  The user REPARTITION(cb) hint is AQE-exempt and
+    must stay in the plan (10.4 s -> 2.28 s)."""
+    p = plan_text(queries["win_range_frame"](spark, SF_DIR))
+    assert "REPARTITION_BY_COL" in p, p[:2000]

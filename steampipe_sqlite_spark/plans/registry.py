@@ -468,71 +468,73 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # tests/test_bench_contract.py (the test recomputes the same order, so
 # the bump + list swap is the whole change).
 _WINDOW_PRIORITY = [
-    # ---- ROUND-14 WINDOW (50 slots; VERDICT r13 #1) — executed after
-    # CORRECTNESS_r13 landed 50/50 green with zero reds; re-verified at
-    # execution time by recomputing per-name last-green rounds from the
-    # committed CORRECTNESS_r01..r13 artifacts (r13 IS included in the
-    # recompute: it is committed at HEAD; only the current round's
-    # mid-round artifact must be excluded, per the r9 time-bomb
-    # lesson).  LEADS with the 2 round-13 bridge-family additions that
-    # have never had a driver row (selfcheck-green at sf0.01 oracle AND
-    # sf0.01/sf0.1 vanilla on creation; r11/r12 never-checked-lead
-    # precedent), then the 48 least-recently-checked names: the 10
-    # remaining r8-era names, the r8-window TPC-H/join/window block,
-    # and the oldest r9-era names, artifact order within each round —
-    # matching the pre-staged r14 candidate list name-for-name. ----
-    "bridge_paged_scan",
-    "bridge_paged_pruned",
-    # the 10 remaining names whose last driver row is the r8 window:
-    "eval_calibration_bins",
-    "mining_hard_negatives",
-    "eval_confusion_matrix",
-    "privacy_l_diversity",
-    "text_zipf_band_counts",
-    "graph_label_prop_step",
-    "emb_power_iteration_step",
-    "ts_mann_kendall_daily",
-    "win_percent_rank_cume_dist",
-    "knn_cosine_lsh",
-    # ...then the r8-window backfill block (artifact order):
-    "curation_pipeline",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q18",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "win_range_frame",
-    "setop_except",
-    "cte_multi",
-    "group_rollup",
-    "subq_not_in",
-    "agg_filter_clause",
-    "pivot_status_by_flag",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "text_bpe_apply_fidelity",
-    "compat_collate_nocase",
-    "compat_blob_constructors",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "join_right_outer",
+    # ---- ROUND-15 WINDOW (50 slots; VERDICT r14 #4) — executed after
+    # CORRECTNESS_r14 landed 50/50 green with zero reds (committed at
+    # 473a44b); re-verified at execution time by recomputing per-name
+    # last-green rounds from the committed CORRECTNESS_r01..r14
+    # artifacts (r14 IS included: it is committed at HEAD; only the
+    # current round's mid-round artifact is excluded, per the r9
+    # time-bomb lesson).  LEADS with round 14's single corpus addition
+    # `bridge_paged_scan_bulk` (never had a driver row; selfcheck-green
+    # on creation; r11/r12/r14 never-checked-lead precedent), then the
+    # 49 least-recently-checked names: the 2 remaining r8-era names
+    # (join_cross, join_theta_range), then the r9-era block, artifact
+    # order within each round — matching the pre-staged r15 candidate
+    # list.  (r14 window composition lives in git history: bridge pair
+    # lead + 10 r8-era names + the r8 TPC-H/join/window backfill block
+    # — all green in CORRECTNESS_r14.json.) ----
+    "bridge_paged_scan_bulk",
+    # the 2 remaining names whose last driver row is the r8 window:
+    "join_cross",
+    "join_theta_range",
+    # ...then the r9-era names (artifact order):
+    "join_using_natural",
+    "join_broadcast_hint",
+    "join_nullsafe_eq",
+    "orderby_limit_offset",
+    "orderby_nulls_last",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "group_cube",
+    "group_grouping_sets",
+    "win_row_number_topk",
+    "win_rank_family",
+    "win_ntile",
+    "win_lag_lead",
+    "win_first_last_nth",
+    "win_sliding_rows",
+    "win_agg_over_unbounded",
+    "subq_scalar_uncorrelated",
+    "subq_scalar_correlated",
+    "subq_in",
+    "subq_derived_table",
+    "values_inline",
+    "unpivot_stack",
+    "sessionize_events",
+    "dedup_components",
+    "knn_cosine_int8",
+    "text_decontaminate",
+    "text_gopher_flags",
+    "sample_balanced_per_group",
+    "streaming_tumbling_1h",
+    "date_extract_parts",
+    "date_trunc_buckets",
+    "date_format_epoch",
+    "json_extract_scalar",
+    "json_group_array",
+    "tvf_json_each",
+    "json_variant_extract",
+    "agg_array_ops",
+    "sketch_hll_users",
+    "join_asof_events",
+    "mm_media_inventory",
+    "win_global_rownum_scale",
+    "win_running_sum",
+    "win_groups_frame",
+    "win_exclude_current_row",
+    "win_exclude_group",
+    "cte_recursive",
 ]
 
 

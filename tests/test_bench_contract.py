@@ -24,24 +24,25 @@ def test_headline_queries_registered_with_oracles():
 # driver drops CORRECTNESS_r{WINDOW_ROUND}.json mid-round recording the
 # very window this test polices, so including it would mark every member
 # fresh and fail the assertion (the round-9 time bomb — VERDICT r9 #1).
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 # Corpus names with no driver row in any pre-window-round artifact lead
-# the window (r11/r12 precedent).  Round 13 added the bridge family's
-# first two corpus rows AFTER the r13 window had rotated, so they have
-# never had a driver row and lead the round-14 window (VERDICT r13 #1).
-NEVER_CHECKED_LEAD: list[str] = ["bridge_paged_scan", "bridge_paged_pruned"]
+# the window (r11/r12 precedent).  Round 14 added `bridge_paged_scan_bulk`
+# AFTER the r14 window had rotated, so it has never had a driver row and
+# leads the round-15 window (VERDICT r14 #4).
+NEVER_CHECKED_LEAD: list[str] = ["bridge_paged_scan_bulk"]
 
 
-def test_round14_driver_window_is_least_recently_checked():
+def test_round15_driver_window_is_least_recently_checked():
     """The driver verifies the FIRST 50 collect() entries per round; the
-    round-14 rotation (VERDICT r13 #1) is the never-checked bridge lead +
-    least-recently-checked continuation — the names whose most recent
-    driver row is oldest.  Recompute that order here from the committed
-    pre-window-round artifacts (round order, then artifact insertion
-    order within a round — the same tiebreak the rotation uses) and pin
-    window == lead + first 48 of it, so a registration-order or
-    priority-list refactor can't silently evict a stale name."""
+    round-15 rotation (VERDICT r14 #4) is the never-checked bulk-bridge
+    lead + least-recently-checked continuation — the names whose most
+    recent driver row is oldest.  Recompute that order here from the
+    committed pre-window-round artifacts (round order, then artifact
+    insertion order within a round — the same tiebreak the rotation
+    uses) and pin window == lead + first 49 of it, so a
+    registration-order or priority-list refactor can't silently evict a
+    stale name."""
     import glob
     import json
     import re
@@ -101,7 +102,15 @@ def test_compact_summary_line_fits_driver_tail_capture():
             "duckdb_total": 12345.678,
             "ratio_vs_duckdb": 123.456,
             "ratio_med": 123.456,
-            "noise": {"sentinel_before": 123.4567, "sentinel_after": 123.4567},
+            # r15 additions (VERDICT r14 #2): the min-across-all-runs
+            # rollup and the multi-core contention sentinel pair
+            "qmin": 12345.678,
+            "noise": {
+                "sentinel_before": 123.4567,
+                "sentinel_after": 123.4567,
+                "mc_before": 123.4567,
+                "mc_after": 123.4567,
+            },
             "sf": 0.001,
         }
     )
@@ -115,8 +124,15 @@ def test_compact_summary_line_fits_driver_tail_capture():
             "ratio_med_total": 123.456,
         }
     )
-    assert len(line) + len(ratio_line) < 1950, (
+    # the compact line ALONE must parse even if the ratios line is
+    # truncated — it is the machine-readable contract
+    assert len(line) < 1400, f"compact summary grew to {len(line)} chars"
+    # the measured driver capture is exactly 2000 chars (BENCH_r14.json
+    # tail); the worst case here (123.456 s per query — 100x today's
+    # realities) must still fit it.  The pre-r15 1950 headroom was spent
+    # on the VERDICT r14 #2 additions (qmin + mc sentinels).
+    assert len(line) + len(ratio_line) < 2000, (
         f"compact summary ({len(line)}) + pair-ratio line "
         f"({len(ratio_line)}) = {len(line) + len(ratio_line)} chars — "
-        "exceeds the driver's ~2000-char tail capture; trim fields"
+        "exceeds the driver's 2000-char tail capture; trim fields"
     )

@@ -13,6 +13,14 @@ chars, and the single detail line outgrew that window in rounds 8-9
 (parsed: null); test_bench_contract pins the compact + ratio lines'
 sizes so both fit the tail capture together.
 
+Round-15 additions (VERDICT r14 #2, additions-only — no timing machinery,
+schedule, or field changed): a multi-core contention sentinel pair
+(noise.mc_before/mc_after — the 1-thread sentinel cannot see the bursty
+co-tenant load that inflates 32-thread legs), a per-query
+min-across-ALL-runs dict on the detail line, and its one-number rollup
+"qmin" on the compact line — the noise-robust reading PERF comparisons
+should consult before calling a best-of-5 move a regression.
+
 Also times DuckDB running each query's oracle SQL on the same parquet —
 the repo's operative baseline is "engine ≤ 2× DuckDB wall-clock"
 (BASELINE.md), so the ratio is part of the output: "duckdb" holds
@@ -70,6 +78,39 @@ HEADLINE = [
 RUNS = 5
 
 
+def _mc_sentinel() -> float:
+    """Multi-core contention sentinel (VERDICT r14 #2): the 1-thread
+    DuckDB sentinel below stays at ~6 ms while co-tenant bursts inflate
+    the 32-thread Spark legs 2-5x — it provably cannot see the
+    interference.  This probe CAN: $SPARK_GRAFT_CPUS threads each sum a
+    private 4 MB numpy array 40 times (GIL released inside numpy, so the
+    threads genuinely occupy every core); the wall-clock of the slowest
+    thread measures how much of the machine this process actually got.
+    Quiet-box reading ~0.05-0.15 s; readings several times that mean the
+    surrounding measurements were taken under multi-core co-tenant load
+    and must not be compared round-over-round as engine regressions."""
+    import threading
+
+    import numpy as np
+
+    n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    arrays = [np.ones(500_000, dtype=np.float64) for _ in range(n)]
+
+    def spin(a):
+        s = 0.0
+        for _ in range(40):
+            s += float(a.sum())
+        return s
+
+    threads = [threading.Thread(target=spin, args=(a,)) for a in arrays]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _sentinel(sf_dir: str) -> float:
     """Noise sentinel: a fixed tiny DuckDB aggregation, timed cold.
     BASELINE.md documents multi-second machine noise on this box
@@ -110,6 +151,7 @@ def main() -> None:
     # warm the JVM + parquet footers once
     queries["tpch_q6"](spark, sf_dir).toPandas()
     sentinel_before = _sentinel(sf_dir)
+    mc_before = _mc_sentinel()
 
     def _n_jobs() -> int:
         # DAGScheduler's job counter: cheap, exact, and local-mode only —
@@ -164,13 +206,24 @@ def main() -> None:
     # Warming the whole schedule first puts every query at "tail"
     # conditions.  The pass doubles as the job-anatomy measurement: job
     # count and Python-stage detection per query (floor_anatomy below).
+    # Min ACROSS ALL RUNS (VERDICT r14 #2): every execution of a query in
+    # this process — the anatomy pass, the untimed warm-up pair, and the 5
+    # timed runs — is a sample of the same computation; the minimum over
+    # all ~7 is the most noise-robust per-query reading this box can give
+    # (BASELINE.md: bursts inflate individual runs 2-5x at random).  The
+    # contract "queries" field keeps its exact best-of-5 semantics; this
+    # rides alongside (detail line + 3rd element of each pair-ratio entry).
+    best_all: dict[str, float] = {name: float("inf") for name in HEADLINE}
+
     anatomy: dict[str, dict] = {}
     for name in HEADLINE:
         fn = getattr(queries[name], "__wrapped__", queries[name])
         spark.catalog.clearCache()
         j0 = _n_jobs()
+        t0_an = time.perf_counter()
         df = fn(spark, sf_dir)
         df.toPandas()
+        best_all[name] = min(best_all[name], time.perf_counter() - t0_an)
         jobs = _n_jobs() - j0  # includes any helper offset-collect jobs —
         # they run on every invocation, so they belong to the query's cost
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -204,7 +257,7 @@ def main() -> None:
         # profiling tiers need executions before a query reaches steady
         # state (q1 was measured 2× slower on its first post-construction
         # runs); DuckDB gets the symmetric treatment (ADVICE r4)
-        timed_run(name)
+        best_all[name] = min(best_all[name], timed_run(name))
         if has_oracle:
             duck_run(name)
         s_samples: list[float] = []
@@ -213,6 +266,7 @@ def main() -> None:
             s = timed_run(name)
             s_samples.append(s)
             best[name] = min(best[name], s)
+            best_all[name] = min(best_all[name], s)
             if has_oracle:
                 d_samples.append(duck_run(name))
         s_med, s_mad = _med_mad(s_samples)
@@ -230,6 +284,11 @@ def main() -> None:
             )
             pair_ratios[name] = [round(r_med, 2), round(r_mad, 2)]
     per_query = {name: round(v, 3) for name, v in best.items()}
+    # full per-query dict rides the DETAIL line (the driver's 2000-char
+    # tail capture has no room for 18 more names; BENCH_BUILDER_r{N}.jsonl
+    # archives the detail line); the compact contract line carries the
+    # one-number rollup "qmin_total" below.
+    per_query_min_all = {name: round(v, 3) for name, v in best_all.items()}
 
     # Framework floor: the cheapest possible scan→shuffle→toPandas query
     # (a 1M-row range with an 8-key aggregation — no parquet, no real
@@ -286,7 +345,13 @@ def main() -> None:
         )
         floor_anatomy[name] = a
 
-    noise = {"sentinel_before": sentinel_before, "sentinel_after": _sentinel(sf_dir)}
+    noise = {
+        "sentinel_before": sentinel_before,
+        "sentinel_after": _sentinel(sf_dir),
+        # multi-core contention probe (VERDICT r14 #2) — see _mc_sentinel
+        "mc_before": mc_before,
+        "mc_after": _mc_sentinel(),
+    }
     # Integrity transparency: if an optimize_layout deployment exists for
     # THIS sf_dir, the engine legitimately reads the optimized copy — but a
     # bench artifact must say so, or a forgotten deployment would read as
@@ -332,6 +397,7 @@ def main() -> None:
                 "queries": per_query,
                 "duckdb": duck,
                 "duckdb_total": round(duck_comp, 3),
+                "per_query_min_across_runs": per_query_min_all,
                 "spark_stage_floor": round(floor, 3),
                 "spark_python_floor": round(floor_py, 3),
                 "spark_marginal_job": round(marginal_job, 3),
@@ -392,6 +458,11 @@ def main() -> None:
                 # ratio_vs_duckdb disagree, the best-of-5 number drifted
                 # on noise — see the interleaved_pair_ratios line above
                 "ratio_med": ratio_med_total,
+                # min-across-ALL-runs rollup (VERDICT r14 #2): sum of each
+                # query's minimum over every execution this process made
+                # (anatomy + warm-ups + the 5 timed runs) — the noise-
+                # robust total; per-query detail is on the first line
+                "qmin": round(sum(best_all.values()), 3),
                 "noise": {k: round(v, 4) for k, v in noise.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # present ONLY when a layout deployment covers this sf_dir

@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from steampipe_sqlite_spark.functions.vectors import dot_sql, norm_sql
 
@@ -346,37 +345,22 @@ def ivf_topk(
     """
     c = _prep(corpus, vec_col, id_col)
     q = _prep(queries, vec_col, id_col)
-    # Centroids are collected ONCE (k rows — metadata-sized) and serve
-    # BOTH faces: the numpy matrix for the corpus-side GEMM and the
-    # broadcast 1-row array for the query-side expression assignment.
-    # (r14 optimization: the array used to be re-aggregated from a second
-    # corpus scan — one extra scan+agg+broadcast job per query for rows
-    # already sitting on the driver.  Values are bit-identical: same
-    # collected floats, same cid-sorted order as the old sort_array.)
-    cent_rows = sorted(
-        c.where(f"id < {int(n_cells)}").select("id", "v", "nrm").collect(),
-        key=lambda r: r.id,
+    # The broadcast 1-row centroid array is re-aggregated from the corpus
+    # (a k-row scan+agg+broadcast job).  The r14 attempt to build it from
+    # the cent_rows already collected for the GEMM face (driver-side
+    # createDataFrame -> LocalTableScan) was measured SLOWER and reverted
+    # (r15, VERDICT r14 #1): 7/7 interleaved same-window pairs read the
+    # re-agg form faster (med 0.82x, best 0.750 vs 0.925 s at sf0.1) —
+    # py4j-converting the nested struct<int,array<float>,double> x16 row
+    # on the driver costs more than the small distributed agg job it
+    # saves, and the driver's BENCH_r14 (0.607 -> 0.868 s) agreed.
+    cent_arr = (
+        c.where(f"id < {int(n_cells)}")
+        .selectExpr(
+            "named_struct('cid', cast(id AS int), 'cv', v, 'cn', nrm) AS s"
+        )
+        .agg(F.expr("sort_array(collect_list(s)) AS cents"))
     )
-    if cent_rows:
-        elem = T.StructType(
-            [
-                T.StructField("cid", T.IntegerType(), False),
-                T.StructField("cv", c.schema["v"].dataType),
-                T.StructField("cn", T.DoubleType()),
-            ]
-        )
-        cent_arr = c.sparkSession.createDataFrame(
-            [([(int(r.id), r.v, float(r.nrm)) for r in cent_rows],)],
-            T.StructType([T.StructField("cents", T.ArrayType(elem), False)]),
-        )
-    else:
-        cent_arr = (
-            c.where(f"id < {int(n_cells)}")
-            .selectExpr(
-                "named_struct('cid', cast(id AS int), 'cv', v, 'cn', nrm) AS s"
-            )
-            .agg(F.expr("sort_array(collect_list(s)) AS cents"))
-        )
     # cells are labeled by POSITION in the sorted centroid array, not the
     # raw centroid id: _assign_cells_gemm (the corpus side) labels by
     # argmax position, and the two labelings only coincide when the
@@ -417,9 +401,14 @@ def ivf_topk(
     # centroid matrix — the same argmax semantics: 4-dp-rounded cosine,
     # ties to the lowest cid): the corpus is the unbounded side, and the
     # per-row interpreted HOF argmax was the operator's dominant CPU term
-    # at every scale.  cent_rows (collected above, shared with the
-    # broadcast array) is closed over.  The tiny query side keeps the
-    # expression form, which the DuckDB oracle mirrors clause-for-clause.
+    # at every scale.  The k centroids are collected once (k rows —
+    # metadata-sized, the same bound as the broadcast they feed) and
+    # closed over.  The tiny query side keeps the expression form, which
+    # the DuckDB oracle mirrors clause-for-clause.
+    cent_rows = sorted(
+        c.where(f"id < {int(n_cells)}").select("id", "v", "nrm").collect(),
+        key=lambda r: r.id,
+    )
     corpus_cells = (
         assign(c, keep=1)
         if not cent_rows

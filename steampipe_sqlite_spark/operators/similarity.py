@@ -625,6 +625,50 @@ def _pq_params(books: DataFrame) -> tuple[int, int]:
     return int(row.m), int(row.d_sub)
 
 
+def _spark_round(x: "np.ndarray", scale: int) -> "np.ndarray":
+    """Replicate Spark's ROUND(double, scale) — BigDecimal HALF_UP over the
+    SHORTEST DECIMAL STRING of the value — vectorized.  The binary
+    floor-trick (``sign·floor(|x|·10^s + 0.5)/10^s``) agrees with it
+    everywhere except within ~1 ulp of a .5 boundary, where the shortest
+    string is authoritative; those few candidates are re-rounded through
+    ``decimal.Decimal(repr(x))``, which is the same shortest-string
+    semantics (Python repr and Java Double.toString both emit the shortest
+    round-trip decimal)."""
+    q = 10.0 ** scale
+    a = np.abs(x) * q
+    frac = a - np.floor(a)
+    out = np.sign(x) * np.floor(a + 0.5) / q
+    risky = np.abs(frac - 0.5) < 1e-5
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quant = Decimal(1).scaleb(-scale)
+        flat_x, flat_o = np.ravel(x), np.ravel(out)
+        for i in np.flatnonzero(np.ravel(risky)):
+            flat_o[i] = float(
+                Decimal(repr(float(flat_x[i]))).quantize(quant, ROUND_HALF_UP)
+            )
+        out = flat_o.reshape(out.shape)
+    return out
+
+
+def _spark_round_nano_long(vals: "np.ndarray") -> "np.ndarray":
+    """int64 of Spark's ``ROUND(val * 1e9) :: long`` — the product is
+    formed in binary first (exactly as the SQL multiplies before the
+    round), then string-rounded at scale 0 like :func:`_spark_round`."""
+    y = vals * 1e9
+    return _spark_round(y, 0).astype(np.int64)
+
+
+def _dot_seq(a: "np.ndarray", b: "np.ndarray") -> float:
+    """Strict left-to-right double fold — bit-identical to
+    functions.vectors.dot_sql for the same operand values."""
+    acc = 0.0
+    for t in range(len(a)):
+        acc = acc + float(a[t]) * float(b[t])
+    return acc
+
+
 def pq_codebooks(
     corpus: DataFrame, vec_col: str, id_col: str,
     m: int = 4, codebook: int = 16, dim: int = 64, iters: int = 2,
@@ -637,31 +681,91 @@ def pq_codebooks(
     is oracle-replayable.  Returns (m, cid, cv, cc): m*codebook rows —
     metadata-sized whatever the corpus.
 
-    Scale shape: subspace rows are n*m scalars-plus-slices; each round is
-    one broadcast (centroids) + one (id, m)-keyed argmin shuffle + one
-    ((m, cell, pos))-keyed mean shuffle — identical class to the k-means
-    operator, times a constant m.
+    Scale shape (r15, VERDICT r14 #3): ONE shuffle keyed on the subspace
+    id + ONE grouped-pandas stage run the whole fit.  The previous
+    declarative chain (per-iteration `_pq_assign` broadcast + argmin
+    shuffle + `_pq_update` mean shuffle) was measured at ~15 *sequential*
+    broadcast-join barriers — each `_pq_assign` broadcasts the previous
+    `_pq_update`'s output, whose subtree nests every earlier round, so
+    wall-clock was barrier depth, not data volume (2.46 s best-of-3 at
+    sf0.1 for metadata-sized work; the r14 spread/persist attempt was
+    measured NEGATIVE because it added exchanges without cutting depth).
+    Each subspace's fit is a task-local numpy loop over its n×d_sub
+    matrix; at 100 TB the one shuffle moves the same n·m subvector rows
+    the old argmin shuffle moved PER ROUND, and the per-task state is one
+    (n_subspace_rows × d_sub) matrix — the same task-sized contract as
+    every grouped-pandas operator here.
+
+    Numerics are REPLAYED, not approximated: the worker folds dots
+    left-to-right like vectors.dot_sql, rounds through
+    :func:`_spark_round` (Spark's shortest-string HALF_UP), sums
+    integer-nano longs exactly, and reuses the Spark-computed ``svv``
+    carried on the input rows — so the returned books are bit-identical
+    to the old declarative chain's (pinned by
+    tests/test_llm_ops.py::TestProductQuantization::
+    test_batched_trainer_matches_declarative_chain) and the unrolled-CTE
+    oracle replays them unchanged.
     """
+    import pandas as pd
+
     d_sub = dim // m
     sub = _pq_subvectors(corpus, vec_col, id_col, m, d_sub)
-    cent = sub.filter(F.col("id") < codebook).selectExpr(
-        "m", "id AS cid", "sv AS cv", "svv AS cc"
-    )
-    if cent.limit(1).count() == 0:
-        # fail loudly like ivf_build_index: an empty init (no corpus ids
-        # below `codebook`) would otherwise train an empty codebook and
-        # every downstream query would silently return zero rows
+    # fail loudly like ivf_build_index: an empty init (no corpus ids
+    # below `codebook`) would otherwise train an empty codebook and
+    # every downstream query would silently return zero rows.  Checked
+    # on the raw corpus (id column only — column-pruned scan, no
+    # explode pipeline) so the guard job stays as cheap as possible.
+    if corpus.where(f"{id_col} < {int(codebook)}").limit(1).count() == 0:
         raise ValueError(
             f"empty PQ init: no corpus ids < {codebook} — re-key the corpus "
             "or pass a smaller codebook"
         )
-    assigned = _pq_assign(sub, cent)
-    for _ in range(iters - 1):
-        assigned = _pq_assign(sub, _pq_update(assigned, d_sub))
-    books = _pq_update(assigned, d_sub)
-    # Dense-renumber the codeword ids (0..n-1 per subspace) as the LAST
-    # step: init ids can be sparse (the first-``codebook`` corpus ids need
-    # not be 0..codebook-1) and Lloyd cells can die, but the ADC lookup
+    n_iters = int(iters)
+
+    def train(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sub_m = int(pdf["m"].iloc[0])
+        sv = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["sv"]])
+        svv = pdf["svv"].to_numpy(dtype=np.float64)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        init = np.flatnonzero(ids < codebook)
+        init = init[np.argsort(ids[init], kind="stable")]
+        # centroids kept sorted ascending by cid so argmin's first-min
+        # matches min_by(cid, struct(d2, cid))'s lowest-cid tie-break
+        c_cid = ids[init]
+        c_cv = sv[init]
+        c_cc = svv[init].copy()
+        for _ in range(n_iters):
+            # assign: d2 = round((svv - 2*dot(sv, cv)) + cc, 4), the dot
+            # accumulated position-by-position = the SQL fold's order
+            acc = np.zeros((len(sv), len(c_cid)))
+            for t in range(d_sub):
+                acc += sv[:, t : t + 1] * c_cv[None, :, t]
+            d2 = _spark_round((svv[:, None] - 2.0 * acc) + c_cc[None, :], 4)
+            cells = c_cid[np.argmin(d2, axis=1)]
+            # update: per-cell integer-nano mean (exact, fold-order-free),
+            # cc re-derived with the sequential fold like _pq_update did
+            new_cid = np.unique(cells)
+            cv_rows, cc_rows = [], []
+            for cid in new_cid:
+                grp = sv[cells == cid]
+                s = _spark_round_nano_long(grp).sum(axis=0, dtype=np.int64)
+                cv = (s.astype(np.float64) / len(grp)) / 1e9
+                cv_rows.append(cv)
+                cc_rows.append(_dot_seq(cv, cv))
+            c_cid, c_cv, c_cc = new_cid, np.stack(cv_rows), np.asarray(cc_rows)
+        # dense renumber (see the note below): rank within the subspace
+        return pd.DataFrame(
+            {
+                "m": sub_m,
+                "cid": np.arange(len(c_cid), dtype=np.int32),
+                "cv": [list(map(float, v)) for v in c_cv],
+                "cc": c_cc,
+            }
+        )
+
+    # Dense codeword ids (0..n-1 per subspace) as the LAST step: init ids
+    # can be sparse (the first-``codebook`` corpus ids need not be
+    # 0..codebook-1) and Lloyd cells can die, but the ADC lookup
     # (element_at(lut_row, code+1)) is positional — it is only correct if
     # cid == rank.  Renumbering by rank preserves every tie-break
     # downstream (rank is monotone in cid) and makes codes dense by
@@ -669,15 +773,21 @@ def pq_codebooks(
     # stay consistent too.  Found by the ivfpq append invariant test:
     # building on the even-id half corpus left 8 sparse cids {0,2,..,14}
     # under a 16-wide positional lookup.
-    return books.withColumn(
-        "cid", F.row_number().over(Window.partitionBy("m").orderBy("cid")) - 1
+    return sub.groupBy("m").applyInPandas(
+        train, "m int, cid int, cv array<double>, cc double"
     )
 
 
 def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
     """Per (id, subspace) nearest codeword — broadcast the m*codebook
     centroids, join on the subspace key, min_by argmin (4-dp-rounded
-    distance, cid tie-break — the kmeans determinism contract)."""
+    distance, cid tie-break — the kmeans determinism contract).
+
+    Since r15 this is the REFERENCE implementation only: the shipped
+    trainer runs the whole Lloyd loop in one grouped-pandas stage and the
+    shipped encode is the map-only `_pq_encode`; the bit-parity tests in
+    test_llm_ops.py::TestProductQuantization replay this chain against
+    both."""
     crossed = sub.join(F.broadcast(cent), "m").withColumn(
         "d2",
         F.expr(f"round(svv - 2 * {dot_sql('sv', 'cv')} + cc, 4)"),
@@ -713,6 +823,58 @@ def _pq_update(assigned: DataFrame, d_sub: int) -> DataFrame:
     )
     return packed.selectExpr(
         "m", "cell AS cid", "cv", f"{dot_sql('cv', 'cv')} AS cc"
+    )
+
+
+def _pq_encode(vecs: DataFrame, books: DataFrame, m: int, d_sub: int,
+               v_col: str = "v") -> DataFrame:
+    """Map-only PQ encoding (r15, guide §2.4 — remove shuffles outright):
+    append a ``codes`` column (array<int>, one codeword id per subspace)
+    to ``vecs`` rows by arg-minning each subvector against a broadcast
+    1-row codebook array — the same broadcast-array trick as ivf_topk's
+    query-side assignment.
+
+    Replaces the ``_pq_assign(sub, books).groupBy("id")`` re-pack form,
+    which shuffled the n·m exploded subvector rows TWICE (the (id, m)
+    argmin aggregate, then the id-keyed collect_list) to compute what is
+    a per-row function of (vector, codebooks).  At 100 TB that is two
+    corpus-sized exchanges deleted; the codebooks are metadata
+    (m·codebook rows) whatever the corpus.
+
+    Numerics replicate ``_pq_assign`` bit-for-bit: the same slice
+    expressions, dot_sql's cast-and-fold order, ``round((svv - 2·dot) +
+    cc, 4)``, and the lowest-cid tie-break (the fold computes the
+    lexicographic (d2, cid) minimum, exactly min_by's order).  The per-
+    subspace ``svv`` is bound in a struct BEFORE the argmin fold so it is
+    computed once per subspace, not once per codeword (the HOF-capture
+    rule); ``sort_array`` orders cents by (m, cid) so scored lists stay
+    cid-ascending.
+    """
+    books_arr = books.selectExpr(
+        "named_struct('m', m, 'cid', cid, 'cv', cv, 'cc', cc) AS s"
+    ).agg(F.expr("sort_array(collect_list(s)) AS cents"))
+    subs0 = (
+        f"transform(sequence(0, {m - 1}), j -> named_struct("
+        f"'j', j, 'sv', slice({v_col}, j * {d_sub} + 1, {d_sub})))"
+    )
+    subs = (
+        f"transform({subs0}, s -> named_struct("
+        f"'j', s.j, 'sv', s.sv, 'svv', {dot_sql('s.sv', 's.sv')}))"
+    )
+    scored = (
+        "transform(filter(cents, c -> c.m = s.j), c -> named_struct("
+        f"'d', round((s.svv - 2 * {dot_sql('s.sv', 'c.cv')}) + c.cc, 4), "
+        "'cid', c.cid))"
+    )
+    best = (
+        f"aggregate({scored}, "
+        "named_struct('d', cast('Infinity' as double), 'cid', 2147483647), "
+        "(acc, x) -> IF(x.d < acc.d OR (x.d = acc.d AND x.cid < acc.cid), x, acc))"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(books_arr))
+        .selectExpr("*", f"transform({subs}, s -> ({best}).cid) AS codes")
+        .drop("cents")
     )
 
 
@@ -784,20 +946,15 @@ def pq_topk(
     """
     books = pq_codebooks(corpus, vec_col, id_col, m=m, codebook=codebook, dim=dim, iters=iters)
     d_sub = dim // m
-    vecs = corpus.selectExpr(
-        f"{id_col} AS id",
-        f"transform({vec_col}, x -> cast(x as double)) AS v",
-    ).selectExpr("id", "v", f"{dot_sql('v', 'v')} AS vv")
-    sub = _pq_subvectors(corpus, vec_col, id_col, m, d_sub)
-    codes = (
-        _pq_assign(sub, books)
-        .groupBy("id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)"
-            ).alias("codes")
-        )
-        .join(vecs.select("id", "vv"), "id")
+    # map-only encode (r15): codes + the exact norm-square in ONE
+    # projection over the corpus scan — the former _pq_assign/groupBy/
+    # join-back form shuffled the exploded subvectors twice and re-joined
+    # vv by id (see _pq_encode's docstring); dot_sql casts inside the
+    # fold, so encoding straight off the float array is bit-identical to
+    # the old cast-first pipeline.
+    vecs = corpus.selectExpr(f"{id_col} AS id", f"{vec_col} AS v")
+    codes = _pq_encode(vecs, books, m, d_sub).selectExpr(
+        "id", "codes", f"{dot_sql('v', 'v')} AS vv"
     )
     luts = _pq_luts(queries, vec_col, id_col, books, m, d_sub)
     scored = codes.join(F.broadcast(luts), F.expr("qid <> id")).selectExpr(
@@ -981,17 +1138,16 @@ def ivfpq_build_index(
     )
     books.write.mode("overwrite").parquet(f"{path}/codebooks")
     d_sub = dim // m
-    sub = _pq_subvectors(corpus, vec_col, id_col, m, d_sub)
-    codes = (
-        _pq_assign(sub, spark.read.parquet(f"{path}/codebooks"))
-        .groupBy("id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)"
-            ).alias("codes")
-        )
-    )
-    _assign_cells_gemm(c, cent_rows).join(codes, "id").select(
+    # map-only encode ON TOP of the GEMM cell assignment (r15): codes are
+    # a per-row function of (v, saved books), so the former exploded
+    # _pq_assign/groupBy pipeline AND its id-keyed join back onto the
+    # GEMM output are all deleted — the cells write is one corpus pass.
+    _pq_encode(
+        _assign_cells_gemm(c, cent_rows),
+        spark.read.parquet(f"{path}/codebooks"),
+        m,
+        d_sub,
+    ).select(
         "id", "codes", "nrm", "v", "cell"
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
 
@@ -1117,17 +1273,9 @@ def ivfpq_append_batch(
     # every ADC score (zip_with pads the shorter array)
     m, d_sub = _pq_params(books)
     c = _prep(corpus_batch, vec_col, id_col)
-    sub = _pq_subvectors(corpus_batch, vec_col, id_col, m, d_sub)
-    codes = (
-        _pq_assign(sub, books)
-        .groupBy("id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)"
-            ).alias("codes")
-        )
-    )
-    rows = _assign_cells_gemm(c, cent_rows).join(codes, "id").select(
+    # map-only encode against the frozen books (r15) — same deletion of
+    # the exploded assign/groupBy/join-back as the build path
+    rows = _pq_encode(_assign_cells_gemm(c, cent_rows), books, m, d_sub).select(
         "id", "codes", "nrm", "v", "cell"
     )
     # Overlap guard: prune the existing index to the batch's target cells

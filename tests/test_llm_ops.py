@@ -628,6 +628,92 @@ class TestProductQuantization:
         assert all(len(r.cv) == 16 for r in books)
         assert all(0 <= r.m < 4 for r in books)
 
+    def test_batched_trainer_matches_declarative_chain(self, spark):
+        """The r15 grouped-pandas Lloyd trainer must return BIT-IDENTICAL
+        books to the old per-iteration _pq_assign/_pq_update chain it
+        replaced (same init, same 4-dp rounding via Spark's shortest-
+        string HALF_UP, same integer-nano means, same sequential cc fold,
+        same dense renumbering) — the unrolled-CTE oracle replays the old
+        chain, so any drift here is an oracle red."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from steampipe_sqlite_spark.operators.similarity import (
+            _pq_assign,
+            _pq_subvectors,
+            _pq_update,
+            pq_codebooks,
+        )
+        from steampipe_sqlite_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        m, codebook, dim, iters = 4, 16, 64, 2
+        d_sub = dim // m
+        sub = _pq_subvectors(emb, "embedding", "vec_id", m, d_sub)
+        cent = sub.filter(F.col("id") < codebook).selectExpr(
+            "m", "id AS cid", "sv AS cv", "svv AS cc"
+        )
+        assigned = _pq_assign(sub, cent)
+        for _ in range(iters - 1):
+            assigned = _pq_assign(sub, _pq_update(assigned, d_sub))
+        old = (
+            _pq_update(assigned, d_sub)
+            .withColumn(
+                "cid",
+                F.row_number().over(Window.partitionBy("m").orderBy("cid")) - 1,
+            )
+            .collect()
+        )
+        new = pq_codebooks(
+            emb, "embedding", "vec_id", m=m, codebook=codebook, dim=dim, iters=iters
+        ).collect()
+        key = lambda r: (r.m, r.cid)  # noqa: E731
+        old_map = {key(r): (list(r.cv), r.cc) for r in old}
+        new_map = {key(r): (list(r.cv), r.cc) for r in new}
+        assert old_map.keys() == new_map.keys()
+        for k in old_map:
+            assert old_map[k] == new_map[k], f"books differ at {k}"
+
+    def test_maponly_encode_matches_exploded_assign(self, spark):
+        """The r15 map-only `_pq_encode` (broadcast codebook array +
+        per-subspace expression argmin, zero corpus shuffles) must emit
+        the same codes as the reference `_pq_assign(sub, books)` +
+        id-grouped re-pack it replaced — same 4-dp d2 rounding, same
+        lowest-cid tie-break."""
+        from pyspark.sql import functions as F
+
+        from steampipe_sqlite_spark.operators.similarity import (
+            _pq_assign,
+            _pq_encode,
+            _pq_subvectors,
+            pq_codebooks,
+        )
+        from steampipe_sqlite_spark.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        m, d_sub = 4, 16
+        books = pq_codebooks(emb, "embedding", "vec_id", m=m, codebook=16)
+        old = {
+            r.id: list(r.codes)
+            for r in _pq_assign(
+                _pq_subvectors(emb, "embedding", "vec_id", m, d_sub), books
+            )
+            .groupBy("id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(m, cell))), s -> s.cell)"
+                ).alias("codes")
+            )
+            .collect()
+        }
+        new = {
+            r.id: list(r.codes)
+            for r in _pq_encode(
+                emb.selectExpr("vec_id AS id", "embedding AS v"), books, m, d_sub
+            ).collect()
+        }
+        assert old == new
+
     def test_adc_shortlist_is_deterministic(self, spark):
         from steampipe_sqlite_spark.operators.similarity import pq_topk
         from steampipe_sqlite_spark.tables import load_table

@@ -1,8 +1,8 @@
-"""Capture `.explain("formatted")` for named queries into plans/r14/.
+"""Capture `.explain("formatted")` for named queries into plans/r15/.
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
 
-Writes plans/r14/<query>_<suffix>.txt for each name.  Used to commit the
+Writes plans/r15/<query>_<suffix>.txt for each name.  Used to commit the
 before/after plan evidence for every query touched by an optimization
 round (the judge checks plan claims against these files).
 """
@@ -24,13 +24,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     queries, _ = collect()
     spark = get_spark("capture_plans")
-    os.makedirs("plans/r14", exist_ok=True)
+    os.makedirs("plans/r15", exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        out = f"plans/r14/{name}_{suffix}.txt"
+        out = f"plans/r15/{name}_{suffix}.txt"
         with open(out, "w") as f:
             f.write(plan)
         print(f"wrote {out} ({plan.count('Exchange')} Exchange mentions)")

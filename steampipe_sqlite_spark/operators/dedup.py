@@ -625,7 +625,19 @@ def duplicated_span_stats(
     from steampipe_sqlite_spark.functions.text import _NORM_SQL
 
     norm = _NORM_SQL.format(c=text_col)
-    norm_df = _spread(df).selectExpr(f"{id_col} AS id", f"{norm} AS norm")
+    # The normalized corpus is referenced THREE times by this plan (both
+    # gram pipelines below + the per-doc lengths join at the end), and the
+    # regex normalize chain dominated the recompute (measured r15: 0.33 s
+    # of the 0.44 s single gram pass at sf0.1; the un-persisted plan ran
+    # the chain 3x + the gram explode+md5 2x, 4.6 s total).  Persist it
+    # ONCE — the same corpus-sized, within-query, ledger-tracked state the
+    # ppjoin pipeline caches (guide §5); everything downstream derives
+    # from the cache.  The exploded gram rows themselves are NOT cached:
+    # they are ~k-fold larger than the text and recomputing them from the
+    # cached norms costs ~0.1 s here.
+    norm_df = persist_tracked(
+        _spread(df).selectExpr(f"{id_col} AS id", f"{norm} AS norm")
+    )
     h60 = f"cast(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) as bigint)"
     grams = norm_df.selectExpr(
         "id",
@@ -639,10 +651,19 @@ def duplicated_span_stats(
         # the last gram of a short doc is the doc itself, not k chars)
         f"least(i + {k - 1}, length(norm)) AS gend",
     )  # norm dropped pre-shuffle
+    # "appears in >= 2 distinct docs" as min(id) != max(id): ONE
+    # map-side-partial hash aggregate on h, where countDistinct(id)
+    # planned a (h, id) dedup aggregate + a second h aggregate — an
+    # entire 1.4M-row exchange deleted (guide §2.3 aggregate-before-
+    # shuffle; r15).  Identical predicate: ids are non-null, so
+    # >=2 distinct ids <=> min != max.  The groupBy+join form is kept
+    # (vs. a min/max window over h) because AQE skew handling covers
+    # joins but not windows — a boilerplate hot gram must not pin one
+    # task (guide §2.5).
     dup_hashes = (
         grams.groupBy("h")
-        .agg(F.countDistinct("id").alias("nd"))
-        .where("nd >= 2")
+        .agg(F.min("id").alias("id_lo"), F.max("id").alias("id_hi"))
+        .where("id_lo != id_hi")
         .select("h")
     )
     dup_pos = grams.join(dup_hashes, "h").select("id", "i", "gend")

@@ -159,6 +159,26 @@ def test_ppjoin_tokenizes_the_corpus_once(spark, queries):
     assert plan.count("FileScan parquet") <= 2, plan.count("FileScan parquet")
 
 
+def test_exact_substrings_caches_norms_and_avoids_count_distinct(spark, queries):
+    """Optimization r15: duplicated_span_stats persists the normalized
+    corpus once (three plan references used to re-run the regex chain:
+    both gram pipelines + the lengths join; 4.6 s -> 2.0 s noop at
+    sf0.1), and the >=2-distinct-docs test is min(id) != max(id) — one
+    map-side-partial hash aggregate where count(DISTINCT id) planned an
+    extra (h, id) dedup aggregate and its exchange."""
+    plan = (
+        queries["dedup_exact_substrings"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+    assert "count(distinct" not in plan.lower(), "dup-hash filter regressed to countDistinct"
+    assert "partial_min" in plan and "partial_max" in plan, (
+        "dup-hash min/max must aggregate map-side"
+    )
+
+
 def test_asof_join_has_no_join_node(spark, queries):
     """The as-of form must plan as ONE keyed shuffle + sort — no join
     operator, certainly no nested loop.  Since r8 the same-source fast

@@ -407,27 +407,81 @@ def ewma_by_key(
         f"{f.name} {f.dataType.simpleString()}" for f in fields
     ) + ", ewma double"
 
-    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        # pandas ewm(adjust=False) runs the identical left fold in C:
-        # y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1}.  beta is
-        # exactly 1.0 - alpha and IEEE a*x + b*y is order-insensitive
-        # for the commuted addition, so on non-null runs this is
-        # bit-identical to the per-row Python loop it replaced (r13;
-        # hash-parity re-proven against the recursive-CTE oracle) while
-        # vectorizing the per-group pass.  NULL semantics differ: ewm
-        # SKIPS NaN and resumes smoothing, the left fold POISONS every
-        # subsequent value (alpha*NaN + beta*prev = NaN) — the mask
-        # below restores the fold's behavior so a null mid-series
-        # cannot silently smooth over the gap (code-review r13).
-        pdf = pdf[[*key_cols, *order_cols, value_col]].copy()
-        vals = pdf[value_col].astype("float64")
-        ewma = vals.ewm(alpha=alpha, adjust=False).mean()
-        pdf["ewma"] = ewma.mask(vals.isna().cummax())
-        return pdf
+    # Partition-wise smoothing (r15, guide §4): the former
+    # groupBy.applyInPandas invoked the pandas fn ONCE PER KEY — at sf0.1
+    # that is 1500 python calls of ~1.8 ms each (sort_values + copy + ewm
+    # per tiny group), 2.7 of the query's 2.87 s; the shuffle+sort twin
+    # alone runs in 0.19 s.  Now ONE key-hashed repartition +
+    # sortWithinPartitions makes every key's rows contiguous and ordered,
+    # and a mapInPandas stage smooths ALL keys in a batch with ONE
+    # vectorized groupby.ewm call (C loop), carrying (key, last_ewma)
+    # across Arrow batch boundaries so a key spanning batches continues
+    # its recursion exactly (the recursion only needs y_{t-1}; a carry
+    # row with value=y_prev re-seeds ewm(adjust=False) bit-identically,
+    # and a NaN carry re-poisons via the cummax mask).  Order columns
+    # sort nulls LAST to replay pandas sort_values' NaN placement.
+    #
+    # pandas ewm(adjust=False) runs the identical left fold in C:
+    # y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1}.  beta is exactly
+    # 1.0 - alpha and IEEE a*x + b*y is order-insensitive for the
+    # commuted addition, so on non-null runs this is bit-identical to
+    # the per-row Python loop it replaced (r13; hash-parity re-proven
+    # against the recursive-CTE oracle).  NULL semantics differ: ewm
+    # SKIPS NaN and resumes smoothing, the left fold POISONS every
+    # subsequent value (alpha*NaN + beta*prev = NaN) — the per-group
+    # cummax mask restores the fold's behavior so a null mid-series
+    # cannot silently smooth over the gap (code-review r13).
+    n_keys = len(key_cols)
+
+    def smooth_partition(batches):
+        carry_key: tuple | None = None
+        carry_val = float("nan")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[[*key_cols, *order_cols, value_col]]
+            first_key = tuple(pdf.iloc[0, :n_keys])
+            prepended = carry_key is not None and len(first_key) == len(
+                carry_key
+            ) and all(
+                (pd.isna(a) and pd.isna(b)) or a == b
+                for a, b in zip(first_key, carry_key)
+            )
+            if prepended:
+                seed = pdf.iloc[[0]].copy()
+                seed[value_col] = carry_val
+                pdf = pd.concat([seed, pdf], ignore_index=True)
+            else:
+                pdf = pdf.reset_index(drop=True)
+            vals = pdf[value_col].astype("float64")
+            keys = [pdf[k] for k in key_cols]
+            ewma = (
+                vals.groupby(keys, sort=False, dropna=False)
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .reset_index(level=list(range(n_keys)), drop=True)
+                .sort_index()
+            )
+            # per-group poison mask, cythonized (no per-group lambdas):
+            # cummax over the 0/1 null indicator within each group
+            poison = (
+                vals.isna()
+                .astype("int8")
+                .groupby(keys, sort=False, dropna=False)
+                .cummax()
+                .astype(bool)
+            )
+            out = pdf.copy()
+            out["ewma"] = ewma.mask(poison)
+            carry_key = tuple(pdf.iloc[-1, :n_keys])
+            carry_val = out["ewma"].iloc[-1]
+            yield out.iloc[1:] if prepended else out
 
     return (
         df.select(*dict.fromkeys(out_cols[:-1]))
-        .groupBy(*key_cols)
-        .applyInPandas(smooth, schema_str)
+        .repartition(*key_cols)
+        .sortWithinPartitions(
+            *key_cols, *[F.asc_nulls_last(c) for c in order_cols]
+        )
+        .mapInPandas(smooth_partition, schema_str)
     )

@@ -110,6 +110,51 @@ def test_ewma_null_poisons_the_tail_of_its_key(spark):
     assert got[("b", 2)] == 0.25 * 4.0 + 0.75 * 8.0
 
 
+def test_ewma_carry_across_arrow_batches_matches_reference(spark):
+    """The r15 partition-wise rewrite smooths whole Arrow batches and
+    carries (key, last_ewma) across batch boundaries — a key longer than
+    spark.sql.execution.arrow.maxRecordsPerBatch (default 10k) MUST
+    continue its recursion seamlessly, including a null placed beyond
+    the first boundary (the poison must propagate through the carry).
+    Compared against the plain-python left fold row by row."""
+    import math
+
+    n = 25_000  # > 2 batches for one key at the 10k default
+    rows = []
+    vals = {}
+    for i in range(n):
+        v = None if i in (12_345, 24_000) else float((i * 37) % 100) / 4.0
+        rows.append(("big", i, v))
+        vals[i] = v
+    # a second small key interleaved in input order (hash-partitioned
+    # away or not — either way its recursion is independent)
+    for i in range(5):
+        rows.append(("small", i, float(i)))
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r.k, r.t): r.ewma
+        for r in ewma_by_key(df, ["k"], ["t"], "v", alpha=0.25).collect()
+    }
+    # python reference fold for the big key
+    y = None
+    poisoned = False
+    for i in range(n):
+        v = vals[i]
+        if v is None:
+            poisoned = True
+        y = v if i == 0 else (
+            None if (v is None or y is None) else 0.25 * v + 0.75 * y
+        )
+        expect = got[("big", i)]
+        if poisoned:
+            assert expect is None or math.isnan(expect), f"row {i} not poisoned"
+        else:
+            assert expect == y, f"row {i}: {expect} != {y}"
+    for i in range(5):
+        ref = float(i) if i == 0 else 0.25 * float(i) + 0.75 * ref
+        assert got[("small", i)] == ref
+
+
 def test_union_by_name_null_fills_missing_columns(spark):
     old = spark.createDataFrame([(1, "t", "en")], "doc_id long, text string, lang string")
     new = spark.createDataFrame([(2, "u", 9)], "doc_id long, text string, n_chars long")

@@ -136,8 +136,13 @@ def pagerank_nano(
         table against contribs — a nodes-sized scan + shuffle + join x
         iters; here the sink set is computed once (anti-join, bounded
         by the node count) and each round just UNIONs it onto the
-        contribution ranks, a shuffle-free concat.  The per-iteration
-        data touched drops from (edges + 2*nodes) to (edges + sinks).
+        contribution ranks, a shuffle-free concat;
+      * ROUND 1's JOIN (r15): the initial ranks are the uniform
+        constant 1e9 div n, so the first round's contribution is pure
+        edge arithmetic (init div outdeg, one dst-keyed SUM) — no ranks
+        join at all.  (The fuller dangling-mass fold — excluding sinks
+        from the loop state entirely — was MEASURED NEGATIVE and is
+        recorded as a dead end below.)
     Driver state: none (the loop count is fixed).  Returns
     (node, rank_nano).
     """
@@ -146,7 +151,12 @@ def pagerank_nano(
         return nodes.select(
             F.col("node"), F.lit(0).cast("long").alias("rank_nano")
         )
+    init = 1_000_000_000 // n
     base = int((100 - damping_pct) * 1_000_000_000 // 100 // n)
+    if int(iters) <= 0:
+        return nodes.select(
+            "node", F.lit(init).cast("long").alias("rank_nano")
+        )
     # ONE explicit src-hash exchange of the raw edges, shared by the
     # outdeg aggregate and the attribute join below (identical canonical
     # Exchange subtrees -> ReuseExchange dedupes them in the first
@@ -172,11 +182,49 @@ def pagerank_nano(
         .select("src", "dst", "outdeg")
         .persist()
     )
-    ranks = nodes.select(
-        "node", F.lit(1_000_000_000 // n).cast("long").alias("rank_nano")
+    # ITERATION 1 NEEDS NO JOIN (r15): the initial ranks are the uniform
+    # constant init = 1e9 div n, so round 1's contribution is pure edge
+    # arithmetic — init div outdeg per edge, one dst-keyed SUM.  The r14
+    # form joined the uniform ranks table against every edge to compute
+    # the same constant.
+    contribs1 = (
+        edges_deg.select(
+            F.col("dst").alias("node"), F.expr(f"{init} div outdeg").alias("c")
+        )
+        .groupBy("node")
+        .agg(F.sum("c").cast("long").alias("in_sum"))
     )
-    sinks = None
-    for _ in range(int(iters)):
+    # Nodes with no in-edge hold the constant teleport base from round 1
+    # on.  contribs1's key set IS distinct(dst) (deriving it here skips a
+    # 2|E|-row DISTINCT — 544 exec-s of the x10000 stage profile; the
+    # shared contribs1 subtree dedupes via shuffle-stage reuse).
+    #
+    # MEASURED DEAD END (r15, VERDICT r14 #8 — recorded so it is not
+    # re-attempted): folding the sinks' constant out-contributions into
+    # each round's aggregate (loop state excluding sinks, a precomputed
+    # const leg unioned into the SUM) read 22.4 vs 12.6 s best at x1000
+    # in a same-window interleaved A/B (tools/pagerank_ab_probe.py) —
+    # the fold needs an edges-sized anti-join materialization + a semi-
+    # join pass to split the edge list, two one-time full edge passes
+    # that cost more than iters-1 rounds of sink savings; on this
+    # corpus's graph (two coprime modular bijections) the sink set is
+    # EMPTY, making the overhead pure loss.  The joinless round 1 above
+    # is the part of #8 that survived measurement.
+    sinks = (
+        nodes.join(contribs1, "node", "left_anti")
+        .select("node", F.lit(base).cast("long").alias("rank_nano"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = (
+        contribs1.selectExpr(
+            "node",
+            f"cast({base} + ({damping_pct} * in_sum) div 100 AS bigint)"
+            " AS rank_nano",
+        )
+        .unionAll(sinks)
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(iters) - 1):
         # SHUFFLE_HASH on the ranks side: the ranks table is the small
         # side (one row per node vs one per edge) and hash-building it
         # skips the per-iteration sort-merge sorts of BOTH sides — the
@@ -190,23 +238,6 @@ def pagerank_nano(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("in_sum"))
         )
-        if sinks is None:
-            # nodes with no in-edge: rank is the constant base every
-            # round.  The key set of contribs is iteration-invariant
-            # (every rank is > 0, so a contribution ROW exists for every
-            # node with an in-edge), so the first round's contribution
-            # keys ARE distinct(dst) — deriving the sink set from them
-            # skips a 2|E|-row DISTINCT over the edge list (544 exec-s
-            # of the x10000 stage profile); the shared contribs subtree
-            # dedupes via shuffle-stage reuse when both legs
-            # materialize.
-            sinks = (
-                nodes.join(contribs, "node", "left_anti")
-                .select(
-                    "node", F.lit(base).cast("long").alias("rank_nano")
-                )
-                .localCheckpoint(eager=False)
-            )
         ranks = (
             contribs.selectExpr(
                 "node",

@@ -157,7 +157,13 @@ def ngram_jaccard_pairs(
     cond += [F.col("a.g") == F.col("b.g"), F.col("a.id") < F.col("b.id")]
     inter = (
         a.join(b, cond)
+        # the block columns ride the groupBy (ADVICE r14): the API does
+        # not promise id_col is unique ACROSS blocks, and without them a
+        # repeated id would merge intersection counts from different
+        # blocks — the pair-join form this claims bit-parity with emits
+        # per-block pairs.  They drop out in the final select.
         .groupBy(
+            *[F.col(f"a.{c}") for c in block_cols],
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.n").alias("n_a"),
@@ -504,7 +510,10 @@ def embedding_neardup_pairs(
 
     base = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.expr(f"transform({vec_col}, x -> cast(x AS DOUBLE))").alias("v"),
+        # F.transform, not an interpolated F.expr string: a vec_col name
+        # needing backticks (dots, spaces) would break SQL parsing
+        # (ADVICE r14); same per-ROW hoisted cast either way
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     ).withColumn("nrm", norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")

@@ -157,3 +157,36 @@ def test_gram_join_equals_pair_join_reference(spark):
         ).filter(F.col("jaccard") >= 0.3).collect()
     }
     assert got == ref and len(got) > 0
+
+
+def test_gram_join_keeps_cross_block_ids_apart(spark):
+    """ADVICE r14: id_col is only promised unique WITHIN a block.  The
+    same id pair sharing grams in two different blocks must produce two
+    per-block pairs (like the pair-join reference), not one merged count
+    — the block columns ride the intersection groupBy."""
+    rows = [
+        # block X: ids 1,2 share "a b c d" exactly
+        ("X", 1, "a b c d"),
+        ("X", 2, "a b c d"),
+        # block Y: the SAME ids, half-overlapping texts
+        ("Y", 1, "a b c d e f"),
+        ("Y", 2, "a b c x y z"),
+    ]
+    docs = spark.createDataFrame(rows, ["blk", "doc_id", "text"])
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["blk"], n=2, threshold=0.01
+        ).collect()
+    )
+    ref = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["blk"], n=2, threshold=0
+        ).filter(F.col("jaccard") >= 0.01).collect()
+    )
+    assert got == ref
+    # two distinct per-block pairs for (1, 2) — a merged count would
+    # collapse them into one row with a wrong jaccard
+    assert len(got) == 2 and got[0][:2] == (1, 2) and got[1][:2] == (1, 2)
+    assert got[0][2] != got[1][2]

@@ -120,7 +120,9 @@ def test_minhash_signature_shuffle_carries_only_doc_rows(spark):
     assert "partial_min" in p, "minhash min-fold must aggregate map-side"
     # two shuffles: the tiny doc-spread repartition (single-file fixture
     # parallelization, see dedup._spread) + the per-doc min fold
-    assert p.count("Exchange") == 2, p[:1500]
+    # upper bound, not ==: the invariant is "no exchange beyond spread +
+    # min fold"; exact node counts pin Spark's plan rendering (ADVICE r14)
+    assert p.count("Exchange") <= 2, p[:1500]
     assert "roundrobin" in p.lower(), "spread repartition missing"
 
 
@@ -135,7 +137,7 @@ def test_oph_signatures_one_exchange_no_object_agg(spark):
     docs = load_table(spark, SF_DIR, "documents")
     p = plan_text(minhash_signatures_oph(docs, "text", "doc_id", 64, 5, "md5"))
     assert "ObjectHashAggregate" not in p, p[:1500]
-    assert p.count("Exchange") == 2, p[:1500]  # spread + id agg
+    assert p.count("Exchange") <= 2, p[:1500]  # spread + id agg, no more
     assert "partial_min" in p, "bucket mins must fold map-side"
 
 

@@ -112,18 +112,41 @@ def lang_id(c: Column) -> Column:
     CJK characters dominate; otherwise the language with the most stopword
     hits wins, ties broken in fixed order en>de>fr>es (mirrored exactly in
     the DuckDB oracle in plans/llm.py).
+
+    Construction (optimization r15): the naive spelling — four
+    ``stopword_hits(c, lang)`` referenced again in every CASE branch —
+    re-evaluates the whole normalize/split/filter chain at every
+    reference.  Catalyst's subexpression elimination skips expressions
+    containing lambda functions AND conditionally-evaluated CASE branches,
+    so the tokens chain ran up to ~19× per row (measured 4.0 s best-of-3
+    at sf0.1 for a one-exchange scan).  The two ``_let`` bindings below
+    evaluate the tokens chain ONCE and the four hit-counts ONCE per row;
+    the CASE then compares four bound ints (0.35 s, ~11×).  Same leaf
+    expressions, so null/empty semantics are unchanged (pinned by
+    tests/test_hof_let_binding.py::test_lang_id_binding_matches_naive_form).
     """
     cjk = F.regexp_count(c, F.lit(CJK_PATTERN))
-    en, de, fr, es = (stopword_hits(c, lang) for lang in ("en", "de", "fr", "es"))
-    best = F.greatest(en, de, fr, es)
-    return (
-        F.when(cjk > F.lit(0), F.lit("zh"))
-        .when(best == F.lit(0), F.lit("unknown"))
-        .when(en == best, F.lit("en"))
-        .when(de == best, F.lit("de"))
-        .when(fr == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+
+    def score(toks: Column) -> Column:
+        def hits(lang: str) -> Column:
+            words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+        return F.array(*[hits(lang) for lang in ("en", "de", "fr", "es")])
+
+    def pick(s: Column) -> Column:
+        en, de, fr, es = (s.getItem(i) for i in range(4))
+        best = F.greatest(en, de, fr, es)
+        return (
+            F.when(cjk > F.lit(0), F.lit("zh"))
+            .when(best == F.lit(0), F.lit("unknown"))
+            .when(en == best, F.lit("en"))
+            .when(de == best, F.lit("de"))
+            .when(fr == best, F.lit("fr"))
+            .otherwise(F.lit("es"))
+        )
+
+    return _let(tokens(c), lambda toks: _let(score(toks), pick))
 
 
 def quality_score(c: Column) -> Column:

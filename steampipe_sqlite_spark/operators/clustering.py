@@ -136,7 +136,18 @@ def semantic_dedup(
     representative × members (one row per vector), so cost stays linear
     where naive semantic dedup is quadratic.
     """
-    assigned = kmeans_assign(df, vec_col, id_col, k=k, iters=iters)
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    # Persist the fitted assignment ONCE (optimization r15): the relation
+    # is referenced three times below (the reps aggregate, the
+    # representative-vector restriction, and the member face of the final
+    # join), and unpersisted each reference re-ran the WHOLE k-means fit —
+    # the executed plan carried 5 parquet scans of the corpus and 22
+    # exchanges (committed: plans/r15/dedup_semantic_before.txt).  One
+    # corpus-sized row per vector — the same bounded within-query state
+    # class as ppjoin's shingle cache (r14); dropped by clearCache between
+    # bench runs.
+    assigned = persist_tracked(kmeans_assign(df, vec_col, id_col, k=k, iters=iters))
     reps = (
         assigned.groupBy("cell")
         .agg(F.min(F.struct("d2", "id")).alias("m"))

@@ -493,8 +493,20 @@ def image_phash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     pigeonhole guarantees recall for hamming ≤ 3; wider radii trade
     recall) then one bit_count(xor) hamming filter.  Identical shape to
     dedup.simhash_pairs — candidates meet on band keys, never an O(n²)
-    pair join — so it scales the same way."""
-    fp = image_phash(media)
+    pair join — so it scales the same way.
+
+    The fingerprint frame is persisted ONCE (optimization r15): ``bands``
+    is both faces of the candidate self-join, and unpersisted each face
+    re-ran the Arrow decode + DCT Python stage over every image — the
+    single most expensive stage in the pipeline, twice (the before plan
+    carried two ArrowEvalPython subtrees: plans/r15/
+    mm_image_phash_neardup_{before,after}.txt).  The cached state is
+    (doc_id, phash) — 16 bytes per image, the guide-§8 "decide with small
+    rows" proxy, orders of magnitude smaller than the media it replaces.
+    """
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    fp = persist_tracked(image_phash(media))
     bands = fp.select(
         "doc_id",
         "phash",

@@ -3888,9 +3888,20 @@ def sketch_cms_token_counts_q(spark, sf_dir):
     from steampipe_sqlite_spark.functions.text import _NORM_SQL
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr(
-        f"explode(split({_NORM_SQL.format(c='text')}, ' ')) AS tok"
+    # normalize the corpus ONCE (optimization r15): the token stream is
+    # referenced twice (sketch build + the exact-count branch), and
+    # unpersisted each branch re-ran the two regexp_replace passes over
+    # every document.  The cache holds the NORMALIZED STRINGS (one row
+    # per document — the same corpus-sized within-query state class as
+    # ppjoin's r14 cache); the exploded token rows stay uncached, so each
+    # branch re-splits from the cached string (cheap) instead of
+    # re-regexing (the wall).  plans/r15/sketch_cms_token_counts_*.txt.
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    normed = persist_tracked(
+        docs.selectExpr(f"{_NORM_SQL.format(c='text')} AS norm")
     )
+    toks = normed.selectExpr("explode(split(norm, ' ')) AS tok")
     sketch = cms_build(toks, "tok", width=64, depth=4)
     probes = spark.createDataFrame(
         [("join",), ("hash",), ("vector",), ("data",), ("scan",)], "value string"

@@ -1184,7 +1184,17 @@ def market_basket_pairs(spark, sf_dir):
     from steampipe_sqlite_spark.plans.registry import presentation_sort
 
     li = load_table(spark, sf_dir, "lineitem")
-    lines = li.select("l_orderkey", "l_partkey").distinct()
+    # persist the distinct basket lines ONCE (optimization r15): the
+    # relation is referenced three times (both self-join faces + the
+    # marginal-degree aggregate), and unpersisted each reference re-ran
+    # the lineitem scan AND the distinct's exchange+aggregate — the
+    # executed plan carried 3 scans / 3 distinct aggregates
+    # (plans/r15/market_basket_pairs_{before,after}.txt).  Two longs per
+    # distinct (order, part) row — bounded within-query state, dropped by
+    # clearCache between bench runs.
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    lines = persist_tracked(li.select("l_orderkey", "l_partkey").distinct())
     a, b = lines.alias("a"), lines.alias("b")
     pair = (
         a.join(

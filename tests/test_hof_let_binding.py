@@ -190,3 +190,56 @@ def test_gram_join_keeps_cross_block_ids_apart(spark):
     # collapse them into one row with a wrong jaccard
     assert len(got) == 2 and got[0][:2] == (1, 2) and got[1][:2] == (1, 2)
     assert got[0][2] != got[1][2]
+
+
+def test_lang_id_binding_matches_naive_form(spark):
+    """r15: lang_id binds the tokens chain and the four stopword counts
+    once per row (_let), where the naive CASE re-evaluated them per
+    reference (~19x).  Same leaf expressions — outputs must match the
+    naive spelling exactly, including null/empty/CJK/tie/unknown rows."""
+    from steampipe_sqlite_spark.functions.text import (
+        CJK_PATTERN,
+        STOPWORDS,
+        lang_id,
+        stopword_hits,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat and it is happy"),        # en
+        (1, "der hund und die katze ist nicht zu haben"),     # de
+        (2, "le chat est dans la maison pour les amis"),      # fr
+        (3, "el perro es una mascota por las noches"),        # es
+        (4, "中文文本 the der"),              # CJK dominates
+        (5, "zzz qqq www nothing matches here"),              # unknown
+        (6, "the der le el que es is ist"),                   # tie-ish mix
+        (7, ""),                                              # empty
+        (8, None),                                            # null
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def naive(c):
+        cjk = F.regexp_count(c, F.lit(CJK_PATTERN))
+        en, de, fr, es = (
+            stopword_hits(c, lang) for lang in ("en", "de", "fr", "es")
+        )
+        best = F.greatest(en, de, fr, es)
+        return (
+            F.when(cjk > F.lit(0), F.lit("zh"))
+            .when(best == F.lit(0), F.lit("unknown"))
+            .when(en == best, F.lit("en"))
+            .when(de == best, F.lit("de"))
+            .when(fr == best, F.lit("fr"))
+            .otherwise(F.lit("es"))
+        )
+
+    got = {
+        r.doc_id: r.p
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("p")).collect()
+    }
+    ref = {
+        r.doc_id: r.p
+        for r in df.select("doc_id", naive(F.col("text")).alias("p")).collect()
+    }
+    assert got == ref
+    # spot-pin the semantics so both forms going wrong together is loud
+    assert got[0] == "en" and got[4] == "zh" and got[5] == "unknown"

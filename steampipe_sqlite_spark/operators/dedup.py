@@ -565,7 +565,18 @@ def cdc_chunk_fingerprints(
     from steampipe_sqlite_spark.functions.text import _NORM_SQL
 
     norm = _NORM_SQL.format(c=text_col)
-    norm_df = df.selectExpr(f"{id_col} AS id", f"{norm} AS norm")
+    # persist the normalized corpus ONCE (optimization r15): norm_df is
+    # referenced twice — the gram/breakpoint pipeline and the final
+    # chunk-substring join — and unpersisted each reference re-ran both
+    # regexp_replace passes over every document (the same defect class as
+    # the ppjoin/exact-substrings caches; plans/r15/
+    # dedup_cdc_chunks_{before,after}.txt).  One normalized string per
+    # document, dropped by clearCache between bench runs.
+    from steampipe_sqlite_spark.operators.scale import persist_tracked
+
+    norm_df = persist_tracked(
+        df.selectExpr(f"{id_col} AS id", f"{norm} AS norm")
+    )
     h60 = f"cast(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) as bigint)"
     flags = norm_df.selectExpr(
         "id",
